@@ -1,0 +1,152 @@
+"""DBC → Column-expression compiler (the engine's "physical decode codegen").
+
+Replaces the reference's per-frame interpretive decode loop
+(/root/reference/src/decoder.cpp:76-129) with driver-side expression
+generation: one Spark Column per signal, all derived from a single shared
+payload-word column, so a 100-signal DBC decodes in one WholeStageCodegen
+stage with zero Python in the data path.
+
+Scale notes (100 TB):
+- The known-id filter (T6) is an ``isin`` over a driver-side literal list —
+  pushed into the parquet/text scan by Catalyst; for very large dictionaries
+  it degrades gracefully to a broadcast left-semi join (both provided).
+- Wide decode = N pure projections; no shuffle is introduced until the
+  downsample aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.dbc.spec import BOOL, DbcSpec, MessageSpec, SignalSpec
+from dbc_informed_socketcan_to_parquet_spark.functions.bitfield import (
+    extract_bits,
+    ieee754_float32,
+    motorola_lsb,
+    payload_be_u64,
+    payload_le_u64,
+    sign_extend,
+)
+
+
+class DecodeCompiler:
+    """Compiles a :class:`DbcSpec` into decode expressions over a frames DF.
+
+    Frames schema contract (FIXTURES.md §1.2): ``ts double`` (epoch s),
+    ``can_id long``, ``data binary``, plus arbitrary passthrough columns.
+    """
+
+    def __init__(self, spec: DbcSpec, can_id_col: str = "can_id", data_col: str = "data"):
+        self.spec = spec
+        self.can_id_col = can_id_col
+        self.data_col = data_col
+
+    # -- signal-level ------------------------------------------------------
+
+    def raw_expr(self, sig: SignalSpec) -> Column:
+        """Unsigned raw bit-field of one signal from the payload word."""
+        data = F.col(self.data_col)
+        if sig.byte_order == "little":
+            word = payload_le_u64(data)
+            lsb = sig.start_bit
+        else:
+            word = payload_be_u64(data)
+            lsb = motorola_lsb(sig.start_bit, sig.bit_length)
+        return extract_bits(word, lsb, sig.bit_length)
+
+    def phys_expr(self, sig: SignalSpec, msg: MessageSpec | None = None) -> Column:
+        """Physical value: raw → (sign extend) → reinterpret/scale → cast.
+
+        Mirrors dbcppp RawToPhys semantics (phys = raw * factor + offset,
+        /root/reference/src/decoder.cpp:103-115) and the flt32 reinterpret
+        convention (decoder.cpp:28-37); typing per SignalSpec.type_tag.
+        """
+        raw = self.raw_expr(sig)
+        if sig.is_float32:
+            value = ieee754_float32(raw)
+        else:
+            signed = sign_extend(raw, sig.bit_length) if sig.is_signed else raw
+            if sig.type_tag == BOOL:
+                value = signed.cast("long") != 0
+            elif sig.factor == 1.0 and sig.offset == 0.0:
+                value = signed
+            else:
+                value = signed.cast("double") * F.lit(float(sig.factor)) + F.lit(float(sig.offset))
+        value = value.cast(sig.spark_type)
+        # Gate on owning message id — a frame only carries its own signals
+        # (scatter loop, /root/reference/src/decoder.cpp:92-116).
+        if msg is not None:
+            gate = F.col(self.can_id_col) == F.lit(msg.can_id)
+            # Multiplexed signal: additionally require the mux switch value
+            # (T5, /root/reference/src/decoder.cpp:85-88).
+            if sig.mux_switch_value is not None and msg.mux_switch is not None:
+                sw = self.raw_expr(msg.mux_switch)
+                gate = gate & (sw == F.lit(sig.mux_switch_value))
+            value = F.when(gate, value)
+        return value
+
+    # -- frame-level -------------------------------------------------------
+
+    def known_id_filter(self, frames: DataFrame) -> DataFrame:
+        """T6: drop frames whose id is not in the dictionary
+        (/root/reference/src/decoder.cpp:77-79).  Literal ``isin`` —
+        Catalyst pushes it to the scan."""
+        return frames.filter(F.col(self.can_id_col).isin(self.spec.known_ids()))
+
+    def known_id_semi_join(self, frames: DataFrame, spark) -> DataFrame:
+        """T6 as an explicit broadcast left-semi join against the dictionary
+        table — the form that scales to dictionaries too large for a
+        literal list."""
+        ids = spark.createDataFrame([(i,) for i in self.spec.known_ids()], f"{self.can_id_col} long")
+        return frames.join(F.broadcast(ids), self.can_id_col, "left_semi")
+
+    def decode_wide(
+        self,
+        frames: DataFrame,
+        time_col: str = "Time_ms",
+        keep_cols: tuple[str, ...] = (),
+        filter_known: bool = True,
+    ) -> DataFrame:
+        """Sparse wide decode: one row per frame, one column per DBC signal,
+        NULL for signals not carried by the frame's message.
+
+        This is the long→wide pivot (A3) in its shuffle-free form: because
+        the signal→message mapping is known at compile time, the "pivot" is
+        just N conditional projections — no groupBy, no extra scan.
+        Downstream, the bucket downsample (operators/bucket.py) collapses
+        rows per time bucket.
+        """
+        if filter_known:
+            frames = self.known_id_filter(frames)
+        cols: list[Column] = [F.col(c) for c in keep_cols]
+        cols.append((F.col("ts") * 1000.0).alias(time_col))
+        for msg, sig in self.spec.all_signals():
+            cols.append(self.phys_expr(sig, msg).alias(sig.column_name))
+        return frames.select(*cols)
+
+    def signal_spec_df(self, spark) -> DataFrame:
+        """The dictionary as a small DataFrame (broadcastable dimension) —
+        FIXTURES.md §1.3 schema."""
+        rows = []
+        for msg, sig in self.spec.all_signals():
+            rows.append(
+                (
+                    msg.can_id,
+                    sig.name,
+                    sig.start_bit,
+                    sig.bit_length,
+                    sig.byte_order,
+                    sig.is_signed,
+                    float(sig.factor),
+                    float(sig.offset),
+                    sig.is_float32,
+                    sig.mux_switch_value,
+                )
+            )
+        schema = (
+            "can_id long, signal_name string, start_bit int, bit_length int, "
+            "byte_order string, is_signed boolean, factor double, offset double, "
+            "is_float32 boolean, mux_switch_value int"
+        )
+        return spark.createDataFrame(rows, schema)

@@ -1,0 +1,55 @@
+"""Cross-engine deterministic hashing helpers.
+
+Spark's native ``xxhash64``/``hash`` have no DuckDB equivalent, so every
+operator that must be oracle-checkable (MinHash, SimHash, fingerprints)
+hashes through md5 instead: take the first 15 hex chars of the md5 digest
+(60 bits — always non-negative in a signed 64-bit long) and parse as an
+integer.  Identical SQL exists on the DuckDB side:
+``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``.
+
+At 100 TB the md5 path is marginally slower than xxhash64 but remains
+JVM-side and codegen'd; operators take a ``hash_fn`` parameter so the
+fast path can be swapped in when oracle parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^61 - 1 — modulus for the universal-hash permutation
+#: family h_i(x) = (a_i * x + b_i) mod P used by MinHash.
+MERSENNE_61 = (1 << 61) - 1
+
+
+def md5_long(col: Column, salt: str = "") -> Column:
+    """60-bit non-negative integer hash of a string column, md5-based.
+
+    ``salt`` derives independent hash functions from the same input —
+    used to build the MinHash permutation family deterministically.
+    """
+    s = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str, salt: str = "") -> str:
+    """DuckDB SQL rendering of :func:`md5_long` over SQL expression text."""
+    inner = f"concat('{salt}', CAST({expr} AS VARCHAR))" if salt else f"CAST({expr} AS VARCHAR)"
+    return f"CAST('0x' || substr(md5({inner}), 1, 15) AS BIGINT)"
+
+
+def perm_hash(h: Column, a: int, b: int) -> Column:
+    """One member of the universal family: (a*h + b) mod (2^61-1).
+
+    ``a``/``b`` must be < 2^31 so ``a * h60`` stays... it does not — a 60-bit
+    hash times a 31-bit constant overflows a long.  We therefore reduce the
+    input first: h is folded to 30 bits (xor-fold) so a*h + b < 2^63.
+    """
+    folded = F.shiftrightunsigned(h, 30).bitwiseXOR(h.bitwiseAND(F.lit((1 << 30) - 1)))
+    return (folded * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)
+
+
+def perm_hash_sql(h_expr: str, a: int, b: int) -> str:
+    """DuckDB SQL rendering of :func:`perm_hash`."""
+    folded = f"xor(({h_expr} >> 30), ({h_expr} & {(1 << 30) - 1}))"
+    return f"(({folded} * {a} + {b}) % {MERSENNE_61})"

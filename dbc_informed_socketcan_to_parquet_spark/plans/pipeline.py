@@ -1,0 +1,83 @@
+"""The end-to-end decode pipeline — the engine's equivalent of the
+reference binary's single hand-written loop (/root/reference/src/main.cpp:122-186).
+
+One declarative lineage:
+
+    source (candump text / legacy parquet / socket stream)
+      → T1 parse → T6 known-id filter → T2 time normalize
+      → T3/T4/T5 wide decode (DecodeCompiler)
+      → A1/A2 bucket downsample (``--cache``)
+      → A4 forward-fill (``--forward-fill``)
+      → K1 parquet sink (+ K2 console, K3 websocket)
+
+Catalyst fuses parse+filter+decode into one WholeStageCodegen stage over
+the text scan; the only shuffle is the bucket aggregation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbc_informed_socketcan_to_parquet_spark.dbc.compiler import DecodeCompiler
+from dbc_informed_socketcan_to_parquet_spark.dbc.parser import parse_dbc
+from dbc_informed_socketcan_to_parquet_spark.dbc.spec import DbcSpec
+from dbc_informed_socketcan_to_parquet_spark.operators.bucket import bucket_downsample
+from dbc_informed_socketcan_to_parquet_spark.operators.ffill import forward_fill_blocks
+from dbc_informed_socketcan_to_parquet_spark.sinks import console_sink, write_parquet
+from dbc_informed_socketcan_to_parquet_spark.sources.candump import normalize_time, read_candump
+from dbc_informed_socketcan_to_parquet_spark.sources.parquet_reingest import read_legacy_parquet
+
+
+@dataclass
+class PipelineConfig:
+    """CLI-surface parity with the reference
+    (struct CommandLineArugments [sic], /root/reference/src/arguments.h:22-38)."""
+
+    dbc_path: str | None = None
+    input_path: str | None = None          # --if
+    output_path: str | None = None         # --of
+    input_format: str = "file"             # --file | --parquet | --stdin/--socket
+    cache_ms: float = 0.0                  # --cache (default 0: row per message)
+    forward_fill: bool = False             # --forward-fill
+    live_signals: list[str] = field(default_factory=list)  # --live-decode (repeatable)
+    adjust_timestamp: bool = True          # --no-adjust-timestamp inverts
+    agg: str = "last"                      # v1 last-write-wins semantics (SURVEY §2.3 A2)
+
+
+class DecodePipeline:
+    def __init__(self, config: PipelineConfig, spec: DbcSpec | None = None):
+        self.config = config
+        self.spec = spec if spec is not None else parse_dbc(config.dbc_path)
+        self.compiler = DecodeCompiler(self.spec)
+
+    def decoded(self, spark: SparkSession) -> DataFrame:
+        """Wide decoded stream with ``Time_ms`` per the timestamp mode —
+        the pipeline up to (not including) the bucket aggregation."""
+        cfg = self.config
+        if cfg.input_format == "parquet":
+            # already wide; just migrate the legacy schema (T9)
+            return read_legacy_parquet(spark, cfg.input_path, self.spec)
+        frames = read_candump(spark, cfg.input_path, adjust_timestamp=cfg.adjust_timestamp)
+        # decode_wide derives its own epoch-ms axis from ts; the source
+        # already computed the (possibly normalized) Time_ms — keep that one.
+        wide = self.compiler.decode_wide(frames, time_col="_epoch_ms", keep_cols=("Time_ms",))
+        return wide.drop("_epoch_ms")
+
+    def run_batch(self, spark: SparkSession) -> DataFrame:
+        cfg = self.config
+        out = self.decoded(spark)
+        if cfg.input_format != "parquet":
+            sig_cols = [s.column_name for _, s in self.spec.all_signals()]
+            out = bucket_downsample(out, cfg.cache_ms, signal_cols=sig_cols)
+        if cfg.forward_fill:
+            sig_cols = [s.column_name for _, s in self.spec.all_signals() if s.column_name in out.columns]
+            out = forward_fill_blocks(out, "Time_ms", sig_cols)
+        ordered = ["Time_ms"] + [s.column_name for _, s in self.spec.all_signals() if s.column_name in out.columns]
+        out = out.select(*ordered).orderBy("Time_ms")
+        if cfg.live_signals:
+            console_sink(out, cfg.live_signals)
+        if cfg.output_path:
+            write_parquet(out, cfg.output_path, mode="overwrite")
+        return out

@@ -1,0 +1,7 @@
+from dbc_informed_socketcan_to_parquet_spark.streaming.pipeline import (
+    run_stream,
+    streaming_bucket_downsample,
+    streaming_decode,
+)
+
+__all__ = ["run_stream", "streaming_bucket_downsample", "streaming_decode"]

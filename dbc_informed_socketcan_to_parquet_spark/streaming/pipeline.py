@@ -1,0 +1,85 @@
+"""M4 — Structured Streaming parity for the live paths (S2/S3 → A1/A2 → K*).
+
+The reference's live mode is a blocking read loop with processing-time
+stamps and zero fault tolerance (/root/reference/src/main.cpp:122-179,
+socketInput.cpp:45-52).  The streaming engine equivalents:
+
+- micro-batch scheduler replaces the hand loop,
+- event-time tumbling ``window()`` + watermark replaces the drift-prone
+  in-loop bucket close — and *defines* late/out-of-order behavior, which
+  the reference silently corrupts (unchecked SetValueAt,
+  /root/reference/src/writeparquet.h:70-75; SURVEY §2.6),
+- checkpointed sinks give exactly-once parquet output.
+
+Aggregation note: Spark disallows ``max_by`` with an ``ignorenulls``-style
+filter per column in streaming state cleanly across all output modes, but
+plain ``last(col, ignorenulls=True)`` within a watermarked window works in
+append mode via the state store; within a micro-batch Spark preserves
+source order for the socket/text sources, which matches arrival-order
+"last-write-wins" (v1 semantics) for a live stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.dbc.compiler import DecodeCompiler
+from dbc_informed_socketcan_to_parquet_spark.sinks import stream_console_sink, stream_parquet_sink
+from dbc_informed_socketcan_to_parquet_spark.sources.candump import stream_candump_dir, stream_candump_socket
+
+
+def streaming_decode(frames: DataFrame, compiler: DecodeCompiler) -> DataFrame:
+    """Wide decode on a streaming frames DF, with an event-time column."""
+    wide = compiler.decode_wide(frames, time_col="Time_ms")
+    return wide.withColumn("event_time", F.timestamp_millis(F.col("Time_ms").cast("long")))
+
+
+def streaming_bucket_downsample(
+    wide: DataFrame,
+    cache_ms: float,
+    signal_cols: list[str],
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """A1/A2 as a watermarked tumbling window aggregation (append mode)."""
+    win_ms = max(int(cache_ms), 1)
+    agged = (
+        wide.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", f"{win_ms} milliseconds").alias("w"))
+        .agg(*[F.last(c, ignorenulls=True).alias(c) for c in signal_cols])
+    )
+    return agged.select(
+        (F.unix_micros(F.col("w.start")) / 1000).cast("double").alias("Time_ms"), *signal_cols
+    )
+
+
+def run_stream(
+    spark: SparkSession,
+    cfg,
+    host: str = "localhost",
+    port: int = 9000,
+    checkpoint: str = "/tmp/dbc_stream_ckpt",
+    directory: str | None = None,
+):
+    """Wire source → decode → window → sinks for the live CLI path."""
+    from dbc_informed_socketcan_to_parquet_spark.dbc.parser import parse_dbc
+
+    spec = parse_dbc(cfg.dbc_path)
+    compiler = DecodeCompiler(spec)
+    frames = (
+        stream_candump_dir(spark, directory)
+        if directory
+        else stream_candump_socket(spark, host, port)
+    )
+    wide = streaming_decode(frames, compiler)
+    sig_cols = [s.column_name for _, s in spec.all_signals()]
+    out = streaming_bucket_downsample(wide, cfg.cache_ms or 1.0, sig_cols)
+
+    queries = []
+    if cfg.output_path:
+        queries.append(stream_parquet_sink(out, cfg.output_path, checkpoint))
+    if cfg.live_signals:
+        queries.append(stream_console_sink(out, cfg.live_signals))
+    for q in queries:
+        q.awaitTermination()
+    return queries
