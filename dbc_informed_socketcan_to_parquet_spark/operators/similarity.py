@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — exact, one broadcast of the (small)
+query set, no shuffle until the per-query top-k aggregation.  Scale path:
+sign-random-projection LSH — hyperplanes derived *deterministically* from
+md5 so signatures are reproducible across engines and runs; candidates
+meet only within a hash bucket, then exact cosine re-ranks.
+
+Vector math is built-in higher-order-function algebra (``zip_with`` +
+``aggregate``) over ``array<double>`` — JVM-side, no UDF.  For very high
+dimensions a Pandas-UDF matmul path would win on SIMD; at d≈64-1024 the
+codegen'd fold is competitive and keeps the plan pure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` (query_id, vector) is broadcast — the corpus streams past
+    it with no shuffle; the only exchange is the top-k window partitioned
+    by query (bounded output: k rows per query).
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col("_cv"), F.col("_qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# -- sign-LSH (random hyperplane) bucketed ANN -------------------------------
+
+def _hyperplane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5-derived so Spark and any oracle agree bit-for-bit."""
+    h = md5_long(F.lit(f"p{plane}_d{dim}"))
+    return ((h % 2000) - F.lit(1000)).cast("double") / F.lit(1000.0)
+
+
+def sign_lsh_signature(vec: Column, num_planes: int, dim: int) -> Column:
+    """Bit i = sign of <v, plane_i>; packed into a long."""
+    sig: Column = F.lit(0).cast("long")
+    for p in range(num_planes):
+        comp = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[_hyperplane_component(p, d) for d in range(dim)]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(F.when(comp >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: meet in the LSH bucket, re-rank by exact cosine.
+
+    Recall < 1 by construction (bucket boundary misses); raise
+    ``num_planes`` for precision or probe neighboring buckets for recall.
+    At 100 TB this replaces the full-corpus scan per query with a bucket scan.
+    """
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
+    c = c.withColumn("_bucket", sign_lsh_signature(F.col("_cv"), num_planes, dim))
+    q = q.withColumn("_bucket", sign_lsh_signature(F.col("_qv"), num_planes, dim))
+    scored = c.join(F.broadcast(q), "_bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col("_cv"), F.col("_qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,126 @@
+"""Text analysis operators: quality scoring, language ID, token counting,
+document fingerprinting — the corpus-curation layer over ``documents``.
+
+All scalar Column algebra except fingerprinting (higher-order functions);
+everything stays in WholeStageCodegen.  Regexes use only syntax with
+identical Java-regex / RE2 semantics so DuckDB oracles can mirror them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+from dbc_informed_socketcan_to_parquet_spark.functions.text import (
+    BPE_ISH_RE,
+    STOPWORD_LIST,
+    bpe_ish_count,
+    char_shingles,
+    tokens,
+)
+
+
+def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document statistics + a composite quality score.
+
+    Quality heuristic (public-domain-style corpus filtering features):
+    penalize very short docs, high punctuation density, low stopword
+    density, and extreme mean word length.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    lowered = F.transform(toks, lambda x: F.lower(x))
+    n_stop = F.size(F.filter(lowered, lambda x: x.isin(*STOPWORD_LIST)))
+    avg_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)).cast("double") / n_tokens).otherwise(F.lit(0.0))
+
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+
+    quality = (
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.5))
+        - F.least(digit_ratio, F.lit(0.25))
+        + F.least(stop_ratio, F.lit(0.25))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        bpe_ish_count(t).alias("n_bpe_ish"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+#: Marker tokens per language for the n-gram/stopword heuristic.  Tiny by
+#: design: the goal is a deterministic, cross-engine-reproducible signal,
+#: not a production langid model.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "una"),
+}
+
+
+def _marker_score(text_lower: Column, words: tuple[str, ...]) -> Column:
+    """Count of marker-word occurrences, word-bounded."""
+    padded = F.concat(F.lit(" "), F.regexp_replace(text_lower, r"[^a-zÀ-ɏ一-鿿]+", " "), F.lit(" "))
+    score: Column = F.lit(0)
+    for w in words:
+        # occurrences of " w " — overlapping not possible for distinct words
+        hits = (F.length(padded) - F.length(F.replace(padded, F.lit(f" {w} "), F.lit("")))) / F.lit(len(w) + 2)
+        score = score + hits.cast("int")
+    return score
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK char detection + stopword-marker voting.
+
+    Returns (id, predicted_lang, score).  Deterministic tie-break: higher
+    score wins, then lexicographic language code.
+    """
+    t = F.lower(F.col(text_col))
+    has_cjk = F.regexp_count(F.col(text_col), F.lit("[一-鿿]")) > 0
+    scores = [(code, _marker_score(t, words)) for code, words in sorted(LANG_MARKERS.items())]
+    best = F.greatest(*[s for _, s in scores])
+    # chained whens: first language (lexicographic) reaching `best` wins ties
+    pred = F.when(has_cjk, F.lit("zh")).when(best <= 0, F.lit("unknown"))
+    for code, s in scores:
+        pred = pred.when(s == best, F.lit(code))
+    pred = pred.otherwise(F.lit("unknown"))
+    score = F.when(has_cjk, F.lit(999)).otherwise(best).cast("int")
+    return df.select(F.col(id_col), pred.alias("predicted_lang"), score.alias("lang_score"))
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints: k-gram hashes → per-window minimum →
+    distinct set (public winnowing scheme: Schleimer/Wilkerson/Aiken).
+
+    Pure higher-order-function pipeline: shingle array → hash transform →
+    sliding-window min → distinct; one row per (doc, fingerprint) after
+    explode.  No UDF, no shuffle before the final explode.
+    """
+    sh = char_shingles(F.col(text_col), k)
+    hashes = F.transform(sh, lambda s: md5_long(s))
+    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))

@@ -72,6 +72,10 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     column pruning handled by Catalyst; no schema inference is involved
     (parquet carries its schema).
     """
+    # events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
+    # default; read it as a long of epoch-nanoseconds instead (exact — and
+    # ms derivation is then integer division, immune to µs truncation).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
