@@ -1,0 +1,488 @@
+"""Driver-contract query inventory: Spark queries + DuckDB oracle SQL.
+
+Each entry re-expresses one operator from SURVEY.md §2 (or a north-star
+extension) over the driver fixtures, paired with ANSI SQL that DuckDB runs
+on the same parquet — the correctness gate (CORRECTNESS_r{N}.json).
+
+Cross-engine determinism rules used throughout (see functions/timeutil.py,
+functions/hashing.py):
+- time values surface as epoch-ms/ns integers, never timestamps;
+- double aggregates run through exact decimal arithmetic and cast to
+  double at the end (identical bit patterns regardless of order);
+- hashes are md5-based (identical in both engines);
+- every ordering has a total tiebreak, ``ord`` keys are unique bigints.
+
+The CAN-domain queries synthesize frames *from the events table*
+deterministically (payload = md5-derived 60-bit word, rendered as a
+candump line), so the whole parse→decode→bucket pipeline is checked
+against an arithmetic oracle that never touches our code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.dbc.compiler import DecodeCompiler
+from dbc_informed_socketcan_to_parquet_spark.dbc.spec import DbcSpec, MessageSpec, SignalSpec
+from dbc_informed_socketcan_to_parquet_spark.functions.candump import parse_candump_lines
+from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long, md5_long_sql
+from dbc_informed_socketcan_to_parquet_spark.operators.bucket import bucket_downsample
+from dbc_informed_socketcan_to_parquet_spark.operators.ffill import forward_fill_blocks
+from dbc_informed_socketcan_to_parquet_spark.operators.pivot import pivot_last
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared loaders
+# ---------------------------------------------------------------------------
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # TIMESTAMP(NANOS) parquet: read as epoch-ns long (exact)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DuckDB reads the TIMESTAMP(NANOS) parquet as a µs-precision TIMESTAMP
+# (nanos truncated); Spark reads exact ns via nanosAsLong.  The canonical
+# cross-engine time value is therefore epoch-MICROseconds: DuckDB
+# epoch_us(ts) == Spark ts div 1000 (integer division, exact).
+EV_US = "epoch_us(ts)"
+TS_US = "(ts div 1000)"
+
+# ---------------------------------------------------------------------------
+# CAN-domain: synthetic frames from events
+# ---------------------------------------------------------------------------
+#
+# payload word p  = md5_long(event_id)                (60-bit, non-negative)
+# candump hex     = %016X of p  → data byte i == (p >> (56-8i)) & 255
+# can_id          = 0x100 + event_id % 3
+# line epoch      = ts truncated to ms (guarantees double-exact round trip)
+
+_SYNTH_DBC = DbcSpec(
+    messages=(
+        MessageSpec(0x100, "ENGINE", 8, (
+            SignalSpec("EngSpeed", 0, 12, "little", False, 0.5, -100.0),
+            SignalSpec("EngTorque", 16, 16, "little", True, 1.0, 0.0),
+            SignalSpec("EngActive", 32, 1, "little", False, 1.0, 0.0),
+        )),
+        MessageSpec(0x101, "SENSOR", 8, (
+            SignalSpec("SensB", 55, 8, "big", False, 2.0, 0.0),
+            SignalSpec("SensC", 40, 8, "little", True, 1.0, 0.0),
+        )),
+        MessageSpec(0x102, "MUX", 8, (
+            SignalSpec("MuxA", 8, 8, "little", False, 1.0, 0.0, mux_switch_value=0),
+            SignalSpec("MuxB", 8, 8, "little", False, 1.0, 0.0, mux_switch_value=1),
+        ), mux_switch=SignalSpec("MuxSwitch", 0, 4, "little", False, 1.0, 0.0)),
+    )
+)
+
+
+def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → candump text lines (deterministic, both-engine-expressible)."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
+    p = md5_long(F.col("event_id"))
+    can_id = F.lit(0x100) + (F.col("event_id") % 3).cast("long")
+    secs = F.expr("ts_us div 1000000")
+    ms_in_s = F.expr("(ts_us % 1000000) div 1000")
+    line = F.format_string("(%d.%06d) vcan0 %X#%016X", secs, ms_in_s * 1000, can_id, p)
+    return ev.select(F.col("event_id"), F.col("ts_us"), line.alias("value"))
+
+
+# DuckDB mirrors of the synthesis
+_P = md5_long_sql("event_id")
+_SYNTH_SQL = f"""
+  SELECT event_id,
+         {EV_US} AS ts_us,
+         {_P} AS p,
+         256 + (event_id % 3) AS can_id,
+         {EV_US} // 1000000 AS secs,
+         ({EV_US} % 1000000) // 1000 AS ms_in_s
+  FROM events
+"""
+
+
+def _byte(i: int) -> str:
+    """DuckDB: data byte i of the %016X-rendered payload word p."""
+    return f"((p >> {56 - 8 * i}) & 255)"
+
+
+@query(
+    "candump_parse",
+    oracle=f"""
+    WITH s AS ({_SYNTH_SQL})
+    SELECT event_id,
+           secs * 1000 + ms_in_s AS ts_ms,
+           can_id,
+           printf('%016X', p) AS payload_hex
+    FROM s
+    """,
+)
+def q_candump_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: format→parse round trip; checks regexp/conv/unhex against
+    arithmetic (reference parser: candump_parse.h:38-101)."""
+    lines = _synth_lines(spark, sf_dir)
+    frames = parse_candump_lines(lines, keep_malformed=True)
+    return frames.select(
+        F.col("event_id"),
+        F.round(F.col("ts") * 1000).cast("long").alias("ts_ms"),
+        F.col("can_id"),
+        F.hex(F.col("data")).alias("payload_hex"),
+    )
+
+
+def _synth_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed frames with exact ns timestamp carried alongside."""
+    lines = _synth_lines(spark, sf_dir)
+    return parse_candump_lines(lines, keep_malformed=False)
+
+
+@query(
+    "bitfield_decode",
+    oracle=f"""
+    WITH s AS ({_SYNTH_SQL})
+    SELECT event_id,
+           CASE WHEN can_id = 256
+                THEN ({_byte(0)} + ({_byte(1)} % 16) * 256) * 0.5 - 100.0 END AS EngSpeed,
+           CASE WHEN can_id = 256 THEN
+             CAST(CASE WHEN {_byte(2)} + {_byte(3)} * 256 >= 32768
+                  THEN {_byte(2)} + {_byte(3)} * 256 - 65536
+                  ELSE {_byte(2)} + {_byte(3)} * 256 END AS INT) END AS EngTorque,
+           CASE WHEN can_id = 256 THEN ({_byte(4)} & 1) = 1 END AS EngActive,
+           CASE WHEN can_id = 257 THEN CAST({_byte(6)} * 2.0 AS REAL) END AS SensB,
+           CASE WHEN can_id = 257 THEN
+             CAST(CASE WHEN {_byte(5)} >= 128 THEN {_byte(5)} - 256 ELSE {_byte(5)} END AS INT) END AS SensC
+    FROM s
+    """,
+)
+def q_bitfield_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: bit-field extraction + scaling, little-endian and Motorola
+    (decode loop: /root/reference/src/decoder.cpp:76-129).
+
+    Byte map (payload rendered %016X of p): data byte i = (p >> (56-8i)) & 255.
+    EngSpeed  LE u12 @0   = b7' bits…  — in LE word: bytes 0,1 = p-bytes 7,6.
+    EngTorque LE s16 @16  = bytes 2,3  = p-bytes 5,4.
+    EngActive LE bool @32 = byte 4 bit0 = p-byte 3 bit0.
+    SensB     BE u8 @55   = BE-word bits 8..15 = data byte 6 = p-byte 6.
+    SensC     LE s8 @40   = data byte 5 = p-byte 2.
+    """
+    frames = _synth_frames(spark, sf_dir)
+    comp = DecodeCompiler(_SYNTH_DBC)
+    cols = [F.col("event_id")]
+    for msg in _SYNTH_DBC.messages[:2]:
+        for sig in msg.signals:
+            cols.append(comp.phys_expr(sig, msg).alias(sig.column_name))
+    return frames.select(*cols)
+
+
+@query(
+    "mux_filter",
+    oracle=f"""
+    WITH s AS ({_SYNTH_SQL})
+    SELECT event_id,
+           CASE WHEN can_id = 258 AND ({_byte(0)} & 15) = 0 THEN CAST({_byte(1)} AS INT) END AS MuxA,
+           CASE WHEN can_id = 258 AND ({_byte(0)} & 15) = 1 THEN CAST({_byte(1)} AS INT) END AS MuxB
+    FROM s
+    """,
+)
+def q_mux_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: multiplexed decode gated on the mux-switch value
+    (/root/reference/src/decoder.cpp:85-88)."""
+    frames = _synth_frames(spark, sf_dir)
+    comp = DecodeCompiler(_SYNTH_DBC)
+    mux_msg = _SYNTH_DBC.messages[2]
+    return frames.select(
+        F.col("event_id"),
+        *[comp.phys_expr(s, mux_msg).alias(s.column_name) for s in mux_msg.signals],
+    )
+
+
+@query(
+    "float32_reinterpret",
+    oracle=f"""
+    WITH s AS ({_SYNTH_SQL}),
+    u AS (
+      SELECT event_id,
+             (({_byte(0)} | ({_byte(1)} << 8) | ({_byte(2)} << 16) | ({_byte(3)} << 24))
+              & 2155872255) | 1065353216 AS u32
+      FROM s
+    )
+    SELECT event_id,
+           (CASE WHEN (u32 >> 31) = 1 THEN -1.0 ELSE 1.0 END)
+           * (1.0 + (u32 & 8388607) / 8388608.0) AS f32
+    FROM u
+    """,
+)
+def q_float32_reinterpret(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: IEEE-754 float32 reinterpret as pure Column algebra
+    (/root/reference/src/custom_types.cpp:42-110).
+
+    Payload carries u32 with the exponent forced to 127 (normal numbers
+    only → value = ±(1 + mantissa/2^23), exactly representable: both
+    engines produce bit-identical doubles with zero tolerance).
+    2155872255 == 0x807FFFFF, 1065353216 == 0x3F800000 (sign+mantissa
+    keep-mask and the forced exponent).
+    """
+    from dbc_informed_socketcan_to_parquet_spark.functions.bitfield import ieee754_float32
+
+    ev = _read(spark, sf_dir, "events")
+    p = md5_long(F.col("event_id"))
+    b = [F.shiftrightunsigned(p, 56 - 8 * i).bitwiseAND(F.lit(255)) for i in range(8)]
+    u32 = b[0].bitwiseOR(F.shiftleft(b[1], 8)).bitwiseOR(F.shiftleft(b[2], 16)).bitwiseOR(F.shiftleft(b[3], 24))
+    forced = u32.bitwiseAND(F.lit(0x807FFFFF)).bitwiseOR(F.lit(0x3F800000))
+    # build the 4-byte LE payload hex, parse it, decode through the engine
+    hexpay = F.format_string(
+        "%02X%02X%02X%02X00000000",
+        forced.bitwiseAND(F.lit(255)),
+        F.shiftrightunsigned(forced, 8).bitwiseAND(F.lit(255)),
+        F.shiftrightunsigned(forced, 16).bitwiseAND(F.lit(255)),
+        F.shiftrightunsigned(forced, 24).bitwiseAND(F.lit(255)),
+    )
+    line = F.format_string("(%d.000000) vcan0 101#%s", F.col("event_id") + 1, hexpay)
+    frames = parse_candump_lines(ev.select(F.col("event_id"), line.alias("value")), keep_malformed=True)
+    spec = SignalSpec("flt32_f32", 0, 32, "little", False, 1.0, 0.0)
+    comp = DecodeCompiler(DbcSpec())
+    return frames.select(F.col("event_id"), comp.phys_expr(spec).cast("double").alias("f32"))
+
+
+@query(
+    "known_id_filter",
+    oracle="""
+    SELECT event_id, user_id
+    FROM events
+    WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
+    """,
+)
+def q_known_id_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: dictionary semi-join — frames whose id is unknown are dropped
+    (/root/reference/src/decoder.cpp:77-79,11-14).  Expressed as a
+    broadcast left-semi join, the at-scale form."""
+    ev = _read(spark, sf_dir, "events")
+    dictionary = ev.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    return ev.join(F.broadcast(dictionary), "user_id", "left_semi").select("event_id", "user_id")
+
+
+@query(
+    "ts_normalize",
+    oracle=f"""
+    SELECT event_id,
+           ({EV_US} - (SELECT min({EV_US}) FROM events)) // 1000 AS time_ms
+    FROM events
+    """,
+)
+def q_ts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: ms-since-capture-start axis
+    (/root/reference/src/inputs/fileInput.cpp:16-31; min() not first() —
+    documented order-insensitive divergence, SURVEY §2.2 T2)."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
+    start = ev.agg(F.min("ts_us")).first()[0]
+    return ev.select(
+        "event_id",
+        F.expr(f"(ts_us - {start}) div 1000").alias("time_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A3/A4: bucket, first/last, pivot, forward-fill (events as stream)
+# ---------------------------------------------------------------------------
+
+_HOUR = 3_600_000
+
+
+@query(
+    "bucket_last",
+    oracle=f"""
+    SELECT ({EV_US} // 1000 // {_HOUR}) * {_HOUR} AS bucket_ms,
+           event_type,
+           arg_max(value, {EV_US}) AS last_value,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_bucket_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2: tumbling bucket + last-write-wins (v1 semantics,
+    /root/reference/src/main.cpp.bak:340-342) via order-independent max_by."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
+    bucket = F.expr(f"(ts_us div 1000 div {_HOUR}) * {_HOUR}")
+    return ev.groupBy(bucket.alias("bucket_ms"), F.col("event_type")).agg(
+        F.max_by(F.col("value"), F.col("ts_us")).alias("last_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "bucket_first",
+    oracle=f"""
+    SELECT ({EV_US} // 1000 // {_HOUR}) * {_HOUR} AS bucket_ms,
+           event_type,
+           arg_min(value, {EV_US}) AS first_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_bucket_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 variant: v2's accidental first-write-wins
+    (/root/reference/src/writeparquet.h:70-75), as an explicit option."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
+    bucket = F.expr(f"(ts_us div 1000 div {_HOUR}) * {_HOUR}")
+    return ev.groupBy(bucket.alias("bucket_ms"), F.col("event_type")).agg(
+        F.min_by(F.col("value"), F.col("ts_us")).alias("first_value"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+    SELECT ({EV_US} // 1000 // {_HOUR}) * {_HOUR} AS bucket_ms,
+           {", ".join(f"arg_max(value, {EV_US}) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+"""
+
+
+@query("pivot_wide", oracle=_PIVOT_ORACLE)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: long→wide pivot with last-value semantics — the generic form of
+    the reference's emergent pivot (/root/reference/src/decoder.cpp:92-116)."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
+    long_df = ev.select(
+        F.expr(f"(ts_us div 1000 div {_HOUR}) * {_HOUR}").alias("bucket_ms"),
+        F.col("event_type").alias("signal_name"),
+        F.col("value"),
+        F.col("ts_us").alias("ord"),
+    )
+    return pivot_last(long_df, _EVENT_TYPES, ["bucket_ms"], order_col="ord")
+
+
+@query(
+    "forward_fill",
+    oracle=f"""
+    WITH pivoted AS ({_PIVOT_ORACLE})
+    SELECT bucket_ms,
+           {", ".join(f"last_value({t} IGNORE NULLS) OVER (ORDER BY bucket_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {t}" for t in _EVENT_TYPES)}
+    FROM pivoted
+    """,
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: LOCF over the pivoted buckets — via the *scalable* two-pass
+    block implementation (operators/ffill.py), proving it agrees with the
+    single-window LOCF oracle (README.md:38; v1 main.cpp.bak:399-405)."""
+    pivoted = q_pivot_wide(spark, sf_dir)
+    return forward_fill_blocks(pivoted, "bucket_ms", _EVENT_TYPES, block_width=6 * _HOUR)
+
+
+@query(
+    "bucket_downsample_wide",
+    oracle=f"""
+    WITH s AS ({_SYNTH_SQL}),
+    decoded AS (
+      SELECT (ts_us // 1000 // 60000) * 60000 AS bucket_ms,
+             ts_us,
+             CASE WHEN can_id = 256
+                  THEN ({_byte(0)} + ({_byte(1)} % 16) * 256) * 0.5 - 100.0 END AS EngSpeed,
+             CASE WHEN can_id = 257 THEN CAST({_byte(6)} * 2.0 AS REAL) END AS SensB
+      FROM s
+    )
+    SELECT bucket_ms,
+           arg_max(EngSpeed, ts_us) FILTER (WHERE EngSpeed IS NOT NULL) AS EngSpeed,
+           arg_max(SensB, ts_us) FILTER (WHERE SensB IS NOT NULL) AS SensB
+    FROM decoded
+    GROUP BY 1
+    """,
+)
+def q_bucket_downsample_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 end-to-end on the decoded wide stream: parse → decode → 60 s
+    buckets via operators/bucket.bucket_downsample (the ``--cache``
+    pipeline, /root/reference/src/main.cpp:110-131)."""
+    frames = _synth_frames(spark, sf_dir)
+    comp = DecodeCompiler(_SYNTH_DBC)
+    eng = _SYNTH_DBC.messages[0]
+    sen = _SYNTH_DBC.messages[1]
+    # the exact-µs ordering column rode along from _synth_lines — line
+    # timestamps are ms-truncated, so parsed ts alone could tie in a bucket
+    wide = frames.select(
+        F.round(F.col("ts") * 1000).cast("long").alias("Time_ms"),
+        F.col("ts_us").alias("ord_us"),
+        comp.phys_expr(eng.signals[0], eng).alias("EngSpeed"),
+        comp.phys_expr(sen.signals[0], sen).alias("SensB"),
+    )
+    out = bucket_downsample(
+        wide, 60_000, signal_cols=["EngSpeed", "SensB"], time_col="Time_ms", order_col="ord_us"
+    )
+    return out.withColumnRenamed("Time_ms", "bucket_ms")
+
+
+@query(
+    "legacy_rename_scale",
+    oracle=f"""
+    SELECT event_id, ({EV_US} / 1000000.0) * 1000.0 AS Time_ms
+    FROM events
+    """,
+)
+def q_legacy_rename_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: legacy ``Seconds`` column → ``Time_ms`` ×1000 migration
+    (/root/reference/src/main.cpp.bak:295-304).  Identical double ops on
+    identical bigints → bit-identical output, no tolerance needed."""
+    from dbc_informed_socketcan_to_parquet_spark.sources.parquet_reingest import migrate_legacy
+
+    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
+    legacy = ev.select("event_id", (F.col("ts_us") / F.lit(1_000_000.0)).alias("Seconds"))
+    migrated = migrate_legacy(legacy)
+    return migrated.select("event_id", "Time_ms")
+
+
+@query(
+    "legacy_synthetic_ts",
+    oracle="""
+    SELECT doc_id,
+           (row_number() OVER (ORDER BY doc_id) - 1) * 11.91 AS Time_ms
+    FROM documents
+    """,
+)
+def q_legacy_synthetic_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9b: no time column at all → synthetic ``n * 11.91`` ms axis
+    (/root/reference/src/main.cpp.bak:328-331)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        ((F.row_number().over(w) - 1).cast("double") * F.lit(11.91)).alias("Time_ms"),
+    )
+
+
+@query(
+    "running_counters",
+    oracle="""
+    SELECT event_type,
+           count(*) AS messages,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: stream counters (messages/rows/msg_count,
+    /root/reference/src/main.cpp:115-119) as declarative aggregates."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("messages"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
