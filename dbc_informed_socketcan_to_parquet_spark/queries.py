@@ -486,3 +486,406 @@ def q_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.6 — joins/sorts/set-ops/windows come from
+# Spark; these entries prove the engine exposes them with oracle parity).
+# Exactness: money sums run through DECIMAL (order-independent), dates
+# surface as 'yyyy-MM-dd' strings (timestamp_ntz — timezone-free).
+# ---------------------------------------------------------------------------
+
+_D2 = "decimal(18,2)"
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(8,2)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + 2-key groupBy + 8 aggregates.
+    Decimal-exact sums ⇒ order-independent, hash-identical to the oracle."""
+    li = _read(spark, sf_dir, "lineitem")
+    price_d = F.col("l_extendedprice").cast(_D2)
+    disc1_d = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    tax1_d = (F.lit(1) + F.col("l_tax")).cast("decimal(8,2)")
+    disc_price = (price_d * disc1_d).cast("decimal(18,4)")
+    charge = (disc_price * tax1_d).cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_D2)).cast("double").alias("sum_qty"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(_D2)).cast("double") / n).alias("avg_qty"),
+            (F.sum(price_d).cast("double") / n).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+    The customer dimension side is broadcast; revenue is decimal-exact so
+    the ORDER BY tiebreak (revenue, l_orderkey) is total in both engines."""
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    cutoff = F.expr("TIMESTAMP_NTZ '1995-03-15 00:00:00'")
+    revenue = (F.col("l_extendedprice").cast(_D2) * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(od.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join.  nation/region/supplier broadcast;
+    the only real shuffles are the orders⋈lineitem join and the final agg."""
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    su = _read(spark, sf_dir, "supplier")
+    na = _read(spark, sf_dir, "nation")
+    re = _read(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice").cast(_D2) * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")).cast("decimal(18,4)")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(su), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "top_k_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — the canonical rank-window pattern (absent from the
+    reference; SURVEY §2.6).  Total ordering via the (price, key) tiebreak."""
+    od = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        od.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "semi_anti_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE has_order) AS with_orders,
+           count(*) FILTER (WHERE NOT has_order) AS without_orders
+    FROM (
+      SELECT c_mktsegment,
+             EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+      FROM customer
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (EXISTS / NOT EXISTS) — SURVEY §2.6."""
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders").select("o_custkey")
+    semi = cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("with_orders")
+    )
+    anti = cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("without_orders")
+    )
+    return (
+        semi.join(anti, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+    )
+
+
+@query(
+    "set_operations",
+    oracle="""
+    SELECT c_custkey, 'both' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT c_custkey, 'rich_no_open' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL — SURVEY §2.6 set operations."""
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders")
+    rich = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    open_orders = od.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    both = rich.intersect(open_orders).withColumn("tag", F.lit("both"))
+    only = rich.exceptAll(open_orders).distinct().withColumn("tag", F.lit("rich_no_open"))
+    return both.unionAll(only)
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY §2.6) with NULL-group disambiguation."""
+    li = _read(spark, sf_dir, "lineitem")
+    # grouping() must be evaluated inside the rollup aggregate itself
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.when(F.grouping("l_returnflag") == 1, "ALL").otherwise(F.col("l_returnflag")).alias("returnflag"),
+        F.when(F.grouping("l_linestatus") == 1, "ALL").otherwise(F.col("l_linestatus")).alias("linestatus"),
+        F.sum(F.col("l_quantity").cast(_D2)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).drop("l_returnflag", "l_linestatus")
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_bal,
+           rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           lag(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS prev_key
+    FROM customer
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum, rank, lag (SURVEY §2.6).  Window sums
+    are order-defined ⇒ sequential fold, identical in both engines."""
+    cu = _read(spark, sf_dir, "customer")
+    w_order = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    w_rank = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return cu.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.sum("c_acctbal").over(w_run), 6).alias("running_bal"),
+        F.rank().over(w_rank).alias("bal_rank"),
+        F.lag("c_custkey").over(w_order).alias("prev_key"),
+    )
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS prio_upper,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           length(o_orderstatus) AS status_len,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           round(o_totalprice, 0) AS price_round,
+           abs(o_totalprice - 100000.0) AS price_dist,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+           o_orderkey % 10 AS key_mod,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           CAST(substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) AS INT) AS oyear,
+           CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS size_class,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_decoded
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math/date/conditional battery — the function library
+    the reference lacks entirely (SURVEY §2.6)."""
+    od = _read(spark, sf_dir, "orders")
+    odate = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return od.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.round("o_totalprice", 0).alias("price_round"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("price_dist"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
+        (F.col("o_orderkey") % 10).alias("key_mod"),
+        odate.alias("odate"),
+        F.substring(odate, 1, 4).cast("int").alias("oyear"),
+        F.when(F.col("o_totalprice") > 200000, "big").when(F.col("o_totalprice") > 50000, "mid").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_decoded"),
+    )
+
+
+@query(
+    "agg_stats_exact",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(value AS DECIMAL(18,2)) AS v, CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4)) AS vv
+      FROM events
+    )
+    SELECT count(*) AS n,
+           CAST(min(v) AS DOUBLE) AS min_v,
+           CAST(max(v) AS DOUBLE) AS max_v,
+           CAST(sum(v) AS DOUBLE) / count(*) AS mean_v,
+           round(sqrt((CAST(sum(vv) AS DOUBLE) - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(*)) / (count(*) - 1)), 6) AS stddev_v
+    FROM d
+    """,
+)
+def q_agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/mean/stddev with exact decimal moments — the deterministic
+    form of floating statistics (naive float stddev is summation-order-
+    dependent and can never hash-match across engines)."""
+    ev = _read(spark, sf_dir, "events")
+    vc = F.col("value").cast(_D2)
+    base = ev.select(vc.alias("v"), (vc * vc).cast("decimal(28,4)").alias("vv"))
+    n = F.count(F.lit(1))
+    sum_v = F.sum(F.col("v")).cast("double")
+    sum_vv = F.sum(F.col("vv")).cast("double")
+    return base.agg(
+        n.alias("n"),
+        F.min("v").cast("double").alias("min_v"),
+        F.max("v").cast("double").alias("max_v"),
+        (sum_v / n).alias("mean_v"),
+        F.round(F.sqrt((sum_vv - sum_v * sum_v / n) / (n - F.lit(1))), 6).alias("stddev_v"),
+    )
+
+
+@query(
+    "distinct_exact_and_approx",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (oracle-checked).  The HLL approximate variant is the
+    separate rows-only entry ``approx_distinct`` (sketches are
+    engine-specific by construction)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+
+
+@query("approx_distinct")  # rows-only: HLL sketch values are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct / approx quantiles — the sketch surface."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 1000).alias("value_p50_p95"),
+    )
+
+
+@query(
+    "order_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (TakeOrderedAndProject — no full sort at scale)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(20)
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k_value
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column access (regex form — identical Java/RE2
+    semantics; Spark's get_json_object is the native alternative)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1).cast("int").alias("k_value"),
+    )
