@@ -40,11 +40,13 @@ def char_shingles(text: Column, n: int, lowercase: bool = True, max_chars: int =
     """
     t = F.lower(text) if lowercase else text
     t = F.substring(t, 1, max_chars)
-    count = F.greatest(F.length(t) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: t.substr(i, F.lit(n)),
-    )
+    count = F.length(t) - F.lit(n - 1)
+    # guard: sequence(1, 0) would count DOWN in Spark — short texts must
+    # yield an empty array, not bogus shingles
+    return F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count), lambda i: t.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(text: Column, n: int) -> Column:

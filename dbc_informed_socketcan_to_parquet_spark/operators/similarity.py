@@ -39,12 +39,17 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     ``queries`` (query_id, vector) is broadcast — the corpus streams past
     it with no shuffle; the only exchange is the top-k window partitioned
     by query (bounded output: k rows per query).
+
+    ``round_to`` rounds the similarity before ranking — with the (id)
+    tiebreak this makes the top-k set/order reproducible across engines
+    whose float summation differs in the last ulp.
     """
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
@@ -52,10 +57,13 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
     )
+    sim = cosine(F.col("_cv"), F.col("_qv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col("_cv"), F.col("_qv")).alias("cosine"),
+        sim.alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (

@@ -36,7 +36,8 @@ def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
     lowered = F.transform(toks, lambda x: F.lower(x))
     n_stop = F.size(F.filter(lowered, lambda x: x.isin(*STOPWORD_LIST)))
-    avg_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)).cast("double") / n_tokens).otherwise(F.lit(0.0))
+    tok_chars = F.aggregate(F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x)
+    avg_tok_len = F.when(n_tokens > 0, tok_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
 
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
     digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0))

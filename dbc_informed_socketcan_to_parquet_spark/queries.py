@@ -889,3 +889,386 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1).cast("int").alias("k_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star corpus operators (dedup / text analysis / similarity /
+# multimodal) — first-class components, each oracle-checked where the
+# semantics are SQL-expressible (md5-based hashing keeps both engines in
+# lock-step; see functions/hashing.py).
+# ---------------------------------------------------------------------------
+
+from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (  # noqa: E402
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_perms,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (  # noqa: E402
+    cosine,
+    cosine_topk,
+    lsh_ann_topk,
+)
+from dbc_informed_socketcan_to_parquet_spark.operators.textops import (  # noqa: E402
+    doc_fingerprints,
+    doc_stats,
+    lang_id,
+)
+from dbc_informed_socketcan_to_parquet_spark.operators.multimodal import (  # noqa: E402
+    attach_media,
+    extract_features,
+)
+
+# DuckDB rendering of functions/hashing.md5_long over a SQL expression
+_H = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+# char-shingle CTE: substr(lower(text),1,4096), n-grams at every position
+_SHINGLE_SQL = """
+  SELECT doc_id, h FROM (
+    SELECT DISTINCT doc_id,
+           CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(t) - {nm1}, 0) + 1),
+                                   i -> substr(t, i::INT, {n}))) AS s
+      FROM (SELECT doc_id, substr(lower(text), 1, 4096) AS t FROM documents)
+    )
+  )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the content hash, deterministic survivor."""
+    return exact_duplicates(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_MH_PERMS = minhash_perms(16, seed=42)
+_MH_FOLD = "xor((h >> 30), (h & 1073741823))"
+_MH_TERMS = ",\n           ".join(
+    f"min(({_MH_FOLD} * {a} + {b}) % 2305843009213693951) AS h{i}"
+    for i, (a, b) in enumerate(_MH_PERMS)
+)
+_MH_SIG_SQL = f"""
+    SELECT doc_id,
+           {_MH_TERMS}
+    FROM ({_SHINGLE_SQL.format(n=5, nm1=4)})
+    GROUP BY doc_id
+"""
+
+
+@query("minhash_signatures", oracle=_MH_SIG_SQL)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 perms, 5-gram shingles) — one explode + one
+    groupBy; the permutation family is seeded so both engines agree."""
+    docs = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perms=16, shingle_n=5, seed=42)
+    return sigs.select("doc_id", *[F.col("sig")[i].alias(f"h{i}") for i in range(16)])
+
+
+_MH_BANDS = 4
+_MH_RPB = 4
+_BAND_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {', '.join(f'h{b * _MH_RPB + r}' for r in range(_MH_RPB))})) AS bh FROM sigs"
+    for b in range(_MH_BANDS)
+)
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sigs AS ({_MH_SIG_SQL}),
+    bands AS ({_BAND_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ({" + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(16))}) / 16.0 AS est_jaccard
+    FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+    WHERE ({" + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(16))}) / 16.0 >= 0.5
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs: candidates meet only inside a
+    band bucket (uniform join key — no cross join), then the signature-
+    match estimate filters at 0.5."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perms=16, shingle_n=5,
+        num_bands=_MH_BANDS, threshold=0.5, seed=42,
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL.format(n=5, nm1=4)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.h = b.h
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dups via inverted-index join (pairs that
+    share no shingle never materialize)."""
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=5, threshold=0.5)
+
+
+_SH_BITS = 16
+_SH_VOTES = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(_SH_BITS)
+)
+_SH_PACK = " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_SH_BITS))
+
+
+@query(
+    "simhash_signatures",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL.format(n=4, nm1=3)}),
+    votes AS (
+      SELECT doc_id,
+           {_SH_VOTES}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SH_PACK} AS BIGINT) AS simhash
+    FROM votes
+    """,
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, 4-gram shingles): per-bit majority vote — one
+    explode + one groupBy with conditional sums."""
+    docs = _read(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", num_bits=_SH_BITS, shingle_n=4)
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, substr(lower(text), 1, 4096) AS t FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(t) - 7, 0) + 1),
+                            i -> CAST('0x' || substr(md5(substr(t, i::INT, 8)), 1, 15) AS BIGINT)) AS hashes
+      FROM t
+    ),
+    wm AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(hashes) - 3, 0) + 1),
+                            i -> list_min(list_slice(hashes, i::INT, i::INT + 3))) AS mins
+      FROM hs
+    )
+    SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM wm
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8, window=4) — rolling-hash document
+    fingerprinting, the standard plagiarism/near-dup scheme."""
+    docs = _read(spark, sf_dir, "documents")
+    return doc_fingerprints(docs, "doc_id", "text", k=8, window=4)
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in
+                     "the a an and or of to in is are was were be been it this that for on as with at by from".split())
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+           round(CASE WHEN len(toks) > 0
+                 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END, 6) AS avg_token_len,
+           round(CASE WHEN length(text) > 0
+                 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)
+                 ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN length(text) > 0
+                 THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+                 ELSE 0.0 END, 6) AS digit_ratio,
+           round(CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, x -> lower(x) IN ({_STOP_IN}))) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END, 6) AS stopword_ratio,
+           round(1.0
+                 - least(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) ELSE 0.0 END * 2, 0.5)
+                 - least(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) ELSE 0.0 END, 0.25)
+                 + least(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> lower(x) IN ({_STOP_IN}))) AS DOUBLE) / len(toks) ELSE 0.0 END, 0.25),
+                 6) AS quality
+    FROM base
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token/char/punct/digit/stopword
+    counts, BPE-ish token count, composite quality score."""
+    return doc_stats(_read(spark, sf_dir, "documents"))
+
+
+def _marker_sql(words: tuple[str, ...]) -> str:
+    padded = "concat(' ', regexp_replace(lower(text), '[^a-zà-ɏ一-鿿]+', ' ', 'g'), ' ')"
+    terms = [
+        f"CAST((length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2}.0 AS INT)"
+        for w in words
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+from dbc_informed_socketcan_to_parquet_spark.operators.textops import LANG_MARKERS  # noqa: E402
+
+_LANG_SCORES = {code: _marker_sql(words) for code, words in sorted(LANG_MARKERS.items())}
+_LANG_BEST = "greatest(" + ", ".join(_LANG_SCORES.values()) + ")"
+_LANG_CASE = "CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh' " + \
+    f"WHEN {_LANG_BEST} <= 0 THEN 'unknown' " + \
+    " ".join(f"WHEN {sql} = {_LANG_BEST} THEN '{code}'" for code, sql in _LANG_SCORES.items()) + \
+    " ELSE 'unknown' END"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           {_LANG_CASE} AS predicted_lang,
+           CAST(CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 999 ELSE {_LANG_BEST} END AS INT) AS lang_score
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK detection + stopword-marker voting with
+    deterministic tie-break (lexicographic language code)."""
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+_COS = """round(
+      list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6)"""
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {_COS} AS cosine
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline.  Broadcast queries; similarity rounded to 6 dp before
+    ranking so the (cosine, vec_id) order is engine-independent."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk(emb, queries, k=10, round_to=6)
+
+
+@query("similarity_ann_lsh")  # rows-only: recall-vs-exact is validated in tests/
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate NN — the 100 TB scale path (bucket
+    join instead of full-corpus scan per query)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_ann_topk(emb, queries, dim=64, k=10, num_planes=8)
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    SELECT e.vec_id AS id_a, q.vec_id AS id_b, {_COS} AS cosine
+    FROM embeddings e JOIN embeddings q ON e.label = q.label AND e.vec_id < q.vec_id
+    WHERE {_COS} >= 0.25
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: blocked on label, exact cosine ≥ 0.25
+    within the block (at real thresholds ≥0.95 the same plan applies)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"), "label")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"), "label")
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= 0.25)
+    )
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN strlen(text) % 3 = 0 THEN 'image/png'
+                WHEN strlen(text) % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(strlen(text) % 640 + 16 AS INT) AS width,
+           CAST(strlen(text) % 480 + 16 AS INT) AS height,
+           CAST(strlen(text) % 120 + 1 AS INT) AS n_frames,
+           strlen(text) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: opaque binary payload + typed metadata
+    (content here is the utf-8 text — the schema/partitioning layer is
+    real; codecs are stubbed per operators/multimodal.py)."""
+    media = attach_media(_read(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id", "media_type", "width", "height", "n_frames",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
+@query(
+    "media_features",
+    oracle="""
+    SELECT doc_id,
+           """ + ",\n           ".join(
+        f"CAST('0x' || substr(sha256(text), {2 * i + 1}, 2) AS INT) / 255.0 AS f{i}"
+        for i in range(8)
+    ) + """
+    FROM documents
+    """,
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (deterministic fake decode): checks
+    the Arrow-batched Python stage against a pure-SQL oracle — schema,
+    batch flow, and values all verified."""
+    media = attach_media(_read(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select("doc_id", *[F.col("features")[i].alias(f"f{i}") for i in range(8)])
