@@ -75,21 +75,21 @@ def cosine_topk(
 
 # -- sign-LSH (random hyperplane) bucketed ANN -------------------------------
 
-def _hyperplane_component(plane: int, dim: int) -> Column:
+def _hyperplane_component(table: int, plane: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     md5-derived so Spark and any oracle agree bit-for-bit."""
-    h = md5_long(F.lit(f"p{plane}_d{dim}"))
+    h = md5_long(F.lit(f"t{table}_p{plane}_d{dim}"))
     return ((h % 2000) - F.lit(1000)).cast("double") / F.lit(1000.0)
 
 
-def sign_lsh_signature(vec: Column, num_planes: int, dim: int) -> Column:
+def sign_lsh_signature(vec: Column, num_planes: int, dim: int, table: int = 0) -> Column:
     """Bit i = sign of <v, plane_i>; packed into a long."""
     sig: Column = F.lit(0).cast("long")
     for p in range(num_planes):
         comp = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[_hyperplane_component(p, d) for d in range(dim)]),
+                F.array(*[_hyperplane_component(table, p, d) for d in range(dim)]),
                 lambda x, y: x * y,
             ),
             F.lit(0.0),
@@ -104,22 +104,47 @@ def lsh_ann_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    num_planes: int = 12,
+    num_planes: int = 8,
+    num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: meet in the LSH bucket, re-rank by exact cosine.
+    """Approximate top-k: meet in any of ``num_tables`` LSH buckets, then
+    re-rank candidates by exact cosine.
 
-    Recall < 1 by construction (bucket boundary misses); raise
-    ``num_planes`` for precision or probe neighboring buckets for recall.
-    At 100 TB this replaces the full-corpus scan per query with a bucket scan.
+    Multi-table is the standard recall lever for sign-LSH: a neighbor is
+    missed only if it lands in a different bucket in EVERY table.  Recall
+    rises with ``num_tables``, candidate volume with both knobs; at
+    100 TB this replaces the full-corpus scan per query with
+    ``num_tables`` bucket scans.
     """
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
-    c = c.withColumn("_bucket", sign_lsh_signature(F.col("_cv"), num_planes, dim))
-    q = q.withColumn("_bucket", sign_lsh_signature(F.col("_qv"), num_planes, dim))
-    scored = c.join(F.broadcast(q), "_bucket").select(
+    c = c.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), sign_lsh_signature(F.col("_cv"), num_planes, dim, t).alias("b"))
+                for t in range(num_tables)
+            ])
+        ).alias("_tb"),
+    ).select(id_col, "_cv", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    q = q.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), sign_lsh_signature(F.col("_qv"), num_planes, dim, t).alias("b"))
+                for t in range(num_tables)
+            ])
+        ).alias("_tb"),
+    ).select(query_id_col, "_qv", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    candidates = (
+        c.join(F.broadcast(q), ["_t", "_b"])
+        .select(query_id_col, id_col, "_cv", "_qv")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = candidates.select(
         F.col(query_id_col),
         F.col(id_col),
         cosine(F.col("_cv"), F.col("_qv")).alias("cosine"),

@@ -1201,7 +1201,7 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join instead of full-corpus scan per query)."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_ann_topk(emb, queries, dim=64, k=10, num_planes=8)
+    return lsh_ann_topk(emb, queries, dim=64, k=10, num_planes=4, num_tables=8)
 
 
 @query(

@@ -1,0 +1,124 @@
+"""Dedup / similarity / text operators vs pure-Python references."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_perms,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from dbc_informed_socketcan_to_parquet_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from dbc_informed_socketcan_to_parquet_spark.operators.textops import doc_stats, lang_id
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),     # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),     # near dup
+    (3, "completely different content here about spark engines"),
+    (4, "der schnelle braune fuchs und der faule hund ist da"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_md5_long(s: str, salt: str = "") -> int:
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16)
+
+
+def _py_minhash(text: str, num_perms: int, n: int = 5) -> list[int]:
+    t = text.lower()[:4096]
+    shingles = {t[i:i + n] for i in range(len(t) - n + 1)}
+    hs = {_py_md5_long(s) for s in shingles}
+    out = []
+    for a, b in minhash_perms(num_perms, 42):
+        out.append(min((((h >> 30) ^ (h & ((1 << 30) - 1))) * a + b) % ((1 << 61) - 1) for h in hs))
+    return out
+
+
+def test_exact_dedup(spark, docs_df):
+    groups = {r.canonical_id: r.n_copies for r in exact_duplicates(docs_df, "doc_id", "text").collect()}
+    assert groups[0] == 2                      # docs 0 and 1 identical
+    assert exact_dedup(docs_df, "doc_id", "text").count() == 4
+    survivors = {r.doc_id for r in exact_dedup(docs_df, "doc_id", "text").collect()}
+    assert 0 in survivors and 1 not in survivors   # min-id survivor
+
+
+def test_minhash_matches_python_reference(spark, docs_df):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs_df, "doc_id", "text", num_perms=8).collect()}
+    for doc_id, text in DOCS:
+        assert list(sigs[doc_id]) == _py_minhash(text, 8), f"doc {doc_id}"
+
+
+def test_minhash_similarity_ordering(spark, docs_df):
+    sigs = {r.doc_id: list(r.sig) for r in minhash_signatures(docs_df, "doc_id", "text", num_perms=32).collect()}
+    est = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / 32  # noqa: E731
+    assert est(0, 1) == 1.0                     # identical docs: identical signatures
+    assert est(0, 2) > est(0, 3)                # near-dup scores above unrelated
+
+
+def test_jaccard_pairs(spark, docs_df):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(docs_df, "doc_id", "text", shingle_n=5, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (0, 3) not in pairs
+
+
+def test_simhash_hamming(spark, docs_df):
+    sigs = {r.doc_id: r.simhash for r in simhash(docs_df, "doc_id", "text", num_bits=32).collect()}
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")  # noqa: E731
+    assert ham(0, 1) == 0
+    assert ham(0, 2) < ham(0, 3)
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, embedding array<double>")
+    rows = cosine_topk(corpus, q, k=2).orderBy("rank").collect()
+    assert [r.vec_id for r in rows] == [0, 1]
+    assert rows[0].cosine == pytest.approx(1.0)
+
+
+def test_lsh_ann_recall(spark):
+    """LSH-ANN must find the exact top-1 (identical vector) and achieve
+    reasonable top-10 recall on the fixtures."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, q, k=10).collect()
+    approx = lsh_ann_topk(emb, q, dim=64, k=10, num_planes=4, num_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid in exact_sets:
+        assert qid in approx_sets[qid]  # the query vector itself always found
+    recall = sum(len(exact_sets[q0] & approx_sets.get(q0, set())) for q0 in exact_sets) / sum(
+        len(v) for v in exact_sets.values()
+    )
+    assert recall >= 0.5  # multi-table LSH recovers most true neighbors
+
+
+def test_doc_stats_and_langid(spark, docs_df):
+    stats = {r.doc_id: r for r in doc_stats(docs_df).collect()}
+    assert stats[0].n_tokens == 9
+    assert stats[0].stopword_ratio == pytest.approx(2 / 9)   # 'the' twice
+    assert stats[0].n_chars == len(DOCS[0][1])
+    langs = {r.doc_id: r.predicted_lang for r in lang_id(docs_df).collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "de"

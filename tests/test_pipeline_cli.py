@@ -1,0 +1,91 @@
+"""End-to-end pipeline tests: batch decode pipeline (the CLI path),
+legacy parquet re-ingest (S4/T9), sinks (K1 row-group cadence, influx
+line rendering, Arrow IPC bytes)."""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.plans.pipeline import DecodePipeline, PipelineConfig
+from dbc_informed_socketcan_to_parquet_spark.sinks import arrow_ipc_bytes, influx_lines
+from dbc_informed_socketcan_to_parquet_spark.sources.parquet_reingest import migrate_legacy
+
+from tests.conftest import le_line
+
+
+@pytest.fixture(scope="module")
+def canlog(tmp_path_factory):
+    d = tmp_path_factory.mktemp("canlog")
+    lines = []
+    t = 1700000000.0
+    for i in range(300):
+        t += 0.013
+        mid = 0x100 + i % 3
+        payload = (i % 4096) | ((i % 65536) << 16) | ((i % 2) << 32) | ((i % 16) or 1)
+        lines.append(le_line(t, mid, payload))
+    (d / "cap.log").write_text("\n".join(lines) + "\n")
+    return str(d / "cap.log")
+
+
+def test_batch_pipeline_cache_and_ffill(spark, tiny_spec, canlog, tmp_path):
+    cfg = PipelineConfig(
+        input_path=canlog, output_path=str(tmp_path / "out.parquet"),
+        cache_ms=50, forward_fill=True,
+    )
+    out = DecodePipeline(cfg, spec=tiny_spec).run_batch(spark)
+    rows = out.collect()
+    assert rows[0].Time_ms == 0.0                      # normalized axis
+    assert out.columns[0] == "Time_ms"                 # reference column order
+    # forward fill ⇒ after the first occurrence, EngSpeed never null again
+    seen = False
+    for r in rows:
+        if r.EngSpeed is not None:
+            seen = True
+        elif seen:
+            pytest.fail("null after forward-fill")
+    # parquet written and readable
+    assert spark.read.parquet(str(tmp_path / "out.parquet")).count() == len(rows)
+
+
+def test_pipeline_no_adjust_timestamp(spark, tiny_spec, canlog):
+    cfg = PipelineConfig(input_path=canlog, cache_ms=0, adjust_timestamp=False)
+    out = DecodePipeline(cfg, spec=tiny_spec).run_batch(spark)
+    assert out.first().Time_ms > 1.6e12               # absolute epoch ms
+
+
+def test_legacy_parquet_reingest(spark, tiny_spec, tmp_path):
+    legacy = spark.createDataFrame(
+        [(1.5, 400.0), (2.5, 500.0)], "Seconds double, EngSpeed double"
+    )
+    p = str(tmp_path / "legacy.parquet")
+    legacy.write.parquet(p)
+    cfg = PipelineConfig(input_path=p, input_format="parquet")
+    out = DecodePipeline(cfg, spec=tiny_spec).run_batch(spark)
+    rows = out.orderBy("Time_ms").collect()
+    assert rows[0].Time_ms == 1500.0                  # s → ms ×1000
+    assert rows[0].EngSpeed == pytest.approx(400.0)
+
+
+def test_legacy_synthetic_timestamps(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    out = migrate_legacy(df).orderBy("Time_ms").collect()
+    assert [r.Time_ms for r in out] == [0.0, 11.91, 23.82]
+
+
+def test_arrow_ipc_bytes_roundtrip(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    buf = arrow_ipc_bytes(df)
+    table = pa.ipc.open_stream(io.BytesIO(buf)).read_all()
+    assert table.num_rows == 2 and table.column_names == ["id", "s"]
+
+
+def test_influx_line_rendering(spark):
+    df = spark.createDataFrame([(10.0, 1.5, None)], "Time_ms double, a double, b double")
+    line = influx_lines(df, "can", tags={"src": "t"}).first().line
+    assert line.startswith("can,src=t ")
+    assert "a=1.5" in line and "b=" not in line        # nulls skipped
+    assert line.endswith(" 10000000")                  # ms → ns
