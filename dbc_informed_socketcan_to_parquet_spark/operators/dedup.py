@@ -67,6 +67,7 @@ def shingle_hashes(
     text_col: str,
     shingle_n: int = 5,
     max_chars: int = 4096,
+    distinct: bool = True,
 ) -> DataFrame:
     """(id, distinct shingle-hash) long table — the base for minhash and
     jaccard.
@@ -80,12 +81,12 @@ def shingle_hashes(
     """
     t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
     positions = F.sequence(F.lit(1), F.length(t) - F.lit(shingle_n - 1))
-    return (
+    base = (
         df.filter(F.length(t) >= shingle_n)
         .select(F.col(id_col), t.alias("_t"), F.explode(positions).alias("_i"))
         .select(F.col(id_col), md5_long(F.col("_t").substr(F.col("_i"), F.lit(shingle_n))).alias("sh_hash"))
-        .distinct()
     )
+    return base.distinct() if distinct else base
 
 
 def minhash_signatures(
@@ -103,7 +104,10 @@ def minhash_signatures(
     num_perms longs per (partition, id).
     """
     perms = minhash_perms(num_perms, seed)
-    base = shingle_hashes(df, id_col, text_col, shingle_n)
+    # min() is duplicate-insensitive, so the per-doc shingle dedup (an
+    # extra shuffle) is unnecessary for MinHash — aggregate the raw
+    # exploded rows with map-side partial mins directly.
+    base = shingle_hashes(df, id_col, text_col, shingle_n, distinct=False)
     aggs = [F.min(perm_hash(F.col("sh_hash"), a, b)).alias(f"h{i}") for i, (a, b) in enumerate(perms)]
     sigs = base.groupBy(id_col).agg(*aggs)
     return sigs.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perms)]).alias("sig"))
