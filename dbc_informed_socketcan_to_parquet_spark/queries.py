@@ -1279,3 +1279,89 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(_read(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.select("doc_id", *[F.col("features")[i].alias(f"f{i}") for i in range(8)])
+
+
+# ---------------------------------------------------------------------------
+# Time-series relational extensions: as-of join, sessionization, cube
+# ---------------------------------------------------------------------------
+
+from dbc_informed_socketcan_to_parquet_spark.operators.asof import (  # noqa: E402
+    asof_join_backward,
+    sessionize,
+)
+
+
+@query(
+    "asof_join",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, {EV_US} AS ts_us, value FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, {EV_US} AS ts_us, value AS purchase_value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts_us, c.value, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each click paired with the user's most recent
+    purchase at-or-before it.  Spark has no ASOF JOIN — this is the
+    union-trick re-expression (operators/asof.py): one shuffle on the key,
+    per-key sort, last-ignorenulls carry; DuckDB's native ASOF JOIN is the
+    oracle."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", F.col("value").alias("purchase_value")
+    )
+    return asof_join_backward(clicks, purchases, by="user_id", order="ts_us",
+                              value_cols=["purchase_value"])
+
+
+@query(
+    "sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, {EV_US} AS ts_us,
+             CASE WHEN {EV_US} - lag({EV_US}) OVER (PARTITION BY user_id ORDER BY {EV_US}) > 3600000000
+                  OR lag({EV_US}) OVER (PARTITION BY user_id ORDER BY {EV_US}) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT user_id, event_id,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM marked
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (1 h inactivity gap) via lag + running sum — the
+    batch form of ``session_window`` (SURVEY §2.6 absent-capability)."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
+    out = sessionize(ev.select("user_id", "event_id", "ts_us"), by="user_id",
+                     ts_col="ts_us", gap=3_600_000_000)
+    return out.select("user_id", "event_id", "session_id")
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders (SURVEY §2.6)."""
+    od = _read(spark, sf_dir, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.when(F.grouping("o_orderstatus") == 1, "ALL").otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(F.grouping("o_orderpriority") == 1, "ALL").otherwise(F.col("o_orderpriority")).alias("priority"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(_D2)).cast("double").alias("total"),
+    ).drop("o_orderstatus", "o_orderpriority")
