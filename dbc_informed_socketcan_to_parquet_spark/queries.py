@@ -1365,3 +1365,152 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast(_D2)).cast("double").alias("total"),
     ).drop("o_orderstatus", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage: outer joins, SQL-API correlated subquery,
+# exact correlation, ordered string aggregation, date arithmetic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "outer_join",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-aware aggregation — customers with zero
+    orders keep a row (count of a null column = 0)."""
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(_D2)), F.lit(0).cast("decimal(28,2)"))
+            .cast("double").alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface: temp view + ``spark.sql`` with a correlated
+    scalar subquery (Catalyst decorrelates it into an aggregate+join; same
+    relational algebra as the DataFrame form).
+
+    avg() of doubles is order-dependent in general, but each correlation
+    group is a single customer's handful of orders — DuckDB and Spark both
+    aggregate them in one partial state, and the comparison threshold is
+    strictly inside the group, so the row SET is stable (verified by hash).
+    """
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "corr_exact",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+             CAST(o_orderkey % 1000 AS DECIMAL(18,2)) AS y
+      FROM orders
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x*x AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y*y AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x*y AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+      FROM d
+    )
+    SELECT round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_xy
+    FROM m
+    """,
+)
+def q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moments — the deterministic
+    form of ``corr()`` (whose float accumulation is order-dependent)."""
+    od = _read(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast(_D2)
+    y = (F.col("o_orderkey") % 1000).cast(_D2)
+    d = od.select(x.alias("x"), y.alias("y"))
+    n = F.count(F.lit(1))
+    sx, sy = F.sum(F.col("x")).cast("double"), F.sum(F.col("y")).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(30,4)")).cast("double")
+    syy = F.sum((F.col("y") * F.col("y")).cast("decimal(30,4)")).cast("double")
+    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(30,4)")).cast("double")
+    return d.agg(
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+        ).alias("corr_xy")
+    )
+
+
+@query(
+    "string_agg_ordered",
+    oracle="""
+    SELECT n_regionkey AS region,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg) — deterministic via the
+    explicit ORDER BY inside the aggregate."""
+    na = _read(spark, sf_dir, "nation")
+    return na.groupBy(F.col("n_regionkey").alias("region")).agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           epoch_ms(o_orderdate) // 86400000 AS order_epoch_day,
+           (epoch_ms(o_orderdate) // 86400000) % 7 AS day_mod7,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic on the TZ-free axis: epoch-day numbers and interval
+    addition rendered as date strings (timestamp_ntz ⇒ no TZ skew)."""
+    od = _read(spark, sf_dir, "orders")
+    # ntz → date cast is TZ-free; a cast to (TZ-ful) timestamp would shift
+    # with the driver's session timezone
+    epoch_day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    return od.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        epoch_day.alias("order_epoch_day"),
+        (epoch_day % 7).alias("day_mod7"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
+    )
