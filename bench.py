@@ -59,6 +59,7 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    fps = _decode_throughput(spark)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -66,7 +67,48 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "decode_frames_per_sec": fps,
     }))
+
+
+def _decode_throughput(spark, n_frames: int = 1_000_000) -> int:
+    """candump-decode throughput: parse → known-id filter → 5-signal decode
+    → 10 ms bucket last-value → noop, on a generated 1M-line log
+    (the reference's ``--cache 10`` file-conversion workload)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.dbc.compiler import DecodeCompiler
+    from dbc_informed_socketcan_to_parquet_spark.operators.bucket import bucket_downsample
+    from dbc_informed_socketcan_to_parquet_spark.queries import _SYNTH_DBC
+    from dbc_informed_socketcan_to_parquet_spark.sources.candump import read_candump
+
+    log_dir = tempfile.mkdtemp(prefix="bench_canlog_")
+    try:
+        # ~1 kHz bus, 3 message ids, deterministic payloads
+        lines = spark.range(n_frames).select(
+            F.format_string(
+                "(%d.%06d) vcan0 %X#%016X",
+                F.lit(1_700_000_000) + F.expr("id div 1000"),
+                (F.col("id") % 1000) * 1000,
+                F.lit(0x100) + F.col("id") % 3,
+                F.col("id") * F.lit(2654435761),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(log_dir)
+
+        comp = DecodeCompiler(_SYNTH_DBC)
+        sig_cols = [s.column_name for _, s in _SYNTH_DBC.all_signals()]
+        t0 = time.perf_counter()
+        frames = read_candump(spark, log_dir)
+        wide = comp.decode_wide(frames, keep_cols=("Time_ms",), time_col="_e").drop("_e")
+        out = bucket_downsample(wide, 10, signal_cols=sig_cols)
+        out.write.format("noop").mode("overwrite").save()
+        return int(n_frames / (time.perf_counter() - t0))
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
