@@ -1514,3 +1514,36 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_day % 7).alias("day_mod7"),
         F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
     )
+
+
+@query(
+    "value_render",
+    oracle=f"""
+    WITH s AS ({_SYNTH_SQL})
+    SELECT event_id,
+           CASE WHEN can_id = 256
+                THEN CAST(({_byte(0)} + ({_byte(1)} % 16) * 256) * 0.5 - 100.0 AS VARCHAR)
+                ELSE 'Void/Empty' END AS EngSpeed_str,
+           CASE WHEN can_id = 256 THEN
+             CAST(CAST(CASE WHEN {_byte(2)} + {_byte(3)} * 256 >= 32768
+                  THEN {_byte(2)} + {_byte(3)} * 256 - 65536
+                  ELSE {_byte(2)} + {_byte(3)} * 256 END AS INT) AS VARCHAR)
+                ELSE 'Void/Empty' END AS EngTorque_str
+    FROM s
+    """,
+)
+def q_value_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: variant → string rendering for the console sink, NULL →
+    'Void/Empty' (/root/reference/src/custom_types.cpp:14-40)."""
+    frames = _synth_frames(spark, sf_dir)
+    comp = DecodeCompiler(_SYNTH_DBC)
+    eng = _SYNTH_DBC.messages[0]
+
+    def render(sig) -> F.Column:
+        return F.coalesce(comp.phys_expr(sig, eng).cast("string"), F.lit("Void/Empty"))
+
+    return frames.select(
+        F.col("event_id"),
+        render(eng.signals[0]).alias("EngSpeed_str"),
+        render(eng.signals[1]).alias("EngTorque_str"),
+    )

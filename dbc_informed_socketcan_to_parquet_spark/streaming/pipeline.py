@@ -80,6 +80,15 @@ def run_stream(
         queries.append(stream_parquet_sink(out, cfg.output_path, checkpoint))
     if cfg.live_signals:
         queries.append(stream_console_sink(out, cfg.live_signals))
-    for q in queries:
-        q.awaitTermination()
+    # C2 graceful shutdown: SIGINT stops the queries cleanly (committed
+    # micro-batches stay durable via the checkpoint) — the declarative
+    # analog of the reference's atomic shouldExit flag
+    # (/root/reference/src/main.cpp:57-83), minus the lost-footer failure
+    # mode (main.cpp:60-61).
+    try:
+        for q in queries:
+            q.awaitTermination()
+    except KeyboardInterrupt:
+        for q in queries:
+            q.stop()
     return queries
