@@ -93,6 +93,22 @@ class DecodeCompiler:
         value = (num != 0) if sig.type_tag == BOOL else num
         return value.cast(sig.spark_type)
 
+    def enum_expr(self, sig: SignalSpec, msg: MessageSpec) -> Column:
+        """VAL_ value-table rendering: raw value → label string (falls back
+        to the number as text for unmapped values).  A driver-side literal
+        map compiled into element_at on a map literal — no join, no UDF."""
+        table = self.spec.value_tables.get((msg.can_id, sig.name))
+        raw = self.raw_expr(sig)
+        signed = sign_extend(raw, sig.bit_length) if sig.is_signed else raw
+        if not table:
+            return signed.cast("string")
+        mapping = F.create_map(
+            *[c for k, v in sorted(table.items()) for c in (F.lit(int(k)), F.lit(v))]
+        )
+        labeled = F.coalesce(F.element_at(mapping, signed.cast("int")), signed.cast("string"))
+        gate = F.col(self.can_id_col) == F.lit(msg.can_id)
+        return F.when(gate, labeled)
+
     # -- frame-level -------------------------------------------------------
 
     def known_id_filter(self, frames: DataFrame) -> DataFrame:

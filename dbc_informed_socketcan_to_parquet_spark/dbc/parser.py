@@ -25,6 +25,9 @@ _SG_RE = re.compile(
     r"(\d+)\|(\d+)@([01])([+-])\s*"
     r"\(\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)\s*\)"
 )
+#: VAL_ <can_id> <SigName> <int> "<label>" ... ;  (signal value tables)
+_VAL_RE = re.compile(r"^VAL_\s+(\d+)\s+(\w+)\s+(.*);")
+_VAL_PAIR_RE = re.compile(r'(-?\d+)\s+"([^"]*)"')
 
 #: CAN extended-frame flag bit that DBC files set on 29-bit ids.
 _EXT_FLAG = 0x80000000
@@ -32,6 +35,7 @@ _EXT_FLAG = 0x80000000
 
 def parse_dbc_text(text: str) -> DbcSpec:
     messages: list[MessageSpec] = []
+    value_tables: dict[tuple[int, str], dict[int, str]] = {}
     cur_id: int | None = None
     cur_name = ""
     cur_len = 8
@@ -78,8 +82,14 @@ def parse_dbc_text(text: str) -> DbcSpec:
                 cur_mux = spec
             else:
                 cur_signals.append(spec)
+            continue
+        val = _VAL_RE.match(line.strip())
+        if val:
+            vid = int(val.group(1)) & ~_EXT_FLAG
+            pairs = {int(v): label for v, label in _VAL_PAIR_RE.findall(val.group(3))}
+            value_tables[(vid, val.group(2))] = pairs
     flush()
-    return DbcSpec(messages=tuple(messages))
+    return DbcSpec(messages=tuple(messages), value_tables=value_tables)
 
 
 def parse_dbc(path: str) -> DbcSpec:

@@ -96,6 +96,10 @@ class DbcSpec:
     """
 
     messages: tuple[MessageSpec, ...] = field(default_factory=tuple)
+    #: VAL_ signal value tables: (can_id, signal_name) → {raw int: label}.
+    #: The reference's dbcppp parses but never consumes these; we expose
+    #: them as optional enum-label rendering (DecodeCompiler.enum_expr).
+    value_tables: dict[tuple[int, str], dict[int, str]] = field(default_factory=dict)
 
     def by_id(self) -> dict[int, MessageSpec]:
         return {m.can_id: m for m in self.messages}

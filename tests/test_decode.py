@@ -116,3 +116,24 @@ def test_motorola_bit_numbering(spark):
     df = spark.createDataFrame([(bytes([0x12, 0x34, 0, 0, 0, 0, 0, 0]),)], "data binary")
     got = df.select(DecodeCompiler(spec).phys_expr(sig).alias("v")).collect()[0].v
     assert got == 0x1234
+
+
+def test_val_enum_rendering(spark):
+    """VAL_ value tables → enum label strings (unmapped values fall back
+    to the raw number)."""
+    from dbc_informed_socketcan_to_parquet_spark.dbc.parser import parse_dbc_text
+
+    spec = parse_dbc_text(
+        TINY_DBC_TEXT + '\nVAL_ 258 MuxA 0 "OFF" 1 "ON" 2 "FAULT" ;\n'
+    )
+    assert spec.value_tables[(0x102, "MuxA")] == {0: "OFF", 1: "ON", 2: "FAULT"}
+    comp = DecodeCompiler(spec)
+    mux_msg = next(m for m in spec.messages if m.can_id == 0x102)
+    mux_a = next(s for s in mux_msg.signals if s.name == "MuxA")
+    df = spark.createDataFrame(
+        [(0x102, bytes([0, 1, 0, 0, 0, 0, 0, 0])),    # MuxA raw = 1 → "ON"
+         (0x102, bytes([0, 9, 0, 0, 0, 0, 0, 0]))],   # raw 9 unmapped → "9"
+        "can_id long, data binary",
+    )
+    got = [r.label for r in df.select(comp.enum_expr(mux_a, mux_msg).alias("label")).collect()]
+    assert got == ["ON", "9"]
