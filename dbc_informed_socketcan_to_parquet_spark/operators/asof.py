@@ -77,3 +77,64 @@ def sessionize(
     ).otherwise(F.when(F.lag(ts_col).over(w).isNull(), 1).otherwise(0))
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn("session_id", F.sum(is_new).over(w_run))
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    within: int,
+) -> DataFrame:
+    """Pairs with ``|left_ts - right_ts| <= within`` per ``by`` key, as an
+    EQUI-join: bucket the time axis at ``within`` granularity and probe the
+    three adjacent buckets, then filter exactly.
+
+    A naive inequality join plans as BroadcastNestedLoopJoin (quadratic,
+    cluster-killing); this shape is a hash join on (key, bucket) with ≤3×
+    probe fan-out — the standard interval-join decomposition (what
+    dedicated stream engines do for interval joins internally).
+    """
+    lb = F.floor(F.col(left_ts) / F.lit(within)).cast("long")
+    probe = left.select(
+        "*", F.explode(F.array(lb - 1, lb, lb + 1)).alias("_bkt")
+    )
+    build = right.select(
+        F.col(by), F.col(right_ts),
+        F.floor(F.col(right_ts) / F.lit(within)).cast("long").alias("_bkt"),
+        *[c for c in right.columns if c not in (by, right_ts)],
+    )
+    joined = probe.join(build, [by, "_bkt"])
+    return joined.filter(
+        F.abs(F.col(left_ts) - F.col(right_ts)) <= F.lit(within)
+    ).drop("_bkt")
+
+
+def debounce(
+    df: DataFrame,
+    by: str,
+    ts_col: str,
+    min_gap: int,
+) -> DataFrame:
+    """Drop rows closer than ``min_gap`` to the previously KEPT row per key
+    — the greedy event-debounce (sensor chatter suppression).
+
+    Greedy "previous kept" state is inherently sequential per key; over a
+    bounded gap it collapses to lag-based filtering against the previous
+    *kept* anchor computed via a session-style cumulative group: rows
+    whose gap to the previous raw row exceeds min_gap always survive and
+    start a new anchor group; within an anchor group, only the first row
+    survives.
+    """
+    w = Window.partitionBy(by).orderBy(ts_col)
+    gap_break = F.when(
+        (F.col(ts_col) - F.lag(ts_col).over(w)) > min_gap, 1
+    ).otherwise(F.when(F.lag(ts_col).over(w).isNull(), 1).otherwise(0))
+    grp = F.sum(gap_break).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    w_grp = Window.partitionBy(by, grp).orderBy(ts_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w_grp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1547,3 +1547,100 @@ def q_value_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         render(eng.signals[0]).alias("EngSpeed_str"),
         render(eng.signals[1]).alias("EngTorque_str"),
     )
+
+
+from dbc_informed_socketcan_to_parquet_spark.operators.asof import (  # noqa: E402
+    debounce,
+    range_join_bucketed,
+)
+
+
+@query(
+    "range_join",
+    oracle=f"""
+    WITH errors AS (
+      SELECT event_id, user_id, {EV_US} // 1000 AS ts_ms FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, {EV_US} // 1000 AS ts_ms FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id,
+           count(c.ts_ms) AS clicks_nearby
+    FROM errors e LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND abs(e.ts_ms - c.ts_ms) <= 300000
+    GROUP BY 1, 2
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (±5 min) as a bucketized equi-join — the plan shape
+    that survives scale, vs. the quadratic BroadcastNestedLoopJoin a naive
+    inequality join produces."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts_ms", F.expr("ts div 1000000"))
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts_ms")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts_ms").alias("c_ts"))
+    paired = range_join_bucketed(errors, clicks, by="user_id",
+                                 left_ts="ts_ms", right_ts="c_ts", within=300_000)
+    nearby = paired.groupBy("event_id", "user_id").agg(F.count(F.lit(1)).alias("clicks_nearby"))
+    # left semantics: errors with zero nearby clicks keep a row
+    return (
+        errors.join(nearby, ["event_id", "user_id"], "left")
+        .select("event_id", "user_id", F.coalesce("clicks_nearby", F.lit(0)).alias("clicks_nearby"))
+    )
+
+
+@query(
+    "debounce",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, {EV_US} AS ts_us,
+             CASE WHEN {EV_US} - lag({EV_US}) OVER (PARTITION BY user_id ORDER BY {EV_US}) > 600000000
+                  OR lag({EV_US}) OVER (PARTITION BY user_id ORDER BY {EV_US}) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    grouped AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM ordered
+    )
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id, grp ORDER BY ts_us) AS rn
+      FROM grouped
+    ) WHERE rn = 1
+    """,
+)
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: keep only the first event of each burst (gap > 10 min
+    starts a new burst) per user — sensor-chatter suppression."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
+    out = debounce(ev.select("user_id", "event_id", "ts_us"), by="user_id",
+                   ts_col="ts_us", min_gap=600_000_000)
+    return out.select("user_id", "event_id")
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective multi-predicate scan + single aggregate —
+    the pushdown showcase (all four predicates reach the parquet reader)."""
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast(_D2) * F.col("l_discount").cast("decimal(8,2)")).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1994-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
