@@ -155,3 +155,64 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# -- IVF (inverted-file) ANN: coarse k-means quantizer + cluster probe -------
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_clusters: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: a coarse k-means quantizer partitions the corpus into
+    ``num_clusters`` inverted lists; each query probes its ``nprobe``
+    nearest centroids and reranks those lists by exact cosine.
+
+    At 100 TB the corpus assignment is a one-off batch job (the cluster id
+    becomes a partition column of the stored index) and each query touches
+    nprobe/num_clusters of the data.  Training samples the corpus; the
+    model is driver-side (centroids are small) and broadcast implicitly
+    through the assignment expressions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=num_clusters, seed=seed, featuresCol="features").fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _nearest_clusters(vec: Column, n: int) -> Column:
+        """Indices of the n nearest centroids by squared L2 — pure Column
+        algebra over the driver-side centroid literals."""
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v,
+            )
+            for c in centers
+        ])
+        idx = F.array_sort(
+            F.arrays_zip(dists.alias("d"), F.array(*[F.lit(i) for i in range(len(centers))]).alias("i"))
+        )
+        return F.slice(F.transform(idx, lambda s: s["i"]), 1, n)
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+    c = c.withColumn("_cluster", _nearest_clusters(F.col("_cv"), 1)[0])
+    q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
+    q = q.select("*", F.explode(_nearest_clusters(F.col("_qv"), nprobe)).alias("_cluster"))
+
+    scored = c.join(F.broadcast(q), "_cluster").select(
+        F.col(query_id_col), F.col(id_col), cosine(F.col("_cv"), F.col("_qv")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

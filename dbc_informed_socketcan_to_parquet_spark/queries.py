@@ -1644,3 +1644,15 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@query("similarity_ann_ivf")  # rows-only: k-means init is engine-specific
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (coarse k-means quantizer + nprobe cluster
+    scan) — the second scale path next to sign-LSH; recall vs the exact
+    baseline is pytest-verified."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ivf_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_ann_topk(emb, queries, k=10, num_clusters=16, nprobe=4)

@@ -122,3 +122,23 @@ def test_doc_stats_and_langid(spark, docs_df):
     langs = {r.doc_id: r.predicted_lang for r in lang_id(docs_df).collect()}
     assert langs[0] == "en"
     assert langs[4] == "de"
+
+
+def test_ivf_ann_recall(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, q, k=10).collect()
+    approx = ivf_ann_topk(emb, q, k=10, num_clusters=8, nprobe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid in exact_sets:
+        assert qid in approx_sets[qid]      # identical vector always found
+    recall = sum(len(exact_sets[i] & approx_sets.get(i, set())) for i in exact_sets) / sum(
+        len(v) for v in exact_sets.values()
+    )
+    assert recall >= 0.5                    # nprobe=4 of 8 clusters
