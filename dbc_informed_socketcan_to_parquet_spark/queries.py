@@ -52,6 +52,13 @@ def query(name: str, oracle: str | None = None):
 # ---------------------------------------------------------------------------
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive session tuning: the embedding session (driver harness) may
+    # carry Spark's 200-partition default — wrong for both the small gate
+    # fixtures and local cores.  These are runtime-settable SQL confs.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     if name == "events":
         # TIMESTAMP(NANOS) parquet: read as epoch-ns long (exact)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
