@@ -109,9 +109,13 @@ def _decode_throughput(spark, n_frames: int = 1_000_000) -> int:
             out.write.format("noop").mode("overwrite").save()
 
         run()  # JIT warm pass — steady-state throughput is the figure of merit
-        t0 = time.perf_counter()
-        run()
-        return int(n_frames / (time.perf_counter() - t0))
+        # median of 3 timed passes: this host shows ±2× run-to-run noise
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            samples.append(time.perf_counter() - t0)
+        return int(n_frames / sorted(samples)[1])
     finally:
         shutil.rmtree(log_dir, ignore_errors=True)
 

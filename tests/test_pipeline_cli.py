@@ -89,3 +89,24 @@ def test_influx_line_rendering(spark):
     assert line.startswith("can,src=t ")
     assert "a=1.5" in line and "b=" not in line        # nulls skipped
     assert line.endswith(" 10000000")                  # ms → ns
+
+
+def test_partitioned_parquet_write(spark, tmp_path):
+    from dbc_informed_socketcan_to_parquet_spark.sinks import write_parquet
+
+    df = spark.createDataFrame(
+        [(float(i), i % 3, float(i * 2)) for i in range(30)],
+        "Time_ms double, hour int, EngSpeed double",
+    )
+    out = str(tmp_path / "partitioned")
+    write_parquet(df, out, mode="overwrite", partition_by=("hour",))
+    import os
+
+    parts = sorted(d for d in os.listdir(out) if d.startswith("hour="))
+    assert parts == ["hour=0", "hour=1", "hour=2"]
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    # partition pruning: a filter on the partition column prunes directories
+    pruned = back.filter(F.col("hour") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 10
