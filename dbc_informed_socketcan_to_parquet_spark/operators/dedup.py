@@ -29,7 +29,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long, perm_hash
-from dbc_informed_socketcan_to_parquet_spark.functions.text import char_shingles
 
 
 def minhash_perms(num_perms: int, seed: int = 42) -> list[tuple[int, int]]:

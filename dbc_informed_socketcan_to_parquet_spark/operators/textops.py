@@ -13,10 +13,8 @@ from pyspark.sql import functions as F
 
 from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
 from dbc_informed_socketcan_to_parquet_spark.functions.text import (
-    BPE_ISH_RE,
     STOPWORD_LIST,
     bpe_ish_count,
-    char_shingles,
     tokens,
 )
 
