@@ -80,12 +80,19 @@ def shingle_hashes(
     """
     t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
     positions = F.sequence(F.lit(1), F.length(t) - F.lit(shingle_n - 1))
-    base = (
-        df.filter(F.length(t) >= shingle_n)
-        .select(F.col(id_col), t.alias("_t"), F.explode(positions).alias("_i"))
-        .select(F.col(id_col), md5_long(F.col("_t").substr(F.col("_i"), F.lit(shingle_n))).alias("sh_hash"))
+    exploded = df.filter(F.length(t) >= shingle_n).select(
+        F.col(id_col), t.alias("_t"), F.explode(positions).alias("_i")
     )
-    return base.distinct() if distinct else base
+    shingle = F.col("_t").substr(F.col("_i"), F.lit(shingle_n))
+    if not distinct:
+        return exploded.select(F.col(id_col), md5_long(shingle).alias("sh_hash"))
+    # dedup the raw strings BEFORE hashing: repeated shingles (common in
+    # natural text) then pay md5 only once per distinct (doc, shingle)
+    return (
+        exploded.select(F.col(id_col), shingle.alias("_s"))
+        .distinct()
+        .select(F.col(id_col), md5_long(F.col("_s")).alias("sh_hash"))
+    )
 
 
 def minhash_signatures(
