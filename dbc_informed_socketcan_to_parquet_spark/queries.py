@@ -165,7 +165,8 @@ def _synth_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS ({_SYNTH_SQL})
     SELECT event_id,
            CASE WHEN can_id = 256
-                THEN ({_byte(0)} + ({_byte(1)} % 16) * 256) * 0.5 - 100.0 END AS EngSpeed,
+                THEN CAST(({_byte(0)} + ({_byte(1)} % 16) * 256) * 0.5 - 100.0 AS REAL)
+                END AS EngSpeed,
            CASE WHEN can_id = 256 THEN
              CAST(CASE WHEN {_byte(2)} + {_byte(3)} * 256 >= 32768
                   THEN {_byte(2)} + {_byte(3)} * 256 - 65536
@@ -402,7 +403,8 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (ts_us // 1000 // 60000) * 60000 AS bucket_ms,
              ts_us,
              CASE WHEN can_id = 256
-                  THEN ({_byte(0)} + ({_byte(1)} % 16) * 256) * 0.5 - 100.0 END AS EngSpeed,
+                  THEN CAST(({_byte(0)} + ({_byte(1)} % 16) * 256) * 0.5 - 100.0 AS REAL)
+                  END AS EngSpeed,
              CASE WHEN can_id = 257 THEN CAST({_byte(6)} * 2.0 AS REAL) END AS SensB
       FROM s
     )
@@ -458,7 +460,7 @@ def q_legacy_rename_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     "legacy_synthetic_ts",
     oracle="""
     SELECT doc_id,
-           (row_number() OVER (ORDER BY doc_id) - 1) * 11.91 AS Time_ms
+           CAST((row_number() OVER (ORDER BY doc_id) - 1) * 11.91 AS DOUBLE) AS Time_ms
     FROM documents
     """,
 )
@@ -739,7 +741,7 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            c_mktsegment,
            round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_bal,
-           rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bal_rank,
            lag(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS prev_key
     FROM customer
     """,
@@ -766,7 +768,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            upper(o_orderpriority) AS prio_upper,
            substr(o_orderpriority, 1, 1) AS prio_code,
-           length(o_orderstatus) AS status_len,
+           CAST(length(o_orderstatus) AS INT) AS status_len,
            concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
            round(o_totalprice, 0) AS price_round,
            abs(o_totalprice - 100000.0) AS price_dist,
@@ -857,7 +859,10 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 1000).alias("value_p50_p95"),
+        # scalar columns, not an array: the driver's canonicalizer sorts
+        # result values in pandas and crashes on unhashable list cells
+        F.percentile_approx("value", 0.5, 1000).alias("value_p50"),
+        F.percentile_approx("value", 0.95, 1000).alias("value_p95"),
     )
 
 
@@ -1115,9 +1120,9 @@ _STOP_IN = ", ".join(f"'{w}'" for w in
       FROM documents
     )
     SELECT doc_id,
-           length(text) AS n_chars,
-           len(toks) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_ish,
            round(CASE WHEN len(toks) > 0
                  THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
                  ELSE 0.0 END, 6) AS avg_token_len,
@@ -1194,7 +1199,7 @@ _COS = """round(
     ),
     ranked AS (
       SELECT query_id, vec_id, cosine,
-             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
       FROM scored
     )
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
@@ -1338,8 +1343,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_id,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
     FROM marked
     """,
 )

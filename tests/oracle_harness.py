@@ -46,6 +46,58 @@ def _norm(v):
     return v
 
 
+# Canonical type signatures: the driver's value-hash goes through pandas on
+# both engines, so a numerically-equal result still hash-mismatches when the
+# declared result types differ (DuckDB DECIMAL/HUGEINT leakage, float32 vs
+# float64, int32 vs int64 — the r1 failure class).  Map each engine's
+# declared column type to a signature and require equality; DECIMAL and
+# HUGEINT are flagged outright (pandas-converts differently per engine).
+_SPARK_SIG = {
+    "float": "f4", "double": "f8", "tinyint": "i1", "smallint": "i2",
+    "int": "i4", "bigint": "i8", "boolean": "b", "string": "s",
+    "binary": "bin", "date": "date",
+}
+_DUCK_SIG = {
+    "FLOAT": "f4", "REAL": "f4", "DOUBLE": "f8", "TINYINT": "i1",
+    "SMALLINT": "i2", "INTEGER": "i4", "BIGINT": "i8", "BOOLEAN": "b",
+    "VARCHAR": "s", "BLOB": "bin", "DATE": "date",
+    "HUGEINT": "!hugeint", "UBIGINT": "!ubigint",
+}
+
+
+def _spark_sig(dt: str) -> str:
+    if dt.startswith("decimal"):
+        return "!decimal"
+    if dt.startswith("timestamp"):
+        return "ts"
+    return _SPARK_SIG.get(dt, dt)
+
+
+def _duck_sig(dt: str) -> str:
+    if dt.startswith("DECIMAL"):
+        return "!decimal"
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    return _DUCK_SIG.get(dt, dt.lower())
+
+
+def type_signatures(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    """{col: (spark_sig, duck_sig)} for every mismatched or flagged column."""
+    s_types = {f.name.lower(): _spark_sig(f.dataType.simpleString()) for f in spark_df.schema.fields}
+    d_types = {
+        r[0].lower(): _duck_sig(r[1])
+        for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    bad = {}
+    for c in s_types:
+        ss, ds = s_types[c], d_types.get(c)
+        if ds is None:
+            continue  # schema mismatch reported separately
+        if ss != ds or ss.startswith("!") or ds.startswith("!"):
+            bad[c] = (ss, ds)
+    return bad
+
+
 def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     s_cols = sorted(spark_df.columns, key=str.lower)
     s_rows = [tuple(_norm(r[c]) for c in s_cols) for r in spark_df.collect()]
@@ -60,6 +112,11 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> di
     if [c.lower() for c in s_cols] != [c.lower() for c in d_cols]:
         report["status"] = "SCHEMA_MISMATCH"
         report["spark_cols"], report["duck_cols"] = s_cols, d_cols
+        return report
+    bad_types = type_signatures(spark_df, con, sql)
+    if bad_types:
+        report["status"] = "TYPE_MISMATCH"
+        report["cols"] = {c: list(t) for c, t in bad_types.items()}
         return report
     if len(s_rows) != len(d_rows):
         report["status"] = "ROWCOUNT_MISMATCH"
