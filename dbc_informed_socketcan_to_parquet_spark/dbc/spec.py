@@ -66,8 +66,12 @@ class SignalSpec:
             return BOOL
         if abs(self.factor - 1.0) < 1e-4 and float(self.offset).is_integer():
             # intent of /root/reference/src/decoder.cpp:45-55 (branch is dead
-            # in the reference; INT96 likewise dead — we cap at INT64)
-            return INT64 if self.bit_length > 32 else INT32
+            # in the reference; INT96 likewise dead — we cap at INT64).
+            # Unsigned fields need one more bit than signed for the same
+            # length: a u32 raw ≥ 2^31 would wrap in an int32 column.
+            if self.bit_length > 32 or (self.bit_length == 32 and not self.is_signed):
+                return INT64
+            return INT32
         return FLOAT64 if self.bit_length >= 32 else FLOAT32
 
     @property

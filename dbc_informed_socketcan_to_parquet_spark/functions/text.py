@@ -52,8 +52,13 @@ def char_shingles(text: Column, n: int, lowercase: bool = True, max_chars: int =
 def word_shingles(text: Column, n: int) -> Column:
     """Array of word n-grams joined by single spaces."""
     toks = tokens(F.lower(text))
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    count = F.size(toks) - F.lit(n - 1)
+    # guard as in char_shingles: sequence(1, 0) counts DOWN and slice() at
+    # index 0 raises — texts shorter than n words yield an empty array
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -117,15 +117,18 @@ def debounce(
     ts_col: str,
     min_gap: int,
 ) -> DataFrame:
-    """Drop rows closer than ``min_gap`` to the previously KEPT row per key
-    — the greedy event-debounce (sensor chatter suppression).
+    """First-of-burst debounce: collapse each chain of sub-``min_gap``
+    events to its first row, per key (sensor chatter suppression).
 
-    Greedy "previous kept" state is inherently sequential per key; over a
-    bounded gap it collapses to lag-based filtering against the previous
-    *kept* anchor computed via a session-style cumulative group: rows
-    whose gap to the previous raw row exceeds min_gap always survive and
-    start a new anchor group; within an anchor group, only the first row
-    survives.
+    Semantics: a row survives iff its gap to the previous RAW row exceeds
+    ``min_gap`` (or it is the key's first row).  A chain of events each
+    within ``min_gap`` of the previous one collapses to one row regardless
+    of the chain's total span — e.g. events at t=0,3,6 with min_gap=4 keep
+    only {0}.  This differs from greedy "distance to the previously KEPT
+    row" debounce (which would keep {0,6}); greedy kept-row state is
+    inherently sequential and cannot be expressed as a fixed-depth window
+    — first-of-burst is the distributed-friendly form and is what the
+    oracle pins.
     """
     w = Window.partitionBy(by).orderBy(ts_col)
     gap_break = F.when(

@@ -51,7 +51,10 @@ def bucket_downsample(
     vehicle) to downsample independently without a second shuffle.
     """
     if signal_cols is None:
-        signal_cols = [c for c in wide.columns if c != time_col]
+        # exclude the grouping/order columns or they'd surface twice
+        # (once as keys, once as max_by aggregates) with duplicate names
+        skip = {time_col, order_col, *(extra_keys or [])}
+        signal_cols = [c for c in wide.columns if c not in skip]
     if cache_ms is None or cache_ms <= 0:
         return wide
 

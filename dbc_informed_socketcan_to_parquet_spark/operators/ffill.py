@@ -64,12 +64,25 @@ def forward_fill_blocks(
         cols = [c for c in df.columns if c != order_col]
 
     if block_width is None:
-        lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
-        if lo is None or hi == lo:
-            return forward_fill(df, order_col, cols)
-        block_width = (float(hi) - float(lo)) / num_blocks
-
-    blocked = df.withColumn("_blk", F.floor(F.col(order_col) / F.lit(float(block_width))).cast("long"))
+        # derive the width lazily: broadcast the 1-row min/max aggregate
+        # into the same action instead of an eager driver-side .first()
+        # pass over the (possibly huge) input
+        bounds = df.agg(F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi"))
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(num_blocks))
+        blocked = (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "_blk",
+                F.when(width <= 0, F.lit(0))
+                .otherwise(F.floor((F.col(order_col) - F.col("_lo")) / width))
+                .cast("long"),
+            )
+            .drop("_lo", "_hi")
+        )
+    else:
+        blocked = df.withColumn(
+            "_blk", F.floor(F.col(order_col) / F.lit(float(block_width))).cast("long")
+        )
 
     # Pass 1: fill within each block (block-local sort, fully parallel).
     w_in = Window.partitionBy("_blk").orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)

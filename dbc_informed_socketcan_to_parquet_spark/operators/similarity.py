@@ -109,9 +109,13 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: meet in any of ``num_tables`` LSH buckets, then
     re-rank candidates by exact cosine.
+
+    ``round_to`` rounds the re-rank cosine before ordering (see
+    :func:`cosine_topk`) so the output is reproducible across engines.
 
     Multi-table is the standard recall lever for sign-LSH: a neighbor is
     missed only if it lands in a different bucket in EVERY table.  Recall
@@ -144,10 +148,13 @@ def lsh_ann_topk(
         .select(query_id_col, id_col, "_cv", "_qv")
         .dropDuplicates([query_id_col, id_col])
     )
+    sim = cosine(F.col("_cv"), F.col("_qv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
     scored = candidates.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col("_cv"), F.col("_qv")).alias("cosine"),
+        sim.alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -169,6 +176,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    max_train_vectors: int = 100_000,
 ) -> DataFrame:
     """IVF ANN: a coarse k-means quantizer partitions the corpus into
     ``num_clusters`` inverted lists; each query probes its ``nprobe``
@@ -184,6 +192,13 @@ def ivf_ann_topk(
     from pyspark.ml.functions import array_to_vector
 
     train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    # the quantizer needs only a sketch of the distribution: bound the fit
+    # input to ~max_train_vectors (uniform sample, seeded) so training cost
+    # is O(sample), not O(corpus) — at 100 TB fitting on every vector is
+    # the dominant cost and adds nothing to centroid quality
+    n = train.count()
+    if n > max_train_vectors:
+        train = train.sample(False, max_train_vectors / n, seed)
     model = KMeans(k=num_clusters, seed=seed, featuresCol="features").fit(train)
     centers = [list(map(float, c)) for c in model.clusterCenters()]
 

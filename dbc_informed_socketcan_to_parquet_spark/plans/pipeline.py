@@ -59,23 +59,53 @@ class DecodePipeline:
         if cfg.input_format == "parquet":
             # already wide; just migrate the legacy schema (T9)
             return read_legacy_parquet(spark, cfg.input_path, self.spec)
-        frames = read_candump(spark, cfg.input_path, adjust_timestamp=cfg.adjust_timestamp)
+        path = cfg.input_path
+        if cfg.input_format == "stdin":
+            # S3 batch form (/root/reference/src/inputs/stdinInput.cpp:12-43):
+            # stdin is inherently single-process, so spool it to a landing
+            # file once and let the distributed text scan take over.  The
+            # live analog is the socket stream source (--socket).
+            path = self._spool_stdin()
+        frames = read_candump(spark, path, adjust_timestamp=cfg.adjust_timestamp)
         # decode_wide derives its own epoch-ms axis from ts; the source
         # already computed the (possibly normalized) Time_ms — keep that one.
         wide = self.compiler.decode_wide(frames, time_col="_epoch_ms", keep_cols=("Time_ms",))
         return wide.drop("_epoch_ms")
 
+    def _spool_stdin(self) -> str:
+        import sys
+        import tempfile
+
+        fd, path = tempfile.mkstemp(prefix="candump_stdin_", suffix=".log")
+        with open(fd, "w") as out:
+            for line in sys.stdin:
+                out.write(line)
+        return path
+
     def run_batch(self, spark: SparkSession) -> DataFrame:
         cfg = self.config
         out = self.decoded(spark)
+        did_downsample = False
         if cfg.input_format != "parquet":
             sig_cols = [s.column_name for _, s in self.spec.all_signals()]
-            out = bucket_downsample(out, cfg.cache_ms, signal_cols=sig_cols)
+            out = bucket_downsample(out, cfg.cache_ms, signal_cols=sig_cols, agg=cfg.agg)
+            did_downsample = cfg.cache_ms > 0
         if cfg.forward_fill:
             sig_cols = [s.column_name for _, s in self.spec.all_signals() if s.column_name in out.columns]
             out = forward_fill_blocks(out, "Time_ms", sig_cols)
         ordered = ["Time_ms"] + [s.column_name for _, s in self.spec.all_signals() if s.column_name in out.columns]
-        out = out.select(*ordered).orderBy("Time_ms")
+        out = out.select(*ordered)
+        # Ordering: post-downsample output is small (one row per bucket) —
+        # a total order is cheap and matches the reference file layout.  On
+        # the default row-per-frame path (cache 0) a global sort of every
+        # frame is the single most expensive node at 100 TB and buys
+        # nothing: the text scan is already time-ordered per split, so a
+        # partition-local sort keeps each output file time-sorted and the
+        # file sequence preserves global order.  No exchange either way.
+        if did_downsample or cfg.forward_fill:
+            out = out.orderBy("Time_ms")
+        else:
+            out = out.sortWithinPartitions("Time_ms")
         if cfg.live_signals:
             console_sink(out, cfg.live_signals)
         if cfg.output_path:

@@ -298,10 +298,10 @@ def q_ts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/inputs/fileInput.cpp:16-31; min() not first() —
     documented order-insensitive divergence, SURVEY §2.2 T2)."""
     ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
-    start = ev.agg(F.min("ts_us")).first()[0]
-    return ev.select(
-        "event_id",
-        F.expr(f"(ts_us - {start}) div 1000").alias("time_ms"),
+    t0 = ev.agg(F.min("ts_us").alias("_t0"))
+    return (
+        ev.crossJoin(F.broadcast(t0))
+        .select("event_id", F.expr("(ts_us - _t0) div 1000").alias("time_ms"))
     )
 
 
@@ -1214,13 +1214,58 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10, round_to=6)
 
 
-@query("similarity_ann_lsh")  # rows-only: recall-vs-exact is validated in tests/
+# The sign-LSH pipeline is md5-deterministic end-to-end: hyperplane
+# component (t,p,d) = (md5_long('t{t}_p{p}_d{d}') % 2000 - 1000) / 1000
+# in BOTH engines, so the bucket assignment — and therefore the candidate
+# set — is reproducible in plain SQL.  Only the dot-product summation
+# order differs (Spark left-fold vs DuckDB list_dot_product); the sign is
+# a ~1e-13-wide boundary event (verified no flips on the fixtures) and
+# the re-rank cosine is rounded to 6 dp as in similarity_topk.
+_LSH_PLANES = """
+    planes AS (
+      SELECT tt.range AS t, pp.range AS p,
+             list(CAST(CAST('0x' || substr(md5('t' || tt.range || '_p' || pp.range || '_d' || dd.range), 1, 15)
+                       AS BIGINT) % 2000 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)
+                  ORDER BY dd.range) AS plane
+      FROM range(8) tt, range(4) pp, range(64) dd
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH {_LSH_PLANES},
+    csig AS (
+      SELECT e.vec_id, pl.t,
+             CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.plane) >= 0
+                           THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS b
+      FROM embeddings e, planes pl
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      FROM csig c JOIN csig q ON c.t = q.t AND c.b = q.b
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, {_COS} AS cosine
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN embeddings q ON q.vec_id = cand.query_id
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate NN — the 100 TB scale path (bucket
     join instead of full-corpus scan per query)."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_ann_topk(emb, queries, dim=64, k=10, num_planes=4, num_tables=8)
+    return lsh_ann_topk(emb, queries, dim=64, k=10, num_planes=4, num_tables=8, round_to=6)
 
 
 @query(

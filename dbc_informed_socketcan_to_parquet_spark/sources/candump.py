@@ -45,9 +45,15 @@ def normalize_time(frames: DataFrame, mode: str = "min", time_col: str = "ts") -
     if mode == "none":
         return frames.withColumn("Time_ms", F.col(time_col) * 1000.0)
     if mode == "min":
-        # scalar subquery — Catalyst evaluates the min once, broadcasts it
-        start = frames.agg(F.min(time_col)).first()[0]
-        return frames.withColumn("Time_ms", (F.col(time_col) - F.lit(start)) * 1000.0)
+        # lazy broadcast scalar: the 1-row min aggregate joins in as a
+        # broadcast stage of the SAME action — no eager .first() pass on
+        # the driver before the decode job is even built
+        t0 = frames.agg(F.min(time_col).alias("_t0"))
+        return (
+            frames.crossJoin(F.broadcast(t0))
+            .withColumn("Time_ms", (F.col(time_col) - F.col("_t0")) * 1000.0)
+            .drop("_t0")
+        )
     raise ValueError(f"unknown normalize mode {mode!r}")
 
 

@@ -167,3 +167,11 @@ def test_frame_sample_plan_and_semi_join(spark, docs_df, tiny_spec):
         char_shingles(F.col("t"), 5).alias("c"), word_shingles(F.col("t"), 2).alias("w")
     ).first()
     assert sh.c[0] == "hello" and sh.w == ["hello world", "world spark"]
+
+    # short inputs: fewer tokens/chars than n must yield EMPTY arrays, not
+    # a descending-sequence crash (sequence(1,0) counts down in Spark)
+    short = spark.createDataFrame([("hi",), ("",)], "t string").select(
+        char_shingles(F.col("t"), 5).alias("c"), word_shingles(F.col("t"), 3).alias("w")
+    ).collect()
+    for r in short:
+        assert r.c == [] and r.w == []

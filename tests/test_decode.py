@@ -67,6 +67,31 @@ def test_type_inference_rules(tiny_spec):
     assert tags["SensB"] == "float32"         # factor 2, 8 bits
 
 
+def test_unsigned_32bit_gets_int64(spark):
+    """u32 raw ≥ 2^31 must not wrap in an int32 column — unsigned fields
+    need one more bit than signed for the same length."""
+    from dbc_informed_socketcan_to_parquet_spark.dbc.compiler import DecodeCompiler
+    from dbc_informed_socketcan_to_parquet_spark.dbc.spec import DbcSpec, MessageSpec, SignalSpec
+
+    u32 = SignalSpec("Counter", 0, 32, "little", False, 1.0, 0.0)
+    s32 = SignalSpec("Delta", 32, 32, "little", True, 1.0, 0.0)
+    assert u32.type_tag == "int64"
+    assert s32.type_tag == "int32"
+
+    spec = DbcSpec(messages=(MessageSpec(0x200, "CNT", 8, (u32, s32)),))
+    comp = DecodeCompiler(spec)
+    hi = 0xFFFF_FFF0  # > 2^31: wraps negative if cast to int
+    frames = spark.createDataFrame(
+        [(0x200, hi.to_bytes(4, "little") + (5).to_bytes(4, "little", signed=True))],
+        "can_id long, data binary",
+    )
+    row = frames.select(
+        comp.phys_expr(u32, spec.messages[0]).alias("Counter"),
+        comp.phys_expr(s32, spec.messages[0]).alias("Delta"),
+    ).first()
+    assert row.Counter == hi and row.Delta == 5
+
+
 @given(
     raw=st.integers(min_value=0, max_value=(1 << 12) - 1),
     torque=st.integers(min_value=-(1 << 15), max_value=(1 << 15) - 1),

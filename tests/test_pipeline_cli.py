@@ -91,6 +91,51 @@ def test_influx_line_rendering(spark):
     assert line.endswith(" 10000000")                  # ms → ns
 
 
+def test_first_wins_changes_bucket_values(spark, tiny_spec, canlog):
+    """--first-wins (v2 first-write-wins, reference writeparquet.h:70-75)
+    must actually reach the bucket aggregation from the CLI config."""
+    last = DecodePipeline(
+        PipelineConfig(input_path=canlog, cache_ms=200, agg="last"), spec=tiny_spec
+    ).run_batch(spark).orderBy("Time_ms").collect()
+    first = DecodePipeline(
+        PipelineConfig(input_path=canlog, cache_ms=200, agg="first"), spec=tiny_spec
+    ).run_batch(spark).orderBy("Time_ms").collect()
+    assert len(last) == len(first)
+    assert any(
+        a.EngSpeed != b.EngSpeed for a, b in zip(last, first)
+    ), "agg=first produced identical buckets — flag not wired"
+
+
+def test_cache0_path_has_no_global_sort(spark, tiny_spec, canlog):
+    """Default row-per-frame path must not total-sort the stream: no
+    rangepartitioning exchange, only a partition-local sort."""
+    cfg = PipelineConfig(input_path=canlog, cache_ms=0)
+    out = DecodePipeline(cfg, spec=tiny_spec).run_batch(spark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    # downsampled path keeps the cheap total order (post-agg cardinality)
+    agg_out = DecodePipeline(
+        PipelineConfig(input_path=canlog, cache_ms=200), spec=tiny_spec
+    ).run_batch(spark)
+    agg_plan = agg_out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in agg_plan.lower()
+
+
+def test_stdin_batch_source(spark, tiny_spec, canlog, monkeypatch):
+    """S3: --stdin spools the pipe to a landing file and decodes it
+    (reference stdinInput.cpp:12-43)."""
+    import io as _io
+    import sys
+
+    monkeypatch.setattr(sys, "stdin", _io.StringIO(open(canlog).read()))
+    cfg = PipelineConfig(input_format="stdin", cache_ms=0)
+    out = DecodePipeline(cfg, spec=tiny_spec).run_batch(spark)
+    n_file = DecodePipeline(
+        PipelineConfig(input_path=canlog, cache_ms=0), spec=tiny_spec
+    ).run_batch(spark).count()
+    assert out.count() == n_file > 0
+
+
 def test_partitioned_parquet_write(spark, tmp_path):
     from dbc_informed_socketcan_to_parquet_spark.sinks import write_parquet
 
