@@ -59,6 +59,7 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    fast = _fast_path_timings(spark, sf_dir)
     fps = _decode_throughput(spark)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -68,7 +69,40 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "decode_frames_per_sec": fps,
+        # xxhash64 production path for the hash-bound corpus operators —
+        # same plans as the md5 (oracle-parity) headline entries above,
+        # reported separately so `value` stays comparable across rounds
+        "fast_path_queries": fast,
     }))
+
+
+def _fast_path_timings(spark, sf_dir: str) -> dict[str, float]:
+    """The hash-bound corpus operators on the xxhash60 fast path (what a
+    production pipeline without a cross-engine oracle would run)."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import xxhash60
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        simhash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out: dict[str, float] = {}
+    runs = {
+        # identical knobs to the md5 headline entries (queries.py) so the
+        # delta is purely the hash function
+        "minhash_lsh_pairs_fast": lambda: minhash_dedup_pairs(
+            docs, "doc_id", "text", num_perms=16, shingle_n=5, num_bands=4,
+            threshold=0.5, seed=42, hash_fn=xxhash60,
+        ),
+        "simhash_signatures_fast": lambda: simhash(
+            docs, "doc_id", "text", num_bits=16, shingle_n=4, hash_fn=xxhash60,
+        ),
+    }
+    for name, mk in runs.items():
+        t0 = time.perf_counter()
+        mk().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
 
 
 def _decode_throughput(spark, n_frames: int = 1_000_000) -> int:

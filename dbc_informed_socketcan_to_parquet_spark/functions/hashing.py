@@ -7,9 +7,12 @@ hashes through md5 instead: take the first 15 hex chars of the md5 digest
 integer.  Identical SQL exists on the DuckDB side:
 ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``.
 
-At 100 TB the md5 path is marginally slower than xxhash64 but remains
-JVM-side and codegen'd; operators take a ``hash_fn`` parameter so the
-fast path can be swapped in when oracle parity is not needed.
+At 100 TB md5 is noticeably slower than xxhash64 (it dominates the
+minhash/simhash profile); the dedup operators take a ``hash_fn``
+parameter — pass :func:`xxhash60` for the fast production path when
+cross-engine oracle parity is not needed.  Both return the same domain
+(non-negative 60-bit longs) so every downstream step (permutation
+folding, banding, bit votes) is hash-agnostic.
 """
 
 from __future__ import annotations
@@ -30,6 +33,18 @@ def md5_long(col: Column, salt: str = "") -> Column:
     """
     s = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def xxhash60(col: Column, salt: str = "") -> Column:
+    """60-bit non-negative integer hash, xxhash64-based — the fast path.
+
+    Same output domain as :func:`md5_long` (top 4 bits dropped, so the
+    value is always non-negative in a signed long) but evaluated as a
+    single JVM intrinsic instead of a hex digest + string parse.  Spark
+    only; no DuckDB equivalent exists, so use md5 when oracle-checking.
+    """
+    s = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
+    return F.shiftrightunsigned(F.xxhash64(s), 4)
 
 
 def md5_long_sql(expr: str, salt: str = "") -> str:

@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 
 from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long, perm_hash
 
+# ``hash_fn`` contract (all operators below): Column[str] -> Column of
+# non-negative 60-bit longs.  Default md5_long is DuckDB-reproducible (the
+# oracle path); pass functions.hashing.xxhash60 for the fast production path.
+
 
 def minhash_perms(num_perms: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) constants for the universal-hash family."""
@@ -67,6 +71,7 @@ def shingle_hashes(
     shingle_n: int = 5,
     max_chars: int = 4096,
     distinct: bool = True,
+    hash_fn=md5_long,
 ) -> DataFrame:
     """(id, distinct shingle-hash) long table — the base for minhash and
     jaccard.
@@ -85,13 +90,13 @@ def shingle_hashes(
     )
     shingle = F.col("_t").substr(F.col("_i"), F.lit(shingle_n))
     if not distinct:
-        return exploded.select(F.col(id_col), md5_long(shingle).alias("sh_hash"))
+        return exploded.select(F.col(id_col), hash_fn(shingle).alias("sh_hash"))
     # dedup the raw strings BEFORE hashing: repeated shingles (common in
     # natural text) then pay md5 only once per distinct (doc, shingle)
     return (
         exploded.select(F.col(id_col), shingle.alias("_s"))
         .distinct()
-        .select(F.col(id_col), md5_long(F.col("_s")).alias("sh_hash"))
+        .select(F.col(id_col), hash_fn(F.col("_s")).alias("sh_hash"))
     )
 
 
@@ -102,6 +107,7 @@ def minhash_signatures(
     num_perms: int = 32,
     shingle_n: int = 5,
     seed: int = 42,
+    hash_fn=md5_long,
 ) -> DataFrame:
     """One row per doc: ``sig array<long>`` of per-permutation minima.
 
@@ -113,7 +119,7 @@ def minhash_signatures(
     # min() is duplicate-insensitive, so the per-doc shingle dedup (an
     # extra shuffle) is unnecessary for MinHash — aggregate the raw
     # exploded rows with map-side partial mins directly.
-    base = shingle_hashes(df, id_col, text_col, shingle_n, distinct=False)
+    base = shingle_hashes(df, id_col, text_col, shingle_n, distinct=False, hash_fn=hash_fn)
     aggs = [F.min(perm_hash(F.col("sh_hash"), a, b)).alias(f"h{i}") for i, (a, b) in enumerate(perms)]
     sigs = base.groupBy(id_col).agg(*aggs)
     return sigs.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perms)]).alias("sig"))
@@ -163,6 +169,7 @@ def minhash_dedup_pairs(
     num_bands: int = 8,
     threshold: float = 0.6,
     seed: int = 42,
+    hash_fn=md5_long,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates via banding, verified
     with the *estimated* Jaccard (fraction of matching signature slots)."""
@@ -170,7 +177,7 @@ def minhash_dedup_pairs(
     # the signature table feeds the band explode AND both sides of the
     # candidate join — cache it once instead of recomputing the full
     # shingle pipeline four times (at cluster scale: a checkpoint/table)
-    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n, seed).cache()
+    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n, seed, hash_fn=hash_fn).cache()
     cand = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -195,6 +202,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 5,
     threshold: float = 0.5,
     max_df: int | None = None,
+    hash_fn=md5_long,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles via inverted-index self-join.
 
@@ -206,7 +214,7 @@ def ngram_jaccard_pairs(
     Measured: uncapped 96 s → capped ~3 s on 5k synthetic (high-overlap)
     docs.  AQE skew-join remains the safety net for moderate residual skew.
     """
-    sh = shingle_hashes(df, id_col, text_col, shingle_n)
+    sh = shingle_hashes(df, id_col, text_col, shingle_n, hash_fn=hash_fn)
     if max_df is not None:
         rare = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df)
         sh = sh.join(rare.select("sh_hash"), "sh_hash", "left_semi")
@@ -241,13 +249,14 @@ def simhash(
     text_col: str,
     num_bits: int = 32,
     shingle_n: int = 4,
+    hash_fn=md5_long,
 ) -> DataFrame:
     """Per-doc SimHash: bit i = majority vote of shingle-hash bit i.
 
     One explode + one groupBy with ``num_bits`` conditional sums; the
     signature reassembles JVM-side with shifts — no UDF anywhere.
     """
-    sh = shingle_hashes(df, id_col, text_col, shingle_n)
+    sh = shingle_hashes(df, id_col, text_col, shingle_n, hash_fn=hash_fn)
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("sh_hash"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -269,12 +278,13 @@ def simhash_near_pairs(
     shingle_n: int = 4,
     max_hamming: int = 3,
     prefix_bits: int = 8,
+    hash_fn=md5_long,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance, blocked on the signature prefix
     so the self-join never goes quadratic (pairs differing within the
     prefix are missed — the standard multi-probe tradeoff; raise coverage
     by rotating prefixes)."""
-    sigs = simhash(df, id_col, text_col, num_bits, shingle_n)
+    sigs = simhash(df, id_col, text_col, num_bits, shingle_n, hash_fn=hash_fn)
     pref = F.shiftrightunsigned(F.col("simhash"), num_bits - prefix_bits)
     sigs = sigs.withColumn("_blk", pref)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "_blk")

@@ -14,6 +14,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
     minhash_perms,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_hashes,
     simhash,
 )
 from dbc_informed_socketcan_to_parquet_spark.operators.similarity import cosine_topk, lsh_ann_topk
@@ -67,6 +68,24 @@ def test_minhash_similarity_ordering(spark, docs_df):
     est = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / 32  # noqa: E731
     assert est(0, 1) == 1.0                     # identical docs: identical signatures
     assert est(0, 2) > est(0, 3)                # near-dup scores above unrelated
+
+
+def test_minhash_xxhash_fast_path(spark, docs_df):
+    """hash_fn=xxhash60 (the non-oracle production path) must preserve the
+    minhash invariants: identical docs get identical signatures, near-dups
+    score above unrelated docs, and the hash domain stays non-negative."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import xxhash60
+
+    sigs = {r.doc_id: list(r.sig) for r in
+            minhash_signatures(docs_df, "doc_id", "text", num_perms=32, hash_fn=xxhash60).collect()}
+    est = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / 32  # noqa: E731
+    assert est(0, 1) == 1.0
+    assert est(0, 2) > est(0, 3)
+    assert all(v >= 0 for s in sigs.values() for v in s)
+    # and the raw shingle hashes themselves are 60-bit non-negative
+    sh = shingle_hashes(docs_df, "doc_id", "text", hash_fn=xxhash60)
+    lo, hi = sh.agg(F.min("sh_hash"), F.max("sh_hash")).first()
+    assert lo >= 0 and hi < (1 << 60)
 
 
 def test_jaccard_pairs(spark, docs_df):
