@@ -135,21 +135,35 @@ def _byte(i: int) -> str:
     WITH s AS ({_SYNTH_SQL})
     SELECT event_id,
            secs * 1000 + ms_in_s AS ts_ms,
+           secs * 1000 + ms_in_s - (SELECT min(secs * 1000 + ms_in_s) FROM s) AS time_ms,
            can_id,
            printf('%016X', p) AS payload_hex
     FROM s
     """,
 )
 def q_candump_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: format→parse round trip; checks regexp/conv/unhex against
-    arithmetic (reference parser: candump_parse.h:38-101)."""
+    """T1+T2: format→parse round trip plus the ms-since-capture-start axis
+    (reference parser: candump_parse.h:38-101; normalization:
+    /root/reference/src/inputs/fileInput.cpp:16-31 — min() not first(),
+    documented order-insensitive divergence, SURVEY §2.2 T2).  The min is
+    a lazy broadcast scalar aggregate, not an eager second scan.
+    [Registry fold r2: absorbs ``ts_normalize``.]"""
     lines = _synth_lines(spark, sf_dir)
     frames = parse_candump_lines(lines, keep_malformed=True)
-    return frames.select(
+    ts_ms = F.round(F.col("ts") * 1000).cast("long")
+    parsed = frames.select(
         F.col("event_id"),
-        F.round(F.col("ts") * 1000).cast("long").alias("ts_ms"),
+        ts_ms.alias("ts_ms"),
         F.col("can_id"),
         F.hex(F.col("data")).alias("payload_hex"),
+    )
+    t0 = parsed.agg(F.min("ts_ms").alias("_t0"))
+    return parsed.crossJoin(F.broadcast(t0)).select(
+        "event_id",
+        "ts_ms",
+        (F.col("ts_ms") - F.col("_t0")).alias("time_ms"),
+        "can_id",
+        "payload_hex",
     )
 
 
@@ -285,26 +299,6 @@ def q_known_id_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(F.broadcast(dictionary), "user_id", "left_semi").select("event_id", "user_id")
 
 
-@query(
-    "ts_normalize",
-    oracle=f"""
-    SELECT event_id,
-           ({EV_US} - (SELECT min({EV_US}) FROM events)) // 1000 AS time_ms
-    FROM events
-    """,
-)
-def q_ts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2: ms-since-capture-start axis
-    (/root/reference/src/inputs/fileInput.cpp:16-31; min() not first() —
-    documented order-insensitive divergence, SURVEY §2.2 T2)."""
-    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
-    t0 = ev.agg(F.min("ts_us").alias("_t0"))
-    return (
-        ev.crossJoin(F.broadcast(t0))
-        .select("event_id", F.expr("(ts_us - _t0) div 1000").alias("time_ms"))
-    )
-
-
 # ---------------------------------------------------------------------------
 # A1/A2/A3/A4: bucket, first/last, pivot, forward-fill (events as stream)
 # ---------------------------------------------------------------------------
@@ -318,39 +312,24 @@ _HOUR = 3_600_000
     SELECT ({EV_US} // 1000 // {_HOUR}) * {_HOUR} AS bucket_ms,
            event_type,
            arg_max(value, {EV_US}) AS last_value,
+           arg_min(value, {EV_US}) AS first_value,
            count(*) AS n
     FROM events
     GROUP BY 1, 2
     """,
 )
 def q_bucket_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1+A2: tumbling bucket + last-write-wins (v1 semantics,
-    /root/reference/src/main.cpp.bak:340-342) via order-independent max_by."""
+    """A1+A2, both per-bucket value semantics in one pass: last-write-wins
+    (v1 default, /root/reference/src/main.cpp.bak:340-342) AND v2's
+    accidental first-write-wins (/root/reference/src/writeparquet.h:70-75,
+    the ``--first-wins`` CLI option) — order-independent max_by/min_by on
+    the event-time key.  [Registry fold r2: absorbs ``bucket_first``.]"""
     ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
     bucket = F.expr(f"(ts_us div 1000 div {_HOUR}) * {_HOUR}")
     return ev.groupBy(bucket.alias("bucket_ms"), F.col("event_type")).agg(
         F.max_by(F.col("value"), F.col("ts_us")).alias("last_value"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@query(
-    "bucket_first",
-    oracle=f"""
-    SELECT ({EV_US} // 1000 // {_HOUR}) * {_HOUR} AS bucket_ms,
-           event_type,
-           arg_min(value, {EV_US}) AS first_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def q_bucket_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 variant: v2's accidental first-write-wins
-    (/root/reference/src/writeparquet.h:70-75), as an explicit option."""
-    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
-    bucket = F.expr(f"(ts_us div 1000 div {_HOUR}) * {_HOUR}")
-    return ev.groupBy(bucket.alias("bucket_ms"), F.col("event_type")).agg(
         F.min_by(F.col("value"), F.col("ts_us")).alias("first_value"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -440,39 +419,38 @@ def q_bucket_downsample_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "legacy_rename_scale",
     oracle=f"""
-    SELECT event_id, ({EV_US} / 1000000.0) * 1000.0 AS Time_ms
+    SELECT 'rename_scale' AS src, CAST(event_id AS BIGINT) AS rec_id, ({EV_US} / 1000000.0) * 1000.0 AS Time_ms
     FROM events
-    """,
-)
-def q_legacy_rename_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T9: legacy ``Seconds`` column → ``Time_ms`` ×1000 migration
-    (/root/reference/src/main.cpp.bak:295-304).  Identical double ops on
-    identical bigints → bit-identical output, no tolerance needed."""
-    from dbc_informed_socketcan_to_parquet_spark.sources.parquet_reingest import migrate_legacy
-
-    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
-    legacy = ev.select("event_id", (F.col("ts_us") / F.lit(1_000_000.0)).alias("Seconds"))
-    migrated = migrate_legacy(legacy)
-    return migrated.select("event_id", "Time_ms")
-
-
-@query(
-    "legacy_synthetic_ts",
-    oracle="""
-    SELECT doc_id,
+    UNION ALL
+    SELECT 'synthetic_ts' AS src, CAST(doc_id AS BIGINT) AS rec_id,
            CAST((row_number() OVER (ORDER BY doc_id) - 1) * 11.91 AS DOUBLE) AS Time_ms
     FROM documents
     """,
 )
-def q_legacy_synthetic_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T9b: no time column at all → synthetic ``n * 11.91`` ms axis
-    (/root/reference/src/main.cpp.bak:328-331)."""
+def q_legacy_rename_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9, both legacy-migration paths in one tagged union: the ``Seconds``
+    column → ``Time_ms`` ×1000 rename/rescale
+    (/root/reference/src/main.cpp.bak:295-304), and the no-time-column →
+    synthetic ``n * 11.91`` ms axis (main.cpp.bak:328-331).  Identical
+    double ops on identical bigints → bit-identical output, no tolerance
+    needed.  [Registry fold r2: absorbs ``legacy_synthetic_ts``.]"""
+    from dbc_informed_socketcan_to_parquet_spark.sources.parquet_reingest import migrate_legacy
+
+    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
+    legacy = ev.select("event_id", (F.col("ts_us") / F.lit(1_000_000.0)).alias("Seconds"))
+    renamed = migrate_legacy(legacy).select(
+        F.lit("rename_scale").alias("src"),
+        F.col("event_id").cast("long").alias("rec_id"),
+        "Time_ms",
+    )
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     w = Window.orderBy("doc_id")
-    return docs.select(
-        "doc_id",
+    synth = docs.select(
+        F.lit("synthetic_ts").alias("src"),
+        F.col("doc_id").cast("long").alias("rec_id"),
         ((F.row_number().over(w) - 1).cast("double") * F.lit(11.91)).alias("Time_ms"),
     )
+    return renamed.unionAll(synth)
 
 
 @query(
@@ -719,14 +697,21 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            count(*) AS n
     FROM lineitem
-    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
     """,
 )
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (SURVEY §2.6) with NULL-group disambiguation."""
+    """Generalized grouping sets (SURVEY §2.6) with NULL-group
+    disambiguation.  The explicit set list ((a,b),(a),(b),()) is exactly
+    CUBE(a,b) and a superset of ROLLUP(a,b) — one entry covers the whole
+    ROLLUP/CUBE/GROUPING SETS surface.  [Registry fold r2: absorbs
+    ``cube_agg``.]"""
     li = _read(spark, sf_dir, "lineitem")
-    # grouping() must be evaluated inside the rollup aggregate itself
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    # grouping() must be evaluated inside the grouping-sets aggregate itself
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag", "l_linestatus",
+    ).agg(
         F.when(F.grouping("l_returnflag") == 1, "ALL").otherwise(F.col("l_returnflag")).alias("returnflag"),
         F.when(F.grouping("l_linestatus") == 1, "ALL").otherwise(F.col("l_linestatus")).alias("linestatus"),
         F.sum(F.col("l_quantity").cast(_D2)).cast("double").alias("sum_qty"),
@@ -777,16 +762,27 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(o_orderdate, '%Y-%m-%d') AS odate,
            CAST(substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) AS INT) AS oyear,
            CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS size_class,
-           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_decoded
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_decoded,
+           epoch_ms(o_orderdate) // 86400000 AS order_epoch_day,
+           (epoch_ms(o_orderdate) // 86400000) % 7 AS day_mod7,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
     FROM orders
     WHERE o_orderkey % 5 = 0
     """,
 )
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string/math/date/conditional battery — the function library
-    the reference lacks entirely (SURVEY §2.6)."""
+    the reference lacks entirely (SURVEY §2.6).  Date arithmetic runs on
+    the TZ-free axis: epoch-day numbers and interval addition rendered as
+    date strings (timestamp_ntz ⇒ no TZ skew; a cast to TZ-ful timestamp
+    would shift with the session timezone).  [Registry fold r2: absorbs
+    ``date_arithmetic``.]"""
     od = _read(spark, sf_dir, "orders")
     odate = F.date_format("o_orderdate", "yyyy-MM-dd")
+    # ntz → date cast is TZ-free
+    epoch_day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
     return od.filter(F.col("o_orderkey") % 5 == 0).select(
         "o_orderkey",
         F.upper("o_orderpriority").alias("prio_upper"),
@@ -801,6 +797,9 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(odate, 1, 4).cast("int").alias("oyear"),
         F.when(F.col("o_totalprice") > 200000, "big").when(F.col("o_totalprice") > 50000, "mid").otherwise("small").alias("size_class"),
         F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_decoded"),
+        epoch_day.alias("order_epoch_day"),
+        (epoch_day % 7).alias("day_mod7"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
     )
 
 
@@ -810,32 +809,69 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT CAST(value AS DECIMAL(18,2)) AS v, CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4)) AS vv
       FROM events
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             CAST(min(v) AS DOUBLE) AS min_v,
+             CAST(max(v) AS DOUBLE) AS max_v,
+             CAST(sum(v) AS DOUBLE) / count(*) AS mean_v,
+             round(sqrt((CAST(sum(vv) AS DOUBLE) - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(*)) / (count(*) - 1)), 6) AS stddev_v
+      FROM d
+    ),
+    c AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+             CAST(o_orderkey % 1000 AS DECIMAL(18,2)) AS y
+      FROM orders
+    ),
+    m AS (
+      SELECT count(*) AS cn,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x*x AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y*y AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x*y AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+      FROM c
     )
-    SELECT count(*) AS n,
-           CAST(min(v) AS DOUBLE) AS min_v,
-           CAST(max(v) AS DOUBLE) AS max_v,
-           CAST(sum(v) AS DOUBLE) / count(*) AS mean_v,
-           round(sqrt((CAST(sum(vv) AS DOUBLE) - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(*)) / (count(*) - 1)), 6) AS stddev_v
-    FROM d
+    SELECT n, min_v, max_v, mean_v, stddev_v,
+           round((cn*sxy - sx*sy) / (sqrt(cn*sxx - sx*sx) * sqrt(cn*syy - sy*sy)), 6) AS corr_xy
+    FROM stats CROSS JOIN m
     """,
 )
 def q_agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min/max/mean/stddev with exact decimal moments — the deterministic
-    form of floating statistics (naive float stddev is summation-order-
-    dependent and can never hash-match across engines)."""
+    """min/max/mean/stddev + Pearson correlation from exact decimal
+    moments — the deterministic form of floating statistics (naive float
+    stddev/corr accumulation is summation-order-dependent and can never
+    hash-match across engines).  Stats run over events.value; the
+    correlation pairs orders.o_totalprice with a derived key column; the
+    two single-row aggregates cross-join.  [Registry fold r2: absorbs
+    ``corr_exact``.]"""
     ev = _read(spark, sf_dir, "events")
     vc = F.col("value").cast(_D2)
     base = ev.select(vc.alias("v"), (vc * vc).cast("decimal(28,4)").alias("vv"))
     n = F.count(F.lit(1))
     sum_v = F.sum(F.col("v")).cast("double")
     sum_vv = F.sum(F.col("vv")).cast("double")
-    return base.agg(
+    stats = base.agg(
         n.alias("n"),
         F.min("v").cast("double").alias("min_v"),
         F.max("v").cast("double").alias("max_v"),
         (sum_v / n).alias("mean_v"),
         F.round(F.sqrt((sum_vv - sum_v * sum_v / n) / (n - F.lit(1))), 6).alias("stddev_v"),
     )
+    od = _read(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast(_D2)
+    y = (F.col("o_orderkey") % 1000).cast(_D2)
+    d = od.select(x.alias("x"), y.alias("y"))
+    cn = F.count(F.lit(1))
+    sx, sy = F.sum(F.col("x")).cast("double"), F.sum(F.col("y")).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(30,4)")).cast("double")
+    syy = F.sum((F.col("y") * F.col("y")).cast("decimal(30,4)")).cast("double")
+    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(30,4)")).cast("double")
+    corr = d.agg(
+        F.round(
+            (cn * sxy - sx * sy) / (F.sqrt(cn * sxx - sx * sx) * F.sqrt(cn * syy - sy * sy)), 6
+        ).alias("corr_xy")
+    )
+    return stats.crossJoin(corr)
 
 
 @query(
@@ -1402,31 +1438,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "session_id")
 
 
-@query(
-    "cube_agg",
-    oracle="""
-    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
-           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
-           count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM orders
-    GROUP BY CUBE(o_orderstatus, o_orderpriority)
-    """,
-)
-def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets over orders (SURVEY §2.6)."""
-    od = _read(spark, sf_dir, "orders")
-    return od.cube("o_orderstatus", "o_orderpriority").agg(
-        F.when(F.grouping("o_orderstatus") == 1, "ALL").otherwise(F.col("o_orderstatus")).alias("status"),
-        F.when(F.grouping("o_orderpriority") == 1, "ALL").otherwise(F.col("o_orderpriority")).alias("priority"),
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast(_D2)).cast("double").alias("total"),
-    ).drop("o_orderstatus", "o_orderpriority")
-
-
 # ---------------------------------------------------------------------------
 # Additional relational coverage: outer joins, SQL-API correlated subquery,
-# exact correlation, ordered string aggregation, date arithmetic
+# ordered string aggregation
 # ---------------------------------------------------------------------------
 
 
@@ -1490,45 +1504,6 @@ def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "corr_exact",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
-             CAST(o_orderkey % 1000 AS DECIMAL(18,2)) AS y
-      FROM orders
-    ),
-    m AS (
-      SELECT count(*) AS n,
-             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(CAST(x*x AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(y*y AS DECIMAL(30,4))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(x*y AS DECIMAL(30,4))) AS DOUBLE) AS sxy
-      FROM d
-    )
-    SELECT round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_xy
-    FROM m
-    """,
-)
-def q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation from exact decimal moments — the deterministic
-    form of ``corr()`` (whose float accumulation is order-dependent)."""
-    od = _read(spark, sf_dir, "orders")
-    x = F.col("o_totalprice").cast(_D2)
-    y = (F.col("o_orderkey") % 1000).cast(_D2)
-    d = od.select(x.alias("x"), y.alias("y"))
-    n = F.count(F.lit(1))
-    sx, sy = F.sum(F.col("x")).cast("double"), F.sum(F.col("y")).cast("double")
-    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(30,4)")).cast("double")
-    syy = F.sum((F.col("y") * F.col("y")).cast("decimal(30,4)")).cast("double")
-    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(30,4)")).cast("double")
-    return d.agg(
-        F.round(
-            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
-        ).alias("corr_xy")
-    )
-
-
-@query(
     "string_agg_ordered",
     oracle="""
     SELECT n_regionkey AS region,
@@ -1542,34 +1517,6 @@ def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = _read(spark, sf_dir, "nation")
     return na.groupBy(F.col("n_regionkey").alias("region")).agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
-    )
-
-
-@query(
-    "date_arithmetic",
-    oracle="""
-    SELECT o_orderkey,
-           epoch_ms(o_orderdate) // 86400000 AS order_epoch_day,
-           (epoch_ms(o_orderdate) // 86400000) % 7 AS day_mod7,
-           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
-    FROM orders
-    WHERE o_orderkey % 7 = 0
-    """,
-)
-def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date arithmetic on the TZ-free axis: epoch-day numbers and interval
-    addition rendered as date strings (timestamp_ntz ⇒ no TZ skew)."""
-    od = _read(spark, sf_dir, "orders")
-    # ntz → date cast is TZ-free; a cast to (TZ-ful) timestamp would shift
-    # with the driver's session timezone
-    epoch_day = F.datediff(
-        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
-    ).cast("long")
-    return od.filter(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey",
-        epoch_day.alias("order_epoch_day"),
-        (epoch_day % 7).alias("day_mod7"),
-        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
     )
 
 

@@ -11,12 +11,14 @@ socketInput.cpp:45-52).  The streaming engine equivalents:
   /root/reference/src/writeparquet.h:70-75; SURVEY §2.6),
 - checkpointed sinks give exactly-once parquet output.
 
-Aggregation note: Spark disallows ``max_by`` with an ``ignorenulls``-style
-filter per column in streaming state cleanly across all output modes, but
-plain ``last(col, ignorenulls=True)`` within a watermarked window works in
-append mode via the state store; within a micro-batch Spark preserves
-source order for the socket/text sources, which matches arrival-order
-"last-write-wins" (v1 semantics) for a live stream.
+Aggregation note: per-window "last value" must be *event-time*-defined,
+not arrival-order-defined, to be deterministic across micro-batch
+boundaries (``last(col, ignorenulls=True)`` depends on which batch a row
+lands in).  Each signal aggregates as ``max(struct(event_time, value))``
+over non-null values — struct max orders by event time first, so the
+pick is the latest-timestamped non-null value regardless of arrival
+order, with ties broken by value (also deterministic).  This matches the
+batch path's ``max_by(value, ts)`` semantics (operators/bucket.py).
 """
 
 from __future__ import annotations
@@ -41,12 +43,26 @@ def streaming_bucket_downsample(
     signal_cols: list[str],
     watermark: str = "10 seconds",
 ) -> DataFrame:
-    """A1/A2 as a watermarked tumbling window aggregation (append mode)."""
+    """A1/A2 as a watermarked tumbling window aggregation (append mode).
+
+    Deterministic across batch boundaries: the per-window value is the
+    latest-*event-time* non-null observation (``max(struct(t, v))``),
+    not the last-arrived row — re-running the same frames through any
+    micro-batch partitioning yields identical output.
+    """
     win_ms = max(int(cache_ms), 1)
+
+    def pick_last(c: str):
+        nn = F.when(
+            F.col(c).isNotNull(),
+            F.struct(F.col("event_time").alias("t"), F.col(c).alias("v")),
+        )
+        return F.max(nn).getField("v").alias(c)
+
     agged = (
         wide.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", f"{win_ms} milliseconds").alias("w"))
-        .agg(*[F.last(c, ignorenulls=True).alias(c) for c in signal_cols])
+        .agg(*[pick_last(c) for c in signal_cols])
     )
     return agged.select(
         (F.unix_micros(F.col("w.start")) / 1000).cast("double").alias("Time_ms"), *signal_cols

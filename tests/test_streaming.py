@@ -55,3 +55,44 @@ def test_stream_decode_window(spark, tiny_spec, tmp_path):
     assert len(out) >= 3
     assert all(r.EngSpeed is not None for r in out)
     assert all(r.Time_ms % 500 == 0 for r in out)
+
+
+@pytest.mark.parametrize("reverse_arrival", [False, True])
+def test_stream_downsample_cross_batch_determinism(spark, tiny_spec, tmp_path, reverse_arrival):
+    """The per-window value is event-time-defined, not arrival-order-
+    defined: a row with an EARLIER event time arriving in a LATER
+    micro-batch must not override the window's latest-event-time value.
+    Both arrival orders of the same two frames yield identical output."""
+    log_dir = tmp_path / f"stream_det_{reverse_arrival}"
+    log_dir.mkdir()
+    # same 500 ms window [1700000000500, 1700000001000); raw 100 → EngSpeed
+    # (factor 0.5, offset -100) = -50.0; raw 200 → 0.0
+    late_event = le_line(1700000000.900, 0x100, 200)   # latest event time
+    early_event = le_line(1700000000.600, 0x100, 100)
+    batches = [late_event, early_event] if reverse_arrival else [early_event, late_event]
+
+    raw = (
+        spark.readStream.format("text")
+        .schema(T.StructType([T.StructField("value", T.StringType())]))
+        .load(str(log_dir))
+        .coalesce(1)
+    )
+    wide = streaming_decode(parse_candump_lines(raw), DecodeCompiler(tiny_spec))
+    sig_cols = [s.column_name for _, s in tiny_spec.all_signals()]
+    agged = streaming_bucket_downsample(wide, 500, sig_cols, watermark="5 seconds")
+
+    name = f"stream_det_{int(reverse_arrival)}"
+    q = agged.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        # one file per micro-batch: true cross-batch arrival-order test
+        for i, line in enumerate(batches):
+            (log_dir / f"b{i}.log").write_text(line + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(f"SELECT Time_ms, EngSpeed FROM {name}").collect()
+    assert len(rows) == 1
+    # the event-time-latest frame (raw 200 → 0.0) wins in BOTH arrival orders
+    assert rows[0].Time_ms == 1700000000500.0
+    assert rows[0].EngSpeed == 0.0
