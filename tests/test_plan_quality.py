@@ -68,6 +68,35 @@ def test_order_limit_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_run_batch_cache0_no_global_sort(spark, tiny_spec, tmp_path):
+    """The default row-per-frame path (cache 0) must NOT globally sort
+    every frame before the sink (VERDICT r1 scale-killer #1): partition-
+    local sort only — no range-partitioning exchange in the plan."""
+    from tests.conftest import le_line
+
+    from dbc_informed_socketcan_to_parquet_spark.plans.pipeline import (
+        DecodePipeline,
+        PipelineConfig,
+    )
+
+    log = tmp_path / "cap.log"
+    log.write_text("\n".join(le_line(1700000000.0 + 0.01 * i, 0x100, i) for i in range(50)) + "\n")
+    cfg = PipelineConfig(input_path=str(log), cache_ms=0)
+    out = DecodePipeline(cfg, spec=tiny_spec).run_batch(spark)
+    plan = plan_of(out)
+    assert "rangepartitioning" not in plan       # global sort's exchange
+    # the only exchange is the SinglePartition reduce of partial mins for
+    # the time-normalization scalar (tiny); the frame stream itself never
+    # shuffles
+    assert n_exchanges(plan) <= 1
+    if n_exchanges(plan) == 1:                   # formatted plan puts the
+        assert "SinglePartition" in plan         # partitioning in Arguments
+    # the downsampled path (cache > 0) still totally orders its small output
+    cfg2 = PipelineConfig(input_path=str(log), cache_ms=100)
+    plan2 = plan_of(DecodePipeline(cfg2, spec=tiny_spec).run_batch(spark))
+    assert "rangepartitioning" in plan2
+
+
 def test_known_id_filter_pushdown(spark):
     """The isin-form dictionary filter must reach the scan as an In filter."""
     ev = spark.read.parquet(f"{SF}/customer.parquet")
