@@ -52,12 +52,21 @@ def main() -> None:
     for warm in ("bitfield_decode", "simhash_signatures"):
         QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # min of 2 passes per query: this host shows ±2× run-to-run noise, and
+    # a single bad draw (GC pause, page-cache miss) should not be recorded
+    # as a regression — min measures steady-state capability.  Cache is
+    # cleared between passes so operators that .cache() intermediates
+    # (minhash_lsh_pairs' signature table) are still measured cold.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
 
     fast = _fast_path_timings(spark, sf_dir)
     fps = _decode_throughput(spark)
@@ -99,9 +108,13 @@ def _fast_path_timings(spark, sf_dir: str) -> dict[str, float]:
         ),
     }
     for name, mk in runs.items():
-        t0 = time.perf_counter()
-        mk().write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(min(samples), 3)
     return out
 
 

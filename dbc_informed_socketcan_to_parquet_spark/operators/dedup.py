@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long, perm_hash
+from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
 
 # ``hash_fn`` contract (all operators below): Column[str] -> Column of
 # non-negative 60-bit longs.  Default md5_long is DuckDB-reproducible (the
@@ -82,10 +83,12 @@ def shingle_hashes(
     (outside codegen) and were ~5× slower; ``substring``/``md5`` on the
     exploded rows stay inside WholeStageCodegen.  Explode is a generate
     (no shuffle); distinct shuffles on (id, hash), the minimal dedup key.
+    The input fans out to cluster parallelism first — a single-file
+    corpus otherwise explodes single-threaded (functions/partitioning).
     """
     t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
     positions = F.sequence(F.lit(1), F.length(t) - F.lit(shingle_n - 1))
-    exploded = df.filter(F.length(t) >= shingle_n).select(
+    exploded = fan_out(df.filter(F.length(t) >= shingle_n)).select(
         F.col(id_col), t.alias("_t"), F.explode(positions).alias("_i")
     )
     shingle = F.col("_t").substr(F.col("_i"), F.lit(shingle_n))

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -50,8 +51,12 @@ def cosine_topk(
     ``round_to`` rounds the similarity before ranking — with the (id)
     tiebreak this makes the top-k set/order reproducible across engines
     whose float summation differs in the last ulp.
+
+    The corpus fans out to cluster parallelism first: per-row work is
+    |Q| dot products, so a single-file corpus would otherwise score
+    single-threaded (functions/partitioning).
     """
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
     )
     q = queries.select(
@@ -123,7 +128,7 @@ def lsh_ann_topk(
     100 TB this replaces the full-corpus scan per query with
     ``num_tables`` bucket scans.
     """
-    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+    c = fan_out(corpus).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
     c = c.select(
         "*",
@@ -217,7 +222,7 @@ def ivf_ann_topk(
         )
         return F.slice(F.transform(idx, lambda s: s["i"]), 1, n)
 
-    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+    c = fan_out(corpus).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
     c = c.withColumn("_cluster", _nearest_clusters(F.col("_cv"), 1)[0])
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
     q = q.select("*", F.explode(_nearest_clusters(F.col("_qv"), nprobe)).alias("_cluster"))

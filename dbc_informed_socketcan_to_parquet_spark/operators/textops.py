@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
 from dbc_informed_socketcan_to_parquet_spark.functions.text import (
     STOPWORD_LIST,
     bpe_ish_count,
@@ -47,7 +48,9 @@ def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         - F.least(digit_ratio, F.lit(0.25))
         + F.least(stop_ratio, F.lit(0.25))
     )
-    return df.select(
+    # heavy per-row regex/HOF work: a single-file corpus must not run on
+    # one core (functions/partitioning)
+    return fan_out(df).select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -107,7 +110,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     # CJK sentinel via greatest() (both operands unconditional); marker
     # counts are bounded by ~len/4 ≤ ~5k per word, far below the sentinel
     score = F.greatest(best, F.when(has_cjk, F.lit(1_000_000)).otherwise(F.lit(0))).cast("int")
-    return df.select(F.col(id_col), pred.alias("predicted_lang"), score.alias("lang_score"))
+    return fan_out(df).select(F.col(id_col), pred.alias("predicted_lang"), score.alias("lang_score"))
 
 
 def doc_fingerprints(
@@ -132,7 +135,7 @@ def doc_fingerprints(
     t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
     positions = F.sequence(F.lit(1), F.length(t) - F.lit(k - 1))
     hashed = (
-        df.filter(F.length(t) >= k)
+        fan_out(df.filter(F.length(t) >= k))
         .select(F.col(id_col), t.alias("_t"), F.explode(positions).alias("_i"))
         .select(
             F.col(id_col),
