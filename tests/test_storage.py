@@ -1,0 +1,75 @@
+"""Storage-layout plan guards: bucketed joins must not shuffle, and
+directory-partition filters must prune at the scan."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.storage import (
+    read_table,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+from tests.test_plan_quality import n_exchanges, plan_of
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count:
+    the sort-merge join runs exchange-free (write-time co-location)."""
+    ev = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    us = spark.range(0, 1_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("grp")
+    )
+    write_bucketed_table(ev, "ev_bucketed", ["user_id"], num_buckets=8,
+                         sort_cols=["user_id"], path=str(tmp_path / "ev"))
+    write_bucketed_table(us, "us_bucketed", ["user_id"], num_buckets=8,
+                         sort_cols=["user_id"], path=str(tmp_path / "us"))
+    try:
+        # force the join strategy that would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_table(spark, "ev_bucketed").join(
+            read_table(spark, "us_bucketed"), "user_id"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert n_exchanges(plan) == 0            # co-located: no shuffle at all
+        # and the answer is right
+        assert joined.count() == 1_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS us_bucketed")
+
+
+def test_bucketed_agg_no_shuffle(spark, tmp_path):
+    """groupBy on the bucket key aggregates without an exchange."""
+    ev = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    write_bucketed_table(ev, "ev_bucketed_agg", ["user_id"], num_buckets=8,
+                         path=str(tmp_path / "ev_agg"))
+    try:
+        agg = read_table(spark, "ev_bucketed_agg").groupBy("user_id").agg(F.sum("v"))
+        assert n_exchanges(plan_of(agg)) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_agg")
+
+
+def test_partition_pruning(spark, tmp_path):
+    """A filter on the partition column must prune directories at plan
+    time (PartitionFilters), not scan-and-discard."""
+    df = spark.range(0, 1_000).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("day")
+    )
+    path = str(tmp_path / "parts")
+    write_partitioned(df, path, ["day"])
+    got = spark.read.parquet(path).filter(F.col("day") == "3")
+    plan = plan_of(got)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1)
+    assert got.count() == 200
