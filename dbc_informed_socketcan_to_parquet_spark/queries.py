@@ -101,8 +101,14 @@ _SYNTH_DBC = DbcSpec(
 
 
 def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → candump text lines (deterministic, both-engine-expressible)."""
-    ev = _read(spark, sf_dir, "events").withColumn("ts_us", F.expr(TS_US))
+    """events → candump text lines (deterministic, both-engine-expressible).
+
+    The events fixture is a single small parquet file (one scan
+    partition); the md5 payload synthesis + format + parse downstream is
+    heavy per-row, so fan out to cluster parallelism first."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
+
+    ev = fan_out(_read(spark, sf_dir, "events")).withColumn("ts_us", F.expr(TS_US))
     p = md5_long(F.col("event_id"))
     can_id = F.lit(0x100) + (F.col("event_id") % 3).cast("long")
     secs = F.expr("ts_us div 1000000")
@@ -261,8 +267,9 @@ def q_float32_reinterpret(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-mask and the forced exponent).
     """
     from dbc_informed_socketcan_to_parquet_spark.functions.bitfield import ieee754_float32
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
 
-    ev = _read(spark, sf_dir, "events")
+    ev = fan_out(_read(spark, sf_dir, "events"))
     p = md5_long(F.col("event_id"))
     b = [F.shiftrightunsigned(p, 56 - 8 * i).bitwiseAND(F.lit(255)) for i in range(8)]
     u32 = b[0].bitwiseOR(F.shiftleft(b[1], 8)).bitwiseOR(F.shiftleft(b[2], 16)).bitwiseOR(F.shiftleft(b[3], 24))

@@ -58,9 +58,23 @@ def test_decode_is_shuffle_free_and_codegen(spark):
     comp = DecodeCompiler(_SYNTH_DBC)
     cols = [comp.phys_expr(s, m).alias(s.column_name) for m in _SYNTH_DBC.messages for s in m.signals]
     df = frames.select("event_id", *cols)
-    assert "Exchange" not in plan_of(df)     # wide decode introduces no shuffle
-    # simple mode marks codegen stages with '*(n)'
-    assert "*(1)" in plan_of(df, "simple")
+    # the only exchange allowed is the round-robin fan-out of the narrow
+    # single-file input (functions/partitioning.fan_out); the decode itself
+    # must not add a hash/range shuffle
+    plan = plan_of(df)
+    assert n_exchanges(plan) <= 1
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    # the decode projection must live inside a whole-stage-codegen span;
+    # AQE prints no codegen markers pre-execution, so re-plan with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df2 = frames.select("event_id", *[
+            comp.phys_expr(s, m).alias(s.column_name)
+            for m in _SYNTH_DBC.messages for s in m.signals])
+        # formatted mode marks codegen'd nodes with a '*' prefix
+        assert "* Project" in plan_of(df2)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_order_limit_no_global_sort(spark):
