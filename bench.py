@@ -109,7 +109,9 @@ def _fast_path_timings(spark, sf_dir: str) -> dict[str, float]:
     }
     for name, mk in runs.items():
         samples = []
-        for _ in range(2):
+        # 3 reps: at sf0.1 the hash is a minor cost post-fan-out, so the
+        # md5-vs-xxhash delta is within host noise at min-of-2
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             mk().write.format("noop").mode("overwrite").save()

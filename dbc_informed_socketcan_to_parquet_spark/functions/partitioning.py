@@ -30,3 +30,54 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_col: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    A ``groupBy(keys)`` shuffles every row of a hot key to ONE reduce
+    task; map-side partial aggregation absorbs most of that for
+    decomposable aggs, but when the partial state itself is large
+    (``collect_*``, many distinct-ish columns) or the upstream stage is
+    AQE-coalesced around the hot key, the single reducer still bounds
+    the stage.  This splits each key into ``n_salts`` sub-keys, aggregates
+    the sub-groups in parallel, then re-aggregates the (keys-cardinality
+    × n_salts)-sized intermediate — each hot key's work spreads over
+    ``n_salts`` tasks, and the second shuffle is tiny.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {sum, count, min, max} — the decomposable set whose two-phase
+    recombination is exact (count re-combines via sum).
+
+    The salt is deterministic — ``xxhash64`` of ``salt_col`` (default:
+    an arbitrary non-key column) mod ``n_salts`` — so results are
+    reproducible run-to-run (a ``rand()`` salt would not be, and this
+    repo's oracle checks forbid nondeterminism).
+    """
+    from pyspark.sql import functions as F
+
+    _FNS = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    _RECOMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for out_col, (_, fn) in aggs.items():
+        if fn not in _FNS:
+            raise ValueError(f"{out_col}: {fn!r} is not two-phase decomposable")
+
+    if salt_col is None:
+        non_key = [c for c in df.columns if c not in keys]
+        if not non_key:
+            raise ValueError("salted_agg needs a non-key column to salt on")
+        salt_col = non_key[0]
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
+
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[_FNS[fn](F.col(src)).alias(out_col) for out_col, (src, fn) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[_RECOMBINE[fn](F.col(out_col)).alias(out_col) for out_col, (_, fn) in aggs.items()]
+    )

@@ -25,3 +25,61 @@ def test_fan_out_multiplier(spark):
     one = spark.range(10).coalesce(1)
     fo = fan_out(one, multiplier=2)
     assert fo.rdd.getNumPartitions() == 2 * spark.sparkContext.defaultParallelism
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import salted_agg
+
+    # 90% of rows land on one hot key — the shape salting exists for
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+        F.col("id").alias("payload"),
+    )
+    got = salted_agg(
+        df, ["k"],
+        {"v_sum": ("v", "sum"), "n": ("v", "count"),
+         "v_min": ("v", "min"), "v_max": ("v", "max")},
+        n_salts=8,
+    )
+    want = df.groupBy("k").agg(
+        F.sum("v").alias("v_sum"), F.count("v").alias("n"),
+        F.min("v").alias("v_min"), F.max("v").alias("v_max"),
+    )
+    g = {r["k"]: r for r in got.collect()}
+    w = {r["k"]: r for r in want.collect()}
+    assert set(g) == set(w)
+    for k in w:
+        assert g[k]["n"] == w[k]["n"]
+        assert g[k]["v_min"] == w[k]["v_min"] and g[k]["v_max"] == w[k]["v_max"]
+        assert abs(g[k]["v_sum"] - w[k]["v_sum"]) < 1e-6
+
+
+def test_salted_agg_is_deterministic_and_salt_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import salted_agg
+
+    df = spark.range(1000).select(
+        F.lit("only").alias("k"), F.col("id").alias("v"), F.col("id").alias("payload")
+    )
+    a = salted_agg(df, ["k"], {"s": ("v", "sum")}, n_salts=4).collect()
+    b = salted_agg(df, ["k"], {"s": ("v", "sum")}, n_salts=4).collect()
+    assert a == b and a[0]["s"] == sum(range(1000))
+    # phase-1 intermediate is bounded by n_salts sub-groups per key
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(4)))
+    assert salted.select("_salt").distinct().count() <= 4
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import salted_agg
+
+    df = spark.range(10).selectExpr("id as k", "id as v", "id as payload")
+    with _pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"x": ("v", "avg")})
