@@ -1,4 +1,4 @@
-from dbc_informed_socketcan_to_parquet_spark.operators.bucket import bucket_downsample
+from dbc_informed_socketcan_to_parquet_spark.operators.bucket import bucket_downsample, rollup_cascade
 from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -26,6 +26,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
 
 __all__ = [
     "bucket_downsample",
+    "rollup_cascade",
     "embedding_near_dup_pairs",
     "exact_dedup",
     "exact_duplicates",

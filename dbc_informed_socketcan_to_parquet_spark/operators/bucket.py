@@ -66,3 +66,56 @@ def bucket_downsample(
     keys = [bucket] + [F.col(k) for k in (extra_keys or [])]
     aggs = [_one_value(c, ord_col, agg) for c in signal_cols if c != order_col]
     return wide.groupBy(*keys).agg(*aggs)
+
+
+def rollup_cascade(
+    wide: DataFrame,
+    resolutions_ms: list[float],
+    signal_cols: list[str] | None = None,
+    time_col: str = "Time_ms",
+    order_col: str | None = None,
+    agg: str = "last",
+    extra_keys: list[str] | None = None,
+) -> dict[float, DataFrame]:
+    """Multi-resolution rollup: each coarser level re-aggregates the
+    previous level instead of rescanning the raw stream.
+
+    Exact for last/first-value because buckets are epoch-aligned and
+    nested (each resolution must divide the next): the last non-null
+    write inside a coarse bucket lives in the LAST fine bucket that has
+    one, and the fine level already kept exactly that write.  So
+    ``max_by(value, fine_bucket_start)`` over fine rows equals
+    ``max_by(value, ord)`` over raw rows.  Requires ``order_col`` (when
+    given) to be monotone in ``time_col`` — true for the line-number
+    tie-breakers this engine uses.
+
+    Scale: the raw table is scanned ONCE (the finest level); every other
+    level aggregates the previous level's output, which is smaller by the
+    bucket ratio.  At 100 TB, write each level to a table and build the
+    next from the stored copy (otherwise lineage recomputes the chain per
+    action); locally the returned DataFrames chain lazily.
+    """
+    rs = sorted(float(r) for r in resolutions_ms)
+    if not rs or rs[0] <= 0:
+        raise ValueError("resolutions_ms must be positive")
+    for fine, coarse in zip(rs, rs[1:]):
+        if coarse % fine != 0:
+            raise ValueError(
+                f"resolutions must nest: {coarse} is not a multiple of {fine}"
+            )
+    if signal_cols is None:
+        skip = {time_col, order_col, *(extra_keys or [])}
+        signal_cols = [c for c in wide.columns if c not in skip]
+
+    out: dict[float, DataFrame] = {}
+    cur, ord_c = wide, order_col
+    for r in rs:
+        cur = bucket_downsample(
+            cur, r, signal_cols=signal_cols, time_col=time_col,
+            order_col=ord_c, agg=agg, extra_keys=extra_keys,
+        )
+        # coarser levels order by the fine bucket start: order_col (if
+        # any) does not survive the first aggregation
+        ord_c = None
+        out[r] = cur
+    return out

@@ -65,3 +65,47 @@ def test_pivot_and_unpivot(spark):
     assert got[0] == (2.0, 5.0) and got[50] == (None, 6.0)
     back = unpivot(wide, ["bucket"], ["a", "b"])
     assert back.count() == 4  # 2 buckets × 2 signals (nulls kept by unpivot)
+
+
+def test_rollup_cascade_exact_vs_direct(spark):
+    import random
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.bucket import (
+        bucket_downsample,
+        rollup_cascade,
+    )
+
+    # sparse two-signal stream with nulls, deterministic shuffle-resistant ord
+    rng = random.Random(7)
+    rows = [
+        (float(t), rng.choice([None, float(rng.randint(0, 99))]),
+         rng.choice([None, float(rng.randint(0, 99))]), t)
+        for t in range(0, 60_000, 37)
+    ]
+    df = spark.createDataFrame(rows, "Time_ms double, a double, b double, ord long")
+
+    levels = rollup_cascade(df, [100, 1000, 10_000], order_col="ord")
+    assert set(levels) == {100.0, 1000.0, 10_000.0}
+    for res, got_df in levels.items():
+        want_df = bucket_downsample(df, res, order_col="ord")
+        got = sorted(map(tuple, got_df.collect()))
+        want = sorted(map(tuple, want_df.collect()))
+        assert got == want, f"cascade level {res} diverges from direct"
+
+
+def test_rollup_cascade_first_semantics_and_validation(spark):
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.bucket import rollup_cascade
+
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (40.0, 2.0), (960.0, 3.0)], "Time_ms double, a double"
+    )
+    lv = rollup_cascade(df, [100, 1000], agg="first")
+    top = {r.Time_ms: r.a for r in lv[1000.0].collect()}
+    assert top == {0.0: 1.0}  # first write in the 1 s bucket
+
+    with _pytest.raises(ValueError):
+        rollup_cascade(df, [100, 250])  # 250 not a multiple of 100
+    with _pytest.raises(ValueError):
+        rollup_cascade(df, [])
