@@ -1,8 +1,10 @@
 from dbc_informed_socketcan_to_parquet_spark.operators.bucket import bucket_downsample, rollup_cascade
 from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+    dedup_clusters,
     embedding_near_dup_pairs,
     exact_dedup,
     exact_duplicates,
+    keep_canonical,
     lsh_candidate_pairs,
     minhash_dedup_pairs,
     minhash_signatures,
@@ -27,7 +29,9 @@ from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
 __all__ = [
     "bucket_downsample",
     "rollup_cascade",
+    "dedup_clusters",
     "embedding_near_dup_pairs",
+    "keep_canonical",
     "exact_dedup",
     "exact_duplicates",
     "lsh_candidate_pairs",

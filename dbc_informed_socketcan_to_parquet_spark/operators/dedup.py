@@ -329,3 +329,83 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# -- pair graph → clusters → keep-one ---------------------------------------
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 15,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph →
+    ``(doc_id, cluster_id)`` with ``cluster_id = min(id)`` per component.
+
+    Min-label propagation (the MapReduce-CC pattern): every node starts
+    labeled with itself; each round takes the min label over {self} ∪
+    neighbors; stop when no label changes.  Rounds needed = graph
+    diameter — near-dup clusters are dense (LSH bands link most members
+    pairwise), so 2-4 rounds in practice; ``max_iters`` bounds the
+    pathological chain case.
+
+    Scale: each round is one shuffle join (labels ⋈ symmetric edges) +
+    one min-groupBy, all decomposable; the driver-side loop runs
+    O(diameter) rounds with one scalar count per round for convergence —
+    no per-row driver work.  Isolated nodes (docs in no pair) are not in
+    the output; keep_canonical treats absent as its own singleton.
+    """
+    # symmetric edge list: propagation must flow both directions
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iters):
+        # min over each node's neighborhood labels, then min with own
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce("n_min", F.col("cluster_id"))).alias("cluster_id"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut the per-round lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one document per duplicate cluster (the min-id member);
+    documents in no cluster pass through untouched.
+
+    One broadcast-or-shuffle join against the (small) cluster table and a
+    filter — no window over the corpus.
+    """
+    c = clusters.withColumnRenamed("doc_id", id_col)
+    joined = docs.join(c, on=id_col, how="left")
+    return joined.filter(
+        F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id"))
+    ).drop("cluster_id")

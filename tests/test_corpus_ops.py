@@ -194,3 +194,56 @@ def test_frame_sample_plan_and_semi_join(spark, docs_df, tiny_spec):
     ).collect()
     for r in short:
         assert r.c == [] and r.w == []
+
+
+def test_dedup_clusters_connected_components(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import dedup_clusters
+
+    # two components: {1,2,3,4} as a chain (diameter 3), {10,11} as a pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_keep_canonical_drops_non_representatives(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        dedup_clusters,
+        keep_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    kept = keep_canonical(docs, dedup_clusters(pairs))
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 10, 99]  # 99: no pair
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_dedup_clusters_on_lsh_pairs_end_to_end(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        dedup_clusters,
+        keep_canonical,
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perms=16, shingle_n=5, num_bands=4,
+        threshold=0.5, seed=42,
+    )
+    n_pairs = pairs.count()
+    clusters = dedup_clusters(pairs)
+    kept = keep_canonical(docs, clusters)
+    n_docs, n_kept = docs.count(), kept.count()
+    n_clustered = clusters.count()
+    n_components = clusters.select("cluster_id").distinct().count()
+    # every clustered doc resolves; kept = singletons + one per component
+    assert n_pairs > 0 and n_components < n_clustered
+    assert n_kept == n_docs - n_clustered + n_components
+    # representative is a member of its own cluster
+    assert clusters.filter("doc_id = cluster_id").count() == n_components
