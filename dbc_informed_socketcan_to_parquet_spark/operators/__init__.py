@@ -24,9 +24,13 @@ from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
     doc_fingerprints,
     doc_stats,
     lang_id,
+    repetition_stats,
+    scrub_pii,
 )
 
 __all__ = [
+    "repetition_stats",
+    "scrub_pii",
     "bucket_downsample",
     "rollup_cascade",
     "dedup_clusters",

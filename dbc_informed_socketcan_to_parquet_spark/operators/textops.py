@@ -151,3 +151,88 @@ def doc_fingerprints(
         .select(F.col(id_col), F.col("_m").alias("fingerprint"))
         .distinct()
     )
+
+
+# -- repetition metrics (Gopher-style quality rules) -------------------------
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document repetition metrics — the curation rules that catch
+    boilerplate and spam which length/punctuation heuristics miss:
+
+    - ``dup_line_ratio``: fraction of lines that are repeats of an
+      earlier identical line.
+    - ``top_bigram_ratio``: fraction of all word-bigram occurrences taken
+      by the single most frequent bigram.
+
+    One explode + two-level groupBy per metric, all decomposable
+    aggregations; no window over the corpus, no driver-side text.
+    """
+    t = F.col(text_col)
+
+    lines = fan_out(df).select(
+        F.col(id_col), F.explode(F.split(t, "\n")).alias("line")
+    ).filter(F.length(F.trim(F.col("line"))) > 0)
+    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("n"))
+    line_stats = per_line.groupBy(id_col).agg(
+        (F.sum("n") - F.count("*")).alias("_dup_lines"),
+        F.sum("n").alias("_n_lines"),
+    )
+
+    toks = tokens(F.lower(t))
+    big = fan_out(df).select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    per_bigram = big.groupBy(id_col, "bigram").agg(F.count("*").alias("n"))
+    bigram_stats = per_bigram.groupBy(id_col).agg(
+        F.max("n").alias("_top_bigram"),
+        F.sum("n").alias("_n_bigrams"),
+    )
+
+    base = df.select(F.col(id_col))
+    out = (
+        base.join(line_stats, id_col, "left")
+        .join(bigram_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.coalesce(F.col("_dup_lines") / F.col("_n_lines"), F.lit(0.0)), 6
+            ).alias("dup_line_ratio"),
+            F.round(
+                F.coalesce(F.col("_top_bigram") / F.col("_n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_ratio"),
+        )
+    )
+    return out
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+#: Conservative public patterns: emails, international-ish phone numbers,
+#: IPv4 addresses.  Java-regex syntax restricted to the RE2-compatible
+#: subset so a DuckDB oracle can mirror the rewrite exactly.
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Replace emails / phone numbers / IPv4 literals with typed tags.
+
+    Pure ``regexp_replace`` chain — JVM-side, codegen'd, order fixed
+    (emails first so their digits don't half-match the phone pattern).
+    """
+    c = F.col(text_col)
+    for pat, tag in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return df.withColumn(out_col or text_col, c)

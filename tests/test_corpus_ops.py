@@ -247,3 +247,35 @@ def test_dedup_clusters_on_lsh_pairs_end_to_end(spark):
     assert n_kept == n_docs - n_clustered + n_components
     # representative is a member of its own cluster
     assert clusters.filter("doc_id = cluster_id").count() == n_components
+
+
+def test_repetition_stats(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world\nhello world\nhello world\nunique line"),
+            (1, "spam spam spam spam spam"),
+            (2, "a perfectly normal sentence with no repeats at all"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.dup_line_ratio, r.top_bigram_ratio)
+           for r in repetition_stats(docs).collect()}
+    assert got[0][0] == 0.5          # 4 lines, 2 dup repeats of "hello world"
+    assert got[1][1] == 1.0          # "spam spam" is every bigram
+    assert got[2] == (0.0, 0.125)    # 9 tokens -> 8 distinct bigrams, top = 1/8
+    assert got[3] == (0.0, 0.0)      # empty doc: no lines, no bigrams
+
+
+def test_scrub_pii(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(0, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567, server 10.0.0.1 up")],
+        "doc_id long, text string",
+    )
+    out = scrub_pii(docs).collect()[0].text
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
+    assert "example" not in out and "555" not in out and "10.0.0.1" not in out
