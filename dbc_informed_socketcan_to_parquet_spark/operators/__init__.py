@@ -19,7 +19,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.multimodal import (
     frame_sample_plan,
 )
 from dbc_informed_socketcan_to_parquet_spark.operators.pivot import pivot_last, unpivot
-from dbc_informed_socketcan_to_parquet_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from dbc_informed_socketcan_to_parquet_spark.operators.similarity import cosine_topk, lsh_ann_topk, random_projection
 from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
     doc_fingerprints,
     doc_stats,
@@ -53,6 +53,7 @@ __all__ = [
     "unpivot",
     "cosine_topk",
     "lsh_ann_topk",
+    "random_projection",
     "doc_fingerprints",
     "doc_stats",
     "lang_id",

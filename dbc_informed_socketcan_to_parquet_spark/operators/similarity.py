@@ -236,3 +236,55 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# -- dimensionality reduction ------------------------------------------------
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    seed: int = 42,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: ``dim -> out_dim`` with a
+    dense N(0,1)/sqrt(out_dim) matrix derived deterministically from
+    ``seed`` — the standard pre-LSH/IVF shrink for wide embeddings
+    (project 768-dim to 64 before bucketing; pairwise distances are
+    preserved within (1±ε)).
+
+    Arrow-batched ``mapInPandas`` with one numpy matmul per batch — the
+    vectorized slow-path pattern this repo allows where Column algebra
+    would be O(dim × out_dim) expression nodes.  The projection matrix is
+    built once per task from the seed (no broadcast needed, no driver
+    state), so the operator is embarrassingly parallel and
+    shuffle-free.
+    """
+    import numpy as np
+
+    in_fields = [f for f in df.schema.fields if f.name != vec_col]
+    keep_cols = [f.name for f in in_fields]
+    out_name = out_col or vec_col
+    out_schema_parts = [f"{f.name} {f.dataType.simpleString()}" for f in in_fields]
+    out_schema = ", ".join(out_schema_parts + [f"{out_name} array<float>"])
+
+    def kernel(batches):
+        rng_matrix = {}
+
+        def matrix(d: int):
+            if d not in rng_matrix:
+                rng = np.random.RandomState(seed)
+                rng_matrix[d] = (rng.standard_normal((d, out_dim)) / np.sqrt(out_dim)).astype(np.float32)
+            return rng_matrix[d]
+
+        for pdf in batches:
+            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float32)
+            if vecs.size == 0:
+                projected = [[] for _ in range(len(pdf))]
+            else:
+                projected = list((vecs @ matrix(vecs.shape[1])).astype(np.float32))
+            out = pdf[keep_cols].copy()
+            out[out_name] = [p.tolist() if hasattr(p, "tolist") else p for p in projected]
+            yield out
+
+    return fan_out(df).mapInPandas(kernel, out_schema)

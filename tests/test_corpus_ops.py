@@ -279,3 +279,30 @@ def test_scrub_pii(spark):
     out = scrub_pii(docs).collect()[0].text
     assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
     assert "example" not in out and "555" not in out and "10.0.0.1" not in out
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    import math as _math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    proj = random_projection(emb, "embedding", out_dim=16, seed=7)
+    rows = {r.vec_id: r.embedding for r in proj.collect()}
+    assert all(len(v) == 16 for v in rows.values())
+
+    # determinism: same seed -> identical output
+    again = {r.vec_id: r.embedding for r in
+             random_projection(emb, "embedding", out_dim=16, seed=7).collect()}
+    assert rows == again
+
+    # JL property (loose): norms shrink-preserve on average within 2x
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    def norm(v):
+        return _math.sqrt(sum(x * x for x in v))
+    ratios = [norm(rows[k]) / norm(orig[k]) for k in rows if norm(orig[k]) > 0]
+    avg = sum(ratios) / len(ratios)
+    assert 0.5 < avg < 2.0
+
+    # schema: non-vector columns pass through
+    assert set(proj.columns) == {"vec_id", "embedding", "label"}
