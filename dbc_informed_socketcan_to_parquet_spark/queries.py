@@ -970,6 +970,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.textops import (  # noqa:
     doc_fingerprints,
     doc_stats,
     lang_id,
+    repetition_stats,
 )
 from dbc_informed_socketcan_to_parquet_spark.operators.multimodal import (  # noqa: E402
     attach_media,
@@ -1159,10 +1160,30 @@ _STOP_IN = ", ".join(f"'{w}'" for w in
     oracle=f"""
     WITH base AS (
       SELECT doc_id, text,
-             list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS ltoks
       FROM documents
+    ),
+    nz_lines AS (
+      SELECT doc_id, line
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)
+      WHERE length(trim(line)) > 0
+    ),
+    per_line AS (SELECT doc_id, line, count(*) AS n FROM nz_lines GROUP BY 1, 2),
+    line_stats AS (
+      SELECT doc_id, sum(n) - count(*) AS dup_lines, sum(n) AS n_lines FROM per_line GROUP BY 1
+    ),
+    bigrams AS (
+      SELECT b.doc_id, b.ltoks[r.i] || ' ' || b.ltoks[r.i + 1] AS bigram
+      FROM base b, unnest(range(1, len(b.ltoks))) AS r(i)
+    ),
+    per_bigram AS (SELECT doc_id, bigram, count(*) AS n FROM bigrams GROUP BY 1, 2),
+    bigram_stats AS (
+      SELECT doc_id, max(n) AS top_bigram, sum(n) AS n_bigrams FROM per_bigram GROUP BY 1
     )
     SELECT doc_id,
+           round(coalesce(CAST(ls.dup_lines AS DOUBLE) / ls.n_lines, 0.0), 6) AS dup_line_ratio,
+           round(coalesce(CAST(bs.top_bigram AS DOUBLE) / bs.n_bigrams, 0.0), 6) AS top_bigram_ratio,
            CAST(length(text) AS INT) AS n_chars,
            CAST(len(toks) AS INT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_ish,
@@ -1184,12 +1205,16 @@ _STOP_IN = ", ".join(f"'{w}'" for w in
                  + least(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> lower(x) IN ({_STOP_IN}))) AS DOUBLE) / len(toks) ELSE 0.0 END, 0.25),
                  6) AS quality
     FROM base
+    LEFT JOIN line_stats ls USING (doc_id)
+    LEFT JOIN bigram_stats bs USING (doc_id)
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: token/char/punct/digit/stopword
-    counts, BPE-ish token count, composite quality score."""
-    return doc_stats(_read(spark, sf_dir, "documents"))
+    counts, BPE-ish token count, composite quality score, plus the
+    Gopher-style repetition rules (dup-line ratio, top-bigram share)."""
+    docs = _read(spark, sf_dir, "documents")
+    return doc_stats(docs).join(repetition_stats(docs), "doc_id")
 
 
 def _marker_sql(words: tuple[str, ...]) -> str:
