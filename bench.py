@@ -158,13 +158,14 @@ def _decode_throughput(spark, n_frames: int = 1_000_000) -> int:
             out.write.format("noop").mode("overwrite").save()
 
         run()  # JIT warm pass — steady-state throughput is the figure of merit
-        # median of 3 timed passes: this host shows ±2× run-to-run noise
+        # median of 5 timed passes: this host shows ±2× run-to-run noise,
+        # and recorded medians-of-3 still swung 177k-423k f/s across rounds
         samples = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             run()
             samples.append(time.perf_counter() - t0)
-        return int(n_frames / sorted(samples)[1])
+        return int(n_frames / sorted(samples)[2])
     finally:
         shutil.rmtree(log_dir, ignore_errors=True)
 
