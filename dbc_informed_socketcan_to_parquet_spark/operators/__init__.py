@@ -1,4 +1,5 @@
 from dbc_informed_socketcan_to_parquet_spark.operators.bucket import bucket_downsample, rollup_cascade
+from dbc_informed_socketcan_to_parquet_spark.operators.curate import CurateConfig, curate
 from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
     dedup_clusters,
     embedding_near_dup_pairs,
@@ -33,6 +34,8 @@ __all__ = [
     "scrub_pii",
     "bucket_downsample",
     "rollup_cascade",
+    "CurateConfig",
+    "curate",
     "dedup_clusters",
     "embedding_near_dup_pairs",
     "keep_canonical",
