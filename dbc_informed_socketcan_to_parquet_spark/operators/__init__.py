@@ -1,5 +1,6 @@
 from dbc_informed_socketcan_to_parquet_spark.operators.bucket import bucket_downsample, rollup_cascade
 from dbc_informed_socketcan_to_parquet_spark.operators.curate import CurateConfig, curate
+from dbc_informed_socketcan_to_parquet_spark.operators.sampling import mix_corpora, split_by_hash
 from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
     dedup_clusters,
     embedding_near_dup_pairs,
@@ -36,6 +37,8 @@ __all__ = [
     "rollup_cascade",
     "CurateConfig",
     "curate",
+    "mix_corpora",
+    "split_by_hash",
     "dedup_clusters",
     "embedding_near_dup_pairs",
     "keep_canonical",

@@ -1,0 +1,86 @@
+"""Deterministic sampling for training-data assembly: hash splits and
+token-budget corpus mixing.
+
+Both are built on content-independent ``xxhash64(id, salt)`` bucketing
+rather than ``rand()``: the assignment of a document to train/val or to
+a mix is then a pure function of its id — stable across runs, executors,
+retries, and re-partitioning, which is what makes a data recipe
+reproducible.  (``df.sample``/``rand()`` reshuffle membership every run
+unless a seed AND a stable partitioning are both pinned.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _unit_hash(id_col: str, salt: str) -> F.Column:
+    """Deterministic uniform [0, 1) value per id."""
+    h = F.xxhash64(F.col(id_col).cast("string"), F.lit(salt))
+    # shift to non-negative 53-bit so the double division is exact
+    return (F.shiftrightunsigned(h, 11).cast("double") / F.lit(float(1 << 53)))
+
+
+def split_by_hash(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> dict[str, DataFrame]:
+    """Disjoint deterministic splits, e.g. ``{"train": .98, "val": .01,
+    "test": .01}`` — every id lands in exactly one split, always the same
+    one.  One narrow filter per split; no shuffle, no action."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = _unit_hash(id_col, salt)
+    out, lo = {}, 0.0
+    items = list(fractions.items())
+    for i, (name, frac) in enumerate(items):
+        hi = 1.0 if i == len(items) - 1 else lo + frac
+        out[name] = df.filter((u >= F.lit(lo)) & (u < F.lit(hi)))
+        lo = hi
+    return out
+
+
+def mix_corpora(
+    sources: list[tuple[DataFrame, float]],
+    token_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Sample each corpus down so its share of total TOKENS matches its
+    weight, then union — the "data recipe" step of a training pipeline.
+
+    For weights w_i and source token counts t_i the mix is anchored to
+    the most over-subscribed source (kept whole); every other source is
+    hash-sampled to ``(w_i / w_anchor) * t_anchor`` tokens.  One scalar
+    aggregate per source (small, parallel jobs), then pure filters —
+    deterministic via the same id-hash as :func:`split_by_hash`.
+
+    A ``source_id`` column (the list index) is added for provenance.
+    """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    weights = [w for _, w in sources]
+    if any(w <= 0 for w in weights):
+        raise ValueError("weights must be positive")
+
+    counts = [
+        df.agg(F.sum(F.col(token_col)).alias("t")).first()["t"] or 0
+        for df, _ in sources
+    ]
+    # anchor = source with the smallest tokens-per-weight capacity
+    ratios = [t / w for t, (_, w) in zip(counts, sources)]
+    anchor = min(range(len(sources)), key=lambda i: ratios[i])
+
+    parts = []
+    for i, ((df, w), t) in enumerate(zip(sources, counts)):
+        target = ratios[anchor] * w
+        frac = 1.0 if t == 0 else min(1.0, target / t)
+        part = df if frac >= 1.0 else df.filter(_unit_hash(id_col, salt) < F.lit(frac))
+        parts.append(part.withColumn("source_id", F.lit(i)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

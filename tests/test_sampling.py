@@ -1,0 +1,66 @@
+"""Deterministic splits and token-budget mixing (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+    mix_corpora,
+    split_by_hash,
+)
+
+
+def test_split_by_hash_disjoint_exhaustive_stable(spark):
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    splits = split_by_hash(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = {k: v.count() for k, v in splits.items()}
+    assert sum(n.values()) == 5000                       # exhaustive
+    assert 3700 < n["train"] < 4300                      # ~80%
+    # disjoint: no id in two splits
+    ids_train = {r.doc_id for r in splits["train"].collect()}
+    ids_val = {r.doc_id for r in splits["val"].collect()}
+    assert not (ids_train & ids_val)
+    # stable: same membership on recompute
+    again = split_by_hash(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert {r.doc_id for r in again["train"].collect()} == ids_train
+
+
+def test_split_by_hash_rejects_bad_fractions(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        split_by_hash(df, {"a": 0.5, "b": 0.2})
+
+
+def test_mix_corpora_token_shares(spark):
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("n_tokens")
+    )
+    small = spark.range(100000, 102000).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("n_tokens")
+    )
+    # want 50/50 by tokens: small (200k tokens) is the anchor, big sampled to ~200k
+    mixed = mix_corpora([(big, 1.0), (small, 1.0)], token_col="n_tokens")
+    tok = {
+        r.source_id: r.t
+        for r in mixed.groupBy("source_id").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert tok[1] == 200_000                              # anchor kept whole
+    assert 160_000 < tok[0] < 240_000                     # ~200k ±20%
+    # deterministic
+    again = mix_corpora([(big, 1.0), (small, 1.0)], token_col="n_tokens")
+    assert again.filter("source_id = 0").count() == mixed.filter("source_id = 0").count()
+
+
+def test_mix_corpora_weights_respected(spark):
+    a = spark.range(0, 10000).select(F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens"))
+    b = spark.range(50000, 60000).select(F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens"))
+    # 3:1 token budget — same capacity/weight on both? a: 100k/3, b: 100k/1 →
+    # anchor is a (smaller capacity per weight); b sampled to (1/3)*100k
+    mixed = mix_corpora([(a, 3.0), (b, 1.0)], token_col="n_tokens")
+    tok = {
+        r.source_id: r.t
+        for r in mixed.groupBy("source_id").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert tok[0] == 100_000
+    assert 23_000 < tok[1] < 43_000                       # ~33.3k
