@@ -55,10 +55,13 @@ def salted_agg(
     {sum, count, min, max} — the decomposable set whose two-phase
     recombination is exact (count re-combines via sum).
 
-    The salt is deterministic — ``xxhash64`` of ``salt_col`` (default:
-    an arbitrary non-key column) mod ``n_salts`` — so results are
-    reproducible run-to-run (a ``rand()`` salt would not be, and this
-    repo's oracle checks forbid nondeterminism).
+    The salt is deterministic — ``xxhash64`` over ``salt_col`` (default:
+    ALL non-key columns, so a single constant column can't collapse the
+    spread) mod ``n_salts`` — so results are reproducible run-to-run (a
+    ``rand()`` salt would not be, and this repo's oracle checks forbid
+    nondeterminism).  If every non-key column is constant within the hot
+    key, rows are genuinely identical and no salt can spread them —
+    pass a row-unique ``salt_col`` where one exists.
     """
     from pyspark.sql import functions as F
 
@@ -72,8 +75,10 @@ def salted_agg(
         non_key = [c for c in df.columns if c not in keys]
         if not non_key:
             raise ValueError("salted_agg needs a non-key column to salt on")
-        salt_col = non_key[0]
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
+        salt_cols = [F.col(c) for c in non_key]
+    else:
+        salt_cols = [F.col(salt_col)]
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))
 
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[_FNS[fn](F.col(src)).alias(out_col) for out_col, (src, fn) in aggs.items()]

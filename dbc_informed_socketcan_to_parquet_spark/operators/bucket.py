@@ -99,7 +99,10 @@ def rollup_cascade(
     if not rs or rs[0] <= 0:
         raise ValueError("resolutions_ms must be positive")
     for fine, coarse in zip(rs, rs[1:]):
-        if coarse % fine != 0:
+        # ratio-based check: float modulo falsely rejects exact multiples
+        # of non-binary resolutions (0.3 % 0.1 != 0 in binary float)
+        ratio = coarse / fine
+        if abs(ratio - round(ratio)) > 1e-9 or round(ratio) < 1:
             raise ValueError(
                 f"resolutions must nest: {coarse} is not a multiple of {fine}"
             )

@@ -366,6 +366,7 @@ def dedup_clusters(
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    changed = 0
     for _ in range(max_iters):
         # min over each node's neighborhood labels, then min with own
         neighbor_min = (
@@ -390,6 +391,18 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # still-moving labels = some component wider than max_iters hops was
+        # split; silently returning would let duplicates survive curation
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — components wider than "
+            f"max_iters hops are split; raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -53,10 +53,14 @@ def mix_corpora(
     weight, then union — the "data recipe" step of a training pipeline.
 
     For weights w_i and source token counts t_i the mix is anchored to
-    the most over-subscribed source (kept whole); every other source is
-    hash-sampled to ``(w_i / w_anchor) * t_anchor`` tokens.  One scalar
-    aggregate per source (small, parallel jobs), then pure filters —
+    the non-empty source with the smallest tokens-per-weight capacity
+    (kept whole); every other source is hash-sampled to
+    ``(w_i / w_anchor) * t_anchor`` tokens.  All token counts come from
+    ONE Spark job (union → groupBy source), then pure filters —
     deterministic via the same id-hash as :func:`split_by_hash`.
+
+    Empty sources pass through empty (they must not anchor the mix —
+    one transient empty shard would otherwise sample everything to 0).
 
     A ``source_id`` column (the list index) is added for provenance.
     """
@@ -66,17 +70,28 @@ def mix_corpora(
     if any(w <= 0 for w in weights):
         raise ValueError("weights must be positive")
 
-    counts = [
-        df.agg(F.sum(F.col(token_col)).alias("t")).first()["t"] or 0
-        for df, _ in sources
-    ]
-    # anchor = source with the smallest tokens-per-weight capacity
-    ratios = [t / w for t, (_, w) in zip(counts, sources)]
-    anchor = min(range(len(sources)), key=lambda i: ratios[i])
+    # one job for every count: tag + union the token column only
+    tagged = None
+    for i, (df, _) in enumerate(sources):
+        part = df.select(F.lit(i).alias("source_id"), F.col(token_col))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    by_source = {
+        r["source_id"]: (r["t"] or 0)
+        for r in tagged.groupBy("source_id").agg(F.sum(token_col).alias("t")).collect()
+    }
+    counts = [by_source.get(i, 0) for i in range(len(sources))]
+
+    # anchor = non-empty source with the smallest tokens-per-weight capacity
+    candidates = [i for i, t in enumerate(counts) if t > 0]
+    if not candidates:
+        anchor_capacity = 0.0
+    else:
+        anchor = min(candidates, key=lambda i: counts[i] / weights[i])
+        anchor_capacity = counts[anchor] / weights[anchor]
 
     parts = []
     for i, ((df, w), t) in enumerate(zip(sources, counts)):
-        target = ratios[anchor] * w
+        target = anchor_capacity * w
         frac = 1.0 if t == 0 else min(1.0, target / t)
         part = df if frac >= 1.0 else df.filter(_unit_hash(id_col, salt) < F.lit(frac))
         parts.append(part.withColumn("source_id", F.lit(i)))

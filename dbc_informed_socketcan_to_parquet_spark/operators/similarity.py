@@ -278,13 +278,22 @@ def random_projection(
             return rng_matrix[d]
 
         for pdf in batches:
-            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float32)
-            if vecs.size == 0:
-                projected = [[] for _ in range(len(pdf))]
-            else:
-                projected = list((vecs @ matrix(vecs.shape[1])).astype(np.float32))
+            raw = pdf[vec_col].tolist()
+            # null / empty vectors project to null; ragged batches (mixed
+            # dims) are grouped by length so each group matmuls its own
+            # matrix instead of crashing on an object-dtype array
+            projected = [None] * len(raw)
+            by_len: dict[int, list[int]] = {}
+            for idx, v in enumerate(raw):
+                if v is not None and len(v) > 0:
+                    by_len.setdefault(len(v), []).append(idx)
+            for d, idxs in by_len.items():
+                vecs = np.asarray([raw[i] for i in idxs], dtype=np.float32)
+                proj = (vecs @ matrix(d)).astype(np.float32)
+                for row, i in zip(proj, idxs):
+                    projected[i] = row.tolist()
             out = pdf[keep_cols].copy()
-            out[out_name] = [p.tolist() if hasattr(p, "tolist") else p for p in projected]
+            out[out_name] = projected
             yield out
 
     return fan_out(df).mapInPandas(kernel, out_schema)

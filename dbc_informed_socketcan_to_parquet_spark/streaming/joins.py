@@ -38,7 +38,14 @@ def stream_static_enrich(
     tables this engine joins (DBC enum labels, vehicle registry) are
     KB-to-MB sized.
     """
-    if not dim.isStreaming and stream.isStreaming:
+    if dim.isStreaming:
+        # falling through would build an unwatermarked stream-stream join
+        # whose state grows forever — route to the watermarked form instead
+        raise ValueError(
+            "dim is a streaming DataFrame; use stream_interval_join for "
+            "stream-stream joins (it enforces watermarks)"
+        )
+    if stream.isStreaming:
         return stream.join(F.broadcast(dim), on=on, how=how)
     return stream.join(dim, on=on, how=how)
 

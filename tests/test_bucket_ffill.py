@@ -109,3 +109,11 @@ def test_rollup_cascade_first_semantics_and_validation(spark):
         rollup_cascade(df, [100, 250])  # 250 not a multiple of 100
     with _pytest.raises(ValueError):
         rollup_cascade(df, [])
+
+
+def test_rollup_cascade_accepts_non_binary_nesting(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.bucket import rollup_cascade
+
+    df = spark.createDataFrame([(0.0, 1.0), (0.25, 2.0)], "Time_ms double, a double")
+    lv = rollup_cascade(df, [0.1, 0.3])        # 0.3 % 0.1 != 0 in binary float
+    assert set(lv) == {0.1, 0.3}

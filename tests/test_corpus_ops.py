@@ -306,3 +306,28 @@ def test_random_projection_preserves_relative_distances(spark):
 
     # schema: non-vector columns pass through
     assert set(proj.columns) == {"vec_id", "embedding", "label"}
+
+
+def test_random_projection_null_and_ragged_rows(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, None), (2, []), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.embedding for r in random_projection(df, "embedding", out_dim=4).collect()}
+    assert len(got[0]) == 4 and len(got[3]) == 4   # both dims project
+    assert got[1] is None and got[2] is None       # null/empty -> null
+
+
+def test_dedup_clusters_warns_on_non_convergence(spark):
+    import warnings as _warnings
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        out = dedup_clusters(chain, max_iters=1)
+        out.collect()
+        assert any("did not converge" in str(x.message) for x in w)

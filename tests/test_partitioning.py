@@ -83,3 +83,20 @@ def test_salted_agg_rejects_non_decomposable(spark):
     df = spark.range(10).selectExpr("id as k", "id as v", "id as payload")
     with _pytest.raises(ValueError):
         salted_agg(df, ["k"], {"x": ("v", "avg")})
+
+
+def test_salted_agg_default_salt_spreads_despite_constant_column(spark):
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import salted_agg
+
+    # first non-key column constant: the multi-column default salt must
+    # still spread the hot key (regression: single-column default didn't)
+    df = spark.range(1000).select(
+        F.lit("hot").alias("k"), F.lit("const").alias("status"), F.col("id").alias("v")
+    )
+    got = salted_agg(df, ["k"], {"s": ("v", "sum"), "n": ("v", "count")}, n_salts=8)
+    r = got.collect()[0]
+    assert r["s"] == sum(range(1000)) and r["n"] == 1000
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64("status", "v"), F.lit(8)))
+    assert salted.select("_salt").distinct().count() > 1

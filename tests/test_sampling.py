@@ -64,3 +64,11 @@ def test_mix_corpora_weights_respected(spark):
     }
     assert tok[0] == 100_000
     assert 23_000 < tok[1] < 43_000                       # ~33.3k
+
+
+def test_mix_corpora_empty_source_does_not_anchor(spark):
+    big = spark.range(1000).select(F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens"))
+    empty = big.filter("doc_id < 0")
+    mixed = mix_corpora([(big, 1.0), (empty, 1.0)], token_col="n_tokens")
+    assert mixed.filter("source_id = 0").count() == 1000   # big kept whole
+    assert mixed.filter("source_id = 1").count() == 0

@@ -103,3 +103,12 @@ def test_stream_interval_join_rejects_same_ts_name(spark, tmp_path):
     s = _stream(spark, d)
     with pytest.raises(ValueError):
         stream_interval_join(s, s, "ts", "ts")
+
+
+def test_stream_static_enrich_rejects_streaming_dim(spark, tmp_path):
+    d = tmp_path / "in2"
+    d.mkdir()
+    _write_jsonl(d / "a.jsonl", [(0.0, "car1", 1)])
+    s = _stream(spark, d)
+    with pytest.raises(ValueError):
+        stream_static_enrich(s, s, on="vehicle")
