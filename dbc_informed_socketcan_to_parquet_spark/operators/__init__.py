@@ -19,6 +19,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.multimodal import (
     attach_media,
     extract_features,
     frame_sample_plan,
+    resize_images,
 )
 from dbc_informed_socketcan_to_parquet_spark.operators.pivot import pivot_last, unpivot
 from dbc_informed_socketcan_to_parquet_spark.operators.similarity import cosine_topk, lsh_ann_topk, random_projection
@@ -55,6 +56,7 @@ __all__ = [
     "attach_media",
     "extract_features",
     "frame_sample_plan",
+    "resize_images",
     "pivot_last",
     "unpivot",
     "cosine_topk",

@@ -99,3 +99,50 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1)
     chosen = F.filter(idx, lambda i: i % every_n == 0)
     return df.withColumn("sample_frames", chosen)
+
+
+def _fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a pixel resize: sha256-keyed byte stream
+    of length ∝ width × height (3 bytes/pixel, capped) so downstream size
+    accounting and schema plumbing behave like the real kernel."""
+    import hashlib
+
+    n = min(width * height * 3, 1 << 16)
+    seed = hashlib.sha256(content + f"{width}x{height}".encode()).digest()
+    reps = (n // len(seed)) + 1
+    return (seed * reps)[:n]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    real: bool = False,
+) -> DataFrame:
+    """Resize image payloads to ``width × height`` — Arrow-batched
+    ``mapInPandas``, binary in → binary out plus typed size metadata.
+
+    Like :func:`extract_features`, the pixel kernel is a declared stub
+    (PIL is not in this container; ``real=True`` raises) while the Spark
+    side — schema, size-aware repartition, batch shape — is real and
+    tested.  Output: ``(id, content binary, width int, height int)``.
+    """
+    if real and not _have_real_codecs():
+        raise NotImplementedError("real image resize requires PIL — not available; use real=False")
+
+    out_schema = f"{id_col} long, {content_col} binary, width int, height int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    content_col: [_fake_resize(bytes(c), width, height) for c in pdf[content_col]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, content_col).repartition(F.col(id_col)).mapInPandas(kernel, out_schema)

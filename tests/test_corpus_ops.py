@@ -331,3 +331,25 @@ def test_dedup_clusters_warns_on_non_convergence(spark):
         out = dedup_clusters(chain, max_iters=1)
         out.collect()
         assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_resize_images_plumbing(spark):
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"imgdata-0")), (1, bytearray(b"imgdata-1"))],
+        "doc_id long, content binary",
+    )
+    out = resize_images(df, width=8, height=4).collect()
+    assert {r.doc_id for r in out} == {0, 1}
+    for r in out:
+        assert (r.width, r.height) == (8, 4)
+        assert len(r.content) == 8 * 4 * 3          # 3 bytes/pixel plumbing
+    # deterministic
+    again = resize_images(df, width=8, height=4).collect()
+    assert sorted((r.doc_id, bytes(r.content)) for r in again) == \
+           sorted((r.doc_id, bytes(r.content)) for r in out)
+    with _pytest.raises(NotImplementedError):
+        resize_images(df, 8, 4, real=True).collect()
