@@ -26,8 +26,11 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     output is orders of magnitude larger than their input."""
     sc = df.sparkSession.sparkContext
     target = max(int(sc.defaultParallelism) * multiplier, 1)
-    # .rdd triggers physical planning but no job; cheap for this check
-    if df.rdd.getNumPartitions() < target:
+    # Probe the partition count from the JVM query execution directly:
+    # ``toRdd`` is a lazy val on the Dataset, so physical planning runs at
+    # most once per DataFrame (and it would run at execution anyway) — no
+    # Python-side RDD conversion plan is built, unlike ``df.rdd``.
+    if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
         return df.repartition(target)
     return df
 
@@ -52,8 +55,11 @@ def salted_agg(
     ``n_salts`` tasks, and the second shuffle is tiny.
 
     ``aggs`` maps output column → (input column, fn) with fn in
-    {sum, count, min, max} — the decomposable set whose two-phase
-    recombination is exact (count re-combines via sum).
+    {sum, count, count*, min, max} — the decomposable set whose two-phase
+    recombination is exact (both count forms re-combine via sum).
+    ``count`` has SQL ``count(col)`` semantics — NULLs in the input
+    column are NOT counted; use ``count*`` (input column ignored) for
+    ``count(*)`` row counts.
 
     The salt is deterministic — ``xxhash64`` over ``salt_col`` (default:
     ALL non-key columns, so a single constant column can't collapse the
@@ -65,8 +71,14 @@ def salted_agg(
     """
     from pyspark.sql import functions as F
 
-    _FNS = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
-    _RECOMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _FNS = {
+        "sum": F.sum,
+        "count": F.count,  # count(col): skips NULLs, like SQL
+        "count*": lambda _c: F.count(F.lit(1)),  # count(*): every row
+        "min": F.min,
+        "max": F.max,
+    }
+    _RECOMBINE = {"sum": F.sum, "count": F.sum, "count*": F.sum, "min": F.min, "max": F.max}
     for out_col, (_, fn) in aggs.items():
         if fn not in _FNS:
             raise ValueError(f"{out_col}: {fn!r} is not two-phase decomposable")

@@ -70,7 +70,11 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # cross-engine time value is therefore epoch-MICROseconds: DuckDB
 # epoch_us(ts) == Spark ts div 1000 (integer division, exact).
 EV_US = "epoch_us(ts)"
-TS_US = "(ts div 1000)"
+# events.ts is parquet timestamp[us] → Spark reads TIMESTAMP_NTZ.  Pure
+# NTZ arithmetic (timestampdiff from the epoch) is session-timezone
+# independent, matching DuckDB's epoch_us(ts) exactly — a cast through
+# TIMESTAMP_LTZ would shift with the driver session's timezone.
+TS_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
 
 # ---------------------------------------------------------------------------
 # CAN-domain: synthetic frames from events
@@ -1615,7 +1619,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join (±5 min) as a bucketized equi-join — the plan shape
     that survives scale, vs. the quadratic BroadcastNestedLoopJoin a naive
     inequality join produces."""
-    ev = _read(spark, sf_dir, "events").withColumn("ts_ms", F.expr("ts div 1000000"))
+    ev = _read(spark, sf_dir, "events").withColumn("ts_ms", F.expr(f"({TS_US}) div 1000"))
     errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts_ms")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts_ms").alias("c_ts"))
     paired = range_join_bucketed(errors, clicks, by="user_id",

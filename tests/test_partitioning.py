@@ -100,3 +100,23 @@ def test_salted_agg_default_salt_spreads_despite_constant_column(spark):
     assert r["s"] == sum(range(1000)) and r["n"] == 1000
     salted = df.withColumn("_salt", F.pmod(F.xxhash64("status", "v"), F.lit(8)))
     assert salted.select("_salt").distinct().count() > 1
+
+
+def test_salted_agg_count_star_counts_nulls(spark):
+    """count(col) skips NULLs (SQL semantics); count* counts every row."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import salted_agg
+
+    df = spark.range(100).select(
+        F.lit("hot").alias("k"),
+        F.when(F.col("id") % 4 == 0, F.col("id").cast("double")).alias("v"),
+        F.col("id").alias("payload"),
+    )
+    got = salted_agg(
+        df, ["k"],
+        {"n_col": ("v", "count"), "n_rows": ("v", "count*")},
+        n_salts=4,
+    ).collect()[0]
+    assert got["n_col"] == 25   # NULL v skipped
+    assert got["n_rows"] == 100  # count(*) semantics
