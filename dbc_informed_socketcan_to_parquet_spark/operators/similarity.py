@@ -87,7 +87,7 @@ def _hyperplane_component(table: int, plane: int, dim: int) -> Column:
     return ((h % 2000) - F.lit(1000)).cast("double") / F.lit(1000.0)
 
 
-def sign_lsh_signature(vec: Column, num_planes: int, dim: int, table: int = 0) -> Column:
+def sign_lsh_signature(vec: Column, num_planes: int, dim: int, table: int | str = 0) -> Column:
     """Bit i = sign of <v, plane_i>; packed into a long."""
     sig: Column = F.lit(0).cast("long")
     for p in range(num_planes):
@@ -170,18 +170,86 @@ def lsh_ann_topk(
 
 
 # -- IVF (inverted-file) ANN: coarse k-means quantizer + cluster probe -------
+#
+# The quantizer is a from-scratch deterministic Lloyd's k-means, NOT Spark
+# ML's: every source of engine-specific nondeterminism is removed so the
+# whole IVF path renders in plain SQL (the DuckDB oracle replays it
+# bit-for-bit, like the sign-LSH pipeline):
+#   * init      — cluster c's seed set is the corpus bucketed by the sign
+#                 bits of log2(k) md5-derived hyperplanes (the same device
+#                 as sign-LSH, under a distinct 'ivf' tag): spatially
+#                 coherent half-space cells, reproducible in any engine.
+#   * means     — per-dimension DECIMAL(18,12) sums (exact, order-
+#                 independent — float summation order differs between
+#                 engines and between runs) divided in double, rounded to
+#                 6 dp: centroids are bit-identical across engines.
+#   * assign    — squared L2 expanded as <v,v> − 2<v,c> + <c,c> (the same
+#                 formula text both engines), rounded to 6 dp, ties broken
+#                 by cluster label.
+#   * stopping  — a fixed iteration count, not a convergence threshold.
+
+
+def _centroid_means(assigned: DataFrame, dim: int) -> dict[int, list[float]]:
+    """Rounded per-cluster means — exact decimal sums, so the result does
+    not depend on partial-aggregation order.  Returns {label: vector}."""
+    rows = assigned.groupBy("_b").agg(
+        *[
+            F.round(
+                F.sum(F.col("_v")[d].cast("decimal(18,12)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias(f"_d{d}")
+            for d in range(dim)
+        ]
+    ).collect()
+    return {r["_b"]: [r[f"_d{d}"] for d in range(dim)] for r in rows}
+
+
+def _rounded_sq_dist(vec: Column, center: list[float]) -> Column:
+    """round(<v,v> - 2<v,c> + <c,c>, 6) — the cross-engine stable form."""
+    carr = F.array(*[F.lit(float(x)) for x in center])
+    cc = 0.0
+    for x in center:  # sequential sum, same order as list_dot_product(c,c)
+        cc += float(x) * float(x)
+    return F.round(
+        dot_product(vec, vec) - F.lit(2.0) * dot_product(vec, carr) + F.lit(cc), 6
+    )
+
+
+def _nearest_label(vec: Column, centers: dict[int, list[float]]) -> Column:
+    """Label of the nearest centroid; (distance, label) ordering makes the
+    tie-break explicit and engine-independent."""
+    return F.array_min(
+        F.array(*[
+            F.struct(_rounded_sq_dist(vec, c).alias("d"), F.lit(b).cast("long").alias("b"))
+            for b, c in sorted(centers.items())
+        ])
+    )["b"]
+
+
+def _nearest_labels(vec: Column, centers: dict[int, list[float]], n: int) -> Column:
+    """Labels of the n nearest centroids, same ordering rule."""
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(_rounded_sq_dist(vec, c).alias("d"), F.lit(b).cast("long").alias("b"))
+            for b, c in sorted(centers.items())
+        ])
+    )
+    return F.slice(F.transform(ranked, lambda s: s["b"]), 1, n)
+
 
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
+    dim: int,
     k: int = 10,
     num_clusters: int = 16,
+    n_iters: int = 2,
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    seed: int = 42,
-    max_train_vectors: int = 100_000,
+    sample_mod: int = 1,
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF ANN: a coarse k-means quantizer partitions the corpus into
     ``num_clusters`` inverted lists; each query probes its ``nprobe``
@@ -189,46 +257,53 @@ def ivf_ann_topk(
 
     At 100 TB the corpus assignment is a one-off batch job (the cluster id
     becomes a partition column of the stored index) and each query touches
-    nprobe/num_clusters of the data.  Training samples the corpus; the
-    model is driver-side (centroids are small) and broadcast implicitly
-    through the assignment expressions.
+    nprobe/num_clusters of the data.  The model is driver-side (centroids
+    are k × dim doubles) and broadcast implicitly through the assignment
+    expressions.
+
+    ``sample_mod`` bounds training cost WITHOUT a counting pre-pass: the
+    fit uses only vectors with ``md5(id) % sample_mod == 0`` — a
+    deterministic 1/sample_mod hash sample, so no full-corpus
+    ``count()`` job runs just to derive a sample fraction.  Pick
+    ``sample_mod ≈ corpus_rows / max_train`` from catalog stats or prior
+    knowledge; the sampled train set is cached across the Lloyd rounds,
+    so each iteration costs one scan of the SAMPLE, not the corpus.
+
+    ``num_clusters`` must be a power of two (the init hashes on
+    log2(num_clusters) hyperplane sign bits).  Empty init cells or
+    clusters that lose all members simply drop out — identically in both
+    engines.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
 
-    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    # the quantizer needs only a sketch of the distribution: bound the fit
-    # input to ~max_train_vectors (uniform sample, seeded) so training cost
-    # is O(sample), not O(corpus) — at 100 TB fitting on every vector is
-    # the dominant cost and adds nothing to centroid quality
-    n = train.count()
-    if n > max_train_vectors:
-        train = train.sample(False, max_train_vectors / n, seed)
-    model = KMeans(k=num_clusters, seed=seed, featuresCol="features").fit(train)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    nplanes = num_clusters.bit_length() - 1
+    if (1 << nplanes) != num_clusters:
+        raise ValueError(f"num_clusters must be a power of two, got {num_clusters}")
 
-    def _nearest_clusters(vec: Column, n: int) -> Column:
-        """Indices of the n nearest centroids by squared L2 — pure Column
-        algebra over the driver-side centroid literals."""
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, v: acc + v,
-            )
-            for c in centers
-        ])
-        idx = F.array_sort(
-            F.arrays_zip(dists.alias("d"), F.array(*[F.lit(i) for i in range(len(centers))]).alias("i"))
-        )
-        return F.slice(F.transform(idx, lambda s: s["i"]), 1, n)
+    train = corpus
+    if sample_mod > 1:
+        train = train.filter(F.pmod(md5_long(F.col(id_col)), F.lit(sample_mod)) == 0)
+    tv = fan_out(train).select(F.col(vec_col).cast("array<double>").alias("_v"))
+    tv = tv.withColumn("_b", sign_lsh_signature(F.col("_v"), nplanes, dim, table="ivf"))
+    tv = tv.persist()
+    try:
+        centers = _centroid_means(tv, dim)
+        for _ in range(n_iters):
+            reassigned = tv.withColumn("_b", _nearest_label(F.col("_v"), centers))
+            centers = _centroid_means(reassigned, dim)
+    finally:
+        tv.unpersist()
 
     c = fan_out(corpus).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
-    c = c.withColumn("_cluster", _nearest_clusters(F.col("_cv"), 1)[0])
+    c = c.withColumn("_cluster", _nearest_label(F.col("_cv"), centers))
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
-    q = q.select("*", F.explode(_nearest_clusters(F.col("_qv"), nprobe)).alias("_cluster"))
+    q = q.select("*", F.explode(_nearest_labels(F.col("_qv"), centers, nprobe)).alias("_cluster"))
 
+    sim = cosine(F.col("_cv"), F.col("_qv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
     scored = c.join(F.broadcast(q), "_cluster").select(
-        F.col(query_id_col), F.col(id_col), cosine(F.col("_cv"), F.col("_qv")).alias("cosine")
+        F.col(query_id_col), F.col(id_col), sim.alias("cosine")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
