@@ -30,7 +30,14 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     # ``toRdd`` is a lazy val on the Dataset, so physical planning runs at
     # most once per DataFrame (and it would run at execution anyway) — no
     # Python-side RDD conversion plan is built, unlike ``df.rdd``.
-    if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
+    # ``_jdf`` only exists on classic PySpark; under Spark Connect fall
+    # back to ``df.rdd`` (Connect sessions are remote — the extra
+    # conversion plan is negligible next to the RPC).
+    if hasattr(df, "_jdf"):
+        n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 

@@ -65,25 +65,41 @@ def _have_real_codecs() -> bool:
         return False
 
 
+def _real_decode(content: bytes) -> list[float]:
+    """Real image featurizer: decode with PIL, 8-bin grayscale histogram
+    normalized to [0, 1] — deterministic, codec-backed, same shape as the
+    fake path (FAKE_FEATURE_DIM floats)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content)).convert("L")
+    hist = img.histogram()  # 256 bins
+    n_px = float(img.width * img.height)
+    bins = [sum(hist[i * 32:(i + 1) * 32]) / n_px for i in range(FAKE_FEATURE_DIM)]
+    return bins
+
+
 def extract_features(df: DataFrame, content_col: str = "content", id_col: str = "doc_id", real: bool = False) -> DataFrame:
     """mapInPandas featurizer: (id, content) → (id, features array<double>).
 
-    ``real=True`` requires an image codec (not in this container) and
-    raises ``NotImplementedError`` — the contract point where a PIL/torch
-    kernel plugs in.  The fake path exercises the identical Arrow batch
-    flow, schema, and partitioning.
+    ``real=True`` decodes with PIL (8-bin grayscale histogram) and raises
+    ``NotImplementedError`` when no codec is installed — the contract
+    point where a richer PIL/torch kernel plugs in.  The fake path
+    exercises the identical Arrow batch flow, schema, and partitioning.
     """
     if real and not _have_real_codecs():
         raise NotImplementedError("real media decode requires PIL/librosa/ffmpeg — not available; use real=False")
 
     out_schema = f"{id_col} long, features array<double>"
+    decode = _real_decode if real else _fake_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "features": [_fake_decode(bytes(c)) for c in pdf[content_col]],
+                    "features": [decode(bytes(c)) for c in pdf[content_col]],
                 }
             )
 
@@ -134,12 +150,25 @@ def resize_images(
 
     out_schema = f"{id_col} long, {content_col} binary, width int, height int"
 
+    def _real_resize(content: bytes) -> bytes:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(content))
+        out = io.BytesIO()
+        img.resize((width, height)).save(out, format="PNG")
+        return out.getvalue()
+
+    def resize(c: bytes) -> bytes:
+        return _real_resize(c) if real else _fake_resize(c, width, height)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    content_col: [_fake_resize(bytes(c), width, height) for c in pdf[content_col]],
+                    content_col: [resize(bytes(c)) for c in pdf[content_col]],
                     "width": width,
                     "height": height,
                 }

@@ -80,7 +80,7 @@ def cosine_topk(
 
 # -- sign-LSH (random hyperplane) bucketed ANN -------------------------------
 
-def _hyperplane_component(table: int, plane: int, dim: int) -> Column:
+def _hyperplane_component(table: int | str, plane: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     md5-derived so Spark and any oracle agree bit-for-bit."""
     h = md5_long(F.lit(f"t{table}_p{plane}_d{dim}"))
@@ -195,13 +195,26 @@ def _centroid_means(assigned: DataFrame, dim: int) -> dict[int, list[float]]:
     rows = assigned.groupBy("_b").agg(
         *[
             F.round(
-                F.sum(F.col("_v")[d].cast("decimal(18,12)")).cast("double") / F.count(F.lit(1)),
+                # numerator and denominator both skip NULLs so a sparse /
+                # short vector doesn't bias the mean (count(_v[d]), not
+                # count(1)); DuckDB sum/count agree on this convention
+                F.sum(F.col("_v")[d].cast("decimal(18,12)")).cast("double")
+                / F.count(F.col("_v")[d]),
                 6,
             ).alias(f"_d{d}")
             for d in range(dim)
         ]
     ).collect()
-    return {r["_b"]: [r[f"_d{d}"] for d in range(dim)] for r in rows}
+    centers = {r["_b"]: [r[f"_d{d}"] for d in range(dim)] for r in rows}
+    for b, c in centers.items():
+        if any(x is None for x in c):
+            bad = [d for d, x in enumerate(c) if x is None]
+            raise ValueError(
+                f"IVF cluster {b} has no non-null value in dimension(s) "
+                f"{bad[:5]}{'…' if len(bad) > 5 else ''} — vectors must be "
+                f"dense arrays of length dim={dim}"
+            )
+    return centers
 
 
 def _rounded_sq_dist(vec: Column, center: list[float]) -> Column:
@@ -237,10 +250,64 @@ def _nearest_labels(vec: Column, centers: dict[int, list[float]], n: int) -> Col
     return F.slice(F.transform(ranked, lambda s: s["b"]), 1, n)
 
 
+def _nearest_pandas(
+    df: DataFrame,
+    centers: dict[int, list[float]],
+    vec_col_inner: str,
+    out_col: str,
+    n: int = 1,
+) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow-batched numpy matmul —
+    the scale path for large k·dim.
+
+    The expression form (:func:`_nearest_label`) embeds every centroid
+    as an O(dim) literal array: O(k·dim) Catalyst expression nodes
+    evaluated per row — fine at k=16·d=64 fixtures, a codegen blowup at
+    production IVF scale (k≈4096, d≈768 ⇒ ~3M nodes).  Here the k×dim
+    centroid matrix rides the task closure once and each Arrow batch
+    does one BLAS matmul: same rounded expanded-L2 + label tie-break
+    semantics, but numpy's blocked summation order differs from the
+    expression fold in the last ulp, so this path is NOT guaranteed
+    bit-identical to the DuckDB oracle — keep ``expr`` when
+    oracle-replaying, use ``pandas`` at scale.
+    """
+    import numpy as np
+
+    labels = sorted(centers)
+    C = np.asarray([centers[b] for b in labels], dtype=np.float64)
+    cc = (C * C).sum(axis=1)
+    lab = np.asarray(labels, dtype=np.int64)
+    in_fields = [f for f in df.schema.fields if f.name != out_col]
+    keep = [f.name for f in in_fields]
+    out_type = "bigint" if n == 1 else "array<bigint>"
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in in_fields] + [f"{out_col} {out_type}"]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = pdf[keep].copy()
+            if len(pdf):
+                v = np.asarray(pdf[vec_col_inner].tolist(), dtype=np.float64)
+                d = np.round((v * v).sum(1)[:, None] - 2.0 * (v @ C.T) + cc[None, :], 6)
+                if n == 1:
+                    # labels are sorted ascending, so first-occurrence
+                    # argmin IS the (distance, label) tie-break
+                    out[out_col] = lab[np.argmin(d, axis=1)]
+                else:
+                    order = np.argsort(d, axis=1, kind="stable")[:, :n]
+                    out[out_col] = [lab[r].tolist() for r in order]
+            else:
+                out[out_col] = []
+            yield out
+
+    return df.mapInPandas(kernel, schema)
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 10,
     num_clusters: int = 16,
     n_iters: int = 2,
@@ -250,6 +317,7 @@ def ivf_ann_topk(
     query_id_col: str = "query_id",
     sample_mod: int = 1,
     round_to: int | None = None,
+    assign_kernel: str = "expr",
 ) -> DataFrame:
     """IVF ANN: a coarse k-means quantizer partitions the corpus into
     ``num_clusters`` inverted lists; each query probes its ``nprobe``
@@ -273,12 +341,33 @@ def ivf_ann_topk(
     log2(num_clusters) hyperplane sign bits).  Empty init cells or
     clusters that lose all members simply drop out — identically in both
     engines.
+
+    ``dim`` (vector dimensionality) may be omitted: it is then probed
+    from the first corpus row — one LIMIT-1 job, pruned to the vector
+    column.  Pass it explicitly in production to keep the plan
+    single-pass.
+
+    ``assign_kernel`` picks the nearest-centroid implementation:
+    ``"expr"`` (default) renders the centroids as literal column
+    expressions — pure codegen, oracle-replayable, right for
+    k·dim ≲ 10⁴; ``"pandas"`` runs an Arrow-batched numpy matmul
+    (:func:`_nearest_pandas`) — the scale path for large k·dim (e.g.
+    k=4096, d=768) where the expression tree would blow up Catalyst.
+    Same distance/tie-break semantics; see :func:`_nearest_pandas` for
+    the last-ulp caveat.
     """
     from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
 
     nplanes = num_clusters.bit_length() - 1
     if (1 << nplanes) != num_clusters:
         raise ValueError(f"num_clusters must be a power of two, got {num_clusters}")
+    if assign_kernel not in ("expr", "pandas"):
+        raise ValueError(f"assign_kernel must be 'expr' or 'pandas', got {assign_kernel!r}")
+    if dim is None:
+        probe = corpus.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+        if not probe or probe[0]["_d"] is None or probe[0]["_d"] <= 0:
+            raise ValueError(f"cannot derive dim: corpus is empty or {vec_col!r} is null — pass dim explicitly")
+        dim = probe[0]["_d"]
 
     train = corpus
     if sample_mod > 1:
@@ -288,16 +377,29 @@ def ivf_ann_topk(
     tv = tv.persist()
     try:
         centers = _centroid_means(tv, dim)
+        if not centers:
+            raise ValueError(
+                "IVF training set is empty — corpus has no rows after "
+                f"sample_mod={sample_mod} hash-sampling; lower sample_mod"
+            )
         for _ in range(n_iters):
-            reassigned = tv.withColumn("_b", _nearest_label(F.col("_v"), centers))
+            if assign_kernel == "pandas":
+                reassigned = _nearest_pandas(tv.drop("_b"), centers, "_v", "_b")
+            else:
+                reassigned = tv.withColumn("_b", _nearest_label(F.col("_v"), centers))
             centers = _centroid_means(reassigned, dim)
     finally:
         tv.unpersist()
 
     c = fan_out(corpus).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
-    c = c.withColumn("_cluster", _nearest_label(F.col("_cv"), centers))
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
-    q = q.select("*", F.explode(_nearest_labels(F.col("_qv"), centers, nprobe)).alias("_cluster"))
+    if assign_kernel == "pandas":
+        c = _nearest_pandas(c, centers, "_cv", "_cluster")
+        q = _nearest_pandas(q, centers, "_qv", "_probes", n=nprobe)
+        q = q.select(query_id_col, "_qv", F.explode("_probes").alias("_cluster"))
+    else:
+        c = c.withColumn("_cluster", _nearest_label(F.col("_cv"), centers))
+        q = q.select("*", F.explode(_nearest_labels(F.col("_qv"), centers, nprobe)).alias("_cluster"))
 
     sim = cosine(F.col("_cv"), F.col("_qv"))
     if round_to is not None:

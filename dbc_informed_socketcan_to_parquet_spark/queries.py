@@ -51,6 +51,21 @@ def query(name: str, oracle: str | None = None):
 # shared loaders
 # ---------------------------------------------------------------------------
 
+def _parquet_rows(path: str) -> int:
+    """Exact row count from parquet footer metadata — no Spark job.
+    Accepts a single file or a directory of part files."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    if os.path.isdir(path):
+        dataset = ds.dataset(path, format="parquet")
+        return sum(f.metadata.num_rows for f in dataset.get_fragments())
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive session tuning: the embedding session (driver harness) may
     # carry Spark's 200-partition default — wrong for both the small gate
@@ -1102,7 +1117,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     share no shingle never materialize), df-capped at 4% of the corpus —
     the skew guard that keeps hot shingles from going quadratic."""
     docs = _read(spark, sf_dir, "documents")
-    max_df = docs.count() // 25
+    # row count from parquet footer metadata — no Spark count() job just
+    # to derive the df cap (footer stats are metadata-only at any scale)
+    max_df = _parquet_rows(f"{sf_dir}/documents.parquet") // 25
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=5, threshold=0.5, max_df=max_df)
 
 
@@ -1690,16 +1707,95 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_ivf")  # rows-only: k-means init is engine-specific
+# The IVF quantizer is a from-scratch *deterministic* Lloyd's k-means
+# (operators/similarity.py) built so the whole path renders in plain SQL:
+# md5 sign-bit init (same hyperplane device as sign-LSH under the 'ivf'
+# tag), per-dimension DECIMAL(18,12) means rounded to 6 dp, expanded-L2
+# distances rounded to 6 dp with label tie-break, and a fixed iteration
+# count.  The oracle below unrolls n_iters=2 as CTEs: init sig → means →
+# (reassign → means) × 2 → corpus assign + nprobe probe → cosine rerank.
+# The 64 per-dimension mean expressions per round are generated here.
+
+def _ivf_means_sql(src: str, dim: int) -> str:
+    comps = ",\n             ".join(
+        f"round(CAST(sum(CAST(v[{d + 1}] AS DECIMAL(18,12))) AS DOUBLE) / count(v[{d + 1}]), 6)"
+        for d in range(dim)
+    )
+    return f"SELECT b, list_value({comps}) AS c FROM {src} GROUP BY b"
+
+
+def _ivf_assign_sql(vec_src: str, centers: str, rn_pred: str) -> str:
+    dist = ("round(list_dot_product(i.v, i.v) - 2 * list_dot_product(i.v, c.c)"
+            " + list_dot_product(c.c, c.c), 6)")
+    return f"""SELECT vec_id, v, b FROM (
+      SELECT i.vec_id, i.v, c.b,
+             row_number() OVER (PARTITION BY i.vec_id ORDER BY {dist}, c.b) AS rn
+      FROM {vec_src} i CROSS JOIN {centers} c
+    ) WHERE {rn_pred}"""
+
+
+def _ivf_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
+                    nprobe: int = 4, k: int = 10) -> str:
+    parts = [
+        f"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    iplanes AS (
+      SELECT pp.range AS p,
+             list(CAST(CAST('0x' || substr(md5('tivf_p' || pp.range || '_d' || dd.range), 1, 15)
+                       AS BIGINT) % 2000 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)
+                  ORDER BY dd.range) AS plane
+      FROM range({nplanes}) pp, range({dim}) dd
+      GROUP BY 1
+    ),
+    sig0 AS (
+      SELECT v.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(v.v, pl.plane) >= 0
+                           THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS b
+      FROM vecs v, iplanes pl GROUP BY 1
+    ),
+    assign0 AS (SELECT s.vec_id, vecs.v, s.b FROM sig0 s JOIN vecs USING (vec_id))"""
+    ]
+    for i in range(n_iters + 1):
+        parts.append(f"centers{i} AS ({_ivf_means_sql(f'assign{i}', dim)})")
+        if i < n_iters:
+            parts.append(
+                f"assign{i + 1} AS ({_ivf_assign_sql('assign0', f'centers{i}', 'rn = 1')})"
+            )
+    final = f"centers{n_iters}"
+    parts.append(
+        "corpus_assign AS (" + _ivf_assign_sql("vecs", final, "rn = 1") + ")"
+    )
+    parts.append(f"""probe AS (
+      SELECT vec_id AS query_id, b AS cluster
+      FROM ({_ivf_assign_sql('(SELECT * FROM vecs WHERE vec_id < 5)', final, f'rn <= {nprobe}')})
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    scored AS (
+      SELECT p.query_id, ca.vec_id, {_COS} AS cosine
+      FROM probe p
+      JOIN corpus_assign ca ON ca.b = p.cluster
+      JOIN embeddings e ON e.vec_id = ca.vec_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@query("similarity_ann_ivf", oracle=_ivf_oracle_sql())
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (coarse k-means quantizer + nprobe cluster
     scan) — the second scale path next to sign-LSH; recall vs the exact
-    baseline is pytest-verified."""
+    baseline is pytest-verified and the deterministic-Lloyd's pipeline is
+    hash-checked against the DuckDB replay above."""
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ivf_ann_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_ann_topk(emb, queries, k=10, num_clusters=16, nprobe=4)
+    return ivf_ann_topk(emb, queries, dim=64, k=10, num_clusters=16, nprobe=4, round_to=6)
 
 
 @query(

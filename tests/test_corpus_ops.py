@@ -163,6 +163,20 @@ def test_ivf_ann_recall(spark):
     assert recall >= 0.5                    # nprobe=4 of 8 clusters
 
 
+def test_ivf_pandas_kernel_matches_expr(spark):
+    """assign_kernel='pandas' (numpy matmul scale path) must reproduce the
+    expression path exactly on the fixture: same rounded distances, same
+    tie-break, so same clusters, candidates, and top-k."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    kw = dict(dim=64, k=10, num_clusters=8, nprobe=4, round_to=6)
+    expr_rows = sorted(map(tuple, ivf_ann_topk(emb, q, **kw).collect()))
+    pd_rows = sorted(map(tuple, ivf_ann_topk(emb, q, assign_kernel="pandas", **kw).collect()))
+    assert expr_rows == pd_rows
+
+
 def test_frame_sample_plan_and_semi_join(spark, docs_df, tiny_spec):
     from dbc_informed_socketcan_to_parquet_spark.operators.multimodal import attach_media, frame_sample_plan
     from dbc_informed_socketcan_to_parquet_spark.dbc.compiler import DecodeCompiler

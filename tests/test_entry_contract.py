@@ -24,7 +24,7 @@ def test_queries_oracle_keys_align():
     assert set(o) <= set(q)
     # every query is either oracle-checked or explicitly rows-only
     rows_only = set(q) - set(o)
-    assert rows_only == {"approx_distinct", "similarity_ann_ivf"}
+    assert rows_only == {"approx_distinct"}
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,81 @@
+"""Error-bound tests for the approximate sketch surface.
+
+The sketches (`approx_count_distinct` HLL++, `percentile_approx` KLL-ish
+quantile digest) are engine-specific by construction, so the oracle
+harness only rows-checks them — this file pins their ACCURACY instead:
+the approximate answers must sit within the published error envelope of
+the exact answers at sf0.01.  Spark's sketches are deterministic for a
+fixed input, so these are exact assertions, not flaky statistical ones.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.01"
+
+# q_approx_distinct's configured HLL relative standard deviation, and the
+# sigma multiplier for the assertion band.  rsd is a *standard error*:
+# 5 sigma is far outside plausible HLL behavior, so a failure here means
+# a wiring bug (wrong column, wrong grouping), not sketch noise.
+RSD = 0.02
+K_SIGMA = 5
+
+
+def test_approx_distinct_error_bound(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", RSD).alias("approx_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        assert ex > 0
+        rel_err = abs(approx[et] - ex) / ex
+        assert rel_err <= RSD * K_SIGMA, (
+            f"event_type={et}: approx={approx[et]} exact={ex} "
+            f"rel_err={rel_err:.4f} > {RSD * K_SIGMA}"
+        )
+
+
+def test_percentile_approx_rank_bound(spark):
+    """percentile_approx(accuracy=1000) guarantees a rank error of at most
+    n/accuracy — assert the approximate p50/p95 fall inside the exact
+    value range of ranks [target - n/1000, target + n/1000]."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_type", "value")
+    groups = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    approx = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 1000).alias("p50"),
+            F.percentile_approx("value", 0.95, 1000).alias("p95"),
+        )
+        .collect()
+    }
+    for et in groups:
+        vals = sorted(
+            r["value"]
+            for r in ev.filter(F.col("event_type") == et).select("value").collect()
+            if r["value"] is not None
+        )
+        n = len(vals)
+        # rank error guarantee is n/accuracy; +2 absorbs the rank-index
+        # convention (nearest-rank vs interpolated target) on both ends
+        slack = max(n // 1000, 1) + 2
+        for q, got in zip((0.5, 0.95), approx[et]):
+            target = int(q * n)
+            lo = vals[max(target - slack - 1, 0)]
+            hi = vals[min(target + slack, n - 1)]
+            assert lo <= got <= hi, (
+                f"event_type={et} q={q}: approx={got} outside exact rank "
+                f"band [{lo}, {hi}] (n={n}, slack={slack})"
+            )
