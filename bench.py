@@ -90,7 +90,9 @@ def _fast_path_timings(spark, sf_dir: str) -> dict[str, float]:
     production pipeline without a cross-engine oracle would run)."""
     from dbc_informed_socketcan_to_parquet_spark.functions.hashing import xxhash60
     from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        lsh_star_edges,
         minhash_dedup_pairs,
+        minhash_signatures,
         simhash,
     )
 
@@ -105,6 +107,15 @@ def _fast_path_timings(spark, sf_dir: str) -> dict[str, float]:
         ),
         "simhash_signatures_fast": lambda: simhash(
             docs, "doc_id", "text", num_bits=16, shingle_n=4, hash_fn=xxhash60,
+        ),
+        # the O(bucket) near-dup graph (star edges, rep-verified) — the
+        # scale path whose cost stays linear where the all-pairs list
+        # above goes quadratic in boilerplate-clique size
+        "minhash_star_edges_fast": lambda: lsh_star_edges(
+            minhash_signatures(docs, "doc_id", "text", num_perms=16,
+                               shingle_n=5, seed=42, hash_fn=xxhash60),
+            "doc_id", num_bands=4, rows_per_band=4,
+            num_perms=16, verify_threshold=0.5,
         ),
     }
     for name, mk in runs.items():

@@ -128,18 +128,9 @@ def minhash_signatures(
     return sigs.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perms)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    id_col: str,
-    num_bands: int = 8,
-    rows_per_band: int = 4,
-) -> DataFrame:
-    """Band the signatures and emit candidate pairs that collide in ≥1 band.
-
-    Join key is (band_index, band_hash) — uniform, so the self-join is a
-    well-distributed shuffle join, never a cross join.
-    """
-    bands = sigs.select(
+def _band_table(sigs: DataFrame, id_col: str, num_bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, band_hash) long table — one row per (doc, band)."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -153,6 +144,38 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs that collide in ≥1 band.
+
+    Join key is (band_index, band_hash) — uniform, so the self-join is a
+    well-distributed shuffle join, never a cross join.  But the OUTPUT is
+    quadratic in bucket size: a boilerplate clique of c near-identical
+    documents lands c members in one bucket and emits c·(c−1)/2 pairs —
+    measured on the sf1 fixture, a single 3.5k-doc bucket contributes
+    6M of the 60M joined rows.  ``max_bucket`` is the skew guard: buckets
+    larger than the cap are dropped from pair generation (their members
+    are transitively near-identical anyway — cluster them in O(c) with
+    :func:`lsh_star_edges` instead of enumerating c²/2 pairs).
+    """
+    bands = _band_table(sigs, id_col, num_bands, rows_per_band)
+    if max_bucket is not None:
+        # one extra agg on the SAME key the join shuffles on (map-side
+        # combined), joined back broadcast-small: only oversized buckets
+        # survive the cap table
+        big = (
+            bands.groupBy("band", "bh").count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "bh")
+        )
+        bands = bands.join(F.broadcast(big), ["band", "bh"], "left_anti")
     left = bands.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "bh")
     return (
@@ -161,6 +184,85 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def lsh_star_edges(
+    sigs: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    num_perms: int | None = None,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """Near-dup graph edges in O(bucket) instead of O(bucket²): each LSH
+    bucket contributes a STAR — (min-id member ``id_a``, member ``id_b``)
+    — rather than all pairs.
+
+    Connected components over star edges equal components over the full
+    candidate-pair graph (every bucket member is reachable through the
+    bucket representative), so for *dedup clustering* this replaces
+    :func:`lsh_candidate_pairs` with output linear in corpus size — the
+    100 TB shape; all-pairs stays the right call only when the pair list
+    itself (with per-pair similarity) is the product.
+
+    ``verify_threshold`` optionally drops edges whose estimated Jaccard
+    (matching signature fraction, needs ``num_perms``) is below the
+    threshold — member-vs-representative verification, the standard
+    production trade-off: per-pair est filtering inside a clique is
+    approximated by per-member-vs-rep filtering, O(c) not O(c²).
+
+    Plan: one groupBy and one join, both on (band, bh) — the second
+    shuffle reuses the first's partitioning.
+    """
+    bands = _band_table(sigs, id_col, num_bands, rows_per_band)
+    reps = bands.groupBy("band", "bh").agg(F.min(id_col).alias("id_a"))
+    edges = (
+        bands.join(reps, ["band", "bh"])
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is not None:
+        if num_perms is None:
+            raise ValueError("verify_threshold requires num_perms")
+        a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+        b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+        est = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.lit(float(num_perms))
+        edges = (
+            edges.join(a, "id_a").join(b, "id_b")
+            .filter(est >= verify_threshold)
+            .select("id_a", "id_b")
+        )
+    return edges
+
+
+def minhash_star_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = 32,
+    shingle_n: int = 5,
+    num_bands: int = 8,
+    threshold: float | None = None,
+    seed: int = 42,
+    hash_fn=md5_long,
+    max_iters: int = 15,
+) -> DataFrame:
+    """MinHash near-dup CLUSTERING at scale: signatures → star edges →
+    connected components, never materializing a quadratic pair list.
+    ``threshold`` (optional) applies member-vs-representative estimated
+    Jaccard verification to the star edges."""
+    rows_per_band = num_perms // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n, seed, hash_fn=hash_fn).cache()
+    edges = lsh_star_edges(
+        sigs, id_col, num_bands, rows_per_band,
+        num_perms=num_perms, verify_threshold=threshold,
+    )
+    return dedup_clusters(edges, max_iters=max_iters)
 
 
 def minhash_dedup_pairs(
@@ -173,15 +275,18 @@ def minhash_dedup_pairs(
     threshold: float = 0.6,
     seed: int = 42,
     hash_fn=md5_long,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates via banding, verified
-    with the *estimated* Jaccard (fraction of matching signature slots)."""
+    with the *estimated* Jaccard (fraction of matching signature slots).
+    ``max_bucket`` caps per-bucket pair generation (see
+    :func:`lsh_candidate_pairs`) — the skew guard for boilerplate cliques."""
     rows_per_band = num_perms // num_bands
     # the signature table feeds the band explode AND both sides of the
     # candidate join — cache it once instead of recomputing the full
     # shingle pipeline four times (at cluster scale: a checkpoint/table)
     sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n, seed, hash_fn=hash_fn).cache()
-    cand = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    cand = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band, max_bucket=max_bucket)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(

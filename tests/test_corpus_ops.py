@@ -263,6 +263,63 @@ def test_dedup_clusters_on_lsh_pairs_end_to_end(spark):
     assert clusters.filter("doc_id = cluster_id").count() == n_components
 
 
+def test_star_edges_same_components_as_all_pairs(spark):
+    """CC over star edges must equal CC over the all-pairs candidate
+    graph (every bucket member reaches the bucket representative), while
+    the edge list stays linear in corpus size."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perms=16, shingle_n=5, seed=42).cache()
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_bands=4, rows_per_band=4)
+    stars = lsh_star_edges(sigs, "doc_id", num_bands=4, rows_per_band=4)
+    cc_pairs = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    cc_stars = {r.doc_id: r.cluster_id for r in dedup_clusters(stars).collect()}
+    assert cc_pairs == cc_stars
+    # linearity bound: at most one edge per (doc, band)
+    assert stars.count() <= docs.count() * 4
+    sigs.unpersist()
+
+
+def test_lsh_max_bucket_cap(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perms=16, shingle_n=5, seed=42).cache()
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", num_bands=4, rows_per_band=4).count()
+    # a cap above every bucket size is a no-op
+    same = lsh_candidate_pairs(sigs, "doc_id", num_bands=4, rows_per_band=4,
+                               max_bucket=10**9).count()
+    assert same == uncapped
+    # a tight cap strictly reduces pair volume on this clique-heavy corpus
+    capped = lsh_candidate_pairs(sigs, "doc_id", num_bands=4, rows_per_band=4,
+                                 max_bucket=5).count()
+    assert capped < uncapped
+    sigs.unpersist()
+
+
+def test_minhash_star_clusters_fixture(spark, docs_df):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import minhash_star_clusters
+
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in minhash_star_clusters(
+            docs_df, "doc_id", "text", num_perms=16, shingle_n=5, num_bands=4,
+            threshold=0.5,
+        ).collect()
+    }
+    assert clusters.get(0) == 0 and clusters.get(1) == 0  # exact dups cluster
+    assert clusters.get(3) != 0 and clusters.get(4) != 0  # distinct docs don't
+
+
 def test_repetition_stats(spark):
     from dbc_informed_socketcan_to_parquet_spark.operators.textops import repetition_stats
 
