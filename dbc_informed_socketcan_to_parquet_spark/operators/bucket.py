@@ -122,3 +122,110 @@ def rollup_cascade(
         ord_c = None
         out[r] = cur
     return out
+
+
+def bucket_downsample_unaligned(
+    wide: DataFrame,
+    cache_ms: float,
+    signal_cols: list[str] | None = None,
+    time_col: str = "Time_ms",
+    order_cols: list[str] | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Bit-parity replica of the reference's EVENT-DRIVEN bucket close —
+    the opt-in path for byte-identical migration diffs; the aligned
+    :func:`bucket_downsample` stays the engine semantic.
+
+    Reference rule (/root/reference/src/main.cpp:110-131): a row closes
+    when a message's ts exceeds ``rowStart + cache_ms``; the crossing
+    message lands in the CLOSING row (decode at :125 precedes the check
+    at :127), then the next row starts AT the crossing message's ts
+    (:129).  Boundaries are therefore stream-relative and sequential —
+    each depends on every prior message.  Three further quirks replicated
+    exactly:
+
+    * first-write-wins per signal within a row — the v2 Arrow builder is
+      append-only and the decoder discards the rejection status of later
+      writes (/root/reference/src/writeparquet.h:70-75,
+      /root/reference/src/decoder.cpp:104-112);
+    * ``Time_ms`` of a closed row = its rowStart (0.0 for the first row,
+      not the first message's ts);
+    * at end-of-stream the in-progress row IS emitted with NULL
+      ``Time_ms`` — FinishTable pads every column to the longest builder
+      (/root/reference/src/writeparquet.h:118-146) and Time_ms is only
+      written on close; the tail row exists iff some signal was written
+      to it.
+
+    Scale: the boundary recurrence is inherently sequential per stream,
+    so this runs as ``applyInPandas`` with ONE task per ``by`` group
+    (the whole stream if ``by`` is None) — parallelism = #streams.  The
+    per-row python cost is a numpy boundary scan + per-bucket
+    first-non-null, both vectorized.  Use the aligned operator for
+    anything but parity replays.
+
+    ``wide`` is the decoded one-row-per-frame stream (nulls for signals
+    a frame doesn't carry) with ``time_col`` in RELATIVE ms (the
+    reference normalizes ts so the log starts at 0 — rowStart init 0.0
+    assumes it).  ``order_cols`` must give the stream's total order
+    (default: time_col alone; pass a line-number column to pin
+    same-timestamp ordering).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if cache_ms is None or cache_ms < 0:
+        raise ValueError("cache_ms must be >= 0 for the unaligned replica")
+    group_cols = list(by) if by else []
+    order = list(order_cols) if order_cols else [time_col]
+    if signal_cols is None:
+        skip = {time_col, *order, *group_cols}
+        signal_cols = [c for c in wide.columns if c not in skip]
+
+    types = {f.name: f.dataType.simpleString() for f in wide.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {types[c]}" for c in group_cols]
+        + [f"{time_col} double"]
+        + [f"{c} {types[c]}" for c in signal_cols]
+    )
+    # pandas nullable dtypes so NaN-padded int/bool columns survive the
+    # Arrow conversion as nulls instead of failing the safe cast
+    _NULLABLE = {"bigint": "Int64", "int": "Int32", "smallint": "Int16",
+                 "tinyint": "Int8", "boolean": "boolean"}
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="stable").reset_index(drop=True)
+        ts = pdf[time_col].to_numpy(dtype=np.float64)
+        n = len(ts)
+        bucket = np.empty(n, dtype=np.int64)
+        starts: list[float] = []
+        row_start, b = 0.0, 0
+        for i in range(n):
+            bucket[i] = b
+            if ts[i] - row_start > cache_ms:
+                starts.append(row_start)
+                row_start = ts[i]
+                b += 1
+        n_closed = len(starts)
+        sig = pdf[signal_cols].copy()
+        sig["_b"] = bucket
+        rows = sig.groupby("_b", sort=True).first()  # first non-null per signal
+        rows = rows.reindex(range(n_closed + 1) if n > 0 else [])
+        # tail row only if something was written to it
+        if len(rows) > n_closed and rows.iloc[n_closed].isna().all():
+            rows = rows.iloc[:n_closed]
+        time_vals = starts + [np.nan] * (len(rows) - n_closed)
+        out = pd.DataFrame({time_col: pd.array(time_vals, dtype="float64")})
+        for c in signal_cols:
+            vals = rows[c].reset_index(drop=True)
+            if types[c] in _NULLABLE:
+                vals = vals.astype(_NULLABLE[types[c]])
+            out[c] = vals
+        for c in reversed(group_cols):
+            out.insert(0, c, pdf[c].iloc[0] if len(pdf) else None)
+        return out
+
+    if group_cols:
+        return wide.groupBy(*group_cols).applyInPandas(kernel, out_schema)
+    return wide.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: kernel(pdf.drop(columns=["_g"], errors="ignore")), out_schema
+    )

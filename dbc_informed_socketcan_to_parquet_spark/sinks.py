@@ -63,14 +63,31 @@ def stream_parquet_sink(df: DataFrame, path: str, checkpoint: str, trigger_secon
 
 # -- K2: console ------------------------------------------------------------
 
+def _warn_unknown_signals(df: DataFrame, signals: list[str]) -> None:
+    """Warn-and-continue for live-decode names missing from the decoded
+    schema — the reference logs ``signal not found in schema_fields``
+    and keeps going (/root/reference/src/decoder.cpp:117-119)."""
+    unknown = [s for s in signals if s not in df.columns]
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            f"signal not found in schema_fields: {', '.join(unknown)}",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def console_sink(df: DataFrame, signals: list[str], num_rows: int = 20) -> None:
     """Batch live-decode print of selected signals
     (--live-decode, /root/reference/src/main.cpp:132-144)."""
+    _warn_unknown_signals(df, signals)
     cols = ["Time_ms"] + [s for s in signals if s in df.columns]
     df.select(*cols).show(num_rows, truncate=False)
 
 
 def stream_console_sink(df: DataFrame, signals: list[str]):
+    _warn_unknown_signals(df, signals)
     cols = [c for c in (["Time_ms"] + signals) if c in df.columns]
     return df.select(*cols).writeStream.format("console").outputMode("append").start()
 

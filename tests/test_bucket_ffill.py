@@ -117,3 +117,79 @@ def test_rollup_cascade_accepts_non_binary_nesting(spark):
     df = spark.createDataFrame([(0.0, 1.0), (0.25, 2.0)], "Time_ms double, a double")
     lv = rollup_cascade(df, [0.1, 0.3])        # 0.3 % 0.1 != 0 in binary float
     assert set(lv) == {0.1, 0.3}
+
+
+# -- unaligned (bit-parity) bucket replica -----------------------------------
+
+def _ref_bucket_sim(msgs, cache_ms, sig_names):
+    """Straight-line replay of /root/reference/src/main.cpp:110-131 +
+    writeparquet.h append-only builders: first-write-wins, crossing
+    message in the closing row, Time_ms = rowStart, NULL-Time_ms tail."""
+    closed, cur, row_start = [], {}, 0.0
+    for ts, vals in msgs:
+        for s in sig_names:
+            v = vals.get(s)
+            if v is not None and s not in cur:
+                cur[s] = v
+        if ts - row_start > cache_ms:
+            closed.append((row_start, cur))
+            cur, row_start = {}, ts
+    if cur:
+        closed.append((None, cur))
+    return [
+        (t, tuple(c.get(s) for s in sig_names)) for t, c in closed
+    ]
+
+
+def test_bucket_unaligned_hand_traced(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.bucket import (
+        bucket_downsample_unaligned,
+    )
+
+    rows = [
+        (0.0, 1.0, None, None),    # opens row 0 (rowStart stays 0.0)
+        (30.0, 2.0, 10.0, None),   # a=2 rejected (first-wins), b=10 lands
+        (60.0, None, 20.0, 5.0),   # crossing: c=5 lands in CLOSING row 0,
+                                   # b=20 rejected; next row starts at 60
+        (100.0, 7.0, None, None),  # tail row, never closes
+    ]
+    df = spark.createDataFrame(rows, "Time_ms double, a double, b double, c double")
+    out = bucket_downsample_unaligned(df, 50.0, ["a", "b", "c"]).collect()
+    assert len(out) == 2
+    r0 = next(r for r in out if r.Time_ms is not None)
+    rt = next(r for r in out if r.Time_ms is None)
+    assert (r0.Time_ms, r0.a, r0.b, r0.c) == (0.0, 1.0, 10.0, 5.0)
+    assert (rt.a, rt.b, rt.c) == (7.0, None, None)
+
+
+def test_bucket_unaligned_matches_reference_sim(spark):
+    import random
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.bucket import (
+        bucket_downsample_unaligned,
+    )
+
+    rng = random.Random(7)
+    ts, msgs = 0.0, []
+    for i in range(400):
+        ts += rng.choice([0.0, 1.0, 3.0, 9.0, 25.0])
+        vals = {
+            "a": float(i) if rng.random() < 0.5 else None,
+            "n": i if rng.random() < 0.3 else None,
+        }
+        msgs.append((ts, vals))
+    expected = _ref_bucket_sim(msgs, 20.0, ["a", "n"])
+
+    df = spark.createDataFrame(
+        [(i, t, v["a"], v["n"]) for i, (t, v) in enumerate(msgs)],
+        "seq long, Time_ms double, a double, n long",
+    )
+    got = bucket_downsample_unaligned(
+        df, 20.0, ["a", "n"], order_cols=["Time_ms", "seq"]
+    ).collect()
+    got_rows = sorted(
+        ((r.Time_ms, (r.a, r.n)) for r in got),
+        key=lambda x: (x[0] is None, x[0]),
+    )
+    exp_rows = sorted(expected, key=lambda x: (x[0] is None, x[0]))
+    assert got_rows == exp_rows

@@ -155,3 +155,16 @@ def test_partitioned_parquet_write(spark, tmp_path):
     pruned = back.filter(F.col("hour") == 1)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert pruned.count() == 10
+
+
+def test_console_sink_warns_unknown_signal(spark):
+    """Unknown --live-decode names warn and continue, mirroring the
+    reference's 'signal not found in schema_fields' stderr path
+    (/root/reference/src/decoder.cpp:117-119)."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.sinks import console_sink
+
+    df = spark.createDataFrame([(0.0, 1.0)], "Time_ms double, EngSpeed double")
+    with _pytest.warns(RuntimeWarning, match="signal not found in schema_fields: Bogus"):
+        console_sink(df, ["EngSpeed", "Bogus"], num_rows=1)
