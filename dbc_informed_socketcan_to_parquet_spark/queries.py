@@ -981,6 +981,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (  # noqa: E
     lsh_candidate_pairs,
     minhash_perms,
     minhash_signatures,
+    minhash_star_clusters,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -1853,5 +1854,159 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
             ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_EST16 = "(" + " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(16)) + ") / 16.0"
+
+
+@query(
+    "dedup_star_clusters",
+    oracle=f"""
+    WITH RECURSIVE sigs AS ({_MH_SIG_SQL}),
+    bands AS ({_BAND_SQL}),
+    reps AS (SELECT band, bh, min(doc_id) AS id_a FROM bands GROUP BY 1, 2),
+    star AS (
+      SELECT DISTINCT r.id_a, b.doc_id AS id_b
+      FROM bands b JOIN reps r ON b.band = r.band AND b.bh = r.bh
+      WHERE b.doc_id != r.id_a
+    ),
+    vedges AS (
+      SELECT id_a, id_b FROM star
+      JOIN sigs sa ON sa.doc_id = id_a
+      JOIN sigs sb ON sb.doc_id = id_b
+      WHERE {_EST16} >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM vedges
+      UNION
+      SELECT id_b, id_a FROM vedges
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering via star edges + connected components — the
+    O(bucket) scale path (operators/dedup.lsh_star_edges): min-label
+    propagation in Spark vs a recursive-CTE transitive closure in the
+    oracle; both reduce each component to its min doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_star_clusters(
+        docs, "doc_id", "text", num_perms=16, shingle_n=5, num_bands=_MH_BANDS,
+        threshold=0.5, seed=42,
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join + grouped count (the
+    fixture lineitem has no commit/receipt dates, so the EXISTS predicate
+    is a high-discount line instead — same plan shape)."""
+    li = _read(spark, sf_dir, "lineitem")
+    od = _read(spark, sf_dir, "orders")
+    late = li.filter(F.col("l_discount") > 0.09).select("l_orderkey").distinct()
+    return (
+        od.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .join(late, od.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name != n2.n_name
+      AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation volume flow — fact joins with two
+    broadcast nation aliases and a derived-year grouped decimal sum."""
+    li = _read(spark, sf_dir, "lineitem")
+    od = _read(spark, sf_dir, "orders")
+    cu = _read(spark, sf_dir, "customer")
+    su = _read(spark, sf_dir, "supplier")
+    na = _read(spark, sf_dir, "nation")
+    n1 = na.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev = (F.col("l_extendedprice").cast(_D2)
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")).cast("decimal(18,4)")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), su.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cu.c_nationkey == n2.c_nk)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle="""
+    SELECT c_name, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(tq.total_qty AS DOUBLE) AS total_qty
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1) tq ON o_orderkey = tq.l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped subquery feeding a semi
+    join — one lineitem aggregation reused for both the filter and the
+    reported total."""
+    li = _read(spark, sf_dir, "lineitem")
+    od = _read(spark, sf_dir, "orders")
+    cu = _read(spark, sf_dir, "customer")
+    totals = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    big = totals.filter(F.col("q") > 250).select("l_orderkey")
+    return (
+        od.join(big, od.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(totals.select("l_orderkey", F.col("q").cast("double").alias("total_qty")),
+              od.o_orderkey == F.col("l_orderkey"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
         )
     )

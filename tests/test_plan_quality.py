@@ -133,3 +133,36 @@ def test_known_id_filter_pushdown(spark):
     filtered = ev.filter(F.col("c_custkey").isin([1, 2, 3]))
     plan = plan_of(filtered)
     assert "PushedFilters" in plan and "In(c_custkey" in plan
+
+
+def test_star_edges_no_cartesian_single_key_shuffles(spark):
+    """The star-edge graph must stay a keyed (band, bh) groupBy + join —
+    never a cartesian/nested-loop product, which is what an equality-less
+    rewrite would degrade to on the self-join."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        lsh_star_edges,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perms=16, shingle_n=5, seed=42)
+    plan = plan_of(lsh_star_edges(sigs, "doc_id", num_bands=4, rows_per_band=4,
+                                  num_perms=16, verify_threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q7_broadcasts_nations(spark):
+    plan = plan_of(QUERIES["tpch_q7_volume_shipping"](spark, SF))
+    # both nation aliases ride broadcast joins; the fact-side joins may
+    # shuffle — but never degenerate to a nested-loop product
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_single_lineitem_agg_reused(spark):
+    plan = plan_of(QUERIES["tpch_q18_large_volume"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the quantity aggregation is partial+final (map-side combine present)
+    assert "partial_sum" in plan
