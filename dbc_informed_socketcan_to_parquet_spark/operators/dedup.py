@@ -527,3 +527,35 @@ def keep_canonical(
     return joined.filter(
         F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id"))
     ).drop("cluster_id")
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    min_shared: int = 10,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """Benchmark-contamination detector: corpus documents sharing at least
+    ``min_shared`` distinct character shingles with ANY evaluation-set
+    document — the standard pre-training hygiene check (a training doc
+    that contains an eval benchmark's text inflates scores).
+
+    Output: (id_col, n_shared).  Scale: eval sets are tiny (benchmarks),
+    so their distinct shingle-hash set broadcasts; the corpus pays one
+    shingle pass + one groupBy(id) — never a corpus×eval join on rows.
+    """
+    sh = shingle_hashes(corpus, id_col, text_col, shingle_n, distinct=True, hash_fn=hash_fn)
+    ev = (
+        shingle_hashes(eval_df, id_col, text_col, shingle_n, distinct=True, hash_fn=hash_fn)
+        .select("sh_hash")
+        .distinct()
+    )
+    return (
+        sh.join(F.broadcast(ev), "sh_hash")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

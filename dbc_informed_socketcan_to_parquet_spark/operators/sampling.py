@@ -99,3 +99,64 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def assign_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "split",
+    hash_fn=None,
+) -> F.Column:
+    """Deterministic split LABEL column from a hash of ``key_col`` —
+    the labeled-column form of :func:`split_by_hash` (one output with a
+    ``split`` column instead of N filtered frames).  ``hash_fn`` defaults
+    to the xxhash production path; pass
+    ``functions.hashing.md5_long`` for cross-engine oracle parity
+    (md5's 60-bit value / 2^60 is the same double in any engine)."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if hash_fn is None:
+        u = _unit_hash(key_col, salt)
+    else:
+        u = hash_fn(F.col(key_col), salt=salt).cast("double") / F.lit(float(1 << 60))
+    items = list(fractions.items())
+    expr, lo = None, 0.0
+    for name, frac in items[:-1]:
+        hi = lo + frac
+        cond = u < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    last = items[-1][0]
+    return (F.lit(last) if expr is None else expr.otherwise(last)).alias("split")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    hash_fn=None,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the split key is the document's near-dup CLUSTER representative
+    (``operators/dedup.minhash_star_clusters`` output), so every member of
+    a duplicate cluster lands in the SAME split — a per-document hash
+    split would put a train doc's twin into test and contaminate eval.
+
+    ``clusters`` is (doc_id, cluster_id); unclustered documents split by
+    their own id.  Output: (id_col, split).  Scale: one join against the
+    (smaller) cluster table + a narrow hash — no extra shuffle beyond the
+    join."""
+    c = clusters.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else clusters
+    joined = docs.select(id_col).join(c, id_col, "left")
+    keyed = joined.select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("_split_key"),
+    )
+    return keyed.select(
+        F.col(id_col),
+        assign_split(keyed, fractions, "_split_key", salt=salt, hash_fn=hash_fn),
+    )

@@ -1861,10 +1861,9 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EST16 = "(" + " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(16)) + ") / 16.0"
 
 
-@query(
-    "dedup_star_clusters",
-    oracle=f"""
-    WITH RECURSIVE sigs AS ({_MH_SIG_SQL}),
+# Shared star-CC CTE chain (recursive transitive closure over verified
+# star edges) — used by dedup_star_clusters and leakage_safe_split.
+_STAR_CC_CTES = f"""sigs AS ({_MH_SIG_SQL}),
     bands AS ({_BAND_SQL}),
     reps AS (SELECT band, bh, min(doc_id) AS id_a FROM bands GROUP BY 1, 2),
     star AS (
@@ -1887,7 +1886,13 @@ _EST16 = "(" + " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(16)) 
       SELECT src, src FROM sym
       UNION
       SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst
-    )
+    )"""
+
+
+@query(
+    "dedup_star_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_STAR_CC_CTES}
     SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
     """,
 )
@@ -2009,4 +2014,66 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
             "total_qty",
         )
+    )
+
+
+_U60 = "CAST(1152921504606846976 AS DOUBLE)"  # 2^60, md5_long's range
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_STAR_CC_CTES},
+    cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    keyed AS (
+      SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS k
+      FROM documents d LEFT JOIN cc USING (doc_id)
+    )
+    SELECT doc_id,
+           CASE WHEN u < 0.98 THEN 'train'
+                WHEN u < 0.99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {md5_long_sql('k', salt='split')} / {_U60} AS u FROM keyed)
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split key is the star-CC
+    cluster representative, so a document and its near-duplicates always
+    land in the SAME split — per-doc hashing would leak train twins into
+    eval (operators/sampling.leakage_safe_split)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import leakage_safe_split
+
+    docs = _read(spark, sf_dir, "documents")
+    clusters = minhash_star_clusters(
+        docs, "doc_id", "text", num_perms=16, shingle_n=5, num_bands=_MH_BANDS,
+        threshold=0.5, seed=42,
+    )
+    return leakage_safe_split(
+        docs, clusters, {"train": 0.98, "val": 0.01, "test": 0.01},
+        salt="split", hash_fn=md5_long,
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL.format(n=8, nm1=7)}),
+    ev AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh JOIN ev USING (h)
+    WHERE doc_id >= 20
+    GROUP BY doc_id
+    HAVING count(*) >= 200
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training hygiene: corpus documents sharing >= 200 distinct
+    8-gram shingles with the (broadcast-small) eval set — the standard
+    benchmark-contamination sweep (operators/dedup.contamination_check)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import contamination_check
+
+    docs = _read(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20),
+        "doc_id", "text", shingle_n=8, min_shared=200,
     )

@@ -72,3 +72,46 @@ def test_mix_corpora_empty_source_does_not_anchor(spark):
     mixed = mix_corpora([(big, 1.0), (empty, 1.0)], token_col="n_tokens")
     assert mixed.filter("source_id = 0").count() == 1000   # big kept whole
     assert mixed.filter("source_id = 1").count() == 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # three dup clusters; everyone else unclustered
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (50, 50), (51, 50), (100, 100), (101, 100)],
+        "doc_id long, cluster_id long",
+    )
+    out = {r.doc_id: r.split for r in leakage_safe_split(
+        docs, clusters, {"train": 0.6, "val": 0.2, "test": 0.2}
+    ).collect()}
+    assert len(out) == 200
+    assert out[0] == out[1] == out[2]        # cluster members co-assigned
+    assert out[50] == out[51]
+    assert out[100] == out[101]
+    assert set(out.values()) <= {"train", "val", "test"}
+    # deterministic across invocations
+    again = {r.doc_id: r.split for r in leakage_safe_split(
+        docs, clusters, {"train": 0.6, "val": 0.2, "test": 0.2}
+    ).collect()}
+    assert again == out
+
+
+def test_contamination_check_flags_eval_overlap(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import contamination_check
+
+    bench = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix text then " + bench + " and a training suffix"),  # contains the benchmark
+            (11, "completely unrelated training material about engines and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame([(0, bench)], "doc_id long, text string")
+    got = {r.doc_id: r.n_shared for r in contamination_check(
+        corpus, eval_df, shingle_n=8, min_shared=10
+    ).collect()}
+    assert 10 in got and got[10] >= len(bench) - 7  # every benchmark shingle shared
+    assert 11 not in got
