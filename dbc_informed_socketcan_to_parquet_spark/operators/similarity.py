@@ -340,6 +340,139 @@ def _nearest_pandas(
     return df.mapInPandas(kernel, schema)
 
 
+def _ivf_train(
+    corpus: DataFrame,
+    dim: int | None,
+    num_clusters: int,
+    n_iters: int,
+    id_col: str,
+    vec_col: str,
+    sample_mod: int,
+    assign_kernel: str,
+) -> tuple[int, dict[int, list[float]]]:
+    """Fit the deterministic-Lloyd's coarse quantizer; returns
+    (dim, {label: centroid}).  Shared by the inline :func:`ivf_ann_topk`
+    and the persisted-index :func:`ivf_index_write` paths."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+
+    nplanes = num_clusters.bit_length() - 1
+    if (1 << nplanes) != num_clusters:
+        raise ValueError(f"num_clusters must be a power of two, got {num_clusters}")
+    if assign_kernel not in ("expr", "pandas"):
+        raise ValueError(f"assign_kernel must be 'expr' or 'pandas', got {assign_kernel!r}")
+    if dim is None:
+        probe = corpus.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+        if not probe or probe[0]["_d"] is None or probe[0]["_d"] <= 0:
+            raise ValueError(f"cannot derive dim: corpus is empty or {vec_col!r} is null — pass dim explicitly")
+        dim = probe[0]["_d"]
+
+    train = corpus
+    if sample_mod > 1:
+        train = train.filter(F.pmod(md5_long(F.col(id_col)), F.lit(sample_mod)) == 0)
+    tv = fan_out(train).select(F.col(vec_col).cast("array<double>").alias("_v"))
+    tv = tv.withColumn("_b", sign_lsh_signature(F.col("_v"), nplanes, dim, table="ivf"))
+    tv = tv.persist()
+    means = _centroid_means_pandas if assign_kernel == "pandas" else _centroid_means
+    try:
+        centers = means(tv, dim)
+        if not centers:
+            raise ValueError(
+                "IVF training set is empty — corpus has no rows after "
+                f"sample_mod={sample_mod} hash-sampling; lower sample_mod"
+            )
+        for _ in range(n_iters):
+            if assign_kernel == "pandas":
+                reassigned = _nearest_pandas(tv.drop("_b"), centers, "_v", "_b")
+            else:
+                reassigned = tv.withColumn("_b", _nearest_label(F.col("_v"), centers))
+            centers = means(reassigned, dim)
+    finally:
+        tv.unpersist()
+    return dim, centers
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    dim: int | None = None,
+    num_clusters: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    assign_kernel: str = "expr",
+) -> dict[int, list[float]]:
+    """Materialize the IVF index as a CLUSTER-PARTITIONED table — the
+    100 TB serving shape: the one-off batch job pays training + full
+    corpus assignment once, and every later query touches only its
+    ``nprobe`` partitions via partition pruning (see
+    :func:`ivf_index_topk`, whose scan plan shows the pruned
+    ``ivf_cluster`` partition filter).
+
+    Layout: ``{path}/data`` = corpus rows + ``ivf_cluster`` partition
+    column; ``{path}/model`` = the k×dim centroid table (driver-sized,
+    stored through Spark so it lives on the same filesystem as the data
+    — HDFS/S3/local alike).  Returns the centroid dict."""
+    dim, centers = _ivf_train(
+        corpus, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, assign_kernel
+    )
+    c = fan_out(corpus)
+    vec_double = F.col(vec_col).cast("array<double>")
+    if assign_kernel == "pandas":
+        c = c.withColumn("_cv", vec_double)
+        c = _nearest_pandas(c, centers, "_cv", "ivf_cluster").drop("_cv")
+    else:
+        c = c.withColumn("ivf_cluster", _nearest_label(vec_double, centers))
+    c.write.partitionBy("ivf_cluster").mode("overwrite").parquet(f"{path}/data")
+    spark = corpus.sparkSession
+    model = spark.createDataFrame(
+        [(b, v) for b, v in sorted(centers.items())],
+        "ivf_cluster bigint, center array<double>",
+    )
+    model.coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    return centers
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Query a persisted IVF index: load the (tiny) centroid model, find
+    each query's ``nprobe`` nearest clusters, and scan ONLY those
+    partitions of the index — the probed cluster set is collected
+    driver-side (bounded by |queries|·nprobe) so it lands in the scan as
+    a static ``ivf_cluster IN (…)`` partition filter that prunes at file
+    listing, not at execution.  Rerank is exact cosine as in
+    :func:`ivf_ann_topk`."""
+    model = spark.read.parquet(f"{path}/model").collect()
+    centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
+    q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
+    q = q.select("*", F.explode(_nearest_labels(F.col("_qv"), centers, nprobe)).alias("ivf_cluster"))
+    probed = sorted({r["ivf_cluster"] for r in q.select("ivf_cluster").distinct().collect()})
+
+    data = spark.read.parquet(f"{path}/data").filter(F.col("ivf_cluster").isin(probed))
+    c = data.select("ivf_cluster", F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+    sim = cosine(F.col("_cv"), F.col("_qv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = c.join(F.broadcast(q), "ivf_cluster").select(
+        F.col(query_id_col), F.col(id_col), sim.alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -397,41 +530,9 @@ def ivf_ann_topk(
     gap widens with k; at the d=64/k=16 fixture scale the two are
     equivalent and expr keeps DuckDB-replay determinism.
     """
-    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
-
-    nplanes = num_clusters.bit_length() - 1
-    if (1 << nplanes) != num_clusters:
-        raise ValueError(f"num_clusters must be a power of two, got {num_clusters}")
-    if assign_kernel not in ("expr", "pandas"):
-        raise ValueError(f"assign_kernel must be 'expr' or 'pandas', got {assign_kernel!r}")
-    if dim is None:
-        probe = corpus.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
-        if not probe or probe[0]["_d"] is None or probe[0]["_d"] <= 0:
-            raise ValueError(f"cannot derive dim: corpus is empty or {vec_col!r} is null — pass dim explicitly")
-        dim = probe[0]["_d"]
-
-    train = corpus
-    if sample_mod > 1:
-        train = train.filter(F.pmod(md5_long(F.col(id_col)), F.lit(sample_mod)) == 0)
-    tv = fan_out(train).select(F.col(vec_col).cast("array<double>").alias("_v"))
-    tv = tv.withColumn("_b", sign_lsh_signature(F.col("_v"), nplanes, dim, table="ivf"))
-    tv = tv.persist()
-    means = _centroid_means_pandas if assign_kernel == "pandas" else _centroid_means
-    try:
-        centers = means(tv, dim)
-        if not centers:
-            raise ValueError(
-                "IVF training set is empty — corpus has no rows after "
-                f"sample_mod={sample_mod} hash-sampling; lower sample_mod"
-            )
-        for _ in range(n_iters):
-            if assign_kernel == "pandas":
-                reassigned = _nearest_pandas(tv.drop("_b"), centers, "_v", "_b")
-            else:
-                reassigned = tv.withColumn("_b", _nearest_label(F.col("_v"), centers))
-            centers = means(reassigned, dim)
-    finally:
-        tv.unpersist()
+    dim, centers = _ivf_train(
+        corpus, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, assign_kernel
+    )
 
     c = fan_out(corpus).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))

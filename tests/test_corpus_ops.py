@@ -424,3 +424,40 @@ def test_resize_images_plumbing(spark):
            sorted((r.doc_id, bytes(r.content)) for r in out)
     with _pytest.raises(NotImplementedError):
         resize_images(df, 8, 4, real=True).collect()
+
+
+def test_ivf_persisted_index_prunes_and_matches_inline(spark, tmp_path):
+    """The persisted IVF index must (a) return exactly what the inline
+    operator returns for the same knobs — same deterministic training —
+    and (b) scan only the probed cluster partitions (partition pruning
+    at file listing, the 100 TB serving property)."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    path = str(tmp_path / "ivf_index")
+    centers = ivf_index_write(emb, path, dim=64, num_clusters=8)
+    assert len(centers) <= 8
+
+    inline = sorted(map(tuple, ivf_ann_topk(
+        emb, q, dim=64, k=10, num_clusters=8, nprobe=4, round_to=6).collect()))
+    via_index = sorted(map(tuple, ivf_index_topk(
+        spark, path, q, k=10, nprobe=4, round_to=6).collect()))
+    assert inline == via_index
+
+    # pruning: the probed scan carries the cluster predicate as a
+    # PARTITION filter (pruned at file listing), not a data filter
+    some = sorted(centers)[:2]
+    probed = spark.read.parquet(f"{path}/data").filter(F.col("ivf_cluster").isin(some))
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = probed._jdf.queryExecution().explainString(mode)
+    part_section = plan.split("PartitionFilters", 1)
+    assert len(part_section) == 2, plan
+    assert "ivf_cluster" in part_section[1][:200], plan
