@@ -15,7 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dbc_informed_socketcan_to_parquet_spark.dbc.compiler import DecodeCompiler
-from dbc_informed_socketcan_to_parquet_spark.queries import QUERIES, _SYNTH_DBC, _synth_frames
+from dbc_informed_socketcan_to_parquet_spark.queries import EXTRA_QUERIES, QUERIES, _SYNTH_DBC, _synth_frames
 
 SF = "/root/testdata/sf0.001"
 
@@ -78,7 +78,7 @@ def test_decode_is_shuffle_free_and_codegen(spark):
 
 
 def test_order_limit_no_global_sort(spark):
-    plan = plan_of(QUERIES["order_limit"](spark, SF))
+    plan = plan_of(EXTRA_QUERIES["order_limit"](spark, SF))
     assert "TakeOrderedAndProject" in plan
 
 
@@ -154,7 +154,7 @@ def test_star_edges_no_cartesian_single_key_shuffles(spark):
 
 
 def test_q7_broadcasts_nations(spark):
-    plan = plan_of(QUERIES["tpch_q7_volume_shipping"](spark, SF))
+    plan = plan_of(EXTRA_QUERIES["tpch_q7_volume_shipping"](spark, SF))
     # both nation aliases ride broadcast joins; the fact-side joins may
     # shuffle — but never degenerate to a nested-loop product
     assert plan.count("BroadcastHashJoin") >= 2
@@ -162,7 +162,7 @@ def test_q7_broadcasts_nations(spark):
 
 
 def test_q18_single_lineitem_agg_reused(spark):
-    plan = plan_of(QUERIES["tpch_q18_large_volume"](spark, SF))
+    plan = plan_of(EXTRA_QUERIES["tpch_q18_large_volume"](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # the quantity aggregation is partial+final (map-side combine present)
     assert "partial_sum" in plan
