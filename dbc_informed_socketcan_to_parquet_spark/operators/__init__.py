@@ -25,6 +25,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.pivot import pivot_last, 
 from dbc_informed_socketcan_to_parquet_spark.operators.similarity import cosine_topk, lsh_ann_topk, random_projection
 from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
     doc_fingerprints,
+    doc_quality_stats,
     doc_stats,
     lang_id,
     repetition_stats,
@@ -63,6 +64,7 @@ __all__ = [
     "lsh_ann_topk",
     "random_projection",
     "doc_fingerprints",
+    "doc_quality_stats",
     "doc_stats",
     "lang_id",
 ]

@@ -32,8 +32,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
     minhash_dedup_pairs,
 )
 from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
-    doc_stats,
-    repetition_stats,
+    doc_quality_stats,
     scrub_pii,
 )
 
@@ -62,9 +61,8 @@ def curate(
     their original schema (text scrubbed when ``config.scrub``)."""
     out = scrub_pii(docs, text_col) if config.scrub else docs
 
-    stats = doc_stats(out, id_col, text_col).join(
-        repetition_stats(out, id_col, text_col), id_col
-    )
+    # one shuffle-free projection (r4) — no doc_stats ⋈ repetition join
+    stats = doc_quality_stats(out, id_col, text_col)
     good_ids = stats.filter(
         (F.col("n_chars") >= config.min_chars)
         & (F.col("quality") >= config.min_quality)

@@ -27,7 +27,20 @@ def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     penalize very short docs, high punctuation density, low stopword
     density, and extreme mean word length.
     """
+    # heavy per-row regex/HOF work: a single-file corpus must not run on
+    # one core (functions/partitioning)
+    return fan_out(df).select(F.col(id_col), *_doc_stat_cols(F.col(text_col)))
+
+
+def doc_quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """:func:`doc_stats` + :func:`repetition_stats` in ONE shuffle-free
+    projection — the full per-document quality battery as a single scan
+    with no join (both column families are row-local)."""
     t = F.col(text_col)
+    return fan_out(df).select(F.col(id_col), *_doc_stat_cols(t), *_repetition_cols(t))
+
+
+def _doc_stat_cols(t: Column) -> list[Column]:
     toks = tokens(t)
     n_tokens = F.size(toks)
     n_chars = F.length(t)
@@ -48,10 +61,7 @@ def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         - F.least(digit_ratio, F.lit(0.25))
         + F.least(stop_ratio, F.lit(0.25))
     )
-    # heavy per-row regex/HOF work: a single-file corpus must not run on
-    # one core (functions/partitioning)
-    return fan_out(df).select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         bpe_ish_count(t).alias("n_bpe_ish"),
@@ -60,7 +70,7 @@ def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.round(digit_ratio, 6).alias("digit_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality"),
-    )
+    ]
 
 
 #: Marker tokens per language for the n-gram/stopword heuristic.  Tiny by
@@ -164,24 +174,26 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     - ``top_bigram_ratio``: fraction of all word-bigram occurrences taken
       by the single most frequent bigram.
 
-    Duplicate lines are counted per-row with ``size − size(array_distinct)``
-    — no explode, no shuffle.  Bigrams come from ``zip_with`` over two
-    array slices (JVM-evaluated; an indexed ``transform`` lambda falls to
-    interpreted eval and measured 3× slower) and need the one explode +
-    two-level decomposable groupBy to find the modal bigram.  No window
-    over the corpus, no driver-side text.
+    Both metrics are ROW-LOCAL — no explode, no shuffle: duplicate lines
+    via ``size − size(array_distinct)``; the modal bigram via
+    ``array_sort`` + a max-run-length fold (the mode of an array is the
+    longest run after sorting).  Earlier rounds exploded the bigrams
+    through two decomposable groupBys — correct, but it shuffled one row
+    per bigram OCCURRENCE (~700× the document count) where this form
+    shuffles nothing; on 100 TB that explode is the whole cost.
     """
-    t = F.col(text_col)
+    return fan_out(df).select(
+        F.col(id_col),
+        *_repetition_cols(F.col(text_col)),
+    )
 
+
+def _repetition_cols(t: Column) -> list[Column]:
+    """dup_line_ratio / top_bigram_ratio as row-local expressions."""
     lines_arr = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
     n_lines = F.size(lines_arr)
     dup_lines = n_lines - F.size(F.array_distinct(lines_arr))
-    line_stats = df.select(
-        F.col(id_col),
-        F.when(n_lines > 0, dup_lines.cast("double") / n_lines)
-        .otherwise(F.lit(0.0))
-        .alias("_dup_ratio"),
-    )
+    dup_ratio = F.when(n_lines > 0, dup_lines.cast("double") / n_lines).otherwise(F.lit(0.0))
 
     toks = tokens(F.lower(t))
     n_keep = F.greatest(F.size(toks) - 1, F.lit(0))
@@ -189,20 +201,27 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.slice(toks, 1, n_keep), F.slice(toks, 2, n_keep),
         lambda x, y: F.concat_ws(" ", x, y),
     )
-    big = fan_out(df).select(F.col(id_col), F.explode(bigrams).alias("bigram"))
-    per_bigram = big.groupBy(id_col, "bigram").agg(F.count("*").alias("n"))
-    bigram_stats = per_bigram.groupBy(id_col).agg(
-        F.max("n").alias("_top_bigram"),
-        F.sum("n").alias("_n_bigrams"),
+    # modal count = longest run of equals in the sorted array; the fold
+    # state is (prev, current run, best run).  x == NULL-prev is NULL →
+    # the otherwise(1) branch starts the first run correctly.
+    srt = F.array_sort(bigrams)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
 
-    return line_stats.join(bigram_stats, id_col, "left").select(
-        F.col(id_col),
-        F.round(F.col("_dup_ratio"), 6).alias("dup_line_ratio"),
-        F.round(
-            F.coalesce(F.col("_top_bigram") / F.col("_n_bigrams"), F.lit(0.0)), 6
-        ).alias("top_bigram_ratio"),
-    )
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(srt, init, step, lambda acc: acc["best"])
+    n_bigrams = F.size(bigrams)
+    top_ratio = F.when(n_bigrams > 0, top.cast("double") / n_bigrams).otherwise(F.lit(0.0))
+    return [
+        F.round(dup_ratio, 6).alias("dup_line_ratio"),
+        F.round(top_ratio, 6).alias("top_bigram_ratio"),
+    ]
 
 
 # -- PII scrubbing -----------------------------------------------------------

@@ -1256,9 +1256,20 @@ _STOP_IN = ", ".join(f"'{w}'" for w in
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: token/char/punct/digit/stopword
     counts, BPE-ish token count, composite quality score, plus the
-    Gopher-style repetition rules (dup-line ratio, top-bigram share)."""
+    Gopher-style repetition rules (dup-line ratio, top-bigram share) —
+    ONE shuffle-free projection (r4: the bigram mode is a row-local
+    sort + max-run fold, so the explode/groupBy/join all vanish)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import doc_quality_stats
+
     docs = _read(spark, sf_dir, "documents")
-    return doc_stats(docs).join(repetition_stats(docs), "doc_id")
+    out = doc_quality_stats(docs)
+    # column order of the pre-r4 join (doc_stats ⋈ repetition) — the
+    # oracle SELECT list starts with the repetition ratios
+    return out.select(
+        "doc_id", "dup_line_ratio", "top_bigram_ratio", "n_chars", "n_tokens",
+        "n_bpe_ish", "avg_token_len", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "quality",
+    )
 
 
 def _marker_sql(words: tuple[str, ...]) -> str:
