@@ -38,3 +38,145 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(key)
         .drop("_content_hash")
     )
+
+
+def _rowlocal_minhash(text, num_perms: int, shingle_n: int, seed: int, max_chars: int):
+    """MinHash signature as ONE row-local expression (array<long>).
+
+    The batch operator (operators/dedup.minhash_signatures) explodes
+    shingles and aggregates per-permutation minima — the right shape for
+    a corpus scan, but an explode→groupBy is a streaming AGGREGATION
+    (stateful, output-mode-constrained).  Here the whole signature is a
+    stateless per-row expression: shingle array → hash array →
+    ``array_min`` per permutation.  HOF evaluation is interpreted, but
+    the work is bounded by ``max_chars`` per record — the online path
+    trades a constant factor for statelessness."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long, perm_hash
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import minhash_perms
+
+    t = F.substring(F.lower(text), 1, max_chars)
+    n = F.length(t) - (shingle_n - 1)
+    shingles = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(shingle_n)))
+    hashes = F.transform(shingles, lambda s: md5_long(s))
+    return F.array(*[
+        F.array_min(F.transform(hashes, lambda h: perm_hash(h, a, b)))
+        for a, b in minhash_perms(num_perms, seed)
+    ])
+
+
+def streaming_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = 16,
+    shingle_n: int = 5,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_chars: int = 4096,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Online near-duplicate detection: each arriving document lands in
+    ``num_bands`` LSH buckets; the FIRST document seen in a bucket
+    becomes its representative (id + signature held in the state store),
+    and every later arrival is scored against that representative by
+    estimated Jaccard — the streaming analog of the batch star-edge
+    design (operators/dedup.lsh_star_edges): O(1) state and O(1)
+    comparisons per (record, band), never pairwise within the stream.
+
+    Output (append): ``(id_col, band, rep_id, est_jaccard)`` — one row
+    per band collision at ``est_jaccard >= threshold``; a document may
+    be flagged by several bands (consumers dedup on id as needed).
+    Records shorter than ``shingle_n`` chars cannot be shingled and pass
+    unflagged.  ``state_ttl_ms`` bounds the state store: buckets idle
+    longer than the TTL are evicted (processing-time timeout), after
+    which their next arrival founds a fresh representative.  NOTE: with
+    a processing-time timeout the engine schedules micro-batches
+    CONTINUOUSLY to fire evictions, so ``processAllAvailable()`` never
+    settles — use the TTL only under a real trigger schedule
+    (production); leave it None for drain-style tests.
+
+    Two-tier design note: this flags duplicates ONLINE before they land;
+    the batch star clustering over the landed table remains the
+    authoritative dedup (same signatures, same banding — the tiers
+    agree by construction).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    rows_per_band = num_perms // num_bands
+    sig = _rowlocal_minhash(F.col(text_col), num_perms, shingle_n, seed, max_chars)
+    with_sig = (
+        docs.filter(F.length(F.col(text_col)) >= shingle_n)
+        .select(F.col(id_col), sig.alias("_sig"))
+    )
+    bands = with_sig.select(
+        id_col,
+        "_sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(",", *[
+                        F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)
+                    ])).alias("bh"),
+                )
+                for b in range(num_bands)
+            ])
+        ).alias("_bb"),
+    ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bh").alias("bh"), "_sig")
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("rep_id", id_type),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("rep_id", id_type),
+        T.StructField("rep_sig", T.ArrayType(T.LongType())),
+    ])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def check(key, pdfs, state: GroupState):
+        band = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=[id_col, "band", "rep_id", "est_jaccard"])
+            return
+        rep_id, rep_sig = (state.get if state.exists else (None, None))
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col)  # deterministic within a batch
+            ids = pdf[id_col].tolist()
+            sigs = pdf["_sig"].tolist()
+            for i, s in zip(ids, sigs):
+                # plain Python ints: the state tuple is pickled for the
+                # JVM state store, which rejects numpy scalars
+                i = int(i)
+                s = [int(x) for x in s]
+                if rep_id is None:
+                    rep_id, rep_sig = i, s
+                elif i != rep_id:
+                    est = sum(x == y for x, y in zip(s, rep_sig)) / float(num_perms)
+                    if est >= threshold:
+                        out.append((i, band, rep_id, est))
+        state.update((rep_id, list(rep_sig)))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(out, columns=[id_col, "band", "rep_id", "est_jaccard"])
+
+    return bands.groupBy("band", "bh").applyInPandasWithState(
+        check,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

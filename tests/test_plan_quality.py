@@ -166,3 +166,12 @@ def test_q18_single_lineitem_agg_reused(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # the quantity aggregation is partial+final (map-side combine present)
     assert "partial_sum" in plan
+
+
+def test_text_stats_shuffle_free(spark):
+    """The full text-quality battery must stay ONE projection: the r4
+    rewrite made the modal bigram row-local (sort + max-run fold), so a
+    reappearing Exchange means someone reintroduced the explode/join."""
+    plan = plan_of(QUERIES["text_stats"](spark, SF))
+    assert n_exchanges(plan) <= 1  # at most the fan_out round-robin repartition
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

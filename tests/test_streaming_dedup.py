@@ -55,3 +55,65 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
     # first occurrence of each content survives; doc 3 (in-batch dup) and
     # doc 4 (cross-batch dup) are suppressed
     assert [(r.doc_id, r.text) for r in rows] == [(1, "alpha"), (2, "beta"), (5, "gamma")]
+
+
+def test_rowlocal_minhash_matches_batch(spark):
+    """The streaming (row-local) signature and the batch (explode+groupBy)
+    signature must be IDENTICAL — the two dedup tiers agree by
+    construction."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import minhash_signatures
+    from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import _rowlocal_minhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    batch = {r.doc_id: list(r.sig) for r in
+             minhash_signatures(docs, "doc_id", "text", num_perms=16, shingle_n=5, seed=42).collect()}
+    rowlocal = {r.doc_id: list(r.s) for r in
+                docs.select("doc_id", _rowlocal_minhash(F.col("text"), 16, 5, 42, 4096).alias("s")).collect()}
+    assert batch == rowlocal
+
+
+def test_streaming_near_dup_cross_batch(spark, tmp_path):
+    from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import streaming_near_dup
+
+    base = ("the quick brown fox jumps over the lazy dog while the river "
+            "bank stays quiet and the training corpus keeps growing daily")
+    log_dir = tmp_path / "stream_neardup"
+    log_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    raw = spark.readStream.format("json").schema(schema).load(str(log_dir))
+    out = streaming_near_dup(raw, num_perms=16, shingle_n=5, num_bands=4, threshold=0.5)
+
+    q = (
+        out.writeStream.format("memory").queryName("neardup_out")
+        .outputMode("append").start()
+    )
+    try:
+        # batch 1: the original + one unrelated doc found their buckets
+        _write_batch(log_dir, "b0.json", [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": "completely different material about engines and parquet files"},
+        ])
+        q.processAllAvailable()
+        # batch 2: exact dup of 1, near dup of 1 (one word changed), new distinct
+        _write_batch(log_dir, "b1.json", [
+            {"doc_id": 3, "text": base},
+            {"doc_id": 4, "text": base.replace("quiet", "noisy")},
+            {"doc_id": 5, "text": "yet another unrelated document describing socketcan frames"},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM neardup_out").collect()
+    flagged = {}
+    for r in rows:
+        flagged.setdefault(r.doc_id, set()).add(r.rep_id)
+    assert flagged.get(3) == {1}                   # exact dup → rep is doc 1
+    assert 4 in flagged and flagged[4] == {1}      # near dup flags too
+    ests = {r.doc_id: r.est_jaccard for r in rows}
+    assert ests[3] == 1.0                          # identical signature
+    assert 2 not in flagged and 5 not in flagged   # distinct docs unflagged
+    assert 1 not in flagged                        # the representative itself
