@@ -1,6 +1,12 @@
 from dbc_informed_socketcan_to_parquet_spark.operators.bucket import bucket_downsample, rollup_cascade
 from dbc_informed_socketcan_to_parquet_spark.operators.curate import CurateConfig, curate
-from dbc_informed_socketcan_to_parquet_spark.operators.sampling import mix_corpora, split_by_hash
+from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+    assign_split,
+    leakage_safe_split,
+    mix_corpora,
+    pack_sequences,
+    split_by_hash,
+)
 from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
     dedup_clusters,
     embedding_near_dup_pairs,
@@ -39,7 +45,10 @@ __all__ = [
     "rollup_cascade",
     "CurateConfig",
     "curate",
+    "assign_split",
+    "leakage_safe_split",
     "mix_corpora",
+    "pack_sequences",
     "split_by_hash",
     "dedup_clusters",
     "embedding_near_dup_pairs",

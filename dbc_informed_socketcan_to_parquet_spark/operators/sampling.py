@@ -160,3 +160,78 @@ def leakage_safe_split(
         F.col(id_col),
         assign_split(keyed, fractions, "_split_key", salt=salt, hash_fn=hash_fn),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    max_tokens: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing: group documents into training
+    sequences whose token sum stays ≤ ``max_tokens`` — the batching step
+    that turns a curated corpus into fixed-budget training rows.
+
+    Strategy: PARTITION-LOCAL first-fit-decreasing.  Globally optimal
+    bin packing needs all sizes in one place (NP-hard and a shuffle of
+    the whole corpus); packing within each partition is the standard
+    at-scale compromise — waste is bounded by the per-partition tail,
+    and the operator is embarrassingly parallel with zero shuffle.
+    Within a partition documents are packed largest-first (FFD) with a
+    deterministic (tokens desc, id asc) order, so the result depends
+    only on the partitioning, not on row arrival order.  A document
+    larger than ``max_tokens`` gets its own (oversized) pack — flagged
+    via ``overflow`` rather than dropped, so token accounting stays
+    lossless.
+
+    Output: one row per pack —
+    ``(pack_id string, doc_ids array, n_docs int, total_tokens long,
+    overflow boolean)``; ``pack_id`` is ``{partition}-{index}``, unique
+    across the corpus.
+    """
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"pack_id string, doc_ids array<{id_type}>, n_docs int, "
+        f"total_tokens long, overflow boolean"
+    )
+
+    def kernel(batches):
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in batches:
+            rows.append(pdf[[id_col, token_col]])
+        if not rows:
+            return
+        all_rows = pd.concat(rows, ignore_index=True).dropna(subset=[token_col])
+        all_rows = all_rows.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="stable"
+        )
+        packs: list[tuple[list, int]] = []  # (ids, total)
+        for _, r in all_rows.iterrows():
+            t = int(r[token_col])
+            placed = False
+            for p in packs:  # first fit over open packs
+                if p[1] + t <= max_tokens:
+                    p[0].append(r[id_col])
+                    p[1] += t
+                    placed = True
+                    break
+            if not placed:
+                packs.append([[r[id_col]], t])
+        yield pd.DataFrame(
+            {
+                "pack_id": [f"{pid}-{i}" for i in range(len(packs))],
+                "doc_ids": [p[0] for p in packs],
+                "n_docs": [len(p[0]) for p in packs],
+                "total_tokens": [p[1] for p in packs],
+                "overflow": [p[1] > max_tokens for p in packs],
+            }
+        )
+
+    return df.select(id_col, token_col).mapInPandas(kernel, out_schema)

@@ -115,3 +115,42 @@ def test_contamination_check_flags_eval_overlap(spark):
     ).collect()}
     assert 10 in got and got[10] >= len(bench) - 7  # every benchmark shingle shared
     assert 11 not in got
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([900, 500, 450, 400, 300, 120, 80, 60, 40, 2500])],
+        "doc_id long, n_tokens long",
+    ).coalesce(1)
+    packs = pack_sequences(docs, "n_tokens", max_tokens=1000).collect()
+
+    packed = [d for p in packs for d in p.doc_ids]
+    assert sorted(packed) == list(range(10))          # every doc exactly once
+    for p in packs:
+        assert p.n_docs == len(p.doc_ids)
+        if not p.overflow:
+            assert p.total_tokens <= 1000
+    over = [p for p in packs if p.overflow]
+    assert len(over) == 1 and over[0].doc_ids == [9]  # 2500-token doc alone
+    # FFD on one partition: 900+80, 500+450+40, 400+300+120+60 → 4 packs
+    assert len(packs) == 4
+    # deterministic
+    again = pack_sequences(docs, "n_tokens", max_tokens=1000).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, packs))
+
+
+def test_pack_sequences_partition_local(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import pack_sequences
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 10).alias("n_tokens")
+    ).repartition(8, "doc_id")
+    packs = pack_sequences(docs, "n_tokens", max_tokens=500).collect()
+    packed = sorted(d for p in packs for d in p.doc_ids)
+    assert packed == list(range(1000))
+    assert all(p.total_tokens <= 500 for p in packs)  # no doc exceeds budget here
+    # pack ids unique, one namespace per partition
+    ids = [p.pack_id for p in packs]
+    assert len(ids) == len(set(ids))
