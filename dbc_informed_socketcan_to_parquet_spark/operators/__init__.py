@@ -6,6 +6,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
     mix_corpora,
     pack_sequences,
     split_by_hash,
+    stratified_sample,
 )
 from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
     dedup_clusters,
@@ -50,6 +51,7 @@ __all__ = [
     "mix_corpora",
     "pack_sequences",
     "split_by_hash",
+    "stratified_sample",
     "dedup_clusters",
     "embedding_near_dup_pairs",
     "keep_canonical",

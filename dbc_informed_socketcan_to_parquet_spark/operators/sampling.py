@@ -235,3 +235,36 @@ def pack_sequences(
         )
 
     return df.select(id_col, token_col).mapInPandas(kernel, out_schema)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float] | float,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-group sampling: keep a hash-stable fraction of
+    each stratum (language, source, quality band …) — the standard
+    rebalancing step when one group dominates a corpus.
+
+    ``fractions`` is either one fraction for every group or a
+    {group: fraction} map (groups absent from the map are KEPT whole —
+    sampling is an explicit opt-in per stratum).  Membership is the same
+    id-hash device as :func:`split_by_hash`: stable across runs,
+    executors, and repartitioning, and independent per salt.  Pure
+    narrow filter — no shuffle, no per-group job.
+    """
+    u = _unit_hash(id_col, salt)
+    if isinstance(fractions, dict):
+        bad = {g: f for g, f in fractions.items() if not 0.0 <= f <= 1.0}
+        if bad:
+            raise ValueError(f"fractions must be in [0, 1], got {bad}")
+        expr = F.lit(1.0)
+        for g, f in fractions.items():
+            expr = F.when(F.col(group_col) == g, F.lit(float(f))).otherwise(expr)
+    else:
+        if not 0.0 <= fractions <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {fractions}")
+        expr = F.lit(float(fractions))
+    return df.filter(u < expr)

@@ -154,3 +154,24 @@ def test_pack_sequences_partition_local(spark):
     # pack ids unique, one namespace per partition
     ids = [p.pack_id for p in packs]
     assert len(ids) == len(set(ids))
+
+
+def test_stratified_sample_per_group(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import stratified_sample
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").when(F.col("id") % 4 == 1, "de")
+        .when(F.col("id") % 4 == 2, "fr").otherwise("es").alias("lang"),
+    )
+    out = stratified_sample(docs, "lang", {"en": 0.25, "de": 0.75})
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts["fr"] == 1000 and counts["es"] == 1000     # untouched strata
+    assert 150 < counts["en"] < 350                           # ≈ 250 of 1000
+    assert 650 < counts["de"] < 850                           # ≈ 750 of 1000
+    # deterministic membership
+    again = {r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.25, "de": 0.75}).collect()}
+    assert again == {r.doc_id for r in out.collect()}
+    # scalar form applies everywhere
+    half = stratified_sample(docs, "lang", 0.5).count()
+    assert 1700 < half < 2300
