@@ -175,3 +175,28 @@ def test_stratified_sample_per_group(spark):
     # scalar form applies everywhere
     half = stratified_sample(docs, "lang", 0.5).count()
     assert 1700 < half < 2300
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pack_sequences_invariants_random(spark, seed):
+    """Property check under random size mixes: exact coverage, budget
+    compliance for non-overflow packs, and overflow only for singleton
+    packs whose one document alone exceeds the budget."""
+    import random
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import pack_sequences
+
+    rng = random.Random(seed)
+    sizes = [rng.choice([5, 37, 120, 480, 999, 1001, 2400]) for _ in range(300)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(sizes)], "doc_id long, n_tokens long"
+    ).repartition(4)
+    packs = pack_sequences(docs, "n_tokens", max_tokens=1000).collect()
+    packed = sorted(d for p in packs for d in p.doc_ids)
+    assert packed == list(range(300))
+    for p in packs:
+        if p.overflow:
+            assert p.n_docs == 1 and sizes[p.doc_ids[0]] > 1000
+        else:
+            assert p.total_tokens <= 1000
+        assert p.total_tokens == sum(sizes[d] for d in p.doc_ids)
