@@ -175,3 +175,32 @@ def test_text_stats_shuffle_free(spark):
     plan = plan_of(QUERIES["text_stats"](spark, SF))
     assert n_exchanges(plan) <= 1  # at most the fan_out round-robin repartition
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_contamination_broadcasts_eval_set(spark):
+    """The eval shingle set must ride a broadcast join — a shuffle join
+    here would move the full corpus shingle table for a tiny benchmark."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import contamination_check
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(contamination_check(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20),
+        shingle_n=8, min_shared=10,
+    ))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_leakage_safe_split_no_extra_shuffle(spark):
+    """Split assignment is one join against the cluster table + a narrow
+    hash — never a cartesian, and no aggregation-induced exchanges."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0)], "doc_id long, cluster_id long"
+    )
+    plan = plan_of(leakage_safe_split(docs, clusters, {"train": 0.9, "test": 0.1}))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" not in plan  # pure join + projection
