@@ -20,9 +20,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Mersenne prime 2^61 - 1 — modulus for the universal-hash permutation
-#: family h_i(x) = (a_i * x + b_i) mod P used by MinHash.
-MERSENNE_61 = (1 << 61) - 1
+#: Mersenne prime 2^31 - 1 — modulus for the universal-hash permutation
+#: family h_i(x) = (a_i * x + b_i) mod P used by MinHash.  P must be
+#: SMALLER than the a*x product range so the mod actually wraps: with
+#: P = 2^61-1 (rounds 1-4) and a*x+b < 2^61 the mod was a no-op, every
+#: "permutation" was monotone in x, and all num_perms signature slots
+#: were decided by the same argmin shingle — MinHash degenerated to a
+#: single-permutation 0/1 estimator (found round 5 via a clique test
+#: where one doc's unique shingle held the corpus-min folded value).
+MERSENNE_31 = (1 << 31) - 1
 
 
 def md5_long(col: Column, salt: str = "") -> Column:
@@ -54,17 +60,20 @@ def md5_long_sql(expr: str, salt: str = "") -> str:
 
 
 def perm_hash(h: Column, a: int, b: int) -> Column:
-    """One member of the universal family: (a*h + b) mod (2^61-1).
+    """One member of the universal family: (a*fold30(h) + b) mod (2^31-1).
 
-    ``a``/``b`` must be < 2^31 so ``a * h60`` stays... it does not — a 60-bit
-    hash times a 31-bit constant overflows a long.  We therefore reduce the
-    input first: h is folded to 30 bits (xor-fold) so a*h + b < 2^63.
+    The 60-bit hash is xor-folded to 30 bits first so the product with a
+    31-bit ``a`` stays under 2^61 — no signed-64 overflow.  The modulus
+    is deliberately far below the product range (see :data:`MERSENNE_31`)
+    so the mod wraps ~2^30 times and the map is genuinely scrambled;
+    fold30(h) < 2^30 < P keeps the domain inside Z_P as the
+    Carter-Wegman family requires.
     """
     folded = F.shiftrightunsigned(h, 30).bitwiseXOR(h.bitwiseAND(F.lit((1 << 30) - 1)))
-    return (folded * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)
+    return (folded * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_31)
 
 
 def perm_hash_sql(h_expr: str, a: int, b: int) -> str:
     """DuckDB SQL rendering of :func:`perm_hash`."""
     folded = f"xor(({h_expr} >> 30), ({h_expr} & {(1 << 30) - 1}))"
-    return f"(({folded} * {a} + {b}) % {MERSENNE_61})"
+    return f"(({folded} * {a} + {b}) % {MERSENNE_31})"

@@ -10,8 +10,16 @@ input of the next:
 3. exact dedup         — one shuffle on the content hash; removes the
                          cheap mass of byte-identical copies so MinHash
                          only sees near-dup candidates.
-4. near-dup clusters   — MinHash→LSH pairs → connected components →
-                         keep the min-id member per cluster.
+4. near-dup clusters   — MinHash→LSH star edges → connected components
+                         → keep the min-id member per cluster.  Star
+                         edges (O(bucket) per LSH bucket), NOT all
+                         pairs (O(bucket²)): the sf1 scaling study
+                         (BASELINE.md) measured the all-pairs shape at
+                         18× superlinear on one 3.5k-doc boilerplate
+                         bucket (6M of 60M joined rows), while star
+                         edges stay ~linear (3.4→7.7 s at ×10 data) —
+                         the only composition that survives 100 TB
+                         with boilerplate-heavy corpora.
 
 Every stage is a library operator with its own tests/oracle; this module
 only wires them and is itself tested end-to-end.  At 100 TB each stage
@@ -25,11 +33,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long, xxhash60
 from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
-    dedup_clusters,
     exact_dedup,
     keep_canonical,
-    minhash_dedup_pairs,
+    minhash_star_clusters,
 )
 from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
     doc_quality_stats,
@@ -49,6 +57,12 @@ class CurateConfig:
     jaccard_threshold: float = 0.8
     seed: int = 42
     scrub: bool = True
+    # "xxhash" is the production fast path (single JVM intrinsic);
+    # "md5" exists for oracle parity with DuckDB.  Clustering OUTPUT is
+    # hash-choice-sensitive only at the margin (different minhash
+    # families estimate Jaccard with the same error bound), so the
+    # default for a real curation run is the fast one.
+    hash_fn: str = "xxhash"
 
 
 def curate(
@@ -73,11 +87,18 @@ def curate(
 
     out = exact_dedup(out, id_col, text_col)
 
-    pairs = minhash_dedup_pairs(
+    # O(bucket) star-edge clustering — identical connected components to
+    # the all-pairs graph (pytest-pinned in tests/test_dedup.py), output
+    # linear in corpus size instead of quadratic per boilerplate bucket.
+    # jaccard_threshold maps to member-vs-representative estimated-
+    # Jaccard verification on the star edges.
+    clusters = minhash_star_clusters(
         out, id_col, text_col,
         num_perms=config.minhash_perms, shingle_n=config.shingle_n,
         num_bands=config.minhash_bands, threshold=config.jaccard_threshold,
-        seed=config.seed,
+        seed=config.seed, hash_fn=_HASH_FNS[config.hash_fn],
     )
-    clusters = dedup_clusters(pairs)
     return keep_canonical(out, clusters, id_col)
+
+
+_HASH_FNS = {"md5": md5_long, "xxhash": xxhash60}

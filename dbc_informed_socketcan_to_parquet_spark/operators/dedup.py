@@ -37,9 +37,12 @@ from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_o
 
 
 def minhash_perms(num_perms: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) constants for the universal-hash family."""
+    """Deterministic (a, b) constants for the universal-hash family
+    (a*x + b) mod (2^31-1): a ∈ [1, P), b ∈ [0, P) — a*x < 2^61 with the
+    30-bit folded input, so no signed-64 overflow."""
     rng = random.Random(seed)
-    return [(rng.randrange(1, 1 << 30) | 1, rng.randrange(0, 1 << 30)) for _ in range(num_perms)]
+    P = (1 << 31) - 1
+    return [(rng.randrange(1, P), rng.randrange(0, P)) for _ in range(num_perms)]
 
 
 # -- exact -------------------------------------------------------------------
@@ -258,11 +261,17 @@ def minhash_star_clusters(
     Jaccard verification to the star edges."""
     rows_per_band = num_perms // num_bands
     sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n, seed, hash_fn=hash_fn).cache()
-    edges = lsh_star_edges(
-        sigs, id_col, num_bands, rows_per_band,
-        num_perms=num_perms, verify_threshold=threshold,
-    )
-    return dedup_clusters(edges, max_iters=max_iters)
+    try:
+        edges = lsh_star_edges(
+            sigs, id_col, num_bands, rows_per_band,
+            num_perms=num_perms, verify_threshold=threshold,
+        )
+        # dedup_clusters localCheckpoints (eager) every round, so its
+        # result no longer depends on sigs' lineage — safe to drop the
+        # cached blocks here instead of leaking them for the session.
+        return dedup_clusters(edges, max_iters=max_iters)
+    finally:
+        sigs.unpersist()
 
 
 def minhash_dedup_pairs(
@@ -447,18 +456,22 @@ def dedup_clusters(
     """Connected components over a duplicate-pair graph →
     ``(doc_id, cluster_id)`` with ``cluster_id = min(id)`` per component.
 
-    Min-label propagation (the MapReduce-CC pattern): every node starts
-    labeled with itself; each round takes the min label over {self} ∪
-    neighbors; stop when no label changes.  Rounds needed = graph
-    diameter — near-dup clusters are dense (LSH bands link most members
-    pairwise), so 2-4 rounds in practice; ``max_iters`` bounds the
-    pathological chain case.
+    Min-label propagation with POINTER JUMPING: every node starts
+    labeled with itself; each round (a) takes the min label over {self}
+    ∪ neighbors, then (b) replaces its label by that label-node's own
+    label (``label[id] = label[label[id]]``).  Step (b) halves the
+    remaining label-chain length every round, so convergence needs
+    O(log diameter) rounds instead of O(diameter) — star-edge graphs
+    (bucket chains, diameter ~ #buckets in the worst case) converge in
+    the same handful of rounds as dense all-pairs cliques.  ``max_iters``
+    = 15 therefore covers graphs with diameter up to ~2^15.
 
-    Scale: each round is one shuffle join (labels ⋈ symmetric edges) +
-    one min-groupBy, all decomposable; the driver-side loop runs
-    O(diameter) rounds with one scalar count per round for convergence —
-    no per-row driver work.  Isolated nodes (docs in no pair) are not in
-    the output; keep_canonical treats absent as its own singleton.
+    Scale: each round is two shuffle joins (labels ⋈ symmetric edges,
+    labels ⋈ labels) + one min-groupBy, all decomposable; the
+    driver-side loop runs O(log diameter) rounds with one scalar count
+    per round for convergence — no per-row driver work.  Isolated nodes
+    (docs in no pair) are not in the output; keep_canonical treats
+    absent as its own singleton.
     """
     # symmetric edge list: propagation must flow both directions
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -484,6 +497,19 @@ def dedup_clusters(
             .select(
                 "id",
                 F.least(F.col("cluster_id"), F.coalesce("n_min", F.col("cluster_id"))).alias("cluster_id"),
+            )
+        )
+        # pointer jumping: label[id] <- label[label[id]].  Labels are
+        # always node ids (mins over ids), so the label node is present;
+        # left join keeps already-minimal labels unchanged.
+        lab_of_label = new_labels.select(
+            F.col("id").alias("_lid"), F.col("cluster_id").alias("_lmin")
+        )
+        new_labels = (
+            new_labels.join(lab_of_label, new_labels.cluster_id == lab_of_label._lid, "left")
+            .select(
+                "id",
+                F.coalesce("_lmin", "cluster_id").alias("cluster_id"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut the per-round lineage

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from dbc_informed_socketcan_to_parquet_spark.dbc.compiler import DecodeCompiler
 from dbc_informed_socketcan_to_parquet_spark.dbc.spec import DbcSpec, MessageSpec, SignalSpec
 from dbc_informed_socketcan_to_parquet_spark.functions.candump import parse_candump_lines
-from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long, md5_long_sql
+from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long, md5_long_sql, perm_hash_sql
 from dbc_informed_socketcan_to_parquet_spark.operators.bucket import bucket_downsample
 from dbc_informed_socketcan_to_parquet_spark.operators.ffill import forward_fill_blocks
 from dbc_informed_socketcan_to_parquet_spark.operators.pivot import pivot_last
@@ -1050,9 +1050,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MH_PERMS = minhash_perms(16, seed=42)
-_MH_FOLD = "xor((h >> 30), (h & 1073741823))"
+# render through the SAME helper Spark-side perm_hash mirrors, so the
+# two engines can never drift on the permutation formula again
 _MH_TERMS = ",\n           ".join(
-    f"min(({_MH_FOLD} * {a} + {b}) % 2305843009213693951) AS h{i}"
+    f"min({perm_hash_sql('h', a, b)}) AS h{i}"
     for i, (a, b) in enumerate(_MH_PERMS)
 )
 _MH_SIG_SQL = f"""

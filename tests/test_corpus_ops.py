@@ -45,7 +45,7 @@ def _py_minhash(text: str, num_perms: int, n: int = 5) -> list[int]:
     hs = {_py_md5_long(s) for s in shingles}
     out = []
     for a, b in minhash_perms(num_perms, 42):
-        out.append(min((((h >> 30) ^ (h & ((1 << 30) - 1))) * a + b) % ((1 << 61) - 1) for h in hs))
+        out.append(min((((h >> 30) ^ (h & ((1 << 30) - 1))) * a + b) % ((1 << 31) - 1) for h in hs))
     return out
 
 
@@ -61,6 +61,23 @@ def test_minhash_matches_python_reference(spark, docs_df):
     sigs = {r.doc_id: r.sig for r in minhash_signatures(docs_df, "doc_id", "text", num_perms=8).collect()}
     for doc_id, text in DOCS:
         assert list(sigs[doc_id]) == _py_minhash(text, 8), f"doc {doc_id}"
+
+
+def test_minhash_permutations_are_independent(spark):
+    """Regression for the r1-r4 degenerate family: with modulus 2^61-1 the
+    mod never wrapped, every permutation was monotone in the folded hash,
+    and ALL slots were decided by the same argmin shingle — est Jaccard
+    could only be exactly 0.0 or 1.0.  Two docs sharing roughly half
+    their shingles must now get a FRACTIONAL estimate near the true J."""
+    x = "the early morning express train to the coastal city leaves from platform nine "
+    y = "a completely different cargo vessel crosses the southern strait before dawn today "
+    docs = spark.createDataFrame([(1, x + y), (2, y + x[:0] + "entirely new padding words fill this half instead of the shared text block here now")],
+                                 "doc_id long, text string")
+    sigs = {r.doc_id: list(r.sig) for r in
+            minhash_signatures(docs, "doc_id", "text", num_perms=64).collect()}
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 64
+    # true char-5-gram Jaccard of the two texts is ~0.4; 64 perms → σ≈0.06
+    assert 0.1 < agree < 0.8, f"degenerate estimator: agreement {agree}"
 
 
 def test_minhash_similarity_ordering(spark, docs_df):

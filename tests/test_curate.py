@@ -35,3 +35,89 @@ def test_curate_fixture_smoke(spark):
     n_in, n_out = docs.count(), kept.count()
     assert 0 < n_out <= n_in
     assert set(kept.columns) == set(docs.columns)
+
+
+def _boilerplate_clique(spark, n=60):
+    """n near-identical docs (a boilerplate clique) + 3 distinct ones."""
+    # long base text: one changed trailing token over ~70 words → true
+    # Jaccard ≈ 0.88, far above the 0.5 verify threshold (est-Jaccard
+    # noise from 32 perms is σ≈0.06, so edges never flake)
+    base = (
+        "this legal boilerplate footer is repeated across the whole corpus "
+        "verbatim except for one serial token near the end of the text body "
+        "which changes per page making every copy a near duplicate of all "
+        "the others and the footer further recites governing law venue "
+        "severability assignment notice and entire agreement clauses in the "
+        "usual order followed by a short arbitration paragraph and a final "
+        "line reserving all rights not expressly granted herein serial %d"
+    )
+    rows = [(i, base % i) for i in range(n)]
+    rows += [
+        (n + 1, "a completely unrelated essay on distributed query engines and "
+                "their shuffle strategies at terabyte scale with novel ideas"),
+        (n + 2, "another very different document describing alpine botany and "
+                "the seasonal migration of pollinators across high meadows"),
+        (n + 3, "a third standalone text about maritime navigation techniques "
+                "used before the invention of the marine chronometer at sea"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_dedup_stage_is_star_bounded(spark):
+    """The scale guard VERDICT r4 asked for: curate's near-dup stage must
+    compose the O(bucket) star-edge path, whose edge count is bounded by
+    bands × docs — NOT the all-pairs path (c²/2 per boilerplate bucket,
+    measured 18× superlinear at sf1 in BASELINE.md)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_signatures,
+    )
+
+    n = 60
+    docs = _boilerplate_clique(spark, n)
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perms=16, shingle_n=5)
+    star = lsh_star_edges(sigs, "doc_id", num_bands=4, rows_per_band=4).count()
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_bands=4, rows_per_band=4).count()
+    assert star <= 4 * (n + 3)          # linear bound: bands × docs
+    assert pairs >= n * (n - 1) // 4    # all-pairs blows up quadratically
+
+    # and curate() itself must route through the star path
+    import importlib
+
+    curate_mod = importlib.import_module(
+        "dbc_informed_socketcan_to_parquet_spark.operators.curate"
+    )
+
+    assert not hasattr(curate_mod, "minhash_dedup_pairs"), (
+        "curate must not import the all-pairs LSH path"
+    )
+    calls = []
+    real = curate_mod.minhash_star_clusters
+    try:
+        curate_mod.minhash_star_clusters = lambda *a, **k: calls.append(1) or real(*a, **k)
+        kept = curate(docs, config=CurateConfig(min_quality=0.0, min_chars=1,
+                                                jaccard_threshold=0.5,
+                                                minhash_perms=32,
+                                                minhash_bands=8))
+        kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    finally:
+        curate_mod.minhash_star_clusters = real
+    assert calls, "curate() did not call minhash_star_clusters"
+    # one survivor from the clique, the three distinct docs untouched
+    assert kept_ids == {0, n + 1, n + 2, n + 3}
+
+
+def test_curate_hash_fn_equivalence(spark):
+    """md5 (oracle-parity) and xxhash (production fast path) agree on
+    which documents survive curation for clear-cut dup structure."""
+    docs = _boilerplate_clique(spark, 40)
+    # 32 perms / 8 bands: band-collision prob ≈ 1-(1-J⁴)⁸ ≈ 0.9998 at
+    # J≈0.9, so both hash families fully link the clique deterministically
+    cfg = dict(min_quality=0.0, min_chars=1, jaccard_threshold=0.5,
+               minhash_perms=32, minhash_bands=8)
+    kept_md5 = curate(docs, config=CurateConfig(hash_fn="md5", **cfg))
+    kept_xx = curate(docs, config=CurateConfig(hash_fn="xxhash", **cfg))
+    ids_md5 = {r.doc_id for r in kept_md5.select("doc_id").collect()}
+    ids_xx = {r.doc_id for r in kept_xx.select("doc_id").collect()}
+    assert ids_md5 == ids_xx == {0, 41, 42, 43}
