@@ -200,3 +200,56 @@ def test_pack_sequences_invariants_random(spark, seed):
         else:
             assert p.total_tokens <= 1000
         assert p.total_tokens == sum(sizes[d] for d in p.doc_ids)
+
+
+def test_pack_sequences_null_tokens_raise(spark):
+    from pyspark.errors import PythonException
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, 100), (1, None), (2, 50)], "doc_id long, n_tokens long"
+    ).coalesce(1)
+    with pytest.raises(PythonException, match="NULL 'n_tokens'"):
+        pack_sequences(docs, "n_tokens", max_tokens=1000).collect()
+
+
+def test_ffd_kernel_matches_linear_scan_and_is_fast():
+    """The segment-tree kernel must reproduce the r4 linear-scan FFD layout
+    exactly, and beat it by ≥10× at a size where the O(n·packs) scan is
+    already painful (VERDICT r4 item 3)."""
+    import random
+    import time
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import _ffd_assign
+
+    def linear_scan(tokens, max_tokens):
+        packs, assign = [], []
+        for t in tokens:
+            for i, tot in enumerate(packs):
+                if tot + t <= max_tokens:
+                    packs[i] += t
+                    assign.append(i)
+                    break
+            else:
+                assign.append(len(packs))
+                packs.append(t)
+        return assign, len(packs), packs
+
+    rng = random.Random(99)
+    for _ in range(50):
+        toks = sorted((rng.randrange(1, 150) for _ in range(rng.randrange(0, 300))), reverse=True)
+        mt = rng.randrange(1, 120)
+        got = _ffd_assign(toks, mt)
+        want = linear_scan(toks, mt)
+        assert (list(got[0]), got[1], list(got[2])) == want
+
+    toks = sorted((rng.randrange(1, 2048) for _ in range(30_000)), reverse=True)
+    t0 = time.time()
+    new = _ffd_assign(toks, 4096)
+    t_new = time.time() - t0
+    t0 = time.time()
+    old = linear_scan(toks, 4096)
+    t_old = time.time() - t0
+    assert (list(new[0]), new[1], list(new[2])) == old
+    assert t_old / max(t_new, 1e-9) >= 10, f"only {t_old / t_new:.1f}x"
