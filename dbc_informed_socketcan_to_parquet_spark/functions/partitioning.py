@@ -23,20 +23,30 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's default
     parallelism (× ``multiplier``) — only when it currently has fewer
     partitions.  Use immediately before explode-like operators whose
-    output is orders of magnitude larger than their input."""
-    sc = df.sparkSession.sparkContext
+    output is orders of magnitude larger than their input.
+
+    Spark Connect exposes neither ``sparkContext`` nor ``df.rdd``, so
+    the partition-count probe is impossible there; under Connect we skip
+    the probe and always repartition to a target derived from
+    ``spark.sql.shuffle.partitions`` — an unconditional narrow-input
+    shuffle is cheap relative to the exploded work, and correct either
+    way.
+    """
+    spark = df.sparkSession
+    try:
+        is_remote = spark.conf.get("spark.remote", None) is not None
+    except Exception:
+        is_remote = False
+    if is_remote or not hasattr(df, "_jdf"):
+        target = max(int(spark.conf.get("spark.sql.shuffle.partitions", "200")) * multiplier, 1)
+        return df.repartition(target)
+    sc = spark.sparkContext
     target = max(int(sc.defaultParallelism) * multiplier, 1)
     # Probe the partition count from the JVM query execution directly:
     # ``toRdd`` is a lazy val on the Dataset, so physical planning runs at
     # most once per DataFrame (and it would run at execution anyway) — no
     # Python-side RDD conversion plan is built, unlike ``df.rdd``.
-    # ``_jdf`` only exists on classic PySpark; under Spark Connect fall
-    # back to ``df.rdd`` (Connect sessions are remote — the extra
-    # conversion plan is negligible next to the RPC).
-    if hasattr(df, "_jdf"):
-        n = df._jdf.queryExecution().toRdd().getNumPartitions()
-    else:
-        n = df.rdd.getNumPartitions()
+    n = df._jdf.queryExecution().toRdd().getNumPartitions()
     if n < target:
         return df.repartition(target)
     return df

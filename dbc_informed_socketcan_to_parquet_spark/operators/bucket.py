@@ -156,12 +156,13 @@ def bucket_downsample_unaligned(
       written on close; the tail row exists iff some signal was written
       to it.
 
-    Scale: the boundary recurrence is inherently sequential per stream,
-    so this runs as ``applyInPandas`` with ONE task per ``by`` group
-    (the whole stream if ``by`` is None) — parallelism = #streams.  The
-    per-row python cost is a numpy boundary scan + per-bucket
-    first-non-null, both vectorized.  Use the aligned operator for
-    anything but parity replays.
+    Scale: the boundary recurrence is inherently sequential per stream
+    (each bucket boundary depends on the previous one), so this runs as
+    ``applyInPandas`` with ONE task per ``by`` group (the whole stream
+    if ``by`` is None) — parallelism = #streams.  The boundary scan is
+    a sequential per-row Python loop BY CONSTRUCTION; only the
+    per-bucket first-non-null aggregation after it is vectorized.  Use
+    the aligned operator for anything but parity replays.
 
     ``wide`` is the decoded one-row-per-frame stream (nulls for signals
     a frame doesn't carry) with ``time_col`` in RELATIVE ms (the

@@ -565,9 +565,13 @@ def contamination_check(
     hash_fn=md5_long,
 ) -> DataFrame:
     """Benchmark-contamination detector: corpus documents sharing at least
-    ``min_shared`` distinct character shingles with ANY evaluation-set
-    document — the standard pre-training hygiene check (a training doc
-    that contains an eval benchmark's text inflates scores).
+    ``min_shared`` distinct character shingles with the evaluation set AS
+    A WHOLE (the union of all eval docs' shingles — a doc sharing a few
+    shingles with each of several eval docs counts their sum, which is
+    the conservative direction for a hygiene gate) — the standard
+    pre-training check (a training doc that contains an eval benchmark's
+    text inflates scores).  For per-eval-doc attribution, key the count
+    by (corpus doc, eval doc) before thresholding instead.
 
     Output: (id_col, n_shared).  Scale: eval sets are tiny (benchmarks),
     so their distinct shingle-hash set broadcasts; the corpus pays one

@@ -27,6 +27,23 @@ def test_queries_oracle_keys_align():
     assert rows_only == {"approx_distinct"}
 
 
+def test_registry_stays_at_driver_cap():
+    """The driver verifies exactly the first 50 registry entries (measured
+    round 1 — 6 entries silently fell outside the window then).  Pin the
+    cap so adding entry #51 fails HERE, pointing at EXTRA_QUERIES (the
+    pytest-gated overflow registry in queries.py) instead of silently
+    losing driver coverage.  Demoted to EXTRA in r4 to make room:
+    order_limit, minhash_signatures, multimodal_metadata — all still
+    oracle-compared by tests/test_extra_registry.py."""
+    from dbc_informed_socketcan_to_parquet_spark.queries import EXTRA_QUERIES
+
+    assert len(entrypoint.queries()) == 50, (
+        "driver checks exactly 50 entries; register overflow queries in "
+        "EXTRA_QUERIES instead"
+    )
+    assert len(EXTRA_QUERIES) >= 6
+
+
 @pytest.fixture(scope="module")
 def duck():
     return duck_connection(SF)
