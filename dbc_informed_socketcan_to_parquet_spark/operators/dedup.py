@@ -289,7 +289,15 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: candidates via banding, verified
     with the *estimated* Jaccard (fraction of matching signature slots).
     ``max_bucket`` caps per-bucket pair generation (see
-    :func:`lsh_candidate_pairs`) — the skew guard for boilerplate cliques."""
+    :func:`lsh_candidate_pairs`) — the skew guard for boilerplate cliques.
+
+    Cache lifetime: the signature frame stays cached after return because
+    the (lazy) result still reads it; it is MEMORY_AND_DISK so the session
+    LRU-evicts it under pressure, but long-lived sessions calling this
+    repeatedly should unpersist once the result is materialized — the
+    handle is exposed as ``result._graft_cached_sigs`` for exactly that
+    (``minhash_star_clusters`` needs no such hook: its output is eager-
+    checkpointed, so it unpersists internally)."""
     rows_per_band = num_perms // num_bands
     # the signature table feeds the band explode AND both sides of the
     # candidate join — cache it once instead of recomputing the full
@@ -303,11 +311,13 @@ def minhash_dedup_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     ).cast("double") / F.lit(float(num_perms))
-    return (
+    out = (
         cand.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+    out._graft_cached_sigs = sigs  # see docstring: caller may unpersist
+    return out
 
 
 # -- n-gram Jaccard (exact, inverted index) ----------------------------------

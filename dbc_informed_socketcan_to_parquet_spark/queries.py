@@ -41,6 +41,14 @@ ORACLES: dict[str, str] = {}
 #: first 50 of 56), so the registry is held at exactly 50 and everything
 #: else lands here — same (spark_fn, duckdb_sql) contract, exercised by
 #: tests/test_extra_registry.py through the identical compare() gate.
+#: Demoted from the driver registry in round 4 to make room for new
+#: operators under the 50-entry cap: ``order_limit``, ``minhash_signatures``,
+#: ``multimodal_metadata`` — chosen because each is a strict sub-pipeline of
+#: a query that STAYED driver-checked (order_limit ⊂ every ORDER BY query;
+#: minhash_signatures ⊂ minhash_lsh_pairs; multimodal_metadata ⊂
+#: media_features), so driver coverage of their logic is preserved
+#: transitively while the pytest gate keeps them exactly-checked.  The cap
+#: itself is pinned by tests/test_entry_contract.py.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 

@@ -117,3 +117,75 @@ def test_streaming_near_dup_cross_batch(spark, tmp_path):
     assert ests[3] == 1.0                          # identical signature
     assert 2 not in flagged and 5 not in flagged   # distinct docs unflagged
     assert 1 not in flagged                        # the representative itself
+
+
+def test_streaming_near_dup_ttl_eviction(spark, tmp_path):
+    """VERDICT r4 #5: with a processing-time TTL, an idle bucket's state is
+    evicted and the next arrival founds a FRESH representative — the
+    bounded-state contract that keeps the store finite on an unbounded
+    stream.  processAllAvailable() never settles under a processing-time
+    timeout (the engine schedules empty batches to fire evictions), so
+    this test polls the sink with a deadline instead."""
+    import time
+
+    from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import streaming_near_dup
+
+    base = ("the quick brown fox jumps over the lazy dog while the river "
+            "bank stays quiet and the training corpus keeps growing daily")
+    log_dir = tmp_path / "stream_ttl"
+    log_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    raw = spark.readStream.format("json").schema(schema).load(str(log_dir))
+    out = streaming_near_dup(
+        raw, num_perms=16, shingle_n=5, num_bands=4, threshold=0.5,
+        state_ttl_ms=1500,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("neardup_ttl_out")
+        .outputMode("append").trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_for(doc_id, deadline_s=90):
+        end = time.monotonic() + deadline_s
+        while time.monotonic() < end:
+            n = spark.sql(
+                f"SELECT count(*) c FROM neardup_ttl_out WHERE doc_id = {doc_id}"
+            ).collect()[0].c
+            if n > 0:
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"doc {doc_id} never reached the sink")
+
+    try:
+        # batch 1: doc 1 founds every bucket; doc 2 (identical text, same
+        # buckets) is flagged against rep 1
+        _write_batch(log_dir, "b0.json", [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},
+        ])
+        wait_for(2)
+        # idle past the TTL — the continuously-scheduled empty batches
+        # fire the eviction for every bucket doc 1 founded
+        time.sleep(5.0)
+        # batch 2: identical text again.  If state survived, doc 3 would
+        # be flagged against rep 1; after eviction it must found fresh
+        # buckets instead, and doc 4 flags against the NEW rep 3.
+        _write_batch(log_dir, "b1.json", [
+            {"doc_id": 3, "text": base},
+            {"doc_id": 4, "text": base},
+        ])
+        wait_for(4)
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT doc_id, rep_id FROM neardup_ttl_out").collect()
+    flagged = {}
+    for r in rows:
+        flagged.setdefault(r.doc_id, set()).add(r.rep_id)
+    assert flagged.get(2) == {1}           # pre-eviction: rep is doc 1
+    assert 3 not in flagged                # post-eviction: doc 3 founds fresh buckets...
+    assert flagged.get(4) == {3}           # ...and becomes the new representative
