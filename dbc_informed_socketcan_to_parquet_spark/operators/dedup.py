@@ -340,6 +340,12 @@ def ngram_jaccard_pairs(
     near-dup signal; Jaccard is then over the discriminative shingle sets).
     Measured: uncapped 96 s → capped ~3 s on 5k synthetic (high-overlap)
     docs.  AQE skew-join remains the safety net for moderate residual skew.
+
+    Scale note: pass an ABSOLUTE ``max_df`` (e.g. 200), not a fraction of
+    the corpus.  A fractional cap makes the per-shingle join (f·N)² =
+    O(N²); the r5 sf1 study measured the N/25 variant OOMing a 24 GiB-class
+    heap at ×10 data, while an absolute cap keeps the join volume linear
+    in corpus size (O(N · cap²/shingle-universe) in expectation).
     """
     sh = shingle_hashes(df, id_col, text_col, shingle_n, hash_fn=hash_fn)
     if max_df is not None:
@@ -433,25 +439,87 @@ def embedding_near_dup_pairs(
     vec_col: str,
     block_col: str,
     threshold: float = 0.95,
+    kernel: str = "pandas",
+    round_to: int | None = None,
+    chunk: int = 1024,
 ) -> DataFrame:
     """Cosine ≥ threshold pairs within a blocking key (label, LSH bucket…).
 
     The blocking key keeps the join linear-ish; exact cosine verifies.
-    """
-    dot = F.aggregate(
-        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))  # noqa: E731
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("v_a"), F.col(block_col))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("v_b"), F.col(block_col))
+    The pair OUTPUT is inherently O(block²), so the ARITHMETIC must be
+    vectorized: ``kernel="pandas"`` ships each block to one Arrow batch
+    and scores it with a numpy Gram matmul (chunked to bound memory at
+    large blocks) — the r5 sf1 study measured the per-pair interpreted
+    HOF expression (``kernel="expr"``, the old default) at 116× on ×10
+    data (382 s; blocks grow ~linearly with the corpus and pairs
+    quadratically), while the matmul kernel does the same exact pairs
+    in ~linear wall time because 100 ns of interpreter per pair becomes
+    one BLAS flop.  ``kernel="expr"`` remains for oracle-shaped plans
+    and as the no-Python fallback; ``round_to`` rounds the cosine (both
+    kernels) so results hash-compare across engines."""
+    if kernel == "expr":
+        dot = F.aggregate(
+            F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))  # noqa: E731
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("v_a"), F.col(block_col))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("v_b"), F.col(block_col))
+        cos = dot / (norm(F.col("v_a")) * norm(F.col("v_b")))
+        if round_to is not None:
+            cos = F.round(cos, round_to)
+        return (
+            a.join(b, block_col)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    if kernel != "pandas":
+        raise ValueError(f"kernel must be 'pandas' or 'expr', got {kernel!r}")
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    # ``chunk`` rows of the Gram matrix per matmul (chunk·|block|·8 B of
+    # transient memory) — captured by value so it pickles to the workers
+
+    def per_block(pdf: pd.DataFrame):
+        pdf = pdf.sort_values(id_col)          # positions ordered by id ⇒ i<j is id_a<id_b
+        ids = pdf[id_col].to_numpy()
+        V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        V = V / norms[:, None]                 # unit rows: Gram == cosine
+        n = len(ids)
+        frames = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            G = V[lo:hi] @ V.T                 # (hi-lo) × n
+            # upper triangle only: j > i (global row index lo+r)
+            r, j = np.nonzero(G >= threshold) if round_to is None else np.nonzero(np.round(G, round_to) >= threshold)
+            keep = j > (lo + r)
+            r, j = r[keep], j[keep]
+            cos = G[r, j]
+            if round_to is not None:
+                cos = np.round(cos, round_to)
+            frames.append(pd.DataFrame({"id_a": ids[lo + r], "id_b": ids[j], "cosine": cos}))
+        if not frames:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0], "cosine": np.array([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
     return (
-        a.join(b, block_col)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (norm(F.col("v_a")) * norm(F.col("v_b"))))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        df.select(id_col, vec_col, block_col)
+        .groupBy(block_col)
+        .applyInPandas(per_block, schema=out_schema)
     )
 
 
@@ -483,17 +551,32 @@ def dedup_clusters(
     (docs in no pair) are not in the output; keep_canonical treats
     absent as its own singleton.
     """
-    # symmetric edge list: propagation must flow both directions
+    # symmetric edge list: propagation must flow both directions.
+    # Checkpoint it ONCE — it is re-joined every round, and without the
+    # cut each round would recompute the whole upstream pipeline
+    # (signatures → banding → verification joins); measured at sf0.1 this
+    # was most of the CC wall time.  At cluster scale the analog is
+    # writing the edge list to a table before iterating.
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
 
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    # Convergence probe: labels are node ids and every update takes a
+    # MIN, so the label vector is componentwise non-increasing — the
+    # label SUM strictly decreases iff any label changed.  One aggregate
+    # on the already-checkpointed frame replaces the old join+count.
+    def _label_sum(frame: DataFrame) -> int:
+        return int(
+            frame.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).collect()[0][0]
+        )
+
+    prev_sum = _label_sum(labels)
     changed = 0
     for _ in range(max_iters):
         # min over each node's neighborhood labels, then min with own
@@ -523,12 +606,9 @@ def dedup_clusters(
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut the per-round lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
+        changed = prev_sum - new_sum
+        prev_sum = new_sum
         labels = new_labels
         if changed == 0:
             break
@@ -539,8 +619,8 @@ def dedup_clusters(
 
         warnings.warn(
             f"dedup_clusters did not converge in {max_iters} rounds "
-            f"({changed} labels still changing) — components wider than "
-            f"max_iters hops are split; raise max_iters",
+            f"(label sum still dropped by {changed} in the last round) — "
+            f"components wider than max_iters hops are split; raise max_iters",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -1003,6 +1003,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (  # noqa: E402
+    embedding_near_dup_pairs,
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_perms,
@@ -1125,7 +1126,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
       SELECT doc_id, h FROM sh0
       WHERE h IN (SELECT h FROM sh0 GROUP BY h
-                  HAVING count(*) <= (SELECT count(*) // 25 FROM documents))
+                  HAVING count(*) <= LEAST(200, (SELECT count(*) // 25 FROM documents)))
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
@@ -1142,12 +1143,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dups via inverted-index join (pairs that
-    share no shingle never materialize), df-capped at 4% of the corpus —
-    the skew guard that keeps hot shingles from going quadratic."""
+    share no shingle never materialize), df-capped at min(200, 4% of the
+    corpus).  The cap must be ABSOLUTE at scale: a fractional cap makes the
+    per-shingle join cost (0.04·N)² = O(N²) — the r5 full-registry sf1 run
+    measured exactly that (heap OOM at ×10 data with the old N/25 cap).
+    With an absolute cap the cost per shingle is O(cap²) and the shingle
+    count is O(N), so the whole join is linear in corpus size; hot shingles
+    past the cap carry no near-dup signal anyway.  The fractional term only
+    matters below 5k docs (where it keeps the tiny-corpus oracle exact)."""
     docs = _read(spark, sf_dir, "documents")
     # row count from parquet footer metadata — no Spark count() job just
     # to derive the df cap (footer stats are metadata-only at any scale)
-    max_df = _parquet_rows(f"{sf_dir}/documents.parquet") // 25
+    max_df = min(200, _parquet_rows(f"{sf_dir}/documents.parquet") // 25)
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=5, threshold=0.5, max_df=max_df)
 
 
@@ -1410,16 +1417,15 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: blocked on label, exact cosine ≥ 0.25
-    within the block (at real thresholds ≥0.95 the same plan applies)."""
+    within the block (at real thresholds ≥0.95 the same plan applies).
+    Pandas kernel: the pair OUTPUT is O(block²) by contract, so the
+    arithmetic is a per-block numpy Gram matmul instead of a per-pair
+    interpreted expression — the r5 sf1 study measured the expression
+    form at 116× on ×10 data; the matmul kernel stays ~linear."""
     emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"), "label")
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"), "label")
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= 0.25)
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", "label",
+        threshold=0.25, kernel="pandas", round_to=6,
     )
 
 

@@ -57,7 +57,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs driver + all 32 executor threads in ONE JVM, so
+        # this is the whole cluster's memory: 8g starved the shuffle-heavy
+        # corpus joins at sf1 (heap OOM in the ngram inverted-index join).
+        # 24g leaves >. 90 GiB headroom for Python workers on the 128 GiB
+        # host; a real cluster sizes spark.executor.memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -478,3 +478,35 @@ def test_ivf_persisted_index_prunes_and_matches_inline(spark, tmp_path):
     part_section = plan.split("PartitionFilters", 1)
     assert len(part_section) == 2, plan
     assert "ivf_cluster" in part_section[1][:200], plan
+
+
+def test_embedding_near_dup_pandas_kernel_matches_expr(spark):
+    """kernel='pandas' (per-block numpy Gram matmul, the scale path the r5
+    sf1 study forced: the per-pair HOF expression measured 116x at x10
+    data) must reproduce the expression kernel exactly: same pairs, same
+    rounded cosines."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(threshold=0.25, round_to=6)
+    expr_rows = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", "label", kernel="expr", **kw).collect()))
+    pd_rows = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", "label", kernel="pandas", **kw).collect()))
+    assert expr_rows == pd_rows
+    assert len(pd_rows) > 0
+
+
+def test_embedding_near_dup_chunked_matches_unchunked(spark):
+    """The chunked Gram loop (memory bound for big blocks) must not change
+    the output: force chunk << block size and compare."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def run(chunk):
+        return sorted(map(tuple, embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", "label",
+            threshold=0.25, kernel="pandas", round_to=6, chunk=chunk).collect()))
+
+    assert run(1024) == run(7)
