@@ -80,23 +80,36 @@ def cosine_topk(
 
 # -- sign-LSH (random hyperplane) bucketed ANN -------------------------------
 
-def _hyperplane_component(table: int | str, plane: int, dim: int) -> Column:
+def _hyperplane_component(table: int | str, plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5-derived so Spark and any oracle agree bit-for-bit."""
-    h = md5_long(F.lit(f"t{table}_p{plane}_d{dim}"))
-    return ((h % 2000) - F.lit(1000)).cast("double") / F.lit(1000.0)
+    md5-derived so Spark and any oracle agree bit-for-bit.
+
+    Evaluated DRIVER-SIDE in Python (hashlib md5 == Spark's ``md5`` ==
+    DuckDB's ``md5`` on these ASCII tags; the [:15]-hex prefix parse is
+    exactly :func:`~...functions.hashing.md5_long`, and the oracle SQL
+    replays the same formula symbolically).  Building the same value as
+    a ``conv(substring(md5(lit)))`` Column tree cost ~5 py4j round
+    trips PER COMPONENT — 2048 components for an 8-table × 4-plane ×
+    64-dim query meant ~48 s of driver-side DataFrame BUILD time
+    (measured r5) before Catalyst even constant-folded them away."""
+    import hashlib
+
+    h = int(hashlib.md5(f"t{table}_p{plane}_d{dim}".encode()).hexdigest()[:15], 16)
+    return float((h % 2000) - 1000) / 1000.0
 
 
 def sign_lsh_signature(vec: Column, num_planes: int, dim: int, table: int | str = 0) -> Column:
-    """Bit i = sign of <v, plane_i>; packed into a long."""
+    """Bit i = sign of <v, plane_i>; packed into a long.
+
+    Plane components are plain double literals (one array literal per
+    plane — a single py4j call each); the dot product stays the same
+    left-to-right ``zip_with``/``aggregate`` fold the oracle replays,
+    so signatures are bit-identical to the old md5-expression form."""
     sig: Column = F.lit(0).cast("long")
     for p in range(num_planes):
+        plane = F.lit([_hyperplane_component(table, p, d) for d in range(dim)])
         comp = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[_hyperplane_component(table, p, d) for d in range(dim)]),
-                lambda x, y: x * y,
-            ),
+            F.zip_with(vec, plane, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -255,7 +268,9 @@ def _centroid_means_pandas(assigned: DataFrame, dim: int) -> dict[int, list[floa
 
 def _rounded_sq_dist(vec: Column, center: list[float]) -> Column:
     """round(<v,v> - 2<v,c> + <c,c>, 6) — the cross-engine stable form."""
-    carr = F.array(*[F.lit(float(x)) for x in center])
+    # one array literal per centroid (single py4j call), not dim F.lit
+    # calls — k·dim Column constructions dominated IVF driver time
+    carr = F.lit([float(x) for x in center])
     cc = 0.0
     for x in center:  # sequential sum, same order as list_dot_product(c,c)
         cc += float(x) * float(x)
