@@ -19,11 +19,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+def fan_out(df: DataFrame, multiplier: int = 1, force: bool = False) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's default
     parallelism (× ``multiplier``) — only when it currently has fewer
     partitions.  Use immediately before explode-like operators whose
     output is orders of magnitude larger than their input.
+
+    ``force=True`` inserts the Exchange even when the input is already
+    wide (repartitioning to ``max(current, target)`` so width is never
+    reduced).  Use it when the exchange is needed as a PROJECTION
+    BARRIER: CollapseProject merges adjacent projections, substituting
+    an expensive upstream expression (e.g. a regex-scrub chain) into
+    every downstream column that references it, and codegen
+    subexpression elimination cannot recover the duplicates inside
+    higher-order-function lambdas.  Projections never merge across an
+    Exchange, so the upstream expression materializes exactly once into
+    the shuffle (measured r5: the curate prefix went 58 s → ~4 s at sf1).
 
     Spark Connect exposes neither ``sparkContext`` nor ``df.rdd``, so
     the partition-count probe is impossible there; under Connect we skip
@@ -49,6 +60,8 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     n = df._jdf.queryExecution().toRdd().getNumPartitions()
     if n < target:
         return df.repartition(target)
+    if force:
+        return df.repartition(n)
     return df
 
 

@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long, xxhash60
+from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
 from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
     exact_dedup,
     keep_canonical,
@@ -73,10 +74,27 @@ def curate(
 ) -> DataFrame:
     """Run the full curation pipeline; returns the kept documents with
     their original schema (text scrubbed when ``config.scrub``)."""
+    # Fan out between the scrub and the stats battery: a few-file corpus
+    # scans as file-count partitions, so without the exchange the text
+    # stages would run ~2-wide on 32 cores (measured r5 at sf1).
+    # Downstream stages inherit the width; at real scale the guard is a
+    # no-op (functions/partitioning).
     out = scrub_pii(docs, text_col) if config.scrub else docs
+    out = fan_out(out, force=True)
 
-    # one shuffle-free projection (r4) — no doc_stats ⋈ repetition join
-    stats = doc_quality_stats(out, id_col, text_col)
+    # one shuffle-free projection (r4) — no doc_stats ⋈ repetition join.
+    # The localCheckpoint is an OPTIMIZER BARRIER, not a convenience:
+    # without it, predicate pushdown rewrites the quality filter through
+    # the stats projection, substituting the scrub+stat DERIVATIONS into
+    # every condition term (~20 copies of the regex chain per row — the
+    # CASE WHEN branches in the stat definitions defeat codegen
+    # subexpression elimination) and evaluating them at scan width.
+    # Measured r5 at sf1: the quality semi-join alone was 57 s inlined
+    # vs ~6 s with the filter reading materialized stat columns.  The
+    # stats table is one short row per doc; at cluster scale the analog
+    # is writing it to a table — the stage boundary the module docstring
+    # prescribes.
+    stats = doc_quality_stats(out, id_col, text_col).localCheckpoint(eager=False)
     good_ids = stats.filter(
         (F.col("n_chars") >= config.min_chars)
         & (F.col("quality") >= config.min_quality)

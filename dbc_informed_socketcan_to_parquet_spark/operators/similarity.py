@@ -98,13 +98,32 @@ def _hyperplane_component(table: int | str, plane: int, dim: int) -> float:
     return float((h % 2000) - 1000) / 1000.0
 
 
-def sign_lsh_signature(vec: Column, num_planes: int, dim: int, table: int | str = 0) -> Column:
+def sign_lsh_signature(vec: Column | str, num_planes: int, dim: int, table: int | str = 0) -> Column:
     """Bit i = sign of <v, plane_i>; packed into a long.
 
-    Plane components are plain double literals (one array literal per
-    plane — a single py4j call each); the dot product stays the same
-    left-to-right ``zip_with``/``aggregate`` fold the oracle replays,
-    so signatures are bit-identical to the old md5-expression form."""
+    Plane components are plain double literals (evaluated driver-side);
+    the dot product stays the same left-to-right ``zip_with``/
+    ``aggregate`` fold the oracle replays, so signatures are
+    bit-identical to the old md5-expression form.
+
+    Pass ``vec`` as a COLUMN NAME (str) for the fast build path: the
+    whole signature is then rendered as one SQL string and parsed with a
+    single ``F.expr`` call, instead of ~6 py4j round trips per plane —
+    the multi-table ANN entry builds 2·tables of these, where the py4j
+    construction cost dominated driver time.  Both paths produce the
+    identical expression tree (pytest-pinned)."""
+    if isinstance(vec, str):
+        parts = []
+        for p in range(num_planes):
+            arr = ", ".join(f"{_hyperplane_component(table, p, d)!r}D" for d in range(dim))
+            comp = (
+                f"aggregate(zip_with({vec}, array({arr}), (x, y) -> x * y), "
+                f"0.0D, (acc, v) -> acc + v)"
+            )
+            parts.append(
+                f"(CASE WHEN {comp} >= 0.0D THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" | ".join(parts))
     sig: Column = F.lit(0).cast("long")
     for p in range(num_planes):
         plane = F.lit([_hyperplane_component(table, p, d) for d in range(dim)])
@@ -147,7 +166,7 @@ def lsh_ann_topk(
         "*",
         F.explode(
             F.array(*[
-                F.struct(F.lit(t).alias("t"), sign_lsh_signature(F.col("_cv"), num_planes, dim, t).alias("b"))
+                F.struct(F.lit(t).alias("t"), sign_lsh_signature("_cv", num_planes, dim, t).alias("b"))
                 for t in range(num_tables)
             ])
         ).alias("_tb"),
@@ -156,7 +175,7 @@ def lsh_ann_topk(
         "*",
         F.explode(
             F.array(*[
-                F.struct(F.lit(t).alias("t"), sign_lsh_signature(F.col("_qv"), num_planes, dim, t).alias("b"))
+                F.struct(F.lit(t).alias("t"), sign_lsh_signature("_qv", num_planes, dim, t).alias("b"))
                 for t in range(num_tables)
             ])
         ).alias("_tb"),
@@ -385,7 +404,7 @@ def _ivf_train(
     if sample_mod > 1:
         train = train.filter(F.pmod(md5_long(F.col(id_col)), F.lit(sample_mod)) == 0)
     tv = fan_out(train).select(F.col(vec_col).cast("array<double>").alias("_v"))
-    tv = tv.withColumn("_b", sign_lsh_signature(F.col("_v"), nplanes, dim, table="ivf"))
+    tv = tv.withColumn("_b", sign_lsh_signature("_v", nplanes, dim, table="ivf"))
     tv = tv.persist()
     means = _centroid_means_pandas if assign_kernel == "pandas" else _centroid_means
     try:

@@ -510,3 +510,20 @@ def test_embedding_near_dup_chunked_matches_unchunked(spark):
             threshold=0.25, kernel="pandas", round_to=6, chunk=chunk).collect()))
 
     assert run(1024) == run(7)
+
+
+def test_sign_lsh_sql_build_path_matches_column_path(spark):
+    """sign_lsh_signature's one-F.expr SQL build (fast driver path) must
+    produce the identical signatures as the Column-API build."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import sign_lsh_signature
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+    )
+    for table in (0, 3, "ivf"):
+        col_rows = dict(emb.select(
+            "vec_id", sign_lsh_signature(F.col("_v"), 4, 64, table).alias("s")).collect())
+        sql_rows = dict(emb.select(
+            "vec_id", sign_lsh_signature("_v", 4, 64, table).alias("s")).collect())
+        assert col_rows == sql_rows
