@@ -35,7 +35,16 @@ def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 def doc_quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """:func:`doc_stats` + :func:`repetition_stats` in ONE shuffle-free
     projection — the full per-document quality battery as a single scan
-    with no join (both column families are row-local)."""
+    with no join (both column families are row-local).
+
+    Caller warning (measured r5): if you FILTER on these columns,
+    predicate pushdown substitutes the full stat DERIVATIONS into the
+    filter condition (one copy per referenced column; CASE WHEN branches
+    defeat codegen CSE), which is ~20× the work when ``text_col`` is
+    itself an expensive expression (e.g. a scrub chain).  Materialize
+    the stats first — ``.localCheckpoint(eager=False)`` locally, a table
+    write at cluster scale — as :func:`~...operators.curate.curate`
+    does; its semi-join went 57 s → 6 s at sf1 with the barrier."""
     t = F.col(text_col)
     return fan_out(df).select(F.col(id_col), *_doc_stat_cols(t), *_repetition_cols(t))
 

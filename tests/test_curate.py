@@ -121,3 +121,28 @@ def test_curate_hash_fn_equivalence(spark):
     ids_md5 = {r.doc_id for r in kept_md5.select("doc_id").collect()}
     ids_xx = {r.doc_id for r in kept_xx.select("doc_id").collect()}
     assert ids_md5 == ids_xx == {0, 41, 42, 43}
+
+
+def test_curate_quality_filter_reads_materialized_stats(spark):
+    """Regression for the r5 pushdown blowup: the quality-gate filter must
+    evaluate against the MATERIALIZED stats frame (localCheckpoint
+    barrier), not against stat derivations inlined into the condition —
+    inlined, the scrub regex chain appears ~20x inside one Filter and the
+    curate prefix ran 57 s instead of 6 s at sf1.  Guard: no Filter node
+    in the plan may contain a regexp_replace (the scrub chain belongs in
+    exactly one Project)."""
+    import io
+    import contextlib
+    import re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan_df = curate(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    for m in re.finditer(r"^\(\d+\) Filter.*?(?=^\(\d+\) )", plan, re.S | re.M):
+        assert "regexp_replace" not in m.group(0), (
+            "scrub chain inlined into a Filter — the stats barrier is gone:\n"
+            + m.group(0)[:500]
+        )
