@@ -523,6 +523,68 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.7,
+    num_clusters: int = 16,
+    n_iters: int = 2,
+    dim: int | None = None,
+    sample_mod: int = 1,
+    round_to: int | None = None,
+    kernel: str = "pandas",
+    max_iters: int = 15,
+) -> DataFrame:
+    """SEMANTIC near-dup clustering over an embedding column — the
+    embedding-space analog of :func:`minhash_star_clusters`:
+
+    1. block — a deterministic-Lloyd's coarse k-means quantizer (the
+       same hash-checked machinery as the IVF ANN index) assigns every
+       vector to its nearest of ``num_clusters`` centroids;
+    2. pair  — exact cosine ≥ ``threshold`` pairs WITHIN each block
+       (numpy Gram-matmul kernel; the pair output is O(block²) by
+       contract, the arithmetic is one BLAS flop per pair);
+    3. cluster — connected components label each near-dup group with
+       its min id.
+
+    Returns ``(doc_id, cluster_id)``; compose with
+    :func:`keep_canonical` to keep one representative per group.
+
+    Blocking tradeoff: near-dups straddling a k-means boundary are
+    missed — the standard single-assignment recall cost (multi-probe
+    assignment buys recall at nprobe× pair volume).  At 100 TB the
+    assignment is the same one-off batch job as the persisted IVF
+    index; pairs + components then touch each inverted list
+    independently."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        _ivf_train,
+        _nearest_label,
+    )
+
+    dim, centers = _ivf_train(df, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, "expr")
+    blocked = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_blk", _nearest_label(F.col(vec_col).cast("array<double>"), centers)
+    )
+    pairs = embedding_near_dup_pairs(
+        blocked, id_col, vec_col, "_blk",
+        threshold=threshold, kernel=kernel, round_to=round_to,
+    )
+    return dedup_clusters(pairs, max_iters=max_iters)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Keep one document per semantic near-dup cluster (min-id member);
+    see :func:`semantic_dedup_clusters` for the pipeline."""
+    clusters = semantic_dedup_clusters(df, id_col, vec_col, **kwargs)
+    return keep_canonical(df, clusters, id_col)
+
+
 # -- pair graph → clusters → keep-one ---------------------------------------
 
 def dedup_clusters(

@@ -1779,8 +1779,9 @@ def _ivf_assign_sql(vec_src: str, centers: str, rn_pred: str) -> str:
     ) WHERE {rn_pred}"""
 
 
-def _ivf_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
-                    nprobe: int = 4, k: int = 10) -> str:
+def _ivf_corpus_assign_ctes(dim: int = 64, nplanes: int = 4, n_iters: int = 2) -> list[str]:
+    """The deterministic-Lloyd's CTE chain up to ``corpus_assign`` —
+    shared by the IVF ANN oracle and the semantic-dedup oracle."""
     parts = [
         f"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     iplanes AS (
@@ -1809,6 +1810,13 @@ def _ivf_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
     parts.append(
         "corpus_assign AS (" + _ivf_assign_sql("vecs", final, "rn = 1") + ")"
     )
+    return parts
+
+
+def _ivf_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
+                    nprobe: int = 4, k: int = 10) -> str:
+    parts = _ivf_corpus_assign_ctes(dim, nplanes, n_iters)
+    final = f"centers{n_iters}"
     parts.append(f"""probe AS (
       SELECT vec_id AS query_id, b AS cluster
       FROM ({_ivf_assign_sql('(SELECT * FROM vecs WHERE vec_id < 5)', final, f'rn <= {nprobe}')})
@@ -1841,6 +1849,50 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_ann_topk(emb, queries, dim=64, k=10, num_clusters=16, nprobe=4, round_to=6)
+
+
+def _semantic_dedup_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
+                               thr: float = 0.25) -> str:
+    parts = _ivf_corpus_assign_ctes(dim, nplanes, n_iters)
+    cos = ("round(list_dot_product(a.v, b.v) / "
+           "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)")
+    parts.append(f"""pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus_assign a JOIN corpus_assign b
+        ON a.b = b.b AND a.vec_id < b.vec_id
+      WHERE {cos} >= {thr}
+    )""")
+    parts.append("""sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    )""")
+    parts.append("""reach(id, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH RECURSIVE {ctes}
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+@extra_query("semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup clustering over embeddings: deterministic-
+    Lloyd's k-means blocks (the IVF quantizer, hash-checked above) →
+    exact cosine ≥ 0.25 pairs within each block (numpy Gram kernel) →
+    connected components.  The DuckDB oracle replays k-means + blocked
+    cosine + a recursive-CTE transitive closure."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import semantic_dedup_clusters
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup_clusters(
+        emb, "vec_id", "embedding",
+        threshold=0.25, num_clusters=16, n_iters=2, dim=64, round_to=6,
+    )
 
 
 @query(

@@ -527,3 +527,37 @@ def test_sign_lsh_sql_build_path_matches_column_path(spark):
         sql_rows = dict(emb.select(
             "vec_id", sign_lsh_signature("_v", 4, 64, table).alias("s")).collect())
         assert col_rows == sql_rows
+
+
+def test_semantic_dedup_clusters_invariants(spark):
+    """Semantic dedup (k-means block -> cosine pairs -> CC): every label
+    is the min id of its component (canonical-min invariant), duplicate
+    vectors always share a cluster, and keep_canonical keeps exactly one
+    member per cluster plus all unclustered docs."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        keep_canonical,
+        semantic_dedup_clusters,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant an exact duplicate pair with fresh ids
+    base = emb.limit(1).select(F.lit(900001).alias("vec_id"), "embedding", "label")
+    dup = emb.limit(1).select(F.lit(900002).alias("vec_id"), "embedding", "label")
+    corpus = emb.unionByName(base).unionByName(dup)
+    clusters = semantic_dedup_clusters(
+        corpus, "vec_id", "embedding", threshold=0.25, num_clusters=8, n_iters=1, dim=64,
+        round_to=6,
+    )
+    rows = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    assert rows, "no clusters found on the fixture"
+    assert all(cid <= did for did, cid in rows.items())      # min-label
+    assert all(cid in rows and rows[cid] == cid for cid in set(rows.values()))
+    # identical vectors: same k-means cell, cosine 1.0 → same cluster
+    assert rows.get(900002) is not None
+    assert rows.get(900001, 900001) == rows[900002] or rows[900002] <= 900001
+    kept = keep_canonical(corpus, clusters, "vec_id")
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    # exactly the cluster representatives + unclustered singletons
+    all_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    expected = (all_ids - set(rows)) | {cid for cid in rows.values()}
+    assert kept_ids == expected
