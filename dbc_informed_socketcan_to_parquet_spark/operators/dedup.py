@@ -564,7 +564,7 @@ def semantic_dedup_clusters(
 
     dim, centers = _ivf_train(df, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, "expr")
     blocked = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "_blk", _nearest_label(F.col(vec_col).cast("array<double>"), centers)
+        "_blk", _nearest_label(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centers)
     )
     pairs = embedding_near_dup_pairs(
         blocked, id_col, vec_col, "_blk",
