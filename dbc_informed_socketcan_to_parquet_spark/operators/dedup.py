@@ -351,6 +351,12 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         rare = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df)
         sh = sh.join(rare.select("sh_hash"), "sh_hash", "left_semi")
+    # the capped shingle table feeds sizes AND both self-join sides —
+    # cache it once instead of re-running the explode+distinct (+ df-cap
+    # semi-join) three times; exposed as result._graft_cached_sh for
+    # callers that want to unpersist after materialization (see
+    # minhash_dedup_pairs for the lifetime contract)
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
     b = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
@@ -362,7 +368,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         common.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
@@ -372,6 +378,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._graft_cached_sh = sh  # caller may unpersist once materialized
+    return out
 
 
 # -- simhash -----------------------------------------------------------------
