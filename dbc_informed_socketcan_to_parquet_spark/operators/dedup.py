@@ -543,13 +543,14 @@ def semantic_dedup_clusters(
     round_to: int | None = None,
     kernel: str = "pandas",
     max_iters: int = 15,
+    nprobe: int = 1,
 ) -> DataFrame:
     """SEMANTIC near-dup clustering over an embedding column — the
     embedding-space analog of :func:`minhash_star_clusters`:
 
     1. block — a deterministic-Lloyd's coarse k-means quantizer (the
        same hash-checked machinery as the IVF ANN index) assigns every
-       vector to its nearest of ``num_clusters`` centroids;
+       vector to its ``nprobe`` nearest of ``num_clusters`` centroids;
     2. pair  — exact cosine ≥ ``threshold`` pairs WITHIN each block
        (numpy Gram-matmul kernel; the pair output is O(block²) by
        contract, the arithmetic is one BLAS flop per pair);
@@ -559,25 +560,36 @@ def semantic_dedup_clusters(
     Returns ``(doc_id, cluster_id)``; compose with
     :func:`keep_canonical` to keep one representative per group.
 
-    Blocking tradeoff: near-dups straddling a k-means boundary are
-    missed — the standard single-assignment recall cost (multi-probe
-    assignment buys recall at nprobe× pair volume).  At 100 TB the
-    assignment is the same one-off batch job as the persisted IVF
-    index; pairs + components then touch each inverted list
-    independently."""
+    Blocking tradeoff: near-dups whose vectors share NONE of their
+    ``nprobe`` blocks are missed.  ``nprobe=1`` is the cheap default;
+    raising it is the standard multi-probe recall lever at ~nprobe×
+    pair volume (components can only merge as nprobe grows — edges are
+    a superset; pytest-pinned).  At 100 TB the assignment is the same
+    one-off batch job as the persisted IVF index; pairs + components
+    then touch each inverted list independently."""
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
         _ivf_train,
         _nearest_label,
+        _nearest_labels,
     )
 
     dim, centers = _ivf_train(df, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, "expr")
-    blocked = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "_blk", _nearest_label(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centers)
-    )
+    vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if nprobe <= 1:
+        blocked = base.withColumn("_blk", _nearest_label(vec_sql, centers))
+    else:
+        blocked = base.withColumn(
+            "_blk", F.explode(_nearest_labels(vec_sql, centers, nprobe))
+        )
     pairs = embedding_near_dup_pairs(
         blocked, id_col, vec_col, "_blk",
         threshold=threshold, kernel=kernel, round_to=round_to,
     )
+    if nprobe > 1:
+        # the same pair can meet in several shared blocks (identical
+        # cosine each time); dedup before the CC edge list
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return dedup_clusters(pairs, max_iters=max_iters)
 
 

@@ -1852,13 +1852,17 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
-                               thr: float = 0.25) -> str:
+                               thr: float = 0.25, nprobe: int = 2) -> str:
     parts = _ivf_corpus_assign_ctes(dim, nplanes, n_iters)
+    final = f"centers{n_iters}"
+    parts.append(
+        f"multi_assign AS ({_ivf_assign_sql('vecs', final, f'rn <= {nprobe}')})"
+    )
     cos = ("round(list_dot_product(a.v, b.v) / "
            "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)")
     parts.append(f"""pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM corpus_assign a JOIN corpus_assign b
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM multi_assign a JOIN multi_assign b
         ON a.b = b.b AND a.vec_id < b.vec_id
       WHERE {cos} >= {thr}
     )""")
@@ -1882,16 +1886,18 @@ def _semantic_dedup_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2
 @extra_query("semantic_dedup", oracle=_semantic_dedup_oracle_sql())
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup clustering over embeddings: deterministic-
-    Lloyd's k-means blocks (the IVF quantizer, hash-checked above) →
-    exact cosine ≥ 0.25 pairs within each block (numpy Gram kernel) →
-    connected components.  The DuckDB oracle replays k-means + blocked
+    Lloyd's k-means blocks (the IVF quantizer, hash-checked above) with
+    MULTI-PROBE assignment (nprobe=2 — the recall lever for near-dups
+    straddling a k-means boundary) → exact cosine ≥ 0.25 pairs within
+    any shared block (numpy Gram kernel) → connected components.  The
+    DuckDB oracle replays k-means + rn≤nprobe assignment + blocked
     cosine + a recursive-CTE transitive closure."""
     from dbc_informed_socketcan_to_parquet_spark.operators.dedup import semantic_dedup_clusters
 
     emb = _read(spark, sf_dir, "embeddings")
     return semantic_dedup_clusters(
         emb, "vec_id", "embedding",
-        threshold=0.25, num_clusters=16, n_iters=2, dim=64, round_to=6,
+        threshold=0.25, num_clusters=16, n_iters=2, dim=64, round_to=6, nprobe=2,
     )
 
 

@@ -561,3 +561,24 @@ def test_semantic_dedup_clusters_invariants(spark):
     all_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
     expected = (all_ids - set(rows)) | {cid for cid in rows.values()}
     assert kept_ids == expected
+
+
+def test_semantic_dedup_multiprobe_only_merges(spark):
+    """Raising nprobe adds edges (each vector lands in a superset of
+    blocks), so connected components can only MERGE: any two docs
+    clustered together at nprobe=1 must share a cluster at nprobe=2."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import semantic_dedup_clusters
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(threshold=0.25, num_clusters=8, n_iters=1, dim=64, round_to=6)
+    c1 = {r.doc_id: r.cluster_id for r in
+          semantic_dedup_clusters(emb, "vec_id", "embedding", nprobe=1, **kw).collect()}
+    c2 = {r.doc_id: r.cluster_id for r in
+          semantic_dedup_clusters(emb, "vec_id", "embedding", nprobe=2, **kw).collect()}
+    assert set(c1) <= set(c2)                 # every clustered doc stays clustered
+    by_c1 = {}
+    for did, cid in c1.items():
+        by_c1.setdefault(cid, []).append(did)
+    for members in by_c1.values():
+        assert len({c2[m] for m in members}) == 1, "nprobe=2 split an nprobe=1 component"
+    assert len(set(c2.values())) <= len(set(c1.values())) + (len(set(c2) - set(c1)))
