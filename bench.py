@@ -85,6 +85,12 @@ def main() -> None:
     }))
 
 
+def _curate_run(docs):
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate
+
+    return lambda: curate(docs)
+
+
 def _fast_path_timings(spark, sf_dir: str) -> dict[str, float]:
     """The hash-bound corpus operators on the xxhash60 fast path (what a
     production pipeline without a cross-engine oracle would run)."""
@@ -117,6 +123,12 @@ def _fast_path_timings(spark, sf_dir: str) -> dict[str, float]:
             "doc_id", num_bands=4, rows_per_band=4,
             num_perms=16, verify_threshold=0.5,
         ),
+        # the flagship composition end-to-end (scrub → quality gate over
+        # materialized stats → exact dedup → star clusters → canonical,
+        # xxhash production path) — tracked so its trend is visible
+        # per-round; NOT in the headline sum, so `value` stays
+        # comparable across rounds
+        "curate_e2e": _curate_run(docs),
     }
     for name, mk in runs.items():
         samples = []
