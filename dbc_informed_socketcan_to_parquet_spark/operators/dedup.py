@@ -761,3 +761,192 @@ def contamination_check(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# -- paragraph-level exact dedup --------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the RefinedWeb /
+    MassiveText shape): split every document on ``sep``, keep each
+    distinct paragraph only at its FIRST occurrence corpus-wide (ordered
+    by ``(doc, position)``), drop repeats from later documents, and
+    reassemble the survivors in document order — boilerplate paragraphs
+    (cookie banners, license headers, nav text) vanish from every doc
+    but the first.
+
+    Paragraphs shorter than ``min_chars`` are structural (headings,
+    blank lines) and always pass through — they are not dedup
+    candidates.  ``sep`` is a Java regex in Spark; keep it a single
+    regex-safe literal so the oracle's literal split matches.
+
+    Output: ``(id_col, text_dedup, n_paras, n_kept)``; a doc whose every
+    paragraph was dropped surfaces with ``text_dedup = ''`` rather than
+    disappearing.
+
+    Scale: posexplode is a narrow generate; the first-occurrence winner
+    per paragraph hash is ``groupBy(h).agg(min(struct(doc, pos)))`` —
+    map-side partial min, so a 10M-copy boilerplate paragraph costs one
+    combiner cell per task instead of a 10M-row window sort (skew-safe,
+    unlike the ``row_number()`` formulation exact_dedup uses); the keep
+    decision is one shuffle join back on the uniform md5 key; reassembly
+    is one groupBy(doc) over ``sort_array(collect_list)`` — paragraph
+    counts per doc are bounded.  At 100 TB, materialize the exploded
+    paragraph table between the two passes (this expression recomputes
+    the split per consumer, which is cheap but re-reads the scan).
+    """
+    paras = fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    eligible = paras.filter(F.length("para") >= min_chars).withColumn(
+        "_h", F.md5(F.col("para"))
+    )
+    firsts = eligible.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_first")
+    )
+    kept_elig = (
+        eligible.join(firsts, "_h")
+        .filter((F.col(id_col) == F.col("_first.d")) & (F.col("pos") == F.col("_first.p")))
+        .select(id_col, "pos", "para")
+    )
+    kept = kept_elig.unionByName(
+        paras.filter(F.length("para") < min_chars).select(id_col, "pos", "para")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        F.col("n_paras"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+    )
+
+
+# -- incremental (bloom-gated) dedup against an existing corpus --------------
+
+def _bloom_positions(col: Column, num_bits: int, num_hashes: int, hash_fn=md5_long) -> Column:
+    """array<long> of ``num_hashes`` bit positions in [0, num_bits) for a
+    string column — salt-derived independent hash functions, so build and
+    probe sides evaluate the identical expressions."""
+    return F.array(
+        *[F.pmod(hash_fn(col, salt=f"bloom{i}|"), F.lit(num_bits)) for i in range(num_hashes)]
+    )
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    col: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    hash_fn=md5_long,
+):
+    """Distributed Bloom-filter build over a (huge) column → driver-side
+    numpy uint64 bitmap of ``num_bits`` bits.
+
+    Shape: per-row positions (narrow) → explode → ``groupBy(word)`` with
+    a ``bit_or`` of single-bit masks — map-side partial OR means the
+    shuffle carries at most ``num_bits/64`` rows total regardless of
+    corpus size; the collect is ≤ num_bits/64 (word, mask) pairs
+    (1 MiB of longs per 2^23 bits).  Unlike ``df.stat.bloomFilter`` the
+    probe side stays fully vectorizable (numpy index + mask test) because
+    the position expressions are plain Spark columns shared by build and
+    probe.
+    """
+    import numpy as np
+
+    pos = F.explode(_bloom_positions(F.col(col), num_bits, num_hashes, hash_fn)).alias("_pos")
+    words = (
+        df.select(pos)
+        .select(
+            F.shiftrightunsigned(F.col("_pos"), 6).alias("_w"),
+            # shiftleft's numBits arg must be a column via SQL text — the
+            # python wrapper only takes an int literal
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_mask"))
+        .collect()
+    )
+    bitmap = np.zeros((num_bits + 63) // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[r["_w"]] = np.uint64(r["_mask"] & 0xFFFFFFFFFFFFFFFF)
+    return bitmap
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """Incremental ingest dedup: rows of ``batch`` whose content does NOT
+    already appear in ``corpus`` — EXACT result, Bloom-gated cost.
+
+    The 100 TB problem: a daily batch (small) must be anti-joined against
+    the full historical corpus (huge).  A plain anti-join shuffles the
+    batch against every corpus partition's hash column.  Here a Bloom
+    bitmap of the corpus content hashes is built once (one map-side-OR
+    aggregation over the corpus — see :func:`bloom_bitmap` — amortized
+    across batches by persisting it) and broadcast; batch rows whose bits
+    miss are DEFINITELY new and pass through with zero join.  Only the
+    Bloom-positive sliver (true dups + ~fpp false positives) pays the
+    exact anti-join, and that join's corpus side prunes to matching hash
+    partitions (bucket the corpus by content hash in production).  False
+    positives are eliminated by the verify join, so the result equals the
+    plain anti-join bit-for-bit.
+
+    Probe is a vectorized Arrow-batched pandas UDF: positions are
+    computed JVM-side by the same expressions as the build; Python only
+    does a numpy gather + mask test.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = batch.sparkSession
+    hashes = corpus.select(F.md5(F.col(text_col)).alias("_ch")).distinct()
+    bitmap = bloom_bitmap(hashes, "_ch", num_bits, num_hashes, hash_fn)
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    def _might_contain(positions):
+        bm = bc.value
+        if len(positions) == 0:
+            return pd.Series(np.empty(0, dtype=bool))
+        # (n, k) gather + mask test — no per-row Python
+        p = np.array(positions.tolist(), dtype=np.uint64)
+        hit = bm[(p >> np.uint64(6)).astype(np.int64)] & (np.uint64(1) << (p & np.uint64(63)))
+        return pd.Series((hit != 0).all(axis=1))
+
+    # `from __future__ import annotations` stringifies hints against module
+    # globals (where pd is absent) — set real objects for udf inference
+    _might_contain.__annotations__ = {"positions": pd.Series, "return": pd.Series}
+    might_contain = pandas_udf(_might_contain, "boolean")
+
+    probed = batch.withColumn("_ch", F.md5(F.col(text_col))).withColumn(
+        "_maybe",
+        might_contain(_bloom_positions(F.col("_ch"), num_bits, num_hashes, hash_fn)),
+    )
+    definitely_new = probed.filter(~F.col("_maybe"))
+    candidates = probed.filter(F.col("_maybe"))
+    verified_new = candidates.join(
+        corpus.select(F.md5(F.col(text_col)).alias("_ch")).distinct(), "_ch", "left_anti"
+    )
+    return definitely_new.unionByName(verified_new).drop("_ch", "_maybe")

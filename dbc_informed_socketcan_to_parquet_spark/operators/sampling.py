@@ -324,3 +324,34 @@ def stratified_sample(
             raise ValueError(f"fraction must be in [0, 1], got {fractions}")
         expr = F.lit(float(fractions))
     return df.filter(u < expr)
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: order the
+    corpus by a seeded hash of the id so examples are (a) well mixed —
+    adjacent source rows land far apart, every output shard is an
+    unbiased corpus sample — and (b) byte-reproducible across runs,
+    cluster sizes, and input partitionings (unlike ``orderBy(rand())``).
+
+    One repartition on the hash key + a partition-local sort: shards are
+    independent, so at 100 TB each writes in parallel and a re-run with
+    the same seed reproduces the epoch exactly; a different seed is a
+    fresh permutation.  The id tiebreak makes the order total even under
+    hash collisions.
+    """
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"shuffle{seed}|"), F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    out = df.withColumn("_shuffle_key", key)
+    out = (
+        out.repartition(num_partitions, "_shuffle_key")
+        if num_partitions
+        else out.repartition("_shuffle_key")
+    )
+    return out.sortWithinPartitions("_shuffle_key", id_col).drop("_shuffle_key")

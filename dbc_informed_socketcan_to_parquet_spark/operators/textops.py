@@ -255,3 +255,112 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
     for pat, tag in _PII_PATTERNS:
         c = F.regexp_replace(c, pat, tag)
     return df.withColumn(out_col or text_col, c)
+
+
+# -- n-gram LM quality scoring (CCNet-style) ---------------------------------
+
+#: token split used by the LM — lowercase alnum/apostrophe runs.  Kept as a
+#: module constant so the DuckDB oracle renders the identical regex.
+LM_TOKEN_SPLIT = r"[^a-z0-9']+"
+
+
+def _lm_tokens(text_col: str) -> "Column":
+    """array<string> of non-empty lowercase tokens."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), LM_TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+
+
+def _lm_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — consecutive token pairs, built array-side (one
+    slice+zip per doc, one explode) instead of a positional self-join."""
+    toks = _lm_tokens(text_col)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(F.col(id_col), F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def train_bigram_lm(corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Train an add-one-smoothed bigram LM on a corpus slice.
+
+    Returns ``(bigram_counts, context_counts, vocab_size)`` where
+    ``bigram_counts`` is (w1, w2, c12), ``context_counts`` is (w1, c1 =
+    number of bigrams starting with w1), and ``vocab_size`` is the
+    corpus-wide distinct token count — so
+    ``P(w2|w1) = (c12 + 1) / (c1 + V)`` is a proper conditional
+    (sums to 1 over the smoothed vocab).
+
+    Scale: two hash aggregations with map-side partials (bigram and
+    context counts); V is one countDistinct.  In production, threshold
+    to the top-V bigrams so the score join broadcasts — the full tables
+    are kept here for oracle parity.
+    """
+    bg = _lm_bigrams(corpus, id_col, text_col)
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    context_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_size = (
+        corpus.select(F.explode(_lm_tokens(text_col)).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+        .collect()[0]["v"]
+    )
+    return bigram_counts, context_counts, vocab_size
+
+
+def lm_score(
+    df: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """Per-document n-gram LM quality score (the CCNet / Wikipedia-LM
+    filter shape): average bigram log-probability under an add-one
+    bigram LM trained on ``corpus`` (default: ``df`` itself — in
+    production, train on a trusted reference slice and score the crawl).
+
+    Output: ``(id_col, n_bigrams, avg_logp, perplexity)`` for every doc
+    with ≥ 1 bigram; higher ``avg_logp`` (lower perplexity) = more
+    reference-like text.  Unknown bigrams back off to the add-one floor
+    ``1 / (c1 + V)`` (or ``1 / V`` for unseen contexts), so OOV-heavy
+    gibberish scores low — exactly the filtering signal.
+
+    Scale: score = one bigram explode over the scored set + a join
+    against the LM tables on (w1, w2) then w1 — with ``broadcast_lm``
+    the (top-V, thresholded) LM broadcasts and the score pass is
+    join-shuffle-free; the aggregate is one groupBy(doc) with map-side
+    partials.  Floats are rounded to ``round_to`` decimals so the score
+    is engine-reproducible (ln() differs in the last ulp across libms).
+    """
+    bigram_counts, context_counts, vocab_size = train_bigram_lm(
+        corpus if corpus is not None else df, text_col, id_col
+    )
+    if broadcast_lm:
+        bigram_counts = F.broadcast(bigram_counts)
+        context_counts = F.broadcast(context_counts)
+    bg = _lm_bigrams(df, id_col, text_col)
+    scored = (
+        bg.join(bigram_counts, ["w1", "w2"], "left")
+        .join(context_counts, ["w1"], "left")
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vocab_size)).cast("double")
+            ).alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.avg("_lp").alias("_avg")
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.round(F.col("_avg"), round_to).alias("avg_logp"),
+        F.round(F.exp(-F.col("_avg")), round_to).alias("perplexity"),
+    )

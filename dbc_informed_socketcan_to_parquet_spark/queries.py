@@ -2179,3 +2179,176 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20),
         "doc_id", "text", shingle_n=8, min_shared=200,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 north-star additions: paragraph-level dedup, incremental
+# (Bloom-gated) ingest dedup, n-gram LM quality scoring, heavy hitters.
+# ---------------------------------------------------------------------------
+
+#: documents.text is single-line, so the paragraph fixtures are synthesized
+#: deterministically in BOTH engines: 8-word chunks re-joined with \n —
+#: near-dup docs share aligned chunks, so the dedup genuinely fires
+#: (~175 dropped paragraphs at sf0.01).
+_PARA_CHUNK = 8
+
+_PARA_SYNTH_SQL = f"""
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             range(CAST(ceil(len(string_split(text, ' ')) / {_PARA_CHUNK}.0) AS BIGINT)),
+             r -> array_to_string(
+                    list_slice(string_split(text, ' '),
+                               r * {_PARA_CHUNK} + 1, r * {_PARA_CHUNK} + {_PARA_CHUNK}),
+                    ' ')),
+           chr(10)) AS text
+  FROM documents
+"""
+
+
+@extra_query(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH chunked AS ({_PARA_SYNTH_SQL}),
+    paras AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+             unnest(string_split(text, chr(10))) AS para
+      FROM chunked
+    ),
+    elig AS (SELECT * FROM paras WHERE len(para) >= 20),
+    ranked AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+      FROM elig
+    ),
+    kept AS (
+      SELECT doc_id, pos, para FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, pos, para FROM paras WHERE len(para) < 20
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM paras GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+           t.n_paras, coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (RefinedWeb / MassiveText
+    shape): first occurrence of each paragraph wins, later copies drop,
+    docs reassemble in order (operators/dedup.paragraph_dedup); the
+    oracle replays the first-occurrence window + ordered string_agg."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import paragraph_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.ceil(F.size(toks) / F.lit(float(_PARA_CHUNK))).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda r: F.array_join(F.slice(toks, r * _PARA_CHUNK + 1, _PARA_CHUNK), " "),
+    )
+    chunked = docs.select("doc_id", F.array_join(paras, "\n").alias("text"))
+    return paragraph_dedup(chunked, "doc_id", "text", sep="\n", min_chars=20)
+
+
+@extra_query(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+         batch  AS (SELECT * FROM documents WHERE doc_id % 3 = 0)
+    SELECT b.doc_id, b.source, b.n_chars
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text))
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a re-crawl batch (doc_id % 3 = 0,
+    overlapping the historical corpus doc_id % 10 < 8) anti-joined
+    against corpus content — Bloom-gated so only bloom-positive rows pay
+    the exact verify join (operators/dedup.dedup_against_corpus); the
+    result is exact, so the oracle is the plain NOT EXISTS."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import dedup_against_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    # 2^16 bits keeps the fixture build tiny while still exercising the
+    # bitmap path; fpp only affects how many rows reach the verify join
+    return dedup_against_corpus(
+        batch, corpus, "doc_id", "text", num_bits=1 << 16, num_hashes=5
+    ).select("doc_id", "source", "n_chars")
+
+
+_LM_TOKS_SQL = """
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                t -> t != '')) AS w,
+             generate_subscripts(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                             t -> t != ''), 1) AS i
+      FROM documents
+"""
+
+_LM_BIGRAM_CTES = f"""
+    toks AS ({_LM_TOKS_SQL}),
+    bg AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    )
+"""
+
+
+@extra_query(
+    "lm_score",
+    oracle=f"""
+    WITH {_LM_BIGRAM_CTES},
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1  AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v   AS (SELECT count(DISTINCT w) AS v FROM toks),
+    lp AS (
+      SELECT bg.doc_id, ln((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE)) AS lp
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logp, round(exp(-avg(lp)), 6) AS perplexity
+    FROM lp GROUP BY doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram LM quality score (CCNet-style filter): average
+    bigram log-probability under an add-one bigram LM trained on the
+    corpus; low scorers are the OOV-heavy gibberish a quality gate drops
+    (operators/textops.lm_score)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import lm_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return lm_score(docs, id_col="doc_id", text_col="text", round_to=6)
+
+
+@extra_query(
+    "frequent_ngrams",
+    oracle=f"""
+    WITH {_LM_BIGRAM_CTES}
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY 1, 2
+    ORDER BY n DESC, w1, w2 LIMIT 20
+    """,
+)
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: global top-20 bigrams by occurrence — the
+    boilerplate/contamination survey query (one grouped count with
+    map-side partials + TakeOrdered, never a full sort)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import _lm_bigrams
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        _lm_bigrams(docs, "doc_id", "text")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(20)
+    )

@@ -582,3 +582,75 @@ def test_semantic_dedup_multiprobe_only_merges(spark):
     for members in by_c1.values():
         assert len({c2[m] for m in members}) == 1, "nprobe=2 split an nprobe=1 component"
     assert len(set(c2.values())) <= len(set(c1.values())) + (len(set(c2) - set(c1)))
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    boiler = "subscribe to our newsletter for the latest updates today"
+    rows = [
+        (0, f"unique opening paragraph about spark\n{boiler}\nshort"),
+        (1, f"{boiler}\nanother unique paragraph about duckdb engines"),
+        (2, f"{boiler}"),                       # every paragraph a dup
+        (3, "tiny"),                            # below min_chars: always kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import paragraph_dedup
+
+    out = {r.doc_id: r for r in paragraph_dedup(df, min_chars=20).collect()}
+    # doc 0 is first: keeps everything (incl. its short structural line)
+    assert out[0].text_dedup == rows[0][1]
+    assert (out[0].n_paras, out[0].n_kept) == (3, 3)
+    # doc 1 loses the boilerplate, keeps its unique paragraph
+    assert out[1].text_dedup == "another unique paragraph about duckdb engines"
+    assert (out[1].n_paras, out[1].n_kept) == (2, 1)
+    # doc 2 loses its only paragraph but still surfaces
+    assert out[2].text_dedup == "" and out[2].n_kept == 0
+    # short docs pass through untouched
+    assert out[3].text_dedup == "tiny" and out[3].n_kept == 1
+
+
+def test_dedup_against_corpus_exact_equivalence(spark):
+    """Bloom-gated incremental dedup == plain anti-join, including under a
+    deliberately tiny bitmap (forced false positives exercise the verify
+    join) and a huge one (most rows skip the join entirely)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(i, f"historical document number {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        # 20 overlap the corpus, 20 are new
+        [(1000 + i, f"historical document number {i}") for i in range(20)]
+        + [(2000 + i, f"fresh crawl document {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    expected = {2000 + i for i in range(20)}
+    for num_bits in (1 << 6, 1 << 20):   # 64 bits => heavy false positives
+        got = {
+            r.doc_id
+            for r in dedup_against_corpus(batch, corpus, num_bits=num_bits).collect()
+        }
+        assert got == expected, num_bits
+
+
+def test_lm_score_ranks_oov_text_low(spark):
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(5)],
+        "doc_id long, text string",
+    )
+    scored_df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "zxqv wkjh qpzm vbnx lkjq zzzz yyyy xxxx wwww")],
+        "doc_id long, text string",
+    )
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import lm_score
+
+    out = {r.doc_id: r for r in lm_score(scored_df, corpus=corpus).collect()}
+    assert out[0].avg_logp > out[1].avg_logp          # in-domain >> gibberish
+    assert out[0].perplexity < out[1].perplexity
+    assert out[0].n_bigrams == 8 and out[1].n_bigrams == 8
+    # broadcast_lm is a pure physical hint: identical values
+    bc = {r.doc_id: r for r in lm_score(scored_df, corpus=corpus, broadcast_lm=True).collect()}
+    assert {d: (r.avg_logp, r.perplexity) for d, r in out.items()} == {
+        d: (r.avg_logp, r.perplexity) for d, r in bc.items()
+    }

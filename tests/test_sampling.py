@@ -253,3 +253,48 @@ def test_ffd_kernel_matches_linear_scan_and_is_fast():
     t_old = time.time() - t0
     assert (list(new[0]), new[1], list(new[2])) == old
     assert t_old / max(t_new, 1e-9) >= 10, f"only {t_old / t_new:.1f}x"
+
+
+def test_shuffle_deterministic_reproducible_permutation(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        shuffle_deterministic,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(500)], "doc_id long, text string"
+    )
+
+    def epoch(seed, parts=7):
+        # per-partition sequences, exactly as a shard writer would see them
+        return (
+            shuffle_deterministic(docs, seed=seed, num_partitions=parts)
+            .withColumn("_p", F.spark_partition_id())
+            .select("_p", "doc_id")
+            .rdd.mapPartitions(lambda it: [[r.doc_id for r in it]])
+            .collect()
+        )
+
+    e0a, e0b, e1 = epoch(0), epoch(0), epoch(1)
+    # byte-reproducible: same seed => identical shard contents AND order
+    assert e0a == e0b
+    # a permutation: nothing lost, nothing duplicated
+    assert sorted(x for p in e0a for x in p) == list(range(500))
+    assert sorted(x for p in e1 for x in p) == list(range(500))
+    # a different seed is a genuinely different permutation
+    assert e0a != e1
+    # well mixed: consecutive source ids do not stay adjacent
+    flat = [x for p in e0a for x in p]
+    adjacent = sum(1 for a, b in zip(flat, flat[1:]) if abs(a - b) == 1)
+    assert adjacent < 25
+    # input partitioning does not leak into the output order
+    repart = {
+        tuple(p)
+        for p in (
+            shuffle_deterministic(docs.repartition(13), seed=0, num_partitions=7)
+            .withColumn("_p", F.spark_partition_id())
+            .select("_p", "doc_id")
+            .rdd.mapPartitions(lambda it: [tuple(r.doc_id for r in it)])
+            .collect()
+        )
+    }
+    assert repart == {tuple(p) for p in e0a}

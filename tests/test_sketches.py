@@ -79,3 +79,35 @@ def test_percentile_approx_rank_bound(spark):
                 f"event_type={et} q={q}: approx={got} outside exact rank "
                 f"band [{lo}, {hi}] (n={n}, slack={slack})"
             )
+
+
+def test_sketch_rollup_union_matches_direct_sketch(spark):
+    """Mergeable-rollup contract: union of per-slice HLL sketches gives the
+    same estimate as sketching the union directly, and the estimate stays
+    within the lg_k=12 error band of exact."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.sketches import (
+        sketch_rollup,
+        sketch_union,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    rollup = sketch_rollup(ev, ["event_type"], "user_id", lg_k=12)
+    assert rollup.count() == ev.select("event_type").distinct().count()
+
+    merged = sketch_union(rollup, [])
+    est = merged.collect()[0]["estimate"]
+    exact = ev.select("user_id").distinct().count()
+    # lg_k=12 => rsd ~ 1.04/sqrt(4096) ~ 1.6%; allow 5 sigma
+    assert abs(est - exact) <= max(5 * 0.0163 * exact, 3.0), (est, exact)
+
+    import pyspark.sql.functions as F
+    direct = (
+        ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert est == direct     # union of partials == one-shot sketch
+
+    # re-aggregating to a coarser grain preserves per-group n_rows
+    per_type = {r["event_type"]: r["n_rows"] for r in sketch_union(rollup, ["event_type"]).collect()}
+    truth = {r["event_type"]: r["cnt"] for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    assert per_type == truth
