@@ -295,14 +295,18 @@ def train_bigram_lm(corpus: DataFrame, text_col: str = "text", id_col: str = "do
     ``P(w2|w1) = (c12 + 1) / (c1 + V)`` is a proper conditional
     (sums to 1 over the smoothed vocab).
 
-    Scale: two hash aggregations with map-side partials (bigram and
-    context counts); V is one countDistinct.  In production, threshold
-    to the top-V bigrams so the score join broadcasts — the full tables
-    are kept here for oracle parity.
+    Scale: ONE hash aggregation over the exploded bigrams (map-side
+    partials); context counts re-aggregate the already-counted bigram
+    table — sum(c12) group by w1 — instead of a second pass over the raw
+    explode; V is one countDistinct over tokens.  In production,
+    threshold to the top-V bigrams so the score join broadcasts — the
+    full tables are kept here for oracle parity.
     """
     bg = _lm_bigrams(corpus, id_col, text_col)
     bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    context_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1 = Σ_w2 c12(w1, w2): exact, and aggregates the (small) counted
+    # table rather than re-exploding the corpus
+    context_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab_size = (
         corpus.select(F.explode(_lm_tokens(text_col)).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
@@ -340,6 +344,10 @@ def lm_score(
     bigram_counts, context_counts, vocab_size = train_bigram_lm(
         corpus if corpus is not None else df, text_col, id_col
     )
+    # the counted table feeds both the context re-aggregation and the
+    # score join — cache it so the corpus-wide bigram explode+count runs
+    # once (callers may unpersist via ._graft_cached_lm once materialized)
+    cached_lm = bigram_counts = bigram_counts.cache()
     if broadcast_lm:
         bigram_counts = F.broadcast(bigram_counts)
         context_counts = F.broadcast(context_counts)
@@ -358,9 +366,11 @@ def lm_score(
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"), F.avg("_lp").alias("_avg")
     )
-    return per_doc.select(
+    out = per_doc.select(
         F.col(id_col),
         F.col("n_bigrams"),
         F.round(F.col("_avg"), round_to).alias("avg_logp"),
         F.round(F.exp(-F.col("_avg")), round_to).alias("perplexity"),
     )
+    out._graft_cached_lm = cached_lm  # caller may unpersist once materialized
+    return out
