@@ -204,3 +204,51 @@ def test_leakage_safe_split_no_extra_shuffle(spark):
     plan = plan_of(leakage_safe_split(docs, clusters, {"train": 0.9, "test": 0.1}))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" not in plan  # pure join + projection
+
+
+def test_paragraph_dedup_partial_agg_no_window(spark):
+    """First-occurrence selection must be the skew-safe partial min-struct
+    aggregation, never a per-hash window sort (a 10M-copy boilerplate
+    paragraph would serialize into one task's sort)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import paragraph_dedup
+
+    plan = plan_of(paragraph_dedup(docs))
+    assert "partial_min" in plan          # map-side combiner on the struct min
+    assert "Window" not in plan
+
+
+def test_dedup_incremental_definitely_new_skips_join(spark):
+    """Bloom-negative rows must reach the output through a join-free
+    branch: the union's first child (the ~fpp-filtered sliver is the only
+    side paying the anti-join)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import dedup_against_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    plan = plan_of(dedup_against_corpus(batch, corpus, num_bits=1 << 16))
+    assert plan.count("Join") >= 1        # the verify branch
+    union_part = plan.split("Union", 1)[1] if "Union" in plan else plan
+    # exactly one join in the whole plan — the bloom-negative branch has none
+    import re as _re
+    assert len(_re.findall(r"^\(\d+\) .*Join", plan, _re.M)) == 1
+
+
+def test_lm_score_broadcast_path(spark):
+    """broadcast_lm=True must turn both LM joins into broadcast joins —
+    the production top-V path is join-shuffle-free over the scored set."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import lm_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(lm_score(docs, broadcast_lm=True))
+    import re as _re
+    # one detail line per node: both LM joins broadcast, none sort-merge
+    assert len(_re.findall(r"^\(\d+\) BroadcastHashJoin", plan, _re.M)) == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_frequent_ngrams_no_global_sort(spark):
+    plan = plan_of(EXTRA_QUERIES["frequent_ngrams"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
