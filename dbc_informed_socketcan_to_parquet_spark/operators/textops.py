@@ -374,3 +374,75 @@ def lm_score(
     )
     out._graft_cached_lm = cached_lm  # caller may unpersist once materialized
     return out
+
+
+# -- hashed linear classifier scoring (fastText-style) -----------------------
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+    bigrams: bool = True,
+    bias: float = 0.0,
+    seed: str = "clf",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document quality-classifier score — the fastText-shaped linear
+    model every curation stack runs (OH/Wikipedia-vs-crawl style): tokens
+    (and optionally word bigrams) hash into ``num_features`` buckets,
+    the document is the MEAN of its features' weights plus a bias, and
+    the score is the logistic of that margin.
+
+    ``weights`` is the trained model as an (idx int, w double) DataFrame —
+    tiny (≤ num_features rows), so it broadcast-joins against the hashed
+    feature table and the scoring pass is join-shuffle-free.  With
+    ``weights=None`` a deterministic pseudo-model is derived from the
+    feature index hash (w ∈ [-1, 1]) — the plumbing-complete stand-in for
+    an externally trained model, and the DuckDB-reproducible oracle path
+    (no join at all: the weight is a pure expression of the index).
+
+    Output: ``(id_col, n_features, margin, prob)``, rounded to
+    ``round_to`` so ln/exp engine differences wash out.
+
+    Scale: one explode (unigram + zipped bigram arrays) + at most one
+    broadcast join + one groupBy(doc) with map-side partial sums.
+    """
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+
+    toks = _lm_tokens(text_col)
+    feats = toks
+    if bigrams:
+        pair_strs = F.transform(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+            ),
+            lambda p: F.concat(p["a"], F.lit(" "), p["b"]),
+        )
+        feats = F.concat(toks, pair_strs)
+    hashed = df.select(F.col(id_col), F.explode(feats).alias("_f")).select(
+        F.col(id_col),
+        F.pmod(md5_long(F.col("_f"), salt=f"{seed}|"), F.lit(num_features)).alias("idx"),
+    )
+    if weights is not None:
+        weighted = hashed.join(F.broadcast(weights), "idx", "left").select(
+            F.col(id_col), F.coalesce(F.col("w"), F.lit(0.0)).alias("w")
+        )
+    else:
+        # deterministic pseudo-weights: w(idx) = (h(idx) mod 2001 - 1000)/1000
+        weighted = hashed.select(
+            F.col(id_col),
+            ((md5_long(F.col("idx"), salt=f"{seed}-w|") % 2001 - 1000) / F.lit(1000.0)).alias("w"),
+        )
+    per_doc = weighted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_features"), F.avg("w").alias("_m")
+    )
+    margin = F.col("_m") + F.lit(float(bias))
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_features"),
+        F.round(margin, round_to).alias("margin"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), round_to).alias("prob"),
+    )

@@ -2352,3 +2352,42 @@ def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "w1", "w2")
         .limit(20)
     )
+
+
+_CLF_FEATS = 1 << 18
+
+
+@extra_query(
+    "classifier_score",
+    oracle=f"""
+    WITH {_LM_BIGRAM_CTES},
+    feats AS (
+      SELECT doc_id, w AS f FROM toks
+      UNION ALL
+      SELECT doc_id, w1 || ' ' || w2 AS f FROM bg
+    ),
+    hashed AS (
+      SELECT doc_id, {md5_long_sql('f', salt='clf|')} % {_CLF_FEATS} AS idx FROM feats
+    ),
+    weighted AS (
+      SELECT doc_id,
+             ({md5_long_sql('idx', salt='clf-w|')} % 2001 - 1000) / 1000.0 AS w
+      FROM hashed
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+           round(avg(w), 6) AS margin,
+           round(1.0 / (1.0 + exp(-avg(w))), 6) AS prob
+    FROM weighted GROUP BY doc_id
+    """,
+)
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed linear classifier scoring: unigram + word-
+    bigram features hash into 2^18 buckets, the doc score is the logistic
+    of the mean feature weight (operators/textops.classifier_score; the
+    deterministic pseudo-model stands in for a trained weight table,
+    which would broadcast-join instead — plan-guarded in
+    tests/test_plan_quality.py)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import classifier_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return classifier_score(docs, num_features=_CLF_FEATS, bigrams=True)

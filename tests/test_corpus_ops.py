@@ -654,3 +654,32 @@ def test_lm_score_ranks_oov_text_low(spark):
     assert {d: (r.avg_logp, r.perplexity) for d, r in out.items()} == {
         d: (r.avg_logp, r.perplexity) for d, r in bc.items()
     }
+
+
+def test_classifier_score_trained_weights_path(spark):
+    """Trained-weight path: weights hit exactly the hashed indices of the
+    intended features (unigram AND word-bigram), misses coalesce to 0."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import classifier_score
+
+    nf = 1 << 18
+
+    def idx(feat, seed="clf"):
+        return _py_md5_long(feat, salt=f"{seed}|") % nf
+
+    docs = spark.createDataFrame(
+        [(0, "this text is very good indeed"), (1, "plain neutral words only here")],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame(
+        [(idx("good"), 10.0), (idx("very good"), 4.0)], "idx long, w double"
+    )
+    out = {r.doc_id: r for r in classifier_score(docs, weights=w, num_features=nf).collect()}
+    # doc 0: 6 unigrams + 5 bigrams = 11 features; hits = 10 + 4
+    assert out[0].n_features == 11
+    assert out[0].margin == pytest.approx(14.0 / 11, abs=1e-6)
+    assert out[0].prob > 0.7
+    # doc 1 hits nothing: margin 0, prob exactly 0.5
+    assert out[1].margin == 0.0 and out[1].prob == 0.5
+    # bias shifts the margin, not the feature sum
+    biased = {r.doc_id: r for r in classifier_score(docs, weights=w, num_features=nf, bias=-1.0).collect()}
+    assert biased[1].margin == -1.0

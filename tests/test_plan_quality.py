@@ -252,3 +252,16 @@ def test_frequent_ngrams_no_global_sort(spark):
     plan = plan_of(EXTRA_QUERIES["frequent_ngrams"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_classifier_score_broadcasts_weights(spark):
+    """The trained-model join must broadcast (the weight table is ≤
+    num_features rows) — scoring is join-shuffle-free over the corpus."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import classifier_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = spark.createDataFrame([(1, 0.5)], "idx long, w double")
+    plan = plan_of(classifier_score(docs, weights=w))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan and "partial_avg" in plan
