@@ -5,8 +5,14 @@ Stage order is chosen for scale, cheapest-first so each stage shrinks the
 input of the next:
 
 1. PII scrub           — codegen'd regexp chain, no shuffle.
+1b. paragraph dedup    — (opt-in) corpus-wide first-occurrence paragraph
+                         dedup; rewrites text before anything judges it.
 2. quality gate        — doc_stats + repetition_stats thresholds; drops
                          boilerplate before any hashing happens.
+2b. classifier gate    — (opt-in) hashed-linear-classifier probability
+                         threshold; broadcast weight join, explode-cheap.
+2c. LM gate            — (opt-in) bigram-LM perplexity threshold trained
+                         on the gated survivors (CCNet shape).
 3. exact dedup         — one shuffle on the content hash; removes the
                          cheap mass of byte-identical copies so MinHash
                          only sees near-dup candidates.
@@ -64,6 +70,22 @@ class CurateConfig:
     # families estimate Jaccard with the same error bound), so the
     # default for a real curation run is the fast one.
     hash_fn: str = "xxhash"
+    # optional stages (r5), all off by default so the classic pipeline is
+    # unchanged:
+    # corpus-wide paragraph dedup BEFORE the quality gate (it rewrites
+    # text, so everything downstream must see the deduped version);
+    # paragraphs shorter than paragraph_min_chars always pass
+    paragraph_dedup: bool = False
+    paragraph_sep: str = "\n"
+    paragraph_min_chars: int = 20
+    # drop docs whose bigram-LM perplexity exceeds this (CCNet-style
+    # gibberish gate); docs with <2 tokens have no bigrams and also drop
+    # (conservative).  None = stage off
+    max_perplexity: float | None = None
+    # drop docs scoring below this under the hashed linear classifier;
+    # None = stage off (weights come in via curate(classifier_weights=))
+    min_clf_prob: float | None = None
+    clf_num_features: int = 1 << 18
 
 
 def curate(
@@ -71,9 +93,11 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     config: CurateConfig = CurateConfig(),
+    classifier_weights: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the kept documents with
-    their original schema (text scrubbed when ``config.scrub``)."""
+    their original schema (text scrubbed when ``config.scrub``, rebuilt
+    when ``config.paragraph_dedup``)."""
     # Fan out between the scrub and the stats battery: a few-file corpus
     # scans as file-count partitions, so without the exchange the text
     # stages would run ~2-wide on 32 cores (measured r5 at sf1).
@@ -81,6 +105,24 @@ def curate(
     # no-op (functions/partitioning).
     out = scrub_pii(docs, text_col) if config.scrub else docs
     out = fan_out(out, force=True)
+
+    if config.paragraph_dedup:
+        # corpus-wide first-occurrence paragraph dedup (RefinedWeb shape):
+        # rewrites text in place, so the quality gate below judges the
+        # deduped document.  One materialization boundary — the rebuilt
+        # text feeds every later stage (at cluster scale: a table write).
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import paragraph_dedup
+
+        rebuilt = paragraph_dedup(
+            out, id_col, text_col,
+            sep=config.paragraph_sep, min_chars=config.paragraph_min_chars,
+        ).localCheckpoint(eager=False)
+        keep = [c for c in out.columns if c != text_col]
+        out = (
+            out.select(*keep)
+            .join(rebuilt.select(id_col, F.col("text_dedup").alias(text_col)), id_col)
+            .select(*docs.columns)
+        )
 
     # one shuffle-free projection (r4) — no doc_stats ⋈ repetition join.
     # The localCheckpoint is an OPTIMIZER BARRIER, not a convenience:
@@ -102,6 +144,31 @@ def curate(
         & (F.col("top_bigram_ratio") <= config.max_top_bigram_ratio)
     ).select(id_col)
     out = out.join(good_ids, id_col, "left_semi")
+
+    if config.min_clf_prob is not None:
+        # hashed-linear-classifier gate: one explode + broadcast weight
+        # join + per-doc mean — cheaper than the LM gate, so it runs
+        # first and shrinks the LM's input
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import classifier_score
+
+        if classifier_weights is None:
+            raise ValueError("min_clf_prob set but classifier_weights not provided")
+        clf_ids = classifier_score(
+            out, weights=classifier_weights, id_col=id_col, text_col=text_col,
+            num_features=config.clf_num_features,
+        ).filter(F.col("prob") >= config.min_clf_prob).select(id_col)
+        out = out.join(clf_ids, id_col, "left_semi")
+
+    if config.max_perplexity is not None:
+        # bigram-LM gibberish gate (CCNet shape): the LM trains on the
+        # already-gated survivors — the cleanest slice available without
+        # an external reference corpus
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import lm_score
+
+        lm_ids = lm_score(out, id_col=id_col, text_col=text_col).filter(
+            F.col("perplexity") <= config.max_perplexity
+        ).select(id_col)
+        out = out.join(lm_ids, id_col, "left_semi")
 
     out = exact_dedup(out, id_col, text_col)
 

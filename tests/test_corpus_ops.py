@@ -683,3 +683,41 @@ def test_classifier_score_trained_weights_path(spark):
     # bias shifts the margin, not the feature sum
     biased = {r.doc_id: r for r in classifier_score(docs, weights=w, num_features=nf, bias=-1.0).collect()}
     assert biased[1].margin == -1.0
+
+
+def test_paragraph_dedup_matches_python_reference(spark):
+    """Randomized (seeded) corpus vs a direct Python replay of the
+    first-occurrence-wins semantics."""
+    import random
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    # a small paragraph pool => genuine cross-doc collisions
+    pool = [" ".join(rng.choices(vocab, k=rng.randint(1, 6))) for _ in range(12)]
+    rows = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 5))))
+        for i in range(30)
+    ]
+    min_chars = 15
+
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text in rows:                  # rows are in (doc, pos) order
+        paras = text.split("\n")
+        kept = []
+        for p in paras:
+            if len(p) < min_chars:
+                kept.append(p)
+            elif p not in seen:
+                seen.add(p)
+                kept.append(p)
+        expected[doc_id] = ("\n".join(kept), len(paras), len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_dedup, r.n_paras, r.n_kept)
+        for r in paragraph_dedup(df, min_chars=min_chars).collect()
+    }
+    assert got == expected

@@ -146,3 +146,51 @@ def test_curate_quality_filter_reads_materialized_stats(spark):
             "scrub chain inlined into a Filter — the stats barrier is gone:\n"
             + m.group(0)[:500]
         )
+
+
+def test_curate_optional_stages(spark):
+    """Opt-in paragraph dedup, classifier gate, and LM gate compose with
+    the classic pipeline without disturbing the default path."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    boiler = "subscribe to our newsletter for all the latest product updates today"
+    body_a = ("the quick brown fox jumps over the lazy dog and keeps running "
+              "through the quiet green field under the clear morning sky")
+    body_b = ("an entirely separate article describing the craft of baking good "
+              "sourdough bread with patience and a very well kept starter")
+    gibberish = ("zxqv wkjh qpzm vbnx lkjq rtyu asdf ghjk zxcv bnml qwer tyui "
+                 "opas dfgh jklz xcvb nmqw erty uiop asdf ghjk lzxc vbnm qwer")
+    docs = spark.createDataFrame(
+        [
+            (1, f"{body_a}\n{boiler}"),
+            (2, f"{boiler}\n{body_b}"),          # loses the boilerplate paragraph
+            (3, gibberish),                      # LM gate drops it
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurateConfig(
+        min_chars=32, min_quality=0.0, jaccard_threshold=0.5,
+        paragraph_dedup=True, max_perplexity=60.0,
+    )
+    kept = {r.doc_id: r.text for r in curate(docs, config=cfg).collect()}
+    assert set(kept) == {1, 2}
+    assert kept[1] == f"{body_a}\n{boiler}"      # first occurrence keeps it
+    assert kept[2] == body_b                     # later copy rebuilt without it
+
+    # classifier gate: weight the word "fox" strongly negative => doc 1 out
+    nf = 1 << 18
+    idx = int(hashlib.md5(b"clf|fox").hexdigest()[:15], 16) % nf
+    w = spark.createDataFrame([(idx, -500.0)], "idx long, w double")
+    cfg2 = CurateConfig(min_chars=32, min_quality=0.0, jaccard_threshold=0.5,
+                        min_clf_prob=0.4)
+    kept2 = {r.doc_id for r in curate(docs.filter(F.col("doc_id") < 3),
+                                      config=cfg2, classifier_weights=w).collect()}
+    assert kept2 == {2}
+
+    # misconfiguration fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="classifier_weights"):
+        curate(docs, config=cfg2)

@@ -86,3 +86,40 @@ def test_stream_jsonl_dir_picks_up_new_shards(spark, tmp_path):
         assert {r.doc_id for r in rows if r.doc_id is not None} == set(range(9))
     finally:
         q.stop()
+
+
+def test_jsonl_stream_composes_with_streaming_dedup(spark, tmp_path):
+    """The online ingest composition: JSONL landing dir → quarantine split
+    → watermarked exact dedup → sink.  A re-delivered shard (same content,
+    new file) must not re-emit its documents."""
+    from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    shard = "\n".join(json.dumps(_doc(i)) for i in range(6)) + "\nbroken{\n"
+    (land / "s0.jsonl").write_text(shard)
+
+    stream = stream_jsonl_dir(spark, str(land), max_files_per_trigger=1)
+    clean, _ = split_corrupt(stream)
+    clean = clean.withColumn("event_time", F.current_timestamp())
+    deduped = streaming_exact_dedup(clean, watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("jsonl_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM jsonl_dedup").collect()[0].c == 6
+        # the same shard content redelivered under a new name: all dups
+        (land / "s0_redelivery.jsonl").write_text(shard)
+        # plus one genuinely new document
+        (land / "s1.jsonl").write_text(json.dumps(_doc(99)) + "\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT doc_id FROM jsonl_dedup").collect()
+        assert sorted(r.doc_id for r in rows) == [0, 1, 2, 3, 4, 5, 99]
+    finally:
+        q.stop()
