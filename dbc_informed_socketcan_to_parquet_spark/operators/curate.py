@@ -11,8 +11,9 @@ input of the next:
                          boilerplate before any hashing happens.
 2b. classifier gate    — (opt-in) hashed-linear-classifier probability
                          threshold; broadcast weight join, explode-cheap.
-2c. LM gate            — (opt-in) bigram-LM perplexity threshold trained
-                         on the gated survivors (CCNet shape).
+2c. LM gate            — (opt-in) bigram-LM perplexity threshold; the LM
+                         trains on a trusted reference corpus when given
+                         (CCNet shape), else on the gated survivors.
 3. exact dedup         — one shuffle on the content hash; removes the
                          cheap mass of byte-identical copies so MinHash
                          only sees near-dup candidates.
@@ -94,10 +95,18 @@ def curate(
     text_col: str = "text",
     config: CurateConfig = CurateConfig(),
     classifier_weights: DataFrame | None = None,
+    lm_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the kept documents with
     their original schema (text scrubbed when ``config.scrub``, rebuilt
-    when ``config.paragraph_dedup``)."""
+    when ``config.paragraph_dedup``).
+
+    ``lm_corpus``: trusted reference slice (Wikipedia-style) the
+    perplexity gate's bigram LM trains on — the CCNet arrangement.  With
+    ``None`` the LM trains on the gate's own survivors, which is only
+    meaningful at corpus scale (common bigrams must accumulate large
+    counts; on a handful of docs add-one smoothing flattens — or even
+    inverts — the signal)."""
     # Fan out between the scrub and the stats battery: a few-file corpus
     # scans as file-count partitions, so without the exchange the text
     # stages would run ~2-wide on 32 cores (measured r5 at sf1).
@@ -165,9 +174,9 @@ def curate(
         # an external reference corpus
         from dbc_informed_socketcan_to_parquet_spark.operators.textops import lm_score
 
-        lm_ids = lm_score(out, id_col=id_col, text_col=text_col).filter(
-            F.col("perplexity") <= config.max_perplexity
-        ).select(id_col)
+        lm_ids = lm_score(
+            out, corpus=lm_corpus, id_col=id_col, text_col=text_col
+        ).filter(F.col("perplexity") <= config.max_perplexity).select(id_col)
         out = out.join(lm_ids, id_col, "left_semi")
 
     out = exact_dedup(out, id_col, text_col)

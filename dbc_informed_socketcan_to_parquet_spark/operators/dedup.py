@@ -654,9 +654,11 @@ def dedup_clusters(
     # label SUM strictly decreases iff any label changed.  One aggregate
     # on the already-checkpointed frame replaces the old join+count.
     def _label_sum(frame: DataFrame) -> int:
-        return int(
-            frame.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).collect()[0][0]
-        )
+        # sum() over zero rows is NULL — an EMPTY pair graph (nothing
+        # collided, e.g. a tiny or fully-distinct corpus) must converge
+        # immediately, not crash
+        total = frame.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).collect()[0][0]
+        return int(total) if total is not None else 0
 
     prev_sum = _label_sum(labels)
     changed = 0

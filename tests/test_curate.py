@@ -170,11 +170,31 @@ def test_curate_optional_stages(spark):
         ],
         "doc_id long, text string",
     )
+    # CCNet arrangement: the LM trains on a trusted in-domain reference
+    # (here: the clean bodies, repeated so common bigrams accumulate
+    # counts); gibberish ranks strictly worse, and a threshold between
+    # the bands drops exactly it.  (Self-training on a 3-doc input is
+    # degenerate — add-one smoothing flattens the signal; the operator
+    # docstring spells this out.)
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import lm_score
+
+    ref = spark.createDataFrame(
+        [(i, f"{body_a} {body_b} {boiler}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    rebuilt = spark.createDataFrame(
+        [(1, f"{body_a}\n{boiler}"), (2, body_b), (3, gibberish)],
+        "doc_id long, text string",
+    )
+    perp = {r.doc_id: r.perplexity for r in lm_score(rebuilt, corpus=ref).collect()}
+    assert perp[3] > max(perp[1], perp[2])
+    thr = (perp[3] + max(perp[1], perp[2])) / 2
+
     cfg = CurateConfig(
         min_chars=32, min_quality=0.0, jaccard_threshold=0.5,
-        paragraph_dedup=True, max_perplexity=60.0,
+        paragraph_dedup=True, max_perplexity=thr,
     )
-    kept = {r.doc_id: r.text for r in curate(docs, config=cfg).collect()}
+    kept = {r.doc_id: r.text for r in curate(docs, config=cfg, lm_corpus=ref).collect()}
     assert set(kept) == {1, 2}
     assert kept[1] == f"{body_a}\n{boiler}"      # first occurrence keeps it
     assert kept[2] == body_b                     # later copy rebuilt without it
