@@ -69,6 +69,7 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
 
     fast = _fast_path_timings(spark, sf_dir)
+    corpus = _corpus_addition_timings(spark, sf_dir)
     fps = _decode_throughput(spark)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -82,6 +83,9 @@ def main() -> None:
         # same plans as the md5 (oracle-parity) headline entries above,
         # reported separately so `value` stays comparable across rounds
         "fast_path_queries": fast,
+        # round-5 corpus additions, tracked per-round OUTSIDE the headline
+        # sum for the same comparability reason
+        "corpus_queries": corpus,
     }))
 
 
@@ -138,6 +142,25 @@ def _fast_path_timings(spark, sf_dir: str) -> dict[str, float]:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             mk().write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(min(samples), 3)
+    return out
+
+
+def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
+    """The round-5 corpus operators (oracle registry entries), min of 2
+    cold passes each — same protocol as the headline set."""
+    from dbc_informed_socketcan_to_parquet_spark.queries import EXTRA_QUERIES
+
+    out: dict[str, float] = {}
+    for name in ("paragraph_dedup", "dedup_incremental", "lm_score",
+                 "classifier_score", "frequent_ngrams"):
+        fn = EXTRA_QUERIES[name]
+        samples = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         out[name] = round(min(samples), 3)
     return out
