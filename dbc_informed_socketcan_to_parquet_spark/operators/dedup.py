@@ -802,9 +802,13 @@ def paragraph_dedup(
     paragraph table between the two passes (this expression recomputes
     the split per consumer, which is cheap but re-reads the scan).
     """
+    # NULL text → one empty paragraph (split(NULL) would generate no rows
+    # and the doc would silently vanish from the output)
     paras = fan_out(df).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
+            "pos", "para"
+        ),
     )
     eligible = paras.filter(F.length("para") >= min_chars).withColumn(
         "_h", F.md5(F.col("para"))

@@ -721,3 +721,30 @@ def test_paragraph_dedup_matches_python_reference(spark):
         for r in paragraph_dedup(df, min_chars=min_chars).collect()
     }
     assert got == expected
+
+
+def test_paragraph_dedup_null_and_empty_text(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a real paragraph that is long enough here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df, min_chars=20).collect()}
+    assert set(out) == {0, 1, 2}                 # nobody vanishes
+    assert out[0].text_dedup == "" and out[0].n_paras == 1   # NULL → empty para
+    assert out[1].text_dedup == "" and out[1].n_paras == 1
+    assert out[2].n_kept == 1
+
+
+def test_dedup_against_corpus_empty_sides(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import dedup_against_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"document {i}") for i in range(5)], "doc_id long, text string"
+    )
+    empty = docs.filter("doc_id < 0")
+    # empty corpus: everything in the batch is new (all-zero bitmap)
+    assert dedup_against_corpus(docs, empty).count() == 5
+    # empty batch: nothing out, no crash
+    assert dedup_against_corpus(empty, docs).count() == 0
