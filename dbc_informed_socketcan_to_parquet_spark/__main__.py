@@ -33,7 +33,72 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_curate_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark curate")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="input documents (parquet dir/file, or JSONL with --jsonl)")
+    p.add_argument("--out", dest="output_path", required=True, help="output path")
+    p.add_argument("--jsonl", action="store_true",
+                   help="read/write JSONL instead of parquet (corrupt lines quarantined to <out>_quarantine)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-chars", type=int, default=32)
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--jaccard", type=float, default=0.8, help="near-dup verify threshold")
+    p.add_argument("--paragraph-dedup", action="store_true")
+    p.add_argument("--max-perplexity", type=float, default=None,
+                   help="bigram-LM gate (trains on --lm-corpus if given, else on survivors)")
+    p.add_argument("--lm-corpus", default=None, help="trusted reference parquet for the LM gate")
+    p.add_argument("--hash", choices=("xxhash", "md5"), default="xxhash")
+    return p
+
+
+def run_curate(argv: list[str]) -> None:
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import CurateConfig, curate
+
+    args = build_curate_parser().parse_args(argv)
+    spark = get_spark("curate-cli")
+    if args.jsonl:
+        from dbc_informed_socketcan_to_parquet_spark.sources.jsonl import (
+            read_jsonl,
+            split_corrupt,
+            write_jsonl,
+        )
+
+        docs, quarantine = split_corrupt(read_jsonl(spark, args.input_path))
+        n_bad = quarantine.count()
+        if n_bad:
+            write_jsonl(quarantine, f"{args.output_path}_quarantine")
+    else:
+        docs = spark.read.parquet(args.input_path)
+        n_bad = 0
+    cfg = CurateConfig(
+        min_chars=args.min_chars,
+        min_quality=args.min_quality,
+        jaccard_threshold=args.jaccard,
+        paragraph_dedup=args.paragraph_dedup,
+        max_perplexity=args.max_perplexity,
+        hash_fn=args.hash,
+    )
+    lm_corpus = spark.read.parquet(args.lm_corpus) if args.lm_corpus else None
+    kept = curate(docs, args.id_col, args.text_col, cfg, lm_corpus=lm_corpus)
+    if args.jsonl:
+        from dbc_informed_socketcan_to_parquet_spark.sources.jsonl import write_jsonl
+
+        write_jsonl(kept, args.output_path)
+    else:
+        kept.write.mode("overwrite").parquet(args.output_path)
+    n_in, n_out = docs.count(), spark.read.format("json" if args.jsonl else "parquet").load(args.output_path).count()
+    print(f"curated {n_in} -> {n_out} documents ({n_bad} quarantined lines)")
+
+
 def main(argv: list[str] | None = None) -> None:
+    import sys
+
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "curate":
+        run_curate(argv[1:])
+        return
     args = build_parser().parse_args(argv)
     cfg = PipelineConfig(
         dbc_path=args.dbc,

@@ -168,3 +168,47 @@ def test_console_sink_warns_unknown_signal(spark):
     df = spark.createDataFrame([(0.0, 1.0)], "Time_ms double, EngSpeed double")
     with _pytest.warns(RuntimeWarning, match="signal not found in schema_fields: Bogus"):
         console_sink(df, ["EngSpeed", "Bogus"], num_rows=1)
+
+
+def test_cli_curate_subcommand(spark, tmp_path, capsys, monkeypatch):
+    """`python -m ... curate` drives the curation pipeline over parquet and
+    JSONL inputs (corrupt lines quarantined) without touching the legacy
+    decode surface."""
+    import json
+
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    # get_spark() inside the CLI returns the same active session
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the quiet green field while the sun is high in the clear blue sky"
+    )
+    rows = [(1, base), (2, base), (3, "x"),
+            (4, "an entirely different essay on spark shuffle strategies and "
+                "terabyte scale query engines with novel distributed ideas")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "kept.parquet")
+    main(["curate", "--in", src, "--out", out,
+          "--min-chars", "32", "--min-quality", "0.0", "--jaccard", "0.5"])
+    kept = spark.read.parquet(out)
+    assert {r.doc_id for r in kept.collect()} == {1, 4}   # dup + short gone
+    assert "curated 4 -> 2 documents" in capsys.readouterr().out
+
+    # JSONL path with a corrupt line
+    land = tmp_path / "in.jsonl"
+    lines = [json.dumps({"doc_id": i, "text": t, "lang": "en", "source": "w",
+                         "n_chars": len(t)}) for i, t in rows]
+    lines.append("corrupt {line")
+    land.write_text("\n".join(lines) + "\n")
+    out2 = str(tmp_path / "kept_jsonl")
+    main(["curate", "--in", str(land), "--out", out2, "--jsonl",
+          "--min-chars", "32", "--min-quality", "0.0", "--jaccard", "0.5"])
+    captured = capsys.readouterr().out
+    assert "curated 4 -> 2 documents (1 quarantined lines)" in captured
+    back = spark.read.json(out2)
+    assert {r.doc_id for r in back.collect()} == {1, 4}
+    quarantined = spark.read.json(f"{out2}_quarantine")
+    assert quarantined.count() == 1
