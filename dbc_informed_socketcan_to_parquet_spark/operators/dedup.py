@@ -678,7 +678,10 @@ def dedup_clusters(
         )
         # pointer jumping: label[id] <- label[label[id]].  Labels are
         # always node ids (mins over ids), so the label node is present;
-        # left join keeps already-minimal labels unchanged.
+        # left join keeps already-minimal labels unchanged.  (A second
+        # jump per round was measured at sf0.1: 9 → 8 rounds, wall-flat —
+        # the tail rounds are bounded by graph-edge propagation, not
+        # label-chain length, so the extra join does not pay.)
         lab_of_label = new_labels.select(
             F.col("id").alias("_lid"), F.col("cluster_id").alias("_lmin")
         )

@@ -111,3 +111,46 @@ def test_sketch_rollup_union_matches_direct_sketch(spark):
     per_type = {r["event_type"]: r["n_rows"] for r in sketch_union(rollup, ["event_type"]).collect()}
     truth = {r["event_type"]: r["cnt"] for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
     assert per_type == truth
+
+
+def test_hll_sketch_agg_streaming_rollup(spark, tmp_path):
+    """The sketch rollup works as a STREAMING aggregation: per-source HLL
+    sketches accumulate across micro-batches; estimates land within the
+    lg_k error band of the exact per-source distinct count."""
+    import json
+
+    land = tmp_path / "events"
+    land.mkdir()
+
+    def shard(name, rows):
+        (land / name).write_text(
+            "\n".join(json.dumps({"src": s, "user": u}) for s, u in rows) + "\n"
+        )
+
+    shard("b0.json", [("a", f"u{i}") for i in range(50)] + [("b", f"v{i}") for i in range(20)])
+
+    stream = (
+        spark.readStream.schema("src string, user string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(land))
+    )
+    agg = stream.groupBy("src").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user", F.lit(12))).alias("est")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: 25 repeat users + 30 new for source a
+        shard("b1.json", [("a", f"u{i}") for i in range(25, 80)])
+        q.processAllAvailable()
+        got = {r.src: r.est for r in spark.sql("SELECT * FROM hll_stream").collect()}
+        assert abs(got["a"] - 80) <= max(5 * 0.0163 * 80, 3)
+        assert abs(got["b"] - 20) <= max(5 * 0.0163 * 20, 3)
+    finally:
+        q.stop()
