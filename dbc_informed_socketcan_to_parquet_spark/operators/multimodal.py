@@ -2,11 +2,13 @@
 
 Image/audio/video content rides as binary columns with a metadata struct;
 decode / feature-extraction / resize / frame-sampling run as Arrow-batched
-``mapInPandas`` operators.  The actual codecs (PIL/librosa/ffmpeg) are NOT
-in this container, so the decode kernels are stubs: the *deterministic
-fake* path keeps schema, batch shape, partitioning, and UDF signatures real
-and testable, and the real path raises ``NotImplementedError`` behind an
-import-try — swap-in-able without touching any Spark plumbing.
+``mapInPandas`` operators.  IMAGE codecs (PIL) are not in this container,
+so those decode kernels are stubs: the *deterministic fake* path keeps
+schema, batch shape, partitioning, and UDF signatures real and testable,
+and the real path raises ``NotImplementedError`` behind an import-try —
+swap-in-able without touching any Spark plumbing.  AUDIO kernels are
+fully REAL: RIFF/WAVE headers and 16-bit PCM need only struct + numpy
+(:func:`wav_metadata`, :func:`audio_features`).
 
 Scale: binary payloads make wide rows — the operators repartition by a
 size-aware key before the Python stage so one task never holds a skewed
@@ -173,5 +175,105 @@ def resize_images(
                     "height": height,
                 }
             )
+
+    return df.select(id_col, content_col).repartition(F.col(id_col)).mapInPandas(kernel, out_schema)
+
+
+# -- audio: REAL kernels (RIFF/PCM need no external codec) -------------------
+
+def _parse_wav_header(content: bytes) -> tuple | None:
+    """(n_channels, sample_rate, bits_per_sample, data_offset, data_size)
+    from a RIFF/WAVE byte string, or None if malformed.  Walks the chunk
+    list (fmt may not be first; LIST/fact chunks are common)."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos:pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt " and body + 16 <= len(content):
+            _, ch, sr, _, _, bits = struct.unpack_from("<HHIIHH", content, body)
+            fmt = (ch, sr, bits)
+        elif cid == b"data":
+            data = (body, min(size, len(content) - body))
+        pos = body + size + (size & 1)          # chunks are word-aligned
+    if fmt is None or data is None or fmt[0] == 0 or fmt[1] == 0 or fmt[2] == 0:
+        return None
+    return (*fmt, *data)
+
+
+def wav_metadata(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """REAL audio metadata extraction — RIFF/WAVE headers are plain struct
+    parsing, no codec needed: ``(id, n_channels, sample_rate,
+    bits_per_sample, n_samples, duration_s)``; malformed payloads yield
+    NULLs (quarantine-friendly) instead of failing the task.
+
+    Arrow-batched ``mapInPandas`` with the same size-aware repartition as
+    the image kernels.
+    """
+    out_schema = (
+        f"{id_col} long, n_channels int, sample_rate int, bits_per_sample int, "
+        "n_samples long, duration_s double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                h = _parse_wav_header(bytes(c))
+                if h is None:
+                    rows.append((i, None, None, None, None, None))
+                    continue
+                ch, sr, bits, _, dsize = h
+                n = dsize // (ch * (bits // 8)) if bits >= 8 else 0
+                rows.append((i, ch, sr, bits, n, n / sr))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "n_channels", "sample_rate", "bits_per_sample",
+                "n_samples", "duration_s",
+            ])
+
+    return df.select(id_col, content_col).repartition(F.col(id_col)).mapInPandas(kernel, out_schema)
+
+
+def audio_features(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """REAL audio feature extraction over 16-bit PCM WAV payloads — pure
+    numpy DSP, no codec: ``(id, rms double, peak double,
+    zero_crossing_rate double)``, amplitudes normalized to [-1, 1] and
+    channels averaged.  Non-PCM16 / malformed payloads yield NULLs.
+
+    The numpy work is vectorized per payload inside the Arrow batch —
+    the classic silence-trim / energy-gate features a speech-corpus
+    pipeline filters on.
+    """
+    import numpy as np
+
+    out_schema = f"{id_col} long, rms double, peak double, zero_crossing_rate double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(c)
+                h = _parse_wav_header(b)
+                if h is None or h[2] != 16:
+                    rows.append((i, None, None, None))
+                    continue
+                ch, sr, _, off, dsize = h
+                usable = dsize - (dsize % (2 * ch))
+                if usable <= 0:
+                    rows.append((i, None, None, None))
+                    continue
+                pcm = np.frombuffer(b, dtype="<i2", count=usable // 2, offset=off)
+                x = pcm.reshape(-1, ch).mean(axis=1) / 32768.0
+                rms = float(np.sqrt(np.mean(x * x)))
+                peak = float(np.max(np.abs(x)))
+                zcr = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if len(x) > 1 else 0.0
+                )
+                rows.append((i, rms, peak, zcr))
+            yield pd.DataFrame(rows, columns=[id_col, "rms", "peak", "zero_crossing_rate"])
 
     return df.select(id_col, content_col).repartition(F.col(id_col)).mapInPandas(kernel, out_schema)

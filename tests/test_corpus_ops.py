@@ -748,3 +748,53 @@ def test_dedup_against_corpus_empty_sides(spark):
     assert dedup_against_corpus(docs, empty).count() == 5
     # empty batch: nothing out, no crash
     assert dedup_against_corpus(empty, docs).count() == 0
+
+
+def _wav_bytes(freq=440.0, sr=8000, seconds=0.25, channels=1, amplitude=0.5):
+    """Minimal valid 16-bit PCM WAV, pure stdlib."""
+    import math
+    import struct
+
+    n = int(sr * seconds)
+    samples = b"".join(
+        struct.pack("<h", int(amplitude * 32767 * math.sin(2 * math.pi * freq * t / sr)))
+        * channels
+        for t in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, channels, sr, sr * channels * 2, channels * 2, 16)
+    # include a LIST chunk before data to exercise the chunk walker
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    data = b"data" + struct.pack("<I", len(samples)) + samples
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + lst + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_metadata_and_audio_features_real_kernels(spark):
+    """Audio kernels are REAL (RIFF walk + numpy DSP), not stubs: header
+    fields parse exactly; sine vs silence separate on rms/zcr; malformed
+    payloads yield NULLs."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.multimodal import (
+        audio_features,
+        wav_metadata,
+    )
+
+    rows = [
+        (0, bytearray(_wav_bytes(freq=1000.0, sr=8000, seconds=0.25))),
+        (1, bytearray(_wav_bytes(amplitude=0.0, sr=16000, seconds=0.5, channels=2))),
+        (2, bytearray(b"not a wav at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+
+    meta = {r.doc_id: r for r in wav_metadata(df).collect()}
+    assert (meta[0].n_channels, meta[0].sample_rate, meta[0].bits_per_sample) == (1, 8000, 16)
+    assert meta[0].n_samples == 2000 and abs(meta[0].duration_s - 0.25) < 1e-9
+    assert (meta[1].n_channels, meta[1].sample_rate) == (2, 16000)
+    assert abs(meta[1].duration_s - 0.5) < 1e-9
+    assert meta[2].sample_rate is None          # malformed → NULLs
+
+    feat = {r.doc_id: r for r in audio_features(df).collect()}
+    assert feat[0].rms == pytest.approx(0.5 / math.sqrt(2), rel=0.01)   # sine RMS
+    # 1 kHz sine at 8 kHz: 2 crossings per cycle, 1/4 cycle per sample step
+    assert feat[0].zero_crossing_rate == pytest.approx(0.25, abs=0.02)
+    assert feat[1].rms == 0.0 and feat[1].peak == 0.0                   # silence
+    assert feat[2].rms is None
