@@ -497,6 +497,35 @@ def ivf_index_write(
     return centers
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    assign_kernel: str = "expr",
+) -> None:
+    """Grow a persisted IVF index incrementally: assign a new vector batch
+    with the STORED centroids (no retrain) and append into the
+    cluster-partitioned layout — the daily-ingest shape (a full rebuild
+    re-reads the whole corpus; an append touches only the new batch).
+
+    Quantizer drift is the known trade: appended mass can make stored
+    centroids stale — standard practice is periodic
+    :func:`ivf_index_write` rebuilds, with appends between.  Queries need
+    no change: partition pruning sees old and new files alike."""
+    model = spark.read.parquet(f"{path}/model").collect()
+    centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
+    c = fan_out(new_vectors)
+    if assign_kernel == "pandas":
+        c = c.withColumn("_cv", F.col(vec_col).cast("array<double>"))
+        c = _nearest_pandas(c, centers, "_cv", "ivf_cluster").drop("_cv")
+    else:
+        c = c.withColumn(
+            "ivf_cluster", _nearest_label(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centers)
+        )
+    c.write.partitionBy("ivf_cluster").mode("append").parquet(f"{path}/data")
+
+
 def ivf_index_topk(
     spark,
     path: str,

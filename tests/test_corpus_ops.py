@@ -798,3 +798,46 @@ def test_wav_metadata_and_audio_features_real_kernels(spark):
     assert feat[0].zero_crossing_rate == pytest.approx(0.25, abs=0.02)
     assert feat[1].rms == 0.0 and feat[1].peak == 0.0                   # silence
     assert feat[2].rms is None
+
+
+def test_ivf_index_append_grows_index_exactly(spark, tmp_path):
+    """Append assigns with the STORED quantizer (no retrain): row counts
+    add up, assignments match the centroid math, and with every partition
+    probed the grown index reproduces exact brute-force top-k over the
+    union."""
+    import numpy as np
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index_append,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter("vec_id % 2 = 0")
+    later = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "ivf")
+    centers = ivf_index_write(first, path, num_clusters=4, n_iters=1)
+    ivf_index_append(spark, path, later)
+
+    data = spark.read.parquet(f"{path}/data")
+    assert data.count() == emb.count()
+
+    # appended rows carry the nearest stored centroid (numpy replay)
+    lab = np.array(sorted(centers))
+    C = np.array([centers[b] for b in sorted(centers)], dtype=float)
+    got = data.join(later.select("vec_id"), "vec_id", "left_semi").select(
+        "vec_id", "embedding", "ivf_cluster").collect()
+    for r in got:
+        v = np.array(r.embedding, dtype=float)
+        d = ((C - v) ** 2).sum(axis=1)
+        assert r.ivf_cluster == lab[int(np.argmin(d))]
+
+    # full-probe query over the grown index == exact brute force on the union
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    idx = ivf_index_topk(spark, path, queries, k=5, nprobe=4, round_to=6)
+    exact = cosine_topk(emb, queries, k=5, round_to=6)
+    a = {tuple(r) for r in idx.collect()}
+    b = {tuple(r) for r in exact.collect()}
+    assert a == b
