@@ -56,7 +56,10 @@ def build_curate_parser() -> argparse.ArgumentParser:
 def run_curate(argv: list[str]) -> None:
     from dbc_informed_socketcan_to_parquet_spark.operators.curate import CurateConfig, curate
 
-    args = build_curate_parser().parse_args(argv)
+    parser = build_curate_parser()
+    args = parser.parse_args(argv)
+    if args.lm_corpus and args.max_perplexity is None:
+        parser.error("--lm-corpus has no effect without --max-perplexity (the LM gate threshold)")
     spark = get_spark("curate-cli")
     if args.jsonl:
         from dbc_informed_socketcan_to_parquet_spark.sources.jsonl import (
@@ -81,14 +84,19 @@ def run_curate(argv: list[str]) -> None:
         hash_fn=args.hash,
     )
     lm_corpus = spark.read.parquet(args.lm_corpus) if args.lm_corpus else None
-    kept = curate(docs, args.id_col, args.text_col, cfg, lm_corpus=lm_corpus)
-    if args.jsonl:
-        from dbc_informed_socketcan_to_parquet_spark.sources.jsonl import write_jsonl
+    # persist across write + count: one pipeline execution, and the count
+    # never re-reads the output (an empty JSONL dir has no schema to infer)
+    kept = curate(docs, args.id_col, args.text_col, cfg, lm_corpus=lm_corpus).persist()
+    try:
+        if args.jsonl:
+            from dbc_informed_socketcan_to_parquet_spark.sources.jsonl import write_jsonl
 
-        write_jsonl(kept, args.output_path)
-    else:
-        kept.write.mode("overwrite").parquet(args.output_path)
-    n_in, n_out = docs.count(), spark.read.format("json" if args.jsonl else "parquet").load(args.output_path).count()
+            write_jsonl(kept, args.output_path)
+        else:
+            kept.write.mode("overwrite").parquet(args.output_path)
+        n_in, n_out = docs.count(), kept.count()
+    finally:
+        kept.unpersist()
     print(f"curated {n_in} -> {n_out} documents ({n_bad} quarantined lines)")
 
 

@@ -924,14 +924,17 @@ def dedup_against_corpus(
 
     Probe is a vectorized Arrow-batched pandas UDF: positions are
     computed JVM-side by the same expressions as the build; Python only
-    does a numpy gather + mask test.
+    does a numpy gather + mask test.  NULL text hashes as the empty
+    string on BOTH sides (a NULL-text batch row duplicates a NULL-text
+    corpus row) — NULLs would otherwise poison the position arrays.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     spark = batch.sparkSession
-    hashes = corpus.select(F.md5(F.col(text_col)).alias("_ch")).distinct()
+    content_hash = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    hashes = corpus.select(content_hash.alias("_ch")).distinct()
     bitmap = bloom_bitmap(hashes, "_ch", num_bits, num_hashes, hash_fn)
     bc = spark.sparkContext.broadcast(bitmap)
 
@@ -949,13 +952,17 @@ def dedup_against_corpus(
     _might_contain.__annotations__ = {"positions": pd.Series, "return": pd.Series}
     might_contain = pandas_udf(_might_contain, "boolean")
 
-    probed = batch.withColumn("_ch", F.md5(F.col(text_col))).withColumn(
+    # one probe pass: both union branches filter the SAME materialized
+    # frame (localCheckpoint is lazily computed once, auto-GC-cleaned) —
+    # without it each branch would re-scan the batch and re-run the UDF
+    probed = batch.withColumn("_ch", content_hash).withColumn(
         "_maybe",
         might_contain(_bloom_positions(F.col("_ch"), num_bits, num_hashes, hash_fn)),
-    )
+    ).localCheckpoint(eager=False)
     definitely_new = probed.filter(~F.col("_maybe"))
     candidates = probed.filter(F.col("_maybe"))
-    verified_new = candidates.join(
-        corpus.select(F.md5(F.col(text_col)).alias("_ch")).distinct(), "_ch", "left_anti"
-    )
+    # verify against the same `hashes` frame the bloom was built from (in
+    # production this is the persisted, hash-bucketed corpus-digest table
+    # — built once, reused by build and verify alike)
+    verified_new = candidates.join(hashes, "_ch", "left_anti")
     return definitely_new.unionByName(verified_new).drop("_ch", "_maybe")

@@ -222,7 +222,7 @@ def wav_metadata(df: DataFrame, content_col: str = "content", id_col: str = "doc
         for pdf in batches:
             rows = []
             for i, c in zip(pdf[id_col], pdf[content_col]):
-                h = _parse_wav_header(bytes(c))
+                h = _parse_wav_header(bytes(c)) if c is not None else None
                 if h is None:
                     rows.append((i, None, None, None, None, None))
                     continue
@@ -255,7 +255,7 @@ def audio_features(df: DataFrame, content_col: str = "content", id_col: str = "d
         for pdf in batches:
             rows = []
             for i, c in zip(pdf[id_col], pdf[content_col]):
-                b = bytes(c)
+                b = bytes(c) if c is not None else b""
                 h = _parse_wav_header(b)
                 if h is None or h[2] != 16:
                     rows.append((i, None, None, None))

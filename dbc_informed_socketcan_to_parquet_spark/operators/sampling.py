@@ -330,7 +330,7 @@ def shuffle_deterministic(
     df: DataFrame,
     id_col: str = "doc_id",
     seed: int = 0,
-    num_partitions: int | None = None,
+    num_partitions: int = 256,
 ) -> DataFrame:
     """Deterministic global shuffle for training-data export: order the
     corpus by a seeded hash of the id so examples are (a) well mixed —
@@ -343,15 +343,20 @@ def shuffle_deterministic(
     the same seed reproduces the epoch exactly; a different seed is a
     fresh permutation.  The id tiebreak makes the order total even under
     hash collisions.
+
+    ``num_partitions`` is an EXPLICIT, fixed shard count — it is part of
+    the reproducibility contract (shard membership = hash(key) mod
+    count).  Deriving it from ``spark.sql.shuffle.partitions`` or AQE
+    would make the epoch layout depend on session config and cluster
+    size, which is exactly what this operator exists to prevent.
     """
     key = F.conv(
         F.substring(F.md5(F.concat(F.lit(f"shuffle{seed}|"), F.col(id_col).cast("string"))), 1, 15),
         16, 10,
     ).cast("long")
-    out = df.withColumn("_shuffle_key", key)
-    out = (
-        out.repartition(num_partitions, "_shuffle_key")
-        if num_partitions
-        else out.repartition("_shuffle_key")
+    return (
+        df.withColumn("_shuffle_key", key)
+        .repartition(num_partitions, "_shuffle_key")
+        .sortWithinPartitions("_shuffle_key", id_col)
+        .drop("_shuffle_key")
     )
-    return out.sortWithinPartitions("_shuffle_key", id_col).drop("_shuffle_key")

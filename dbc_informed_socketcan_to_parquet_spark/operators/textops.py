@@ -341,13 +341,17 @@ def lm_score(
     partials.  Floats are rounded to ``round_to`` decimals so the score
     is engine-reproducible (ln() differs in the last ulp across libms).
     """
-    bigram_counts, context_counts, vocab_size = train_bigram_lm(
+    bigram_counts, _, vocab_size = train_bigram_lm(
         corpus if corpus is not None else df, text_col, id_col
     )
     # the counted table feeds both the context re-aggregation and the
-    # score join — cache it so the corpus-wide bigram explode+count runs
-    # once (callers may unpersist via ._graft_cached_lm once materialized)
-    cached_lm = bigram_counts = bigram_counts.cache()
+    # score join — materialize it ONCE via a lazy localCheckpoint (unlike
+    # .cache(), the checkpoint RDD is GC-cleaned with the plan, so a
+    # caller that wraps/filters the result — curate()'s LM gate — cannot
+    # leak a session-lifetime cache entry), and derive the context counts
+    # FROM the checkpointed frame so they share the materialization
+    bigram_counts = bigram_counts.localCheckpoint(eager=False)
+    context_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     if broadcast_lm:
         bigram_counts = F.broadcast(bigram_counts)
         context_counts = F.broadcast(context_counts)
@@ -366,14 +370,12 @@ def lm_score(
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"), F.avg("_lp").alias("_avg")
     )
-    out = per_doc.select(
+    return per_doc.select(
         F.col(id_col),
         F.col("n_bigrams"),
         F.round(F.col("_avg"), round_to).alias("avg_logp"),
         F.round(F.exp(-F.col("_avg")), round_to).alias("perplexity"),
     )
-    out._graft_cached_lm = cached_lm  # caller may unpersist once materialized
-    return out
 
 
 # -- hashed linear classifier scoring (fastText-style) -----------------------

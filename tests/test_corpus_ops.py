@@ -615,13 +615,15 @@ def test_dedup_against_corpus_exact_equivalence(spark):
     from dbc_informed_socketcan_to_parquet_spark.operators.dedup import dedup_against_corpus
 
     corpus = spark.createDataFrame(
-        [(i, f"historical document number {i}") for i in range(60)],
+        [(i, f"historical document number {i}") for i in range(60)] + [(60, None)],
         "doc_id long, text string",
     )
     batch = spark.createDataFrame(
-        # 20 overlap the corpus, 20 are new
+        # 20 overlap the corpus, 20 are new; NULL text hashes as '' and
+        # duplicates the corpus's NULL-text row
         [(1000 + i, f"historical document number {i}") for i in range(20)]
-        + [(2000 + i, f"fresh crawl document {i}") for i in range(20)],
+        + [(2000 + i, f"fresh crawl document {i}") for i in range(20)]
+        + [(3000, None)],
         "doc_id long, text string",
     )
     expected = {2000 + i for i in range(20)}
@@ -782,6 +784,7 @@ def test_wav_metadata_and_audio_features_real_kernels(spark):
         (0, bytearray(_wav_bytes(freq=1000.0, sr=8000, seconds=0.25))),
         (1, bytearray(_wav_bytes(amplitude=0.0, sr=16000, seconds=0.5, channels=2))),
         (2, bytearray(b"not a wav at all")),
+        (3, None),                               # NULL payload → NULL row
     ]
     df = spark.createDataFrame(rows, "doc_id long, content binary")
 
@@ -798,6 +801,7 @@ def test_wav_metadata_and_audio_features_real_kernels(spark):
     assert feat[0].zero_crossing_rate == pytest.approx(0.25, abs=0.02)
     assert feat[1].rms == 0.0 and feat[1].peak == 0.0                   # silence
     assert feat[2].rms is None
+    assert feat[3].rms is None and meta[3].sample_rate is None
 
 
 def test_ivf_index_append_grows_index_exactly(spark, tmp_path):

@@ -228,8 +228,6 @@ def test_dedup_incremental_definitely_new_skips_join(spark):
     corpus = docs.filter(F.col("doc_id") % 10 < 8)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     plan = plan_of(dedup_against_corpus(batch, corpus, num_bits=1 << 16))
-    assert plan.count("Join") >= 1        # the verify branch
-    union_part = plan.split("Union", 1)[1] if "Union" in plan else plan
     # exactly one join in the whole plan — the bloom-negative branch has none
     import re as _re
     assert len(_re.findall(r"^\(\d+\) .*Join", plan, _re.M)) == 1
