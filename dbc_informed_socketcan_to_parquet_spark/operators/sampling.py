@@ -360,3 +360,48 @@ def shuffle_deterministic(
         .sortWithinPartitions("_shuffle_key", id_col)
         .drop("_shuffle_key")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into ≤ ``max_tokens``-token chunks with an
+    ``overlap``-token carry between consecutive chunks — the standard
+    long-document preparation before sequence packing (a 200k-token PDF
+    cannot ride one training row; chunk → :func:`pack_sequences`).
+
+    Tokens are whitespace runs (swap in a BPE count upstream if needed);
+    chunk ``i`` covers tokens ``[i·stride, i·stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``.  Chunking is PURE column algebra —
+    one split + one sequence/transform + one explode, no shuffle, no
+    Python — so it runs at scan speed and chunk counts are exact.
+
+    Output: ``(id_col, chunk_idx, text_col, n_tokens)``; empty docs
+    yield one empty chunk (nothing vanishes).
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    stride = max_tokens - overlap
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+    toks = F.filter(toks, lambda t: t != F.lit(""))
+    n = F.size(toks)
+    # ceil((n - overlap) / stride) chunks, minimum 1
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * stride + 1, max_tokens), " ").alias("chunk_text"),
+            F.least(n - i * stride, F.lit(max_tokens)).cast("int").alias("n_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
+        F.col(id_col),
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk_text").alias(text_col),
+        F.col("_c.n_tokens").alias("n_tokens"),
+    )

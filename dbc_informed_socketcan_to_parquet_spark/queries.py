@@ -2391,3 +2391,34 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return classifier_score(docs, num_features=_CLF_FEATS, bigrams=True)
+
+
+@extra_query(
+    "chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             greatest(CAST(ceil((len(tk) - 3) / 9.0) AS INT), 1) AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(r AS INT) AS chunk_idx,
+           array_to_string(list_slice(tk, r * 9 + 1, r * 9 + 12), ' ') AS text,
+           CAST(least(n - r * 9, 12) AS INT) AS n_tokens
+    FROM sized, unnest(range(CAST(n_chunks AS BIGINT))) AS t(r)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking: ≤12-token chunks with a 3-token overlap
+    (stride 9) — the pure-column pre-packing reshape
+    (operators/sampling.chunk_documents); the oracle replays the slice
+    arithmetic with list functions."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=12, overlap=3)

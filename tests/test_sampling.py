@@ -298,3 +298,34 @@ def test_shuffle_deterministic_reproducible_permutation(spark):
         )
     }
     assert repart == {tuple(p) for p in e0a}
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import chunk_documents
+
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(0, " ".join(words)), (1, "short doc"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=2)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.text, r.n_tokens) for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, t, n in rows:
+        by_doc.setdefault(d, []).append((i, t, n))
+    # 25 tokens, stride 8: chunks at 0..9, 8..17, 16..24, ceil((25-2)/8)=3
+    assert [n for _, _, n in by_doc[0]] == [10, 10, 9]
+    assert by_doc[0][0][1].split() == words[0:10]
+    assert by_doc[0][1][1].split() == words[8:18]       # 2-token overlap
+    assert by_doc[0][2][1].split() == words[16:25]
+    # every token position covered, in order, with exact overlap
+    assert by_doc[1] == [(0, "short doc", 2)]
+    assert by_doc[2] == [(0, "", 0)]                    # empty: one empty chunk
+    assert by_doc[3] == [(0, "", 0)]                    # NULL text too
+    # overlap >= max_tokens is a config error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=5, overlap=5)
