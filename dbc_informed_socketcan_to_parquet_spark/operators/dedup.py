@@ -966,3 +966,63 @@ def dedup_against_corpus(
     # — built once, reused by build and verify alike)
     verified_new = candidates.join(hashes, "_ch", "left_anti")
     return definitely_new.unionByName(verified_new).drop("_ch", "_maybe")
+
+
+# -- repeated token-window (hot span) detection ------------------------------
+
+def hot_window_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+    min_count: int = 5,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """Corpus-internal repeated-substring signal (the detection half of
+    Lee et al.'s exact-substring dedup, at token-window granularity):
+    hash every ``window_tokens``-token sliding window, count occurrences
+    corpus-wide, and report per document how much of it is made of
+    windows appearing ≥ ``min_count`` times — template/boilerplate mass
+    that paragraph- and doc-level dedup both miss when it is embedded
+    mid-text.
+
+    Output: ``(id_col, n_windows, n_hot, hot_ratio)`` for docs with ≥ 1
+    window; filter on ``hot_ratio`` or route to span removal.
+
+    Scale: windows explode off a token array (narrow, O(n·window)
+    hashing per doc); ONE count aggregation with map-side partials; the
+    hot set (rare by construction — only templates cross ``min_count``)
+    broadcast-joins back; one groupBy(doc).  No self-join, no pair
+    table.
+    """
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                    lambda t: t != F.lit(""))
+    starts = F.sequence(F.lit(1), F.col("_n") - F.lit(window_tokens - 1))
+    wins = (
+        fan_out(df)
+        .select(F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n"))
+        .filter(F.col("_n") >= window_tokens)
+        .select(F.col(id_col), F.explode(
+            F.transform(starts, lambda i: F.array_join(F.slice(F.col("_tk"), i, window_tokens), " "))
+        ).alias("_w"))
+        .select(F.col(id_col), hash_fn(F.col("_w")).alias("_wh"))
+    )
+    hot = (
+        wins.groupBy("_wh").agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_wh")
+    )
+    return (
+        wins.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), "_wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(0))).cast("long").alias("n_hot"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_windows"),
+            F.col("n_hot"),
+            F.round(F.col("n_hot") / F.col("n_windows"), 6).alias("hot_ratio"),
+        )
+    )

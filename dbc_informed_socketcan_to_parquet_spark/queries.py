@@ -2422,3 +2422,43 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return chunk_documents(docs, max_tokens=12, overlap=3)
+
+
+@extra_query(
+    "hot_window_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS tk
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, {md5_long_sql('w')} AS wh
+      FROM (
+        SELECT doc_id, array_to_string(list_slice(tk, i, i + 19), ' ') AS w
+        FROM toks, unnest(range(1, len(tk) - 18)) AS t(i)
+        WHERE len(tk) >= 20
+      )
+    ),
+    hot AS (
+      SELECT wh, 1 AS is_hot
+      FROM (SELECT wh, count(*) AS c FROM wins GROUP BY 1)
+      WHERE c >= 3
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(coalesce(h.is_hot, 0)) AS BIGINT) AS n_hot,
+           round(sum(coalesce(h.is_hot, 0)) / count(*), 6) AS hot_ratio
+    FROM wins w LEFT JOIN hot h ON w.wh = h.wh
+    GROUP BY w.doc_id
+    """,
+)
+def q_hot_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated token-window (hot span) detection — the Lee-et-al
+    exact-substring signal at 20-token-window granularity: per-doc share
+    of windows repeated >= 3 times corpus-wide
+    (operators/dedup.hot_window_stats)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import hot_window_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return hot_window_stats(docs, window_tokens=20, min_count=3)

@@ -845,3 +845,25 @@ def test_ivf_index_append_grows_index_exactly(spark, tmp_path):
     a = {tuple(r) for r in idx.collect()}
     b = {tuple(r) for r in exact.collect()}
     assert a == b
+
+
+def test_hot_window_stats_detects_planted_template(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import hot_window_stats
+
+    template = " ".join(f"t{i}" for i in range(6))          # 6-token template
+    rows = []
+    for d in range(5):                                       # 5 docs share it
+        unique = " ".join(f"u{d}_{i}" for i in range(6))
+        rows.append((d, f"{template} {unique}"))
+    rows.append((9, " ".join(f"x{i}" for i in range(12))))   # all-unique doc
+    rows.append((10, "too short"))                           # < window: no rows
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.doc_id: r for r in hot_window_stats(df, window_tokens=6, min_count=5).collect()}
+    # 12 tokens, window 6 => 7 windows/doc; only the exact template window
+    # (positions 1..6) repeats across all five docs
+    for d in range(5):
+        assert (out[d].n_windows, out[d].n_hot) == (7, 1)
+        assert out[d].hot_ratio == pytest.approx(1 / 7, abs=1e-6)
+    assert out[9].n_hot == 0
+    assert 10 not in out                                     # below window size
