@@ -1026,3 +1026,113 @@ def hot_window_stats(
             F.round(F.col("n_hot") / F.col("n_windows"), 6).alias("hot_ratio"),
         )
     )
+
+
+def remove_hot_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+    min_count: int = 5,
+    keep_first: bool = False,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"), at token-window
+    granularity — :func:`hot_window_stats` is the detection half.  Every
+    token covered by a sliding ``window_tokens``-token window whose
+    (lowercased) content appears ≥ ``min_count`` times corpus-wide is cut
+    from the document; the surviving tokens are re-joined in order.
+
+    Two semantics:
+
+    - ``keep_first=False`` (default, "scrub"): every occurrence of a hot
+      span is removed from every document — template/boilerplate scrub.
+    - ``keep_first=True``: the canonical occurrence of each hot window
+      (min ``(id, start)`` over its occurrences) survives; only the other
+      copies are cut — the Lee-et-al keep-one-copy semantic.
+
+    Output: ``(id_col, clean_text, n_tokens, kept_tokens,
+    removed_tokens)`` — one row per input document (docs shorter than one
+    window pass through untouched; NULL text behaves as empty).
+
+    Scale: windows explode off the token array (narrow); ONE count
+    aggregation with map-side partials; the hot set (templates only, rare
+    by construction) broadcast-joins back; per-doc hot-start lists are
+    small, so span masking is a row-local higher-order-function filter —
+    no pair table, no self-join, and the full token text is never
+    shuffled (only 60-bit window hashes are).
+    """
+    w = int(window_tokens)
+    if w < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    base = fan_out(df).select(
+        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n")
+    )
+    starts = F.sequence(F.lit(1), F.col("_n") - F.lit(w - 1))
+    wins = (
+        base.filter(F.col("_n") >= w)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        hash_fn(
+                            F.lower(F.array_join(F.slice(F.col("_tk"), i, w), " "))
+                        ).alias("wh"),
+                    ),
+                )
+            ).alias("_x"),
+        )
+        .select(F.col(id_col), F.col("_x.s").alias("_s"), F.col("_x.wh").alias("_wh"))
+    )
+    hot = (
+        wins.groupBy("_wh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= F.lit(min_count))
+        .select("_wh")
+    )
+    hot_wins = wins.join(F.broadcast(hot), "_wh")
+    if keep_first:
+        # The canonical occurrence (min (id, start) per window hash)
+        # survives; the hot set is rare so the canon table is small too.
+        canon = hot_wins.groupBy("_wh").agg(
+            F.min(F.struct(F.col(id_col).alias("_ci"), F.col("_s").alias("_cs"))).alias("_cn")
+        )
+        hot_wins = (
+            hot_wins.join(F.broadcast(canon), "_wh")
+            .filter(
+                ~((F.col(id_col) == F.col("_cn._ci")) & (F.col("_s") == F.col("_cn._cs")))
+            )
+            .select(F.col(id_col), F.col("_s"))
+        )
+    spans = hot_wins.groupBy(id_col).agg(F.collect_set("_s").alias("_hs"))
+    indexed = F.transform(
+        F.col("_tk"), lambda t, i: F.struct((i + F.lit(1)).alias("i"), t.alias("t"))
+    )
+    kept = F.filter(
+        F.col("_ix"),
+        lambda x: ~F.exists(
+            F.col("_hs"), lambda s: (x["i"] >= s) & (x["i"] < s + F.lit(w))
+        ),
+    )
+    return (
+        base.join(spans, id_col, "left")
+        .withColumn("_hs", F.coalesce(F.col("_hs"), F.array().cast("array<int>")))
+        .withColumn("_ix", indexed)
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("clean_text"),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+        )
+        .withColumn(
+            "removed_tokens", (F.col("n_tokens") - F.col("kept_tokens")).cast("long")
+        )
+    )

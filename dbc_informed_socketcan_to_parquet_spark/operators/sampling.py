@@ -405,3 +405,157 @@ def chunk_documents(
         F.col("_c.chunk_text").alias(text_col),
         F.col("_c.n_tokens").alias("n_tokens"),
     )
+
+
+# -- DSIR-style importance resampling ----------------------------------------
+
+def _hashed_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int,
+    bigrams: bool,
+    hash_fn,
+    seed: str,
+) -> DataFrame:
+    """(id, bucket) — unigram (+ word-bigram) features hashed into
+    ``num_buckets``; same tokenization and feature shape as
+    textops.classifier_score so the two share one oracle rendering."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import _lm_tokens
+
+    toks = _lm_tokens(text_col)
+    feats = toks
+    if bigrams:
+        pair_strs = F.transform(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+            ),
+            lambda p: F.concat(p["a"], F.lit(" "), p["b"]),
+        )
+        feats = F.concat(toks, pair_strs)
+    return df.select(F.col(id_col), F.explode(feats).alias("_f")).select(
+        F.col(id_col),
+        F.pmod(hash_fn(F.col("_f"), salt=f"{seed}|"), F.lit(num_buckets)).alias("_b"),
+    )
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1 << 13,
+    bigrams: bool = True,
+    hash_fn=None,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight (Xie et al., "Data Selection
+    for Language Models via Importance Resampling"): hashed n-gram bucket
+    counts give a bag-of-buckets model of the raw corpus and of the
+    ``target`` distribution (both add-one smoothed over ``num_buckets``);
+    a document's log-weight is the sum over its features of
+    ``ln p_target(bucket) - ln p_raw(bucket)`` — documents that look like
+    the target domain score high.
+
+    Output: ``(id_col, n_features, log_weight)`` — one row per corpus
+    document (feature-less docs get weight 0.0).
+
+    Scale: the bucket-count tables are ≤ ``num_buckets`` rows however big
+    the corpora are, so the log-ratio table BROADCASTS; the corpus pays
+    one explode + two groupBys (bucket counts with map-side partials,
+    then per-doc sums) and the raw text is never shuffled — only
+    (id, bucket) pairs are.
+    """
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+
+    hash_fn = hash_fn or md5_long
+    B = int(num_buckets)
+    feats_c = _hashed_buckets(corpus, id_col, text_col, B, bigrams, hash_fn, seed)
+    feats_t = _hashed_buckets(target, id_col, text_col, B, bigrams, hash_fn, seed)
+    raw = feats_c.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    tgt = feats_t.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
+    joined = (
+        raw.join(tgt, "_b", "full")
+        .select(
+            F.col("_b"),
+            F.coalesce(F.col("_rc"), F.lit(0)).alias("_rc"),
+            F.coalesce(F.col("_tc"), F.lit(0)).alias("_tc"),
+        )
+    )
+    tot = joined.agg(F.sum("_rc").alias("_rt"), F.sum("_tc").alias("_tt"))
+    wtab = joined.crossJoin(F.broadcast(tot)).select(
+        F.col("_b"),
+        (
+            F.log((F.col("_tc") + F.lit(1)) / (F.col("_tt") + F.lit(B)).cast("double"))
+            - F.log((F.col("_rc") + F.lit(1)) / (F.col("_rt") + F.lit(B)).cast("double"))
+        ).alias("_lr"),
+    )
+    per_doc = (
+        feats_c.join(F.broadcast(wtab), "_b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_features"), F.sum("_lr").alias("log_weight"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_features"), F.lit(0)).cast("long").alias("n_features"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def importance_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1 << 13,
+    bigrams: bool = True,
+    temperature: float = 1.0,
+    hash_fn=None,
+    seed: str = "dsir",
+    round_to: int = 6,
+) -> DataFrame:
+    """Select ``n`` corpus documents with probability ∝ importance weight
+    via the Gumbel-top-k trick — the sampling half of DSIR.  Each doc's
+    key is ``log_weight / temperature + Gumbel(unit_hash(id))``; taking
+    the global top-``n`` keys draws a without-replacement sample exactly
+    proportional to ``w^(1/temperature)``, and because the Gumbel noise
+    is a pure hash of the id the draw is deterministic — stable across
+    runs, retries, and partitionings, like every sampler in this module.
+
+    Output: ``(id_col, n_features, log_weight, sample_key)`` for the
+    selected docs (keys and weights rounded to ``round_to``; ordering
+    ties broken by id so the selection is reproducible cross-engine).
+
+    Scale: the ranking is ``orderBy(...).limit(n)`` — Spark's distributed
+    TakeOrdered (per-partition top-n then a driver merge of n·parts
+    keys), never a global sort of the corpus.
+    """
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+
+    hash_fn = hash_fn or md5_long
+    lw = importance_weights(
+        corpus, target, id_col, text_col, num_buckets, bigrams, hash_fn, seed
+    )
+    # deterministic uniform in (0, 1): 60-bit hash folded to 1e6 grains
+    u = (F.pmod(hash_fn(F.col(id_col), salt=f"{seed}-g|"), F.lit(1_000_000)) + 1) / F.lit(
+        1_000_002.0
+    )
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col("log_weight") / F.lit(float(temperature)) + gumbel, round_to)
+    return (
+        lw.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(int(n))
+        .select(
+            F.col(id_col),
+            F.col("n_features"),
+            F.round(F.col("log_weight"), round_to).alias("log_weight"),
+            F.col("sample_key"),
+        )
+    )

@@ -2462,3 +2462,127 @@ def q_hot_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return hot_window_stats(docs, window_tokens=20, min_count=3)
+
+
+@extra_query(
+    "exact_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t != '') AS tk
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i, {md5_long_sql('w')} AS wh
+      FROM (
+        SELECT doc_id, i, lower(array_to_string(list_slice(tk, i, i + 19), ' ')) AS w
+        FROM toks, unnest(range(1, len(tk) - 18)) AS t(i)
+        WHERE len(tk) >= 20
+      )
+    ),
+    hot AS (
+      SELECT wh FROM (SELECT wh, count(*) AS c FROM wins GROUP BY 1) WHERE c >= 3
+    ),
+    spans AS (SELECT w.doc_id, w.i AS s FROM wins w JOIN hot h USING (wh)),
+    tok_idx AS (
+      SELECT doc_id, tk[CAST(i AS INT)] AS tok, i
+      FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT ti.doc_id, ti.tok, ti.i
+      FROM tok_idx ti
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = ti.doc_id AND ti.i BETWEEN s.s AND s.s + 19
+      )
+    )
+    SELECT t.doc_id,
+           coalesce(k.ct, '') AS clean_text,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(k.kc, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(t.tk) - coalesce(k.kc, 0) AS BIGINT) AS removed_tokens
+    FROM toks t
+    LEFT JOIN (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct, count(*) AS kc
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of Lee-et-al exact-substring dedup (scrub
+    semantics): every token covered by a 20-token window repeated >= 3
+    times corpus-wide is cut and the survivors re-joined in order —
+    hot_window_stats is the matching detection half
+    (operators/dedup.remove_hot_spans)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import remove_hot_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_hot_spans(docs, window_tokens=20, min_count=3)
+
+
+_DSIR_B = 1 << 12
+
+
+@extra_query(
+    "importance_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != '') AS tk
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, unnest(tk) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)] AS f
+      FROM toks, unnest(range(1, len(tk))) AS t(i)
+    ),
+    hashed AS (
+      SELECT doc_id, {md5_long_sql('f', salt='dsir|')} % {_DSIR_B} AS b FROM feats
+    ),
+    tgt_ids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    raw AS (SELECT b, count(*) AS rc FROM hashed GROUP BY 1),
+    tgt AS (
+      SELECT b, count(*) AS tc FROM hashed JOIN tgt_ids USING (doc_id) GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT sum(rc) FROM raw) AS rt,
+             (SELECT coalesce(sum(tc), 0) FROM tgt) AS tt
+    ),
+    wtab AS (
+      SELECT r.b,
+             ln((coalesce(t.tc, 0) + 1) / CAST(tot.tt + {_DSIR_B} AS DOUBLE))
+           - ln((r.rc + 1) / CAST(tot.rt + {_DSIR_B} AS DOUBLE)) AS lr
+      FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+    ),
+    perdoc AS (
+      SELECT h.doc_id, count(*) AS nf, sum(w.lr) AS lw
+      FROM hashed h JOIN wtab w USING (b) GROUP BY 1
+    ),
+    keyed AS (
+      SELECT d.doc_id,
+             coalesce(p.nf, 0) AS nf,
+             coalesce(p.lw, 0.0) AS lw,
+             round(coalesce(p.lw, 0.0)
+                   - ln(-ln((({md5_long_sql('d.doc_id', salt='dsir-g|')}) % 1000000 + 1)
+                            / 1000002.0)), 6) AS sample_key
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    )
+    SELECT doc_id, CAST(nf AS BIGINT) AS n_features,
+           round(lw, 6) AS log_weight, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+)
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al.): hashed unigram+bigram
+    bucket counts model the raw corpus and the English-language target
+    slice; 50 docs are drawn with probability proportional to the
+    importance weight via deterministic Gumbel-top-k
+    (operators/sampling.importance_resample — the weight table is
+    num_buckets rows, so it broadcasts at any corpus size, and the
+    selection is a distributed TakeOrdered, never a global sort)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import importance_resample
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return importance_resample(docs, target, n=50, num_buckets=_DSIR_B)

@@ -867,3 +867,54 @@ def test_hot_window_stats_detects_planted_template(spark):
         assert out[d].hot_ratio == pytest.approx(1 / 7, abs=1e-6)
     assert out[9].n_hot == 0
     assert 10 not in out                                     # below window size
+
+
+def test_remove_hot_spans_scrub_and_keep_first(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import remove_hot_spans
+
+    tmpl = "the quick brown fox jumps over the lazy dog again and again"  # 12 tokens
+    docs = [
+        (1, f"alpha beta {tmpl} gamma delta"),
+        (2, f"one two three {tmpl} four"),
+        (3, tmpl),
+        (4, "totally unique text with no repeats at all here"),
+        (5, None),
+        (6, "short text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = {r.doc_id: r for r in remove_hot_spans(df, window_tokens=12, min_count=3).collect()}
+    assert len(out) == 6                       # one row per input doc, always
+    # scrub: every copy of the hot span is cut, surrounding tokens survive
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[2].clean_text == "one two three four"
+    assert out[3].clean_text == ""             # doc was nothing but the span
+    assert out[4].clean_text == "totally unique text with no repeats at all here"
+    assert out[5] .clean_text == ""            # NULL text behaves as empty
+    assert out[6].clean_text == "short text"   # below window size: untouched
+    for r in out.values():                     # accounting always closes
+        assert r.kept_tokens + r.removed_tokens == r.n_tokens
+        n_clean = len([t for t in r.clean_text.split(" ") if t])
+        assert n_clean == r.kept_tokens
+
+    # keep_first: the canonical copy (min (doc_id, start)) survives
+    kf = {r.doc_id: r for r in
+          remove_hot_spans(df, window_tokens=12, min_count=3, keep_first=True).collect()}
+    assert kf[1].clean_text == f"alpha beta {tmpl} gamma delta"
+    assert kf[2].clean_text == "one two three four"
+    assert kf[3].clean_text == ""
+    assert kf[1].removed_tokens == 0 and kf[2].removed_tokens == 12
+
+
+def test_remove_hot_spans_overlapping_windows_merge(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import remove_hot_spans
+
+    # a 5-token template scanned with window 4 produces 2 overlapping hot
+    # windows per doc; the cut must be their union (5 tokens), not 8
+    tmpl = "p q r s t"
+    docs = [(d, f"u{d} {tmpl} v{d}") for d in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_hot_spans(df, window_tokens=4, min_count=4).collect()}
+    for d in range(4):
+        assert out[d].clean_text == f"u{d} v{d}"
+        assert out[d].removed_tokens == 5

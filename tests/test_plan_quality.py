@@ -263,3 +263,26 @@ def test_classifier_score_broadcasts_weights(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan and "partial_avg" in plan
+
+
+def test_remove_hot_spans_broadcasts_hot_set(spark):
+    """The hot-window set (templates only — rare by construction) must
+    broadcast back onto the window table, and span masking is row-local:
+    no cartesian, no pair table, no full-text shuffle."""
+    plan = plan_of(EXTRA_QUERIES["exact_substring_dedup"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_importance_resample_broadcast_weights_and_takeordered(spark):
+    """The DSIR log-ratio table is <= num_buckets rows however big the
+    corpora are — it must broadcast; and the top-n selection must be the
+    distributed TakeOrdered, never a global Sort+Exchange."""
+    plan = plan_of(EXTRA_QUERIES["importance_resample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join is allowed: the crossJoin of the
+    # broadcast 1-row totals frame onto the <= num_buckets count table
+    # (formatted explain prints every node twice: tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

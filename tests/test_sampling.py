@@ -329,3 +329,96 @@ def test_chunk_documents_overlap_and_coverage(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=5, overlap=5)
+
+
+def _py_dsir_log_weight(texts_by_id, target_ids, num_buckets, seed="dsir"):
+    """Pure-python replay of importance_weights for tiny fixtures."""
+    import hashlib
+    import math
+    import re
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9']+", (t or "").lower()) if w]
+
+    def h60(s, salt=""):
+        return int(hashlib.md5(f"{salt}{s}".encode()).hexdigest()[:15], 16)
+
+    def buckets(t):
+        tk = toks(t)
+        feats = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        return [h60(f, salt=f"{seed}|") % num_buckets for f in feats]
+
+    raw, tgt = {}, {}
+    doc_buckets = {}
+    for i, t in texts_by_id.items():
+        bs = buckets(t)
+        doc_buckets[i] = bs
+        for b in bs:
+            raw[b] = raw.get(b, 0) + 1
+    for i in target_ids:
+        for b in doc_buckets[i]:
+            tgt[b] = tgt.get(b, 0) + 1
+    rt, tt = sum(raw.values()), sum(tgt.values())
+    out = {}
+    for i, bs in doc_buckets.items():
+        out[i] = sum(
+            math.log((tgt.get(b, 0) + 1) / (tt + num_buckets))
+            - math.log((raw.get(b, 0) + 1) / (rt + num_buckets))
+            for b in bs
+        )
+    return out
+
+
+def test_importance_weights_match_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import importance_weights
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog ran in the park",
+        3: "quantum flux capacitor resonance chamber",
+        4: "the cat and the dog played",
+        5: "stochastic gradient descent converges slowly",
+        6: "",
+    }
+    target_ids = [1, 4]  # cat/dog-ish target domain
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    target = df.filter(F.col("doc_id").isin(target_ids))
+    B = 64
+    got = {r.doc_id: r for r in importance_weights(df, target, num_buckets=B).collect()}
+    want = _py_dsir_log_weight(texts, target_ids, B)
+    assert set(got) == set(texts)
+    for i, w in want.items():
+        assert got[i].log_weight == pytest.approx(w, abs=1e-9), i
+    assert got[6].n_features == 0 and got[6].log_weight == 0.0
+    # target-domain docs must outrank every off-domain one
+    assert min(got[i].log_weight for i in (1, 4)) > max(
+        got[i].log_weight for i in (2, 3, 5)
+    )
+
+
+def test_importance_resample_deterministic_and_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMALL
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import importance_resample
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    a = importance_resample(docs, target, n=25, num_buckets=1 << 12).collect()
+    b = importance_resample(docs, target, n=25, num_buckets=1 << 12).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]   # deterministic
+    assert len(a) == 25
+    # keys are sorted descending (TakeOrdered contract)
+    keys = [r.sample_key for r in a]
+    assert keys == sorted(keys, reverse=True)
+    # selection skews toward the target language
+    sel_langs = [
+        r.lang
+        for r in docs.join(
+            spark.createDataFrame([(r.doc_id,) for r in a], "doc_id long"), "doc_id"
+        ).collect()
+    ]
+    assert sel_langs.count("en") >= len(sel_langs) * 0.5, sel_langs
