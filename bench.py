@@ -154,7 +154,9 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     for name in ("paragraph_dedup", "dedup_incremental", "lm_score",
-                 "classifier_score", "frequent_ngrams"):
+                 "classifier_score", "frequent_ngrams",
+                 "exact_substring_dedup", "importance_resample",
+                 "fuzzy_contamination"):
         fn = EXTRA_QUERIES[name]
         samples = []
         for _ in range(2):

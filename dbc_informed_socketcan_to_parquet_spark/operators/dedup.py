@@ -1136,3 +1136,73 @@ def remove_hot_spans(
             "removed_tokens", (F.col("n_tokens") - F.col("kept_tokens")).cast("long")
         )
     )
+
+
+def fuzzy_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = 16,
+    shingle_n: int = 5,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """Cross-corpus NEAR-duplicate benchmark contamination: corpus docs
+    whose MinHash-estimated Jaccard against ANY evaluation document is
+    ≥ ``threshold``.  :func:`contamination_check` is the exact-shingle
+    variant (counts verbatim overlap); this one catches paraphrased or
+    partially-edited benchmark leakage that exact shingles miss.
+
+    Output: ``(id_col, eval_id, est_jaccard)`` — one row per contaminated
+    corpus doc with its best-matching eval doc (max estimate, ties broken
+    toward the smallest eval id, so the result is deterministic).
+
+    Scale: the eval set is benchmark-sized, so BOTH its band table and
+    its signature table broadcast — the corpus is scanned once for
+    signatures and never self-joined; candidates only materialize on a
+    band-bucket collision with an eval doc, and the verify step compares
+    fixed-length signatures (``num_perms`` longs), not text.
+    """
+    sigs_c = minhash_signatures(corpus, id_col, text_col, num_perms, shingle_n, seed, hash_fn)
+    sigs_e = minhash_signatures(eval_df, id_col, text_col, num_perms, shingle_n, seed, hash_fn)
+    bands_c = _band_table(sigs_c, id_col, num_bands, rows_per_band)
+    bands_e = (
+        _band_table(sigs_e, id_col, num_bands, rows_per_band)
+        .withColumnRenamed(id_col, "_eid")
+    )
+    cand = (
+        bands_c.join(F.broadcast(bands_e), ["band", "bh"])
+        .select(F.col(id_col), F.col("_eid"))
+        .distinct()
+    )
+    e_sigs = sigs_e.select(F.col(id_col).alias("_eid"), F.col("sig").alias("_esig"))
+    matches = F.aggregate(
+        F.zip_with(F.col("sig"), F.col("_esig"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(sigs_c, id_col)
+        .join(F.broadcast(e_sigs), "_eid")
+        .select(
+            F.col(id_col),
+            F.col("_eid"),
+            (matches / F.lit(float(num_perms))).alias("_est"),
+        )
+        .filter(F.col("_est") >= F.lit(threshold))
+    )
+    # max est per corpus doc, ties toward the smallest eval id — a single
+    # struct-max aggregation (est slots are exact k/num_perms doubles, so
+    # the equality semantics are reproducible cross-engine)
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("_est"), (-F.col("_eid")).alias("_neg"))).alias("_m")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("_m._neg")).alias("eval_id"),
+        F.col("_m._est").alias("est_jaccard"),
+    )

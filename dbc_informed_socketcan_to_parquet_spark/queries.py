@@ -2586,3 +2586,67 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
     return importance_resample(docs, target, n=50, num_buckets=_DSIR_B)
+
+
+def _mh_sig_sql_for(doc_filter: str) -> str:
+    """The 16-perm signature CTE over a filtered slice of documents."""
+    sh = _SHINGLE_SQL.format(n=5, nm1=4).replace(
+        "FROM documents)", f"FROM documents WHERE {doc_filter})"
+    )
+    return f"SELECT doc_id, {_MH_TERMS} FROM ({sh}) GROUP BY doc_id"
+
+
+def _mh_band_sql_for(rel: str) -> str:
+    """The 4-band/4-row band table over a signature relation."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws(',', {', '.join(f'h{b * _MH_RPB + r}' for r in range(_MH_RPB))})) AS bh "
+        f"FROM {rel}"
+        for b in range(_MH_BANDS)
+    )
+
+
+_FUZZY_EQ = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(16))
+
+
+@extra_query(
+    "fuzzy_contamination",
+    oracle=f"""
+    WITH sc AS ({_mh_sig_sql_for('doc_id % 10 != 0')}),
+    se AS ({_mh_sig_sql_for('doc_id % 10 = 0')}),
+    bc AS ({_mh_band_sql_for('sc')}),
+    be AS ({_mh_band_sql_for('se')}),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS cid, e.doc_id AS eid
+      FROM bc c JOIN be e ON c.band = e.band AND c.bh = e.bh
+    ),
+    scored AS (
+      SELECT cand.cid, cand.eid, ({_FUZZY_EQ}) / 16.0 AS est
+      FROM cand
+      JOIN sc sa ON sa.doc_id = cand.cid
+      JOIN se sb ON sb.doc_id = cand.eid
+      WHERE ({_FUZZY_EQ}) / 16.0 >= 0.5
+    ),
+    best AS (SELECT cid, max(est) AS best FROM scored GROUP BY 1)
+    SELECT s.cid AS doc_id, CAST(min(s.eid) AS BIGINT) AS eval_id,
+           max(s.est) AS est_jaccard
+    FROM scored s JOIN best b ON s.cid = b.cid AND s.est = b.best
+    GROUP BY s.cid
+    """,
+)
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus NEAR-dup benchmark contamination: corpus docs (9/10
+    of documents) whose MinHash-estimated Jaccard vs any held-out eval
+    doc (doc_id % 10 = 0) reaches 0.5 — catches the paraphrased leakage
+    the exact-shingle benchmark_contamination query misses
+    (operators/dedup.fuzzy_contamination; the eval band + signature
+    tables broadcast, the corpus is never self-joined)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import fuzzy_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    return fuzzy_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        num_perms=16, shingle_n=5, num_bands=_MH_BANDS,
+        rows_per_band=_MH_RPB, threshold=0.5, seed=42,
+    )

@@ -918,3 +918,31 @@ def test_remove_hot_spans_overlapping_windows_merge(spark):
     for d in range(4):
         assert out[d].clean_text == f"u{d} v{d}"
         assert out[d].removed_tokens == 5
+
+
+def test_fuzzy_contamination_flags_paraphrased_eval_doc(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import fuzzy_contamination
+
+    eval_text = (
+        "the standardized benchmark question asks which planet is closest "
+        "to the sun and the expected answer is mercury because it orbits "
+        "nearest among all the planets in the solar system"
+    )
+    # near-copy: a few words changed — exact-shingle overlap drops but
+    # most 5-gram shingles survive, so MinHash similarity stays high
+    near_copy = eval_text.replace("standardized", "standard").replace(
+        "expected answer", "right answer"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, near_copy),
+            (2, "completely unrelated text about cooking pasta with garlic "
+                "and olive oil in a large pot of salted boiling water"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+
+    out = {r.doc_id: r for r in fuzzy_contamination(corpus, evals, threshold=0.5).collect()}
+    assert 1 in out and out[1].eval_id == 100 and out[1].est_jaccard >= 0.5
+    assert 2 not in out

@@ -286,3 +286,12 @@ def test_importance_resample_broadcast_weights_and_takeordered(spark):
     # broadcast 1-row totals frame onto the <= num_buckets count table
     # (formatted explain prints every node twice: tree + detail section)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_fuzzy_contamination_broadcasts_eval_tables(spark):
+    """Both the eval band table and the eval signature table are
+    benchmark-sized — they must broadcast; the corpus is scanned for
+    signatures but never self-joined."""
+    plan = plan_of(EXTRA_QUERIES["fuzzy_contamination"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
