@@ -46,6 +46,10 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-quality", type=float, default=0.5)
     p.add_argument("--jaccard", type=float, default=0.8, help="near-dup verify threshold")
     p.add_argument("--paragraph-dedup", action="store_true")
+    p.add_argument("--hot-span-window", type=int, default=None,
+                   help="exact-substring scrub: cut token windows of this size "
+                        "repeated >= --hot-span-min-count times corpus-wide")
+    p.add_argument("--hot-span-min-count", type=int, default=5)
     p.add_argument("--max-perplexity", type=float, default=None,
                    help="bigram-LM gate (trains on --lm-corpus if given, else on survivors)")
     p.add_argument("--lm-corpus", default=None, help="trusted reference parquet for the LM gate")
@@ -80,6 +84,8 @@ def run_curate(argv: list[str]) -> None:
         min_quality=args.min_quality,
         jaccard_threshold=args.jaccard,
         paragraph_dedup=args.paragraph_dedup,
+        hot_span_window=args.hot_span_window,
+        hot_span_min_count=args.hot_span_min_count,
         max_perplexity=args.max_perplexity,
         hash_fn=args.hash,
     )

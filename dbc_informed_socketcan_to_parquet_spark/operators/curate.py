@@ -7,6 +7,10 @@ input of the next:
 1. PII scrub           — codegen'd regexp chain, no shuffle.
 1b. paragraph dedup    — (opt-in) corpus-wide first-occurrence paragraph
                          dedup; rewrites text before anything judges it.
+1c. hot-span scrub     — (opt-in) exact-substring removal: token windows
+                         repeated corpus-wide are cut (broadcast hot set,
+                         row-local masking) — template mass the paragraph
+                         stage misses when it is embedded mid-paragraph.
 2. quality gate        — doc_stats + repetition_stats thresholds; drops
                          boilerplate before any hashing happens.
 2b. classifier gate    — (opt-in) hashed-linear-classifier probability
@@ -79,6 +83,11 @@ class CurateConfig:
     paragraph_dedup: bool = False
     paragraph_sep: str = "\n"
     paragraph_min_chars: int = 20
+    # corpus-wide exact-substring (hot token-window) scrub AFTER paragraph
+    # dedup: spans repeated >= hot_span_min_count times corpus-wide are cut
+    # from every doc (Lee-et-al removal, scrub semantics).  None = off
+    hot_span_window: int | None = None
+    hot_span_min_count: int = 5
     # drop docs whose bigram-LM perplexity exceeds this (CCNet-style
     # gibberish gate); docs with <2 tokens have no bigrams and also drop
     # (conservative).  None = stage off
@@ -130,6 +139,27 @@ def curate(
         out = (
             out.select(*keep)
             .join(rebuilt.select(id_col, F.col("text_dedup").alias(text_col)), id_col)
+            .select(*docs.columns)
+        )
+
+    if config.hot_span_window is not None:
+        # corpus-wide exact-substring scrub (Lee-et-al removal): template
+        # spans repeated >= hot_span_min_count times are cut from every
+        # doc.  Another text rewrite, so it runs with the other rewrite
+        # stage (before anything judges the text); the hot set is
+        # template-mass only, so it broadcasts at any corpus size.
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import remove_hot_spans
+
+        rebuilt = remove_hot_spans(
+            out, id_col, text_col,
+            window_tokens=config.hot_span_window,
+            min_count=config.hot_span_min_count,
+            hash_fn=_HASH_FNS[config.hash_fn],
+        ).localCheckpoint(eager=False)
+        keep = [c for c in out.columns if c != text_col]
+        out = (
+            out.select(*keep)
+            .join(rebuilt.select(id_col, F.col("clean_text").alias(text_col)), id_col)
             .select(*docs.columns)
         )
 

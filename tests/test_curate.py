@@ -214,3 +214,38 @@ def test_curate_optional_stages(spark):
 
     with pytest.raises(ValueError, match="classifier_weights"):
         curate(docs, config=cfg2)
+
+
+def test_curate_hot_span_scrub_stage(spark):
+    """Opt-in exact-substring scrub: a mid-paragraph template repeated
+    corpus-wide is cut from every doc (paragraph dedup can't catch it —
+    it is embedded inside otherwise-unique paragraphs)."""
+    tmpl = ("this message and any attachments are confidential and intended "
+            "solely for the use of the individual addressee named above")  # 19 tokens
+    bodies = [
+        ("the quarterly report shows strong growth in the analytics division "
+         "with revenue climbing steadily across all regional markets"),
+        ("please find attached the updated project timeline reflecting the "
+         "new milestones we discussed during the planning meeting yesterday"),
+        ("the engineering team completed the migration to the new cluster "
+         "ahead of schedule with zero downtime reported by monitoring"),
+        ("our customer satisfaction survey results improved again this "
+         "quarter driven by faster response times in the support queue"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"{b} {tmpl}") for i, b in enumerate(bodies)],
+        "doc_id long, text string",
+    )
+    cfg = CurateConfig(min_chars=32, min_quality=0.0, jaccard_threshold=0.5,
+                       hot_span_window=19, hot_span_min_count=4)
+    kept = {r.doc_id: r.text for r in curate(docs, config=cfg).collect()}
+    assert set(kept) == {0, 1, 2, 3}             # bodies unique → all survive
+    for i, b in enumerate(bodies):
+        assert kept[i] == b                      # template excised verbatim
+
+    # stage off → default path untouched (template still present)
+    kept_off = {r.doc_id: r.text for r in curate(
+        docs, config=CurateConfig(min_chars=32, min_quality=0.0,
+                                  jaccard_threshold=0.5)).collect()}
+    for i, b in enumerate(bodies):
+        assert tmpl in kept_off.get(i, "")
