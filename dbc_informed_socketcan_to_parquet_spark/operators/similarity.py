@@ -715,3 +715,223 @@ def random_projection(
             yield out
 
     return fan_out(df).mapInPandas(kernel, out_schema)
+
+
+# -- product quantization (IVF-PQ's compression half) ------------------------
+
+class PQModel:
+    """Trained product-quantization codebooks.
+
+    ``codebooks`` is a numpy ``[num_subspaces, 2**bits, dim/num_subspaces]``
+    float64 array; the whole model is ``m · k · ds`` doubles (e.g.
+    8 × 16 × 8 = 1 024 for the d=64 fixture; 96 × 256 × 8 ≈ 200 k for a
+    d=768 production setup) — always driver/closure-sized, like the IVF
+    centroid table.
+    """
+
+    def __init__(self, dim: int, num_subspaces: int, bits: int, codebooks):
+        import numpy as np
+
+        self.dim = int(dim)
+        self.num_subspaces = int(num_subspaces)
+        self.bits = int(bits)
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)
+        k = 1 << self.bits
+        ds = self.dim // self.num_subspaces
+        if self.codebooks.shape != (self.num_subspaces, k, ds):
+            raise ValueError(
+                f"codebooks shape {self.codebooks.shape} != {(self.num_subspaces, k, ds)}"
+            )
+
+    @property
+    def subdim(self) -> int:
+        return self.dim // self.num_subspaces
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int | None = None,
+    num_subspaces: int = 8,
+    bits: int = 4,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    max_train: int = 100_000,
+    seed: int = 42,
+) -> PQModel:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search"): the vector splits into
+    ``num_subspaces`` contiguous sub-vectors and each subspace gets its
+    own ``2**bits``-entry k-means codebook — a d-dim float32 vector
+    compresses to ``num_subspaces`` bytes-ish codes (d=768 float32 =
+    3 072 B → 96 codes, 32×).
+
+    Training is driver-side numpy over a DETERMINISTIC bounded sample:
+    ``md5(id) % sample_mod == 0`` rows, hash-ordered, first ``max_train``
+    — so the collect is bounded by construction (max_train × dim doubles)
+    and the fit is reproducible across runs/partitionings.  Lloyd's runs
+    per subspace with seeded-permutation init; empty cells keep their
+    previous codeword (standard PQ practice — a dead codeword hurts
+    recall marginally, never correctness).
+    """
+    import numpy as np
+
+    if bits < 1 or bits > 8:
+        raise ValueError(f"bits must be in [1, 8], got {bits}")
+    if dim is None:
+        probe = corpus.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+        if not probe or probe[0]["_d"] is None or probe[0]["_d"] <= 0:
+            raise ValueError(
+                f"cannot derive dim: corpus is empty or {vec_col!r} is null — pass dim explicitly"
+            )
+        dim = probe[0]["_d"]
+    if dim % num_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by num_subspaces {num_subspaces}")
+    k = 1 << bits
+
+    train = corpus
+    if sample_mod > 1:
+        train = train.filter(F.pmod(md5_long(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = (
+        train.select(md5_long(F.col(id_col)).alias("_h"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy("_h")
+        .limit(int(max_train))
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    if X.shape[0] < k:
+        raise ValueError(
+            f"PQ training sample has {X.shape[0]} rows < {k} codewords — "
+            "lower sample_mod / bits or provide more data"
+        )
+    ds = dim // num_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.empty((num_subspaces, k, ds), dtype=np.float64)
+    for s in range(num_subspaces):
+        sub = X[:, s * ds:(s + 1) * ds]
+        C = sub[rng.permutation(sub.shape[0])[:k]].copy()
+        for _ in range(n_iters):
+            d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ C.T) + (C * C).sum(1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                members = sub[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books[s] = C
+    return PQModel(dim, num_subspaces, bits, books)
+
+
+def pq_encode(
+    df: DataFrame,
+    model: PQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``(id_col, codes array<int>)`` with one
+    code per subspace (nearest codeword by L2, ties to the lowest index).
+
+    One Arrow-batched numpy pass; the codebook rides the task closure.
+    At 100 TB this is the one-off compression job whose output (codes,
+    ~num_subspaces bytes/vector) replaces the raw float corpus for
+    serving — the 32× that makes a RAM-resident index possible.
+    """
+    import numpy as np
+
+    C = model.codebooks
+    m, ds = model.num_subspaces, model.subdim
+    cc = (C * C).sum(axis=2)  # [m, k]
+    schema = f"{id_col} long, codes array<int>"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({id_col: [], "codes": []})
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((v.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                sub = v[:, s * ds:(s + 1) * ds]
+                d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ C[s].T) + cc[s][None, :]
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "codes": list(codes.tolist())})
+
+    return fan_out(df).select(F.col(id_col), F.col(vec_col)).mapInPandas(kernel, schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    model: PQModel,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds a
+    ``[num_subspaces, 2**bits]`` lookup table of exact sub-distances to
+    every codeword, and a corpus vector's approximate squared-L2 distance
+    is ``sum_s LUT[s, code_s]`` — a pure table gather, no float vector
+    ever touched at search time.
+
+    Output: ``(query_id_col, id_col, adc_dist, rank)``, rank 1..k by
+    ascending distance (ties to the lower id — deterministic).
+
+    Scale: the query set and its LUTs ride the task closure (Q·m·k
+    doubles); each partition scores its codes against ALL queries in one
+    numpy gather+sum and emits only its local top-k per query, so the
+    shuffle carries Q·k·partitions candidate rows into the exact global
+    top-k window — never the corpus.
+    """
+    import numpy as np
+
+    C = model.codebooks
+    m, ds, kk = model.num_subspaces, model.subdim, 1 << model.bits
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>")).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    # LUT[q, s, j] = ||q_s - C[s, j]||²  (exact per-subspace distances)
+    lut = np.empty((len(qids), m, kk), dtype=np.float64)
+    for s in range(m):
+        qs = Q[:, s * ds:(s + 1) * ds]
+        lut[:, s, :] = (
+            (qs * qs).sum(1)[:, None] - 2.0 * (qs @ C[s].T) + (C[s] * C[s]).sum(1)[None, :]
+        )
+    schema = f"{query_id_col} long, {id_col} long, adc_dist double"
+    topk = int(k)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({query_id_col: [], id_col: [], "adc_dist": []})
+                continue
+            codes_m = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # [B, m]
+            ids = pdf[id_col].values
+            # dist[q, b] = sum_s lut[q, s, codes[b, s]]
+            dist = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            for s in range(m):
+                dist += lut[:, s, :][:, codes_m[:, s]]
+            # partition-local top-k per query (stable: ties to lower id
+            # because ids are emitted in argsort-by-(dist, id) order)
+            n_local = min(topk, dist.shape[1])
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, dist[qi]))[:n_local]
+                out_q.extend([qids[qi]] * len(order))
+                out_i.extend(ids[order].tolist())
+                out_d.extend(dist[qi][order].tolist())
+            yield pd.DataFrame({query_id_col: out_q, id_col: out_i, "adc_dist": out_d})
+
+    local = codes.mapInPandas(kernel, schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
