@@ -935,3 +935,178 @@ def pq_topk(
         .filter(F.col("rank") <= topk)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int | None = None,
+    k: int = 10,
+    num_clusters: int = 16,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    bits: int = 4,
+    n_iters: int = 2,
+    pq_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    sample_mod: int = 1,
+    max_train: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. §IV): the coarse IVF quantizer routes each
+    vector to a cluster, PQ codebooks are trained on the RESIDUALS
+    (vector − its centroid), and at query time each probed cluster gets
+    its own ADC lookup table built from the query's residual against that
+    centroid.  This is the composition production ANN systems run: the
+    coarse router prunes the corpus to nprobe/num_clusters, and the
+    residual codes are far tighter than raw-vector codes because each
+    cluster's residual cloud is centered.
+
+    Output: ``(query_id_col, id_col, adc_dist, rank)`` — rank 1..k by
+    ascending approximate squared-L2, ties to the lower id.
+
+    Scale: corpus assignment + residual encoding is the one-off batch
+    job (cluster id becomes the index partition column, codes replace
+    the floats); the per-task closure carries the centroids (k·dim) and
+    codebooks (m·2^bits·dim/m) — both driver-sized; search scans only
+    the probed clusters' codes and shuffles Q·k·partitions candidates
+    into the global top-k, never vectors.
+    """
+    import numpy as np
+
+    dim, centers = _ivf_train(
+        corpus, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, "pandas"
+    )
+    labels = sorted(centers)
+    cmat = np.asarray([centers[b] for b in labels], dtype=np.float64)
+    lab2row = {b: i for i, b in enumerate(labels)}
+
+    # --- residual PQ training: bounded hash-ordered sample, driver-side
+    if bits < 1 or bits > 8:
+        raise ValueError(f"bits must be in [1, 8], got {bits}")
+    if dim % num_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by num_subspaces {num_subspaces}")
+    kk = 1 << bits
+    train = corpus
+    if sample_mod > 1:
+        train = train.filter(F.pmod(md5_long(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = (
+        train.select(md5_long(F.col(id_col)).alias("_h"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy("_h")
+        .limit(int(max_train))
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    if X.shape[0] < kk:
+        raise ValueError(
+            f"IVF-PQ training sample has {X.shape[0]} rows < {kk} codewords"
+        )
+    cc = (cmat * cmat).sum(axis=1)
+    assign = np.argmin((X * X).sum(1)[:, None] - 2.0 * (X @ cmat.T) + cc[None, :], axis=1)
+    R = X - cmat[assign]
+    ds = dim // num_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.empty((num_subspaces, kk, ds), dtype=np.float64)
+    for s in range(num_subspaces):
+        sub = R[:, s * ds:(s + 1) * ds]
+        C = sub[rng.permutation(sub.shape[0])[:kk]].copy()
+        for _ in range(pq_iters):
+            d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ C.T) + (C * C).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            for j in range(kk):
+                members = sub[a == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books[s] = C
+    bb = (books * books).sum(axis=2)  # [m, kk]
+
+    # --- corpus pass: assign + residual-encode in ONE Arrow kernel
+    m = num_subspaces
+    enc_schema = f"{id_col} long, _cluster long, codes array<int>"
+    lab_arr = np.asarray(labels, dtype=np.int64)
+
+    def encode_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({id_col: [], "_cluster": [], "codes": []})
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            arow = np.argmin(
+                (v * v).sum(1)[:, None] - 2.0 * (v @ cmat.T) + cc[None, :], axis=1
+            )
+            r = v - cmat[arow]
+            codes = np.empty((v.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                sub = r[:, s * ds:(s + 1) * ds]
+                d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ books[s].T) + bb[s][None, :]
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "_cluster": lab_arr[arow],
+                "codes": list(codes.tolist()),
+            })
+
+    coded = (
+        fan_out(corpus).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(encode_kernel, enc_schema)
+    )
+
+    # --- query side: nprobe clusters, one residual LUT per (query, probe)
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>")).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qd = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ cmat.T) + cc[None, :]
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]  # rows into cmat
+    # lut[(qi, cluster_label)] = [m, kk] residual sub-distances
+    luts: dict[tuple[int, int], "np.ndarray"] = {}
+    probe_set: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for row in probes[qi]:
+            qr = Q[qi] - cmat[row]
+            lut = np.empty((m, kk), dtype=np.float64)
+            for s in range(m):
+                qs = qr[s * ds:(s + 1) * ds]
+                lut[s] = (qs * qs).sum() - 2.0 * (books[s] @ qs) + bb[s]
+            luts[(qi, int(lab_arr[row]))] = lut
+            probe_set.setdefault(int(lab_arr[row]), []).append(qi)
+
+    out_schema = f"{query_id_col} long, {id_col} long, adc_dist double"
+    topk = int(k)
+
+    def search_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_q: list[int] = []
+            out_i: list[int] = []
+            out_d: list[float] = []
+            if len(pdf):
+                for cl, grp in pdf.groupby("_cluster"):
+                    q_list = probe_set.get(int(cl))
+                    if not q_list:
+                        continue
+                    codes_m = np.asarray(grp["codes"].tolist(), dtype=np.int64)
+                    ids = grp[id_col].values
+                    for qi in q_list:
+                        lut = luts[(qi, int(cl))]
+                        dist = lut[np.arange(m)[:, None], codes_m.T].sum(axis=0)
+                        order = np.lexsort((ids, dist))[: min(topk, len(ids))]
+                        out_q.extend([qids[qi]] * len(order))
+                        out_i.extend(ids[order].tolist())
+                        out_d.extend(dist[order].tolist())
+            yield pd.DataFrame({query_id_col: out_q, id_col: out_i, "adc_dist": out_d})
+
+    local = coded.mapInPandas(search_kernel, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )

@@ -1041,3 +1041,43 @@ def test_pq_config_errors(spark):
         pq_train(emb, bits=9)
     with _pytest.raises(ValueError, match="codewords"):
         pq_train(emb.limit(3), bits=8)
+
+
+def test_ivfpq_recall_and_probe_monotonicity(spark):
+    import numpy as np
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ivfpq_ann_topk
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.asarray([r.vec_id for r in rows])
+    V = np.asarray([r.embedding for r in rows], dtype=np.float64)
+
+    def recall(res):
+        got: dict[int, list[int]] = {}
+        for r in res:
+            got.setdefault(r.query_id, []).append(r.vec_id)
+        rs = []
+        for q in range(5):
+            qv = V[ids == q][0]
+            d = ((V - qv) ** 2).sum(axis=1)
+            exact = set(ids[np.lexsort((ids, d))[:10]].tolist())
+            rs.append(len(exact & set(got[q])) / 10)
+        return got, sum(rs) / len(rs)
+
+    got4, r4 = recall(ivfpq_ann_topk(
+        emb, queries, k=10, num_clusters=8, nprobe=4, num_subspaces=16, bits=6
+    ).collect())
+    # measured 0.6 at these knobs; 0.4 leaves margin
+    assert r4 >= 0.4, r4
+    # the query vector itself (residual distance ~0) must rank first
+    for q in range(5):
+        assert got4[q][0] == q
+    # probing every cluster can only help (no routing loss left)
+    _, r8 = recall(ivfpq_ann_topk(
+        emb, queries, k=10, num_clusters=8, nprobe=8, num_subspaces=16, bits=6
+    ).collect())
+    assert r8 >= r4
