@@ -50,6 +50,8 @@ def build_curate_parser() -> argparse.ArgumentParser:
                    help="exact-substring scrub: cut token windows of this size "
                         "repeated >= --hot-span-min-count times corpus-wide")
     p.add_argument("--hot-span-min-count", type=int, default=5)
+    p.add_argument("--gopher", action="store_true",
+                   help="additionally require every Gopher quality rule")
     p.add_argument("--max-perplexity", type=float, default=None,
                    help="bigram-LM gate (trains on --lm-corpus if given, else on survivors)")
     p.add_argument("--lm-corpus", default=None, help="trusted reference parquet for the LM gate")
@@ -87,6 +89,7 @@ def run_curate(argv: list[str]) -> None:
         hot_span_window=args.hot_span_window,
         hot_span_min_count=args.hot_span_min_count,
         max_perplexity=args.max_perplexity,
+        gopher=args.gopher,
         hash_fn=args.hash,
     )
     lm_corpus = spark.read.parquet(args.lm_corpus) if args.lm_corpus else None

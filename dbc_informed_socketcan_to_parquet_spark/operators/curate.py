@@ -96,6 +96,9 @@ class CurateConfig:
     # None = stage off (weights come in via curate(classifier_weights=))
     min_clf_prob: float | None = None
     clf_num_features: int = 1 << 18
+    # require every Gopher rule (textops.gopher_quality_flags defaults)
+    # in addition to the built-in quality gate; off by default
+    gopher: bool = False
 
 
 def curate(
@@ -183,6 +186,19 @@ def curate(
         & (F.col("top_bigram_ratio") <= config.max_top_bigram_ratio)
     ).select(id_col)
     out = out.join(good_ids, id_col, "left_semi")
+
+    if config.gopher:
+        # named-rule battery gate — same materialization barrier as the
+        # stats table (filtering the raw projection would inline the
+        # rule derivations into the pushdown'd condition)
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            gopher_quality_flags,
+        )
+
+        flags = gopher_quality_flags(out, id_col, text_col).localCheckpoint(eager=False)
+        out = out.join(
+            flags.filter(F.col("passes_gopher")).select(id_col), id_col, "left_semi"
+        )
 
     if config.min_clf_prob is not None:
         # hashed-linear-classifier gate: one explode + broadcast weight

@@ -448,3 +448,94 @@ def classifier_score(
         F.round(margin, round_to).alias("margin"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), round_to).alias("prob"),
     )
+
+
+# -- Gopher quality rules (Rae et al. 2021, table A1) ------------------------
+
+#: the rule's fixed English indicator set — two or more must appear
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher corpus-filtering rule battery as NAMED per-document
+    flags — the standard pre-dedup gate (word-count band, mean word
+    length band, symbol density, bullet/ellipsis line shares, alphabetic
+    word share, English indicator words), each reported separately so a
+    pipeline can audit WHICH rule fired before dropping.
+
+    Output: the measured features (``n_words``, ``avg_word_len``,
+    ``symbol_ratio``, ``bullet_ratio``, ``ellipsis_ratio``,
+    ``alpha_ratio``, ``stop_hits``), one boolean per rule
+    (``ok_*``), and the conjunction ``passes_gopher``.
+
+    Scale: one shuffle-free row-local projection — same shape as
+    :func:`doc_quality_stats`, composable into the same single scan.
+    The caller-warning there applies here too: materialize before
+    filtering on these columns.
+
+    Note the indicator-word rule (``ok_stop_words``) assumes ENGLISH
+    text, as published — on a multilingual corpus route by language
+    first or lower ``min_stop_hits`` (the synthetic test fixture fails
+    this rule corpus-wide, by design of the rule).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    avg_len = F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
+    symbol_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != F.lit(""))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: F.regexp_count(l, F.lit(r"^\s*[-*•‣▪]")) > 0))
+    n_ellip = F.size(F.filter(lines, lambda l: F.regexp_count(l, F.lit(r"(\.\.\.|…)\s*$")) > 0))
+    bullet_ratio = F.when(n_lines > 0, n_bullet.cast("double") / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, n_ellip.cast("double") / n_lines).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda w: F.regexp_count(w, F.lit("[A-Za-z]")) > 0))
+    alpha_ratio = F.when(n_words > 0, n_alpha.cast("double") / n_words).otherwise(F.lit(0.0))
+    lowered = F.transform(words, lambda w: F.lower(w))
+    stop_hits = sum(
+        (F.array_contains(lowered, w).cast("int") for w in GOPHER_STOPS), F.lit(0)
+    )
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_avg = (avg_len >= min_avg_len) & (avg_len <= max_avg_len)
+    ok_symbol = symbol_ratio <= max_symbol_ratio
+    ok_bullet = bullet_ratio <= max_bullet_ratio
+    ok_ellipsis = ellipsis_ratio <= max_ellipsis_ratio
+    ok_alpha = alpha_ratio >= min_alpha_ratio
+    ok_stops = stop_hits >= min_stop_hits
+    return fan_out(df).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(avg_len, 6).alias("avg_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_avg.alias("ok_avg_word_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_bullet.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stops.alias("ok_stop_words"),
+        (ok_words & ok_avg & ok_symbol & ok_bullet & ok_ellipsis & ok_alpha & ok_stops)
+        .alias("passes_gopher"),
+    )

@@ -2650,3 +2650,74 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perms=16, shingle_n=5, num_bands=_MH_BANDS,
         rows_per_band=_MH_RPB, threshold=0.5, seed=42,
     )
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"CAST(list_contains(lw, '{w}') AS INT)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+@extra_query(
+    "gopher_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(t, '\\s+'), w -> w != '') AS words,
+        list_filter(string_split_regex(t, '\\n'), l -> trim(l) != '') AS lines,
+        len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS n_symbols
+      FROM base
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(words) AS INT) AS n_words,
+        CASE WHEN len(words) > 0
+             THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words)
+             ELSE 0.0 END AS avg_len,
+        CASE WHEN len(words) > 0
+             THEN CAST(n_symbols AS DOUBLE) / len(words) ELSE 0.0 END AS symbol_ratio,
+        CASE WHEN len(lines) > 0
+             THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•‣▪]'))) AS DOUBLE) / len(lines)
+             ELSE 0.0 END AS bullet_ratio,
+        CASE WHEN len(lines) > 0
+             THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / len(lines)
+             ELSE 0.0 END AS ellipsis_ratio,
+        CASE WHEN len(words) > 0
+             THEN CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words)
+             ELSE 0.0 END AS alpha_ratio,
+        CAST({_GOPHER_STOP_SQL} AS INT) AS stop_hits
+      FROM (SELECT *, list_transform(words, w -> lower(w)) AS lw FROM feat)
+    )
+    SELECT doc_id, n_words,
+           round(avg_len, 6) AS avg_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(bullet_ratio, 6) AS bullet_ratio,
+           round(ellipsis_ratio, 6) AS ellipsis_ratio,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           stop_hits,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (avg_len >= 3.0 AND avg_len <= 10.0) AS ok_avg_word_len,
+           (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+           (bullet_ratio <= 0.9) AS ok_bullet_lines,
+           (ellipsis_ratio <= 0.3) AS ok_ellipsis_lines,
+           (alpha_ratio >= 0.8) AS ok_alpha_words,
+           (stop_hits >= 2) AS ok_stop_words,
+           ((n_words >= 50 AND n_words <= 100000) AND (avg_len >= 3.0 AND avg_len <= 10.0)
+            AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+            AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS passes_gopher
+    FROM m
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher corpus-filtering rule battery (Rae et al. 2021 table
+    A1) as named per-document flags — word-count band, mean word length
+    band, symbol density, bullet/ellipsis line shares, alphabetic word
+    share, English indicator words — one shuffle-free projection
+    (operators/textops.gopher_quality_flags)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import gopher_quality_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs)

@@ -1081,3 +1081,34 @@ def test_ivfpq_recall_and_probe_monotonicity(spark):
         emb, queries, k=10, num_clusters=8, nprobe=8, num_subspaces=16, bits=6
     ).collect())
     assert r8 >= r4
+
+
+def test_gopher_quality_flags_each_rule(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import gopher_quality_flags
+
+    good = ("the report shows that revenue continued to grow with steady "
+            "demand and the team plans to have further expansion of the "
+            "analytics platform that customers be asking for ") * 3  # >50 words
+    docs = [
+        (1, good),
+        (2, "too short to pass"),                                  # word count
+        (3, " ".join("a" for _ in range(60)) + " the of and"),     # avg len < 3
+        (4, good + " " + "#tag " * 30),                            # symbol ratio
+        (5, "\n".join(f"- bullet {i} item listed here" for i in range(20))),  # bullets
+        (6, "\n".join(f"line {i} trails off..." for i in range(20))),         # ellipsis
+        (7, " ".join("1234" for _ in range(60)) + " the of and to"),          # alpha
+        (8, " ".join(f"w{i}x" for i in range(60))),                # no stop words
+        (9, None),                                                 # NULL text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+
+    assert out[1].passes_gopher
+    assert not out[2].ok_word_count and not out[2].passes_gopher
+    assert not out[3].ok_avg_word_len
+    assert not out[4].ok_symbol_ratio
+    assert not out[5].ok_bullet_lines and out[5].bullet_ratio == 1.0
+    assert not out[6].ok_ellipsis_lines and out[6].ellipsis_ratio == 1.0
+    assert not out[7].ok_alpha_words
+    assert not out[8].ok_stop_words and out[8].stop_hits == 0
+    assert out[9].n_words == 0 and not out[9].passes_gopher

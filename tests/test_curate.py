@@ -249,3 +249,25 @@ def test_curate_hot_span_scrub_stage(spark):
                                   jaccard_threshold=0.5)).collect()}
     for i, b in enumerate(bodies):
         assert tmpl in kept_off.get(i, "")
+
+
+def test_curate_gopher_gate(spark):
+    """Opt-in Gopher gate: a pure bullet-list doc passes the built-in
+    quality score but fails the bullet-lines rule."""
+    good = ("the report shows that revenue continued to grow with steady "
+            "demand and the team plans to have further expansion of the "
+            "analytics platform that customers be asking for ") * 3
+    bullets = "\n".join(
+        f"- item {i} in the list of things that we track here" for i in range(20)
+    )
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullets)], "doc_id long, text string"
+    )
+    base_cfg = CurateConfig(min_chars=32, min_quality=0.0, jaccard_threshold=0.5,
+                            max_top_bigram_ratio=1.0)
+    kept_off = {r.doc_id for r in curate(docs, config=base_cfg).collect()}
+    assert kept_off == {1, 2}                     # default gate keeps both
+    gopher_cfg = CurateConfig(min_chars=32, min_quality=0.0, jaccard_threshold=0.5,
+                              max_top_bigram_ratio=1.0, gopher=True)
+    kept_on = {r.doc_id for r in curate(docs, config=gopher_cfg).collect()}
+    assert kept_on == {1}                         # bullet doc dropped

@@ -295,3 +295,12 @@ def test_fuzzy_contamination_broadcasts_eval_tables(spark):
     plan = plan_of(EXTRA_QUERIES["fuzzy_contamination"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_quality_shuffle_free(spark):
+    """The Gopher rule battery is a row-local projection — one fan_out
+    exchange at most, no joins, no aggregation shuffle."""
+    plan = plan_of(EXTRA_QUERIES["gopher_quality"](spark, SF))
+    assert n_exchanges(plan) <= 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "HashAggregate" not in plan
