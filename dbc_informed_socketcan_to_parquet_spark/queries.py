@@ -2721,3 +2721,609 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return gopher_quality_flags(docs)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 5): the 13 query SHAPES not yet in the registry.
+#
+# The fixtures have no partsupp table and omit several columns
+# (ps_supplycost, l_shipmode, l_commitdate, c_phone, comments), so each
+# query keeps the REFERENCE PLAN SHAPE — the join topology, subquery
+# nesting, and aggregate structure Catalyst has to optimize — with the
+# predicate constants adapted to the columns that exist.  The adaptation
+# is stated per-query; `SELECT DISTINCT l_partkey, l_suppkey FROM
+# lineitem` serves as the part-supplier relation where partsupp is
+# required (q2, q11, q16, q20).  Money math is decimal-exact end-to-end
+# (the engines must agree bit-for-bit before the final double cast).
+# ---------------------------------------------------------------------------
+
+_REV_DEC_SQL = ("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                "CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4))")
+
+
+def _rev_dec() -> Column:
+    return (F.col("l_extendedprice").cast(_D2)
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")).cast("decimal(18,4)")
+
+
+@extra_query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT ps.pk, ps.sk, ps.cost, s_name, n_name
+      FROM ps JOIN supplier ON sk = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, s_name, n_name,
+           CAST(cost AS DOUBLE) AS supply_cost
+    FROM part JOIN eu ON p_partkey = eu.pk
+    WHERE p_size = 15
+      AND cost = (SELECT min(e2.cost) FROM eu e2 WHERE e2.pk = p_partkey)
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-min subquery picking the
+    cheapest regional supplier per part.  partsupp is derived from
+    lineitem (distinct pairs, unit cost = min extendedprice/quantity);
+    the correlated min becomes a partition window min in Spark —
+    same result set, no per-row re-execution.  The min over an
+    identical double set is order-insensitive, so both engines agree
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    su = _read(spark, sf_dir, "supplier")
+    na = _read(spark, sf_dir, "nation")
+    re_ = _read(spark, sf_dir, "region")
+    pa = _read(spark, sf_dir, "part")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    eu = (
+        ps.join(F.broadcast(su), F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re_.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("pk", "sk", "cost", "s_name", "n_name")
+    )
+    w = Window.partitionBy("pk")
+    best = eu.withColumn("min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(pa.filter(F.col("p_size") == 15)),
+                  F.col("pk") == F.col("p_partkey"))
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_name", "s_name", "n_name",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@extra_query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(
+             CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN {_REV_DEC_SQL}
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum({_REV_DEC_SQL}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-table star with two
+    nation roles (customer's region gates the market, supplier's nation
+    is the share numerator) and a conditional-sum ratio per order year.
+    All dimension joins broadcast; decimal-exact numerator/denominator."""
+    li = _read(spark, sf_dir, "lineitem")
+    od = _read(spark, sf_dir, "orders")
+    pa = _read(spark, sf_dir, "part")
+    su = _read(spark, sf_dir, "supplier")
+    cu = _read(spark, sf_dir, "customer")
+    na = _read(spark, sf_dir, "nation")
+    re_ = _read(spark, sf_dir, "region")
+    n1 = na.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = na.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    rev = _rev_dec()
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(od.filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        ), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(pa.filter(F.col("p_type") == "ECONOMY")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(re_.filter(F.col("r_name") == "AMERICA")),
+              F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)).cast("double")
+            / F.sum(rev).cast("double"), 6).alias("mkt_share"))
+    )
+
+
+@extra_query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+           CAST(sum(
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4))
+             - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))
+           ) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and year.
+    ps_supplycost doesn't exist, so cost is p_retailprice * quantity —
+    the profit expression keeps its sum-of-differences form and stays
+    decimal-exact.  Part filter is a substring LIKE, pushed to the
+    broadcast side."""
+    li = _read(spark, sf_dir, "lineitem")
+    pa = _read(spark, sf_dir, "part")
+    su = _read(spark, sf_dir, "supplier")
+    na = _read(spark, sf_dir, "nation")
+    profit = (
+        _rev_dec()
+        - (F.col("p_retailprice").cast(_D2)
+           * F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(pa.filter(F.col("p_name").contains("red"))),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@extra_query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+           CAST(sum({_REV_DEC_SQL}) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY sum({_REV_DEC_SQL}) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking — fact join
+    filtered on return flag and a quarter of orders, grouped per
+    customer, top-20.  The decimal revenue sum is exact, so the
+    DESC + custkey tiebreak makes the LIMIT deterministic across
+    engines (a double sum would not be)."""
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    na = _read(spark, sf_dir, "nation")
+    grouped = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(od.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+        ), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_dec()).alias("rev_dec"))
+    )
+    return (
+        grouped.orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"), "c_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name",
+        )
+    )
+
+
+@extra_query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS pk,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS v
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1
+    )
+    SELECT CAST(pk AS BIGINT) AS l_partkey, CAST(v AS DOUBLE) AS stock_value
+    FROM val
+    WHERE CAST(v AS DOUBLE) > 0.001 * (SELECT CAST(sum(v) AS DOUBLE) FROM val)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value share vs a scalar-subquery
+    fraction of the corpus total.  Stock value is derived from lineitem
+    (no partsupp): extendedprice x quantity for ASIA-region suppliers.
+    Spark computes the grouped values once and reuses them for both the
+    rows and the broadcast scalar threshold — the classic plan; decimal
+    sums keep the > comparison engine-exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    su = _read(spark, sf_dir, "supplier")
+    na = _read(spark, sf_dir, "nation")
+    re_ = _read(spark, sf_dir, "region")
+    val = (
+        li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re_.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(
+            (F.col("l_extendedprice").cast(_D2)
+             * F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,4)")
+        ).alias("v"))
+    )
+    total = val.agg((F.sum("v").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v").cast("double") > F.col("threshold"))
+        .select(F.col("pk").cast("long").alias("l_partkey"),
+                F.col("v").cast("double").alias("stock_value"))
+    )
+
+
+@extra_query(
+    "tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    ) co
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — a left
+    outer join with the filter INSIDE the join condition (customers
+    with zero qualifying orders must survive with count 0), then a
+    second aggregation over the counts.  The comment-pattern exclusion
+    becomes an order-priority exclusion."""
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders")
+    co = (
+        cu.join(
+            od.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").cast("long").alias("custdist"))
+
+
+@extra_query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS sk, sum({_REV_DEC_SQL}) AS total
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(total AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = sk
+    WHERE total = (SELECT max(total) FROM rev)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue — the revenue
+    view computed once, consumed by both the join and the scalar max
+    (the CREATE VIEW / DROP VIEW dance in the spec).  Decimal totals
+    make `total = max(total)` an exact comparison, so ties (and the
+    winner) agree across engines."""
+    li = _read(spark, sf_dir, "lineitem")
+    su = _read(spark, sf_dir, "supplier")
+    rev = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(_rev_dec()).alias("total"))
+    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx)).filter(F.col("total") == F.col("mx"))
+        .join(F.broadcast(su), F.col("sk") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name",
+                F.col("total").cast("double").alias("total_revenue"))
+    )
+
+
+@extra_query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT sk) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem) ps
+    JOIN part ON p_partkey = pk
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier count per part attribute triple —
+    distinct part-supplier pairs (the partsupp stand-in), negated
+    dimension predicates, a NOT IN anti-join against flagged suppliers
+    (negative balance stands in for the complaints comment), and a
+    COUNT(DISTINCT).  The NOT IN side is empty-NULL-safe because
+    s_suppkey is a key (never NULL)."""
+    li = _read(spark, sf_dir, "lineitem")
+    pa = _read(spark, sf_dir, "part")
+    su = _read(spark, sf_dir, "supplier")
+    ps = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")).distinct()
+    bad = su.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_sk"))
+    keep_part = pa.filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("sk") == F.col("bad_sk"), "left_anti")
+        .join(F.broadcast(keep_part), F.col("pk") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("sk")).cast("long").alias("supplier_cnt"))
+    )
+
+
+@extra_query(
+    "tpch_q17_small_quantity",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq   ON pk = l_partkey
+    WHERE p_brand = 'Brand#13' AND p_type = 'SMALL'
+      AND 5 * CAST(l_quantity AS DECIMAL(12,2)) * cnt < sq
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    `l_quantity < 0.2 * avg(l_quantity)` subquery de-correlated into a
+    per-part aggregate join, and de-floated algebraically
+    (qty < 0.2 * sum/cnt  <=>  5 * qty * cnt < sum) so the comparison
+    runs in exact decimal/bigint arithmetic on both engines."""
+    li = _read(spark, sf_dir, "lineitem")
+    pa = _read(spark, sf_dir, "part")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(pa.filter(
+            (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL"))),
+            F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, F.col("pk") == F.col("l_partkey"))
+        .filter(F.lit(5) * F.col("l_quantity").cast("decimal(12,2)") * F.col("cnt")
+                < F.col("sq"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast(_D2)).cast("double") / 7.0, 6)
+             .alias("avg_yearly"))
+    )
+
+
+@extra_query(
+    "tpch_q19_disjunctive_rev",
+    oracle=f"""
+    SELECT CAST(sum({_REV_DEC_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of three brand/size/quantity
+    conjunctions over a part join — the OR-of-ANDs Catalyst must keep
+    as a residual join condition while still pushing the common
+    `p_partkey` equi-key to a broadcast hash join."""
+    li = _read(spark, sf_dir, "lineitem")
+    pa = _read(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#20") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
+    )
+
+
+@extra_query(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 40
+      )
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested-IN chain — suppliers who shipped
+    more than a threshold quantity of a name-pattern part family in a
+    year (availqty doesn't exist, so the HAVING threshold plays its
+    role).  Inner IN -> broadcast semi join on part; outer IN ->
+    semi join on the grouped supplier set; decimal quantity sum keeps
+    the HAVING exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    pa = _read(spark, sf_dir, "part")
+    su = _read(spark, sf_dir, "supplier")
+    na = _read(spark, sf_dir, "nation")
+    small = pa.filter(F.col("p_name").startswith("small")).select("p_partkey")
+    qualified = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq"))
+        .filter(F.col("sq") > 40)
+        .select("l_suppkey").distinct()
+    )
+    return (
+        su.join(F.broadcast(na.filter(F.col("n_name").isin(
+            "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"))),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+@extra_query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame pattern — a correlated EXISTS
+    (another supplier participated in the order) AND NOT EXISTS (but
+    none of the others was also at fault), counted per supplier.
+    Receipt/commit dates don't exist, so 'at fault' is the R return
+    flag.  Spark: left-semi then left-anti self-joins on orderkey with
+    a supplier-inequality residual — the exact relational form DuckDB
+    derives from the subqueries."""
+    li = _read(spark, sf_dir, "lineitem")
+    su = _read(spark, sf_dir, "supplier")
+    od = _read(spark, sf_dir, "orders")
+    na = _read(spark, sf_dir, "nation")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    base = (
+        l1.join(l2,
+                (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")), "left_semi")
+        .join(l3,
+              (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+              & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")), "left_anti")
+    )
+    return (
+        base.join(od.filter(F.col("o_orderstatus") == "F"),
+                  F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(su), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na.filter(F.col("n_name").isin(
+            "NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4"))),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+@extra_query(
+    "tpch_q22_global_sales_opp",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c_name, 17, 1) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE substr(c_name, 17, 1) IN ('1', '2', '3', '4', '5')
+      AND CAST(c_acctbal AS DOUBLE) > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    qualifying orders, grouped by a code substring — a scalar-avg
+    subquery, an anti join, and a derived grouping key.  The phone
+    country code becomes a digit of the customer name; 'no orders at
+    all' becomes 'no URGENT orders' (every fixture customer has
+    orders).  The average is computed as exact-decimal sum / count so
+    the threshold is bit-identical on both engines."""
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders")
+    avg_bal = (
+        cu.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(F.col("c_acctbal").cast(_D2)).cast("double")
+              / F.count("*")).alias("a"))
+    )
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    code = F.substring(F.col("c_name"), 17, 1)
+    return (
+        cu.filter(code.isin("1", "2", "3", "4", "5"))
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("a"))
+        .join(F.broadcast(urgent), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(code.alias("cntrycode"))
+        .agg(F.count("*").cast("long").alias("numcust"),
+             F.sum(F.col("c_acctbal").cast(_D2)).cast("double").alias("totacctbal"))
+    )
