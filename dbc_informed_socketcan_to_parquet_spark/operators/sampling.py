@@ -48,6 +48,7 @@ def mix_corpora(
     token_col: str,
     id_col: str = "doc_id",
     salt: str = "mix",
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
     """Sample each corpus down so its share of total TOKENS matches its
     weight, then union — the "data recipe" step of a training pipeline.
@@ -63,9 +64,15 @@ def mix_corpora(
     one transient empty shard would otherwise sample everything to 0).
 
     A ``source_id`` column (the list index) is added for provenance.
+
+    ``hash_fn``: "xxhash" (default, single JVM intrinsic) or "md5"
+    (bit-replayable in DuckDB via ``md5_long_sql`` — the oracle-parity
+    path; same uniformity, slower).
     """
     if not sources:
         raise ValueError("mix_corpora needs at least one source")
+    if hash_fn not in ("xxhash", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash' or 'md5', got {hash_fn!r}")
     weights = [w for _, w in sources]
     if any(w <= 0 for w in weights):
         raise ValueError("weights must be positive")
@@ -89,11 +96,19 @@ def mix_corpora(
         anchor = min(candidates, key=lambda i: counts[i] / weights[i])
         anchor_capacity = counts[anchor] / weights[anchor]
 
+    if hash_fn == "md5":
+        from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+
+        def unit(id_col: str, salt: str) -> F.Column:
+            return md5_long(F.col(id_col), salt=salt) / F.lit(float(1 << 60))
+    else:
+        unit = _unit_hash
+
     parts = []
     for i, ((df, w), t) in enumerate(zip(sources, counts)):
         target = anchor_capacity * w
         frac = 1.0 if t == 0 else min(1.0, target / t)
-        part = df if frac >= 1.0 else df.filter(_unit_hash(id_col, salt) < F.lit(frac))
+        part = df if frac >= 1.0 else df.filter(unit(id_col, salt) < F.lit(frac))
         parts.append(part.withColumn("source_id", F.lit(i)))
     out = parts[0]
     for p in parts[1:]:

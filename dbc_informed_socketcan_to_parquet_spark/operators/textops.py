@@ -539,3 +539,44 @@ def gopher_quality_flags(
         (ok_words & ok_avg & ok_symbol & ok_bullet & ok_ellipsis & ok_alpha & ok_stops)
         .alias("passes_gopher"),
     )
+
+
+# -- unicode / whitespace normalization --------------------------------------
+
+#: Control characters stripped by normalize_text — C0 minus tab/newline
+#: (\x0d CR is handled by the newline collapse), plus DEL.  Module
+#: constant so the DuckDB oracle renders the identical class.
+CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Canonicalize document text: unicode NFC composition, control
+    characters stripped, CRLF/CR folded to LF, horizontal-whitespace
+    runs collapsed to one space, space trimmed around newlines and at
+    the ends — the standard first stage of a crawl-cleaning pipeline
+    (differently-composed accents or stray NBSPs otherwise defeat
+    exact and shingle dedup downstream).
+
+    NFC itself has no Spark SQL builtin, so it runs as an Arrow-batched
+    pandas UDF (``Series.str.normalize``, no per-row Python); every
+    other rewrite is a JVM-side ``regexp_replace`` chain that codegen
+    fuses into the surrounding projection.  Scale: narrow per-row map,
+    no shuffle, no state.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pd.Series -> pd.Series
+        return s.str.normalize("NFC")
+
+    c = _nfc(F.col(text_col))
+    c = F.regexp_replace(c, r"\r\n?", "\n")           # CRLF / lone CR -> LF
+    c = F.regexp_replace(c, CONTROL_CLASS, "")        # strip C0 controls + DEL
+    c = F.regexp_replace(c, r"[ \t ]+", " ")     # h-space runs -> one space
+    c = F.regexp_replace(c, r" ?\n ?", "\n")          # no space hugging newlines
+    c = F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")   # trim document ends
+    return df.withColumn(out_col or text_col, c)

@@ -3327,3 +3327,88 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("numcust"),
              F.sum(F.col("c_acctbal").cast(_D2)).cast("double").alias("totacctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5 (cont.): text canonicalization + oracle-checked corpus mixing
+# ---------------------------------------------------------------------------
+
+_NBSP = " "
+
+@extra_query(
+    "normalize_text",
+    oracle=f"""
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(nfc_normalize(text), '\\r\\n?', chr(10), 'g'),
+              '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+            '[ \\t{_NBSP}]+', ' ', 'g'),
+          ' ?\\n ?', chr(10), 'g'),
+        '^[ \\n]+|[ \\n]+$', '', 'g') AS text
+    FROM documents
+    """,
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace canonicalization (operators/textops
+    .normalize_text): NFC via an Arrow-batched pandas UDF, then a
+    JVM-side regexp_replace chain (CR folding, control strip,
+    h-space collapse, newline trimming).  The oracle mirrors it with
+    DuckDB's nfc_normalize + the identical RE2-compatible patterns."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import normalize_text
+
+    docs = _read(spark, sf_dir, "documents")
+    return normalize_text(docs, "text").select("doc_id", "text")
+
+
+_MIX_WEIGHTS = (("src0", 0.5, 0), ("src1", 0.3, 1), ("src2", 0.2, 2))
+
+@extra_query(
+    "corpus_mix",
+    oracle=f"""
+    WITH w(source, wt, sid) AS (
+      VALUES {", ".join(f"('{s}', {wt}, {sid})" for s, wt, sid in _MIX_WEIGHTS)}
+    ),
+    toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents WHERE source IN (SELECT source FROM w)
+    ),
+    tot AS (SELECT source, sum(n_tokens) AS t FROM toks GROUP BY 1),
+    cap AS (SELECT min(CASE WHEN t > 0 THEN t / wt END) AS capacity
+            FROM tot JOIN w USING (source)),
+    frac AS (
+      SELECT source, sid,
+             CASE WHEN t = 0 THEN 1.0
+                  ELSE least(1.0, (SELECT capacity FROM cap) * wt / t)
+             END AS f
+      FROM tot JOIN w USING (source)
+    )
+    SELECT t.doc_id, CAST(f.sid AS INT) AS source_id, t.n_tokens
+    FROM toks t JOIN frac f USING (source)
+    WHERE f.f >= 1.0 OR {md5_long_sql('doc_id', salt='mix')} / {_U60} < f.f
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators/sampling.mix_corpora, the
+    md5 oracle-parity hash): three sources with 0.5/0.3/0.2 target
+    token weights — the smallest tokens-per-weight source anchors, the
+    others hash-downsample to match, so the kept mix's token shares
+    equal the recipe.  The oracle replays the anchor-capacity algebra
+    in the same double-precision order (min(t/w), then capacity*w/t),
+    so the per-source keep fractions — and therefore the kept id set —
+    are bit-identical."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import mix_corpora
+
+    docs = _read(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    pairs = [
+        (docs.filter(F.col("source") == s)
+             .select("doc_id", n_tok.alias("n_tokens")), wt)
+        for s, wt, _ in _MIX_WEIGHTS
+    ]
+    mixed = mix_corpora(pairs, token_col="n_tokens", id_col="doc_id", hash_fn="md5")
+    return mixed.select("doc_id", F.col("source_id").cast("int").alias("source_id"), "n_tokens")
