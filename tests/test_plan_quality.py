@@ -304,3 +304,60 @@ def test_gopher_quality_shuffle_free(spark):
     assert n_exchanges(plan) <= 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_q8_pure_broadcast_star(spark):
+    """Q8's 7 joins must all broadcast (every non-fact side is dimension-
+    sized); the only shuffle is the final year aggregation."""
+    plan = plan_of(EXTRA_QUERIES["tpch_q8_market_share"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 7
+    assert n_exchanges(plan) == 1
+
+
+def test_q21_semi_anti_self_joins_not_cartesian(spark):
+    """The EXISTS / NOT EXISTS pair must compile to equi-keyed semi/anti
+    joins on l_orderkey with the supplier inequality as a residual —
+    never a cartesian/BNLJ (which would be |lineitem|² at scale)."""
+    plan = plan_of(EXTRA_QUERIES["tpch_q21_waiting_supplier"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q2_window_min_single_shuffle(spark):
+    """The correlated scalar-min becomes one partitionBy(pk) window over
+    the part-supplier aggregate: exactly two shuffles total (the
+    groupBy(pk, sk) agg and the window repartition), no join re-execution
+    of the subquery."""
+    plan = plan_of(EXTRA_QUERIES["tpch_q2_min_cost_supplier"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert n_exchanges(plan) <= 2
+
+
+def test_q17_decorrelated_no_cartesian(spark):
+    """The 0.2*avg correlated subquery is decorrelated into a per-part
+    aggregate equi-join; the decimal de-floated predicate stays a join
+    filter, not a nested-loop condition."""
+    plan = plan_of(EXTRA_QUERIES["tpch_q17_small_quantity"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_normalize_text_single_python_eval(spark):
+    """Only the NFC step may cross into Python (one ArrowEvalPython /
+    BatchEvalPython node); every regexp_replace must stay JVM-side in
+    the same projection."""
+    plan = plan_of(EXTRA_QUERIES["normalize_text"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
+    assert "BatchEvalPython" not in plan
+    assert n_exchanges(plan) == 0
+
+
+def test_corpus_mix_narrow_filters_after_one_count_job(spark):
+    """After the driver-sized per-source token count, the mix itself is
+    pure narrow filters + union — no shuffle, no join in the returned
+    plan."""
+    plan = plan_of(EXTRA_QUERIES["corpus_mix"](spark, SF))
+    assert n_exchanges(plan) == 0
+    assert "Join" not in plan
