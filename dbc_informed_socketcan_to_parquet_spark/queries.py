@@ -3412,3 +3412,69 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     mixed = mix_corpora(pairs, token_col="n_tokens", id_col="doc_id", hash_fn="md5")
     return mixed.select("doc_id", F.col("source_id").cast("int").alias("source_id"), "n_tokens")
+
+
+@extra_query(
+    "quantiles_exact",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolated quantiles per group — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` implement the same
+    (1-g)*lower + g*upper estimator, so the values agree to float
+    noise (rounded to 6).  Complements the sketch surface
+    (``approx_distinct``): exact quantiles are the calibration
+    reference the approx path is validated against.  Scale note: exact
+    percentile holds a per-group value buffer — fine for bounded
+    group cardinality (event types); unbounded groups should use
+    ``percentile_approx`` (already in ``approx_distinct``)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+_HIST_BUCKETS = 20
+
+@extra_query(
+    "histogram_equiwidth",
+    oracle=f"""
+    WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+    SELECT CAST(least(CAST(floor((l_extendedprice - lo) / (hi - lo) * {_HIST_BUCKETS}) AS INT),
+                      {_HIST_BUCKETS - 1}) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with data-derived bounds: one min/max pass
+    broadcast back as scalars, then a narrow bucket projection + one
+    grouped count/sum — the two-pass shape every distributed histogram
+    uses (bounds cannot be known mid-scan).  Bucket arithmetic is the
+    identical double expression on both engines; the top edge folds
+    into the last bucket."""
+    li = _read(spark, sf_dir, "lineitem")
+    bounds = li.agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                * _HIST_BUCKETS).cast("int"),
+        F.lit(_HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        li.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum(F.col("l_extendedprice").cast(_D2)).cast("double").alias("total"))
+    )
