@@ -936,10 +936,19 @@ def dedup_against_corpus(
     content_hash = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     hashes = corpus.select(content_hash.alias("_ch")).distinct()
     bitmap = bloom_bitmap(hashes, "_ch", num_bits, num_hashes, hash_fn)
-    bc = spark.sparkContext.broadcast(bitmap)
+    # Classic PySpark: torrent-broadcast the bitmap once per executor.
+    # Spark Connect exposes no sparkContext (accessing it raises), so the
+    # bitmap falls back to a plain closure capture — serialized into the
+    # UDF payload (a few MB at the default sizing), shipped once per
+    # session artifact upload rather than per task.
+    try:
+        bc = spark.sparkContext.broadcast(bitmap)
+        get_bitmap = (lambda b: (lambda: b.value))(bc)
+    except Exception:
+        get_bitmap = (lambda b: (lambda: b))(bitmap)
 
     def _might_contain(positions):
-        bm = bc.value
+        bm = get_bitmap()
         if len(positions) == 0:
             return pd.Series(np.empty(0, dtype=bool))
         # (n, k) gather + mask test — no per-row Python

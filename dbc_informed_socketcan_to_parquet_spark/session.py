@@ -67,7 +67,13 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:
+        # Spark Connect session (no sparkContext): log level is a
+        # server-side concern; everything else in this factory is
+        # Connect-safe conf.
+        pass
     return spark
 
 
