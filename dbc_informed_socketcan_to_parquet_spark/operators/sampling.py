@@ -574,3 +574,63 @@ def importance_resample(
             F.col("sample_key"),
         )
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    token_col: str,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+    hash_fn: str = "xxhash",
+) -> DataFrame:
+    """Temperature-based mixture over MEASURED source shares — the
+    multilingual/multi-domain α-sampling recipe (w_s ∝ t_s^α): α=1
+    keeps natural proportions, α=0 equalizes sources, 0<α<1 damps the
+    head and boosts the tail.  Unlike :func:`mix_corpora` (explicit
+    target weights), the weights here are derived from the corpus's
+    own per-source token totals, so the recipe adapts to the data.
+
+    Same execution shape as mix_corpora without the N-way union: ONE
+    grouped count job (driver-sized — one row per source), the
+    anchor-capacity algebra in Python, then a broadcast-joined keep
+    fraction and a narrow hash filter.  Sources keep at most their own
+    size (downsample-only, like every deterministic mixer here).
+
+    ``hash_fn``: "xxhash" (fast path) or "md5" (DuckDB-replayable).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if hash_fn not in ("xxhash", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash' or 'md5', got {hash_fn!r}")
+    totals = {
+        r["s"]: r["t"]
+        for r in docs.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(token_col).alias("t")).collect()
+        if r["t"] and r["t"] > 0
+    }
+    if not totals:
+        return docs.filter(F.lit(False)).withColumn("keep_frac", F.lit(1.0))
+    # w_s = t_s^α / Σ t^α, capacity = min(t/w), frac = capacity*w/t — the
+    # shared normalizer Σ t^α cancels algebraically, so compute WITHOUT it:
+    # frac_s = min(1, min_j(t_j / t_j^α) * t_s^α / t_s).  This keeps every
+    # number a per-source expression (no order-dependent double sum), which
+    # is what lets a SQL oracle replay the keep set bit-for-bit.
+    powed = {s: float(t) ** alpha for s, t in totals.items()}
+    cap0 = min(totals[s] / powed[s] for s in sorted(totals))
+    fracs = [
+        (s, min(1.0, cap0 * powed[s] / totals[s])) for s in sorted(totals)
+    ]
+    spark = docs.sparkSession
+    frac_df = spark.createDataFrame(fracs, f"{source_col} string, keep_frac double")
+    if hash_fn == "md5":
+        from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+
+        u = md5_long(F.col(id_col), salt=salt) / F.lit(float(1 << 60))
+    else:
+        u = _unit_hash(id_col, salt)
+    return (
+        docs.join(F.broadcast(frac_df), source_col)
+        .filter((F.col("keep_frac") >= 1.0) | (u < F.col("keep_frac")))
+    )

@@ -3478,3 +3478,45 @@ def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"),
              F.sum(F.col("l_extendedprice").cast(_D2)).cast("double").alias("total"))
     )
+
+
+@extra_query(
+    "temperature_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT source, sum(n_tokens) AS t FROM toks GROUP BY 1 HAVING sum(n_tokens) > 0),
+    p AS (SELECT source, t, pow(CAST(t AS DOUBLE), 0.5) AS pw FROM tot),
+    cap AS (SELECT min(t / pw) AS cap0 FROM p),
+    frac AS (
+      SELECT source, least(1.0, (SELECT cap0 FROM cap) * pw / t) AS kf FROM p
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, round(f.kf, 9) AS keep_frac
+    FROM toks t JOIN frac f USING (source)
+    WHERE f.kf >= 1.0 OR {md5_long_sql('doc_id', salt='tmix')} / {_U60} < f.kf
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature mixing over measured source shares
+    (operators/sampling.temperature_mix, α=0.5, md5 parity hash): the
+    multilingual sampling recipe — weights ∝ tokens^α damp the head
+    and boost the tail.  The shared Σt^α normalizer cancels out of the
+    keep-fraction algebra, so both engines compute every fraction from
+    per-source expressions only (pow, /, min) and the kept id set is
+    bit-identical."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import temperature_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    mixed = temperature_mix(
+        with_tok, token_col="n_tokens", source_col="source",
+        alpha=0.5, id_col="doc_id", hash_fn="md5",
+    )
+    return mixed.select("doc_id", "source", "n_tokens",
+                        F.round("keep_frac", 9).alias("keep_frac"))

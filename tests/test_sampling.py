@@ -422,3 +422,66 @@ def test_importance_resample_deterministic_and_proportional(spark):
         ).collect()
     ]
     assert sel_langs.count("en") >= len(sel_langs) * 0.5, sel_langs
+
+
+def _tmix_fixture(spark):
+    # three sources with 8:2:1 token mass
+    rows = []
+    for i in range(800):
+        rows.append((i, "web", 100))
+    for i in range(200):
+        rows.append((10_000 + i, "books", 100))
+    for i in range(100):
+        rows.append((20_000 + i, "code", 100))
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+
+def test_temperature_mix_alpha_zero_equalizes(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import temperature_mix
+
+    docs = _tmix_fixture(spark)
+    mixed = temperature_mix(docs, "n_tokens", alpha=0.0)
+    kept = {r["source"]: r["n"] for r in
+            mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # every source sampled toward the smallest source's mass (100 docs);
+    # hash sampling is binomial around the target
+    assert kept["code"] == 100                     # smallest kept whole
+    assert 60 <= kept["web"] <= 140
+    assert 60 <= kept["books"] <= 140
+
+
+def test_temperature_mix_alpha_one_keeps_everything(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import temperature_mix
+
+    docs = _tmix_fixture(spark)
+    mixed = temperature_mix(docs, "n_tokens", alpha=1.0)
+    # α=1 targets natural proportions — nothing needs downsampling
+    assert mixed.count() == docs.count()
+
+
+def test_temperature_mix_damps_head_boosts_tail_share(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import temperature_mix
+
+    docs = _tmix_fixture(spark)
+    mixed = temperature_mix(docs, "n_tokens", alpha=0.5)
+    kept = {r["source"]: r["n"] for r in
+            mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # natural web share = 8/11 = 0.73; α=0.5 target = sqrt(8)/(sqrt(8)+sqrt(2)+1)
+    total = sum(kept.values())
+    web_share = kept["web"] / total
+    assert web_share < 0.70                        # head damped below natural
+    assert kept["code"] == 100                     # tail kept whole
+    # deterministic: same call -> same kept set
+    again = temperature_mix(docs, "n_tokens", alpha=0.5)
+    assert sorted(r["doc_id"] for r in mixed.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_temperature_mix_md5_and_xxhash_agree_on_shares(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import temperature_mix
+
+    docs = _tmix_fixture(spark)
+    a = temperature_mix(docs, "n_tokens", alpha=0.5, hash_fn="xxhash").count()
+    b = temperature_mix(docs, "n_tokens", alpha=0.5, hash_fn="md5").count()
+    # different hash families, same keep fractions — counts binomial-close
+    assert abs(a - b) < 120
