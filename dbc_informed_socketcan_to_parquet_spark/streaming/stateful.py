@@ -21,6 +21,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -67,5 +68,62 @@ def streaming_forward_fill(
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 seconds",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming sessionization: dynamic-gap session windows per key —
+    events closer than ``gap`` merge into one session; a session emits
+    once the watermark passes its end (append mode), so late events
+    inside the allowed lateness still extend their session.
+
+    The batch analog is the ``sessionize`` registry query (lag +
+    cumulative-sum session ids); ``F.session_window`` is its streaming
+    form — state per OPEN session only, bounded by the watermark, never
+    a full-history buffer.  Output: key, session start/end, event count.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_sliding_counts(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window: str = "1 minute",
+    slide: str = "30 seconds",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Overlapping (sliding) windowed counts per key — each event lands
+    in window/slide overlapping windows; a window finalizes when the
+    watermark passes its end.  The tumbling special case (slide ==
+    window) is what ``streaming_bucket_downsample`` uses; the sliding
+    form is the rate-over-trailing-interval monitor shape.  State is
+    one row per open (window, key): watermark-bounded."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
         )
     )
