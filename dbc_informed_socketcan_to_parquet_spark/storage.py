@@ -61,3 +61,96 @@ def write_partitioned(
 
 def read_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
+
+
+def export_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    token_col: str,
+    max_tokens: int,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    manifest_name: str = "manifest.json",
+) -> dict:
+    """The end of the pipeline: curated documents → fixed-token-budget
+    packs → deterministic epoch shuffle → ``num_shards`` parquet shards
+    + a verifiable manifest.
+
+    Composition (every stage is an existing, tested operator):
+    ``pack_sequences`` (partition-local FFD, zero shuffle) →
+    ``shuffle_deterministic`` keyed on pack_id (ONE repartition into
+    exactly ``num_shards`` hash shards — shard membership is part of
+    the reproducibility contract) → parquet write (one file per shard).
+
+    The manifest records, per shard index: pack rows, documents, total
+    tokens, and an order-independent content fingerprint
+    (``bit_xor`` of a salted 60-bit hash of pack_id) — enough for a
+    training job to verify it read the same epoch the export wrote,
+    without re-reading row contents.  A re-run with the same seed
+    writes byte-identical shard CONTENT (file names carry fresh task
+    uuids; identity lives in the manifest fingerprints).
+
+    Scale: the only corpus-wide movement is the single epoch
+    repartition; the manifest aggregation is one grouped pass whose
+    output is ``num_shards`` driver-sized rows.  The manifest JSON is
+    written driver-side next to the shards (object-store deployments
+    would put it behind the same committer as the data).
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        pack_sequences,
+        shuffle_deterministic,
+    )
+
+    packs = pack_sequences(docs, token_col, max_tokens, id_col=id_col)
+    epoch = shuffle_deterministic(
+        packs, id_col="pack_id", seed=seed, num_partitions=num_shards
+    )
+    epoch.write.mode("overwrite").parquet(out_dir)
+
+    spark = docs.sparkSession
+    written = (
+        spark.read.parquet(out_dir)
+        .withColumn(
+            "_shard",
+            F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1).cast("int"),
+        )
+        .withColumn("_fp", md5_long(F.col("pack_id"), salt="manifest"))
+    )
+    per_shard = (
+        written.groupBy("_shard")
+        .agg(
+            F.count("*").alias("packs"),
+            F.sum("n_docs").cast("long").alias("docs"),
+            F.sum("total_tokens").cast("long").alias("tokens"),
+            F.expr("bit_xor(_fp)").alias("fingerprint"),
+        )
+        .orderBy("_shard")
+        .collect()
+    )
+    manifest = {
+        "seed": seed,
+        "num_shards": num_shards,
+        "max_tokens": max_tokens,
+        "total_packs": int(sum(r["packs"] for r in per_shard)),
+        "total_docs": int(sum(r["docs"] for r in per_shard)),
+        "total_tokens": int(sum(r["tokens"] for r in per_shard)),
+        "shards": {
+            int(r["_shard"]): {
+                "packs": int(r["packs"]),
+                "docs": int(r["docs"]),
+                "tokens": int(r["tokens"]),
+                "fingerprint": int(r["fingerprint"]),
+            }
+            for r in per_shard
+        },
+    }
+    with open(os.path.join(out_dir, manifest_name), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

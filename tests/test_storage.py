@@ -73,3 +73,34 @@ def test_partition_pruning(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "day" in m.group(1)
     assert got.count() == 200
+
+
+def test_export_training_shards_manifest_reproducible(spark, tmp_path):
+    from dbc_informed_socketcan_to_parquet_spark.storage import export_training_shards
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 10).cast("long").alias("n_tokens"),
+    )
+    out1 = str(tmp_path / "epoch1")
+    out2 = str(tmp_path / "epoch1_rerun")
+    m1 = export_training_shards(docs, out1, "n_tokens", max_tokens=256, num_shards=8)
+    m2 = export_training_shards(docs, out2, "n_tokens", max_tokens=256, num_shards=8)
+
+    # lossless: every doc and token accounted for
+    assert m1["total_docs"] == 500
+    assert m1["total_tokens"] == sum((i % 97 + 10) for i in range(500))
+    assert len(m1["shards"]) == 8
+    # reproducible: identical shard layout and content fingerprints
+    assert m1["shards"] == m2["shards"]
+    # a different seed is a different epoch permutation
+    m3 = export_training_shards(
+        docs, str(tmp_path / "epoch2"), "n_tokens", max_tokens=256, num_shards=8, seed=1
+    )
+    assert m3["shards"] != m1["shards"]
+    assert m3["total_docs"] == 500
+    # manifest on disk matches the returned one
+    import json
+    disk = json.load(open(f"{out1}/manifest.json"))
+    assert disk["total_tokens"] == m1["total_tokens"]
+    assert {int(k): v for k, v in disk["shards"].items()} == m1["shards"]
