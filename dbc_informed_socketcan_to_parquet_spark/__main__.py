@@ -109,12 +109,43 @@ def run_curate(argv: list[str]) -> None:
     print(f"curated {n_in} -> {n_out} documents ({n_bad} quarantined lines)")
 
 
+def build_export_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark export")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="curated documents parquet (needs an id and a token-count column)")
+    p.add_argument("--out", dest="output_path", required=True, help="shard output dir")
+    p.add_argument("--token-col", default="n_tokens")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--max-tokens", type=int, required=True, help="token budget per packed sequence")
+    p.add_argument("--shards", type=int, default=64, help="fixed shard count (reproducibility contract)")
+    p.add_argument("--seed", type=int, default=0, help="epoch permutation seed")
+    return p
+
+
+def run_export(argv: list[str]) -> None:
+    from dbc_informed_socketcan_to_parquet_spark.storage import export_training_shards
+
+    args = build_export_parser().parse_args(argv)
+    spark = get_spark("export-cli")
+    docs = spark.read.parquet(args.input_path)
+    manifest = export_training_shards(
+        docs, args.output_path, args.token_col, args.max_tokens,
+        num_shards=args.shards, id_col=args.id_col, seed=args.seed,
+    )
+    print(f"exported {manifest['total_docs']} docs / {manifest['total_tokens']} tokens "
+          f"in {manifest['total_packs']} packs across {manifest['num_shards']} shards "
+          f"(seed {manifest['seed']})")
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
 
     argv = list(sys.argv[1:]) if argv is None else list(argv)
     if argv and argv[0] == "curate":
         run_curate(argv[1:])
+        return
+    if argv and argv[0] == "export":
+        run_export(argv[1:])
         return
     args = build_parser().parse_args(argv)
     cfg = PipelineConfig(

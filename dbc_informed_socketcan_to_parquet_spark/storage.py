@@ -71,7 +71,7 @@ def export_training_shards(
     num_shards: int = 64,
     id_col: str = "doc_id",
     seed: int = 0,
-    manifest_name: str = "manifest.json",
+    manifest_name: str = "_manifest.json",
 ) -> dict:
     """The end of the pipeline: curated documents → fixed-token-budget
     packs → deterministic epoch shuffle → ``num_shards`` parquet shards
@@ -87,7 +87,10 @@ def export_training_shards(
     tokens, and an order-independent content fingerprint
     (``bit_xor`` of a salted 60-bit hash of pack_id) — enough for a
     training job to verify it read the same epoch the export wrote,
-    without re-reading row contents.  A re-run with the same seed
+    without re-reading row contents.  The manifest name is
+    underscore-prefixed so Hadoop file listings skip it (like
+    ``_SUCCESS``) and the shard dir stays cleanly re-readable as
+    parquet.  A re-run with the same seed
     writes byte-identical shard CONTENT (file names carry fresh task
     uuids; identity lives in the manifest fingerprints).
 

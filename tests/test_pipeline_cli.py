@@ -212,3 +212,26 @@ def test_cli_curate_subcommand(spark, tmp_path, capsys, monkeypatch):
     assert {r.doc_id for r in back.collect()} == {1, 4}
     quarantined = spark.read.json(f"{out2}_quarantine")
     assert quarantined.count() == 1
+
+
+def test_export_cli_writes_shards_and_manifest(spark, tmp_path, capsys):
+    import json
+
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 31 + 5).cast("long").alias("n_tokens"),
+    )
+    src = str(tmp_path / "curated.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "shards")
+    main(["export", "--in", src, "--out", out,
+          "--max-tokens", "128", "--shards", "4", "--seed", "7"])
+    captured = capsys.readouterr().out
+    assert "exported 200 docs" in captured and "across 4 shards (seed 7)" in captured
+    manifest = json.loads((tmp_path / "shards" / "_manifest.json").read_text())
+    assert manifest["total_docs"] == 200
+    assert manifest["total_tokens"] == sum(i % 31 + 5 for i in range(200))
+    packs = spark.read.parquet(out)
+    assert packs.agg(F.sum("n_docs")).first()[0] == 200

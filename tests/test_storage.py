@@ -101,6 +101,6 @@ def test_export_training_shards_manifest_reproducible(spark, tmp_path):
     assert m3["total_docs"] == 500
     # manifest on disk matches the returned one
     import json
-    disk = json.load(open(f"{out1}/manifest.json"))
+    disk = json.load(open(f"{out1}/_manifest.json"))
     assert disk["total_tokens"] == m1["total_tokens"]
     assert {int(k): v for k, v in disk["shards"].items()} == m1["shards"]
