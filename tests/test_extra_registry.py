@@ -24,6 +24,9 @@ def test_extra_registry_shape():
     assert set(ORACLES) <= set(QUERIES)
     assert set(EXTRA_ORACLES) == set(EXTRA_QUERIES)
     assert not set(EXTRA_QUERIES) & set(QUERIES)
+    # the parametrized oracle test below shrinks silently if entries are
+    # dropped — pin the floor so a lost registration fails loudly
+    assert len(EXTRA_QUERIES) >= 36, sorted(EXTRA_QUERIES)
 
 
 @pytest.fixture(scope="module")
