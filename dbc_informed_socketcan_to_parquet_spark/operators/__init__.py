@@ -7,6 +7,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
     pack_sequences,
     split_by_hash,
     stratified_sample,
+    temperature_mix,
 )
 from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
     dedup_clusters,
@@ -35,6 +36,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
     doc_quality_stats,
     doc_stats,
     lang_id,
+    normalize_text,
     repetition_stats,
     scrub_pii,
 )
