@@ -599,6 +599,8 @@ def temperature_mix(
     size (downsample-only, like every deterministic mixer here).
 
     ``hash_fn``: "xxhash" (fast path) or "md5" (DuckDB-replayable).
+    Output: the kept rows with their original columns plus ``keep_frac``
+    (the source's keep fraction — provenance for the recipe log).
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
