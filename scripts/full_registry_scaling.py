@@ -66,7 +66,7 @@ def main() -> None:
         results[name] = row
         print(f"[{i}/{len(all_queries)}] {name}: {row}", flush=True)
 
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     flagged = {k: v for k, v in results.items() if v.get("ratio", 0) > 12 or "sf1_err" in v or "sf01_err" in v}
