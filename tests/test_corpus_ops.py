@@ -1112,3 +1112,41 @@ def test_gopher_quality_flags_each_rule(spark):
     assert not out[7].ok_alpha_words
     assert not out[8].ok_stop_words and out[8].stop_hits == 0
     assert out[9].n_words == 0 and not out[9].passes_gopher
+
+
+def _normalize_ref(s: str) -> str:
+    """Pure-Python reference of textops.normalize_text (same pass order)."""
+    import re as _re
+    import unicodedata
+
+    s = unicodedata.normalize("NFC", s)
+    s = _re.sub(r"\r\n?", "\n", s)
+    s = _re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", s)
+    s = _re.sub("[ \t ]+", " ", s)
+    s = _re.sub(r" ?\n ?", "\n", s)
+    s = _re.sub(r"^[ \n]+|[ \n]+$", "", s)
+    return s
+
+
+def test_normalize_text_matches_python_reference_and_idempotent(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import normalize_text
+
+    cases = [
+        "plain ascii text",
+        "decomposed: cafe\u0301 and A\u030angstro\u0308m",  # combining marks -> NFC must compose
+        "nbsp separated words",
+        "tabs\t\tand   runs",
+        "crlf\r\nlines\rand lone cr",
+        "ctrl\x00chars\x07here\x7f!",
+        "  leading and trailing  \n\n mid \n ",
+        "",
+        "ééé",                                  # already composed
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "doc_id long, text string")
+    out = {r.doc_id: r.text for r in normalize_text(df).collect()}
+    for i, c in enumerate(cases):
+        assert out[i] == _normalize_ref(c), (i, repr(c), repr(out[i]))
+    # idempotent: a second pass is the identity
+    df2 = spark.createDataFrame([(i, t) for i, t in out.items()], "doc_id long, text string")
+    out2 = {r.doc_id: r.text for r in normalize_text(df2).collect()}
+    assert out2 == out
