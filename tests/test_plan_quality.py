@@ -361,3 +361,13 @@ def test_corpus_mix_narrow_filters_after_one_count_job(spark):
     plan = plan_of(EXTRA_QUERIES["corpus_mix"](spark, SF))
     assert n_exchanges(plan) == 0
     assert "Join" not in plan
+
+
+def test_temperature_mix_broadcast_frac_join(spark):
+    """After the driver-sized count job, the mix is one broadcast join
+    against the per-source fraction table + a narrow filter — no
+    shuffle exchange in the returned plan."""
+    plan = plan_of(EXTRA_QUERIES["temperature_mix"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 1
+    assert "SortMergeJoin" not in plan
+    assert n_exchanges(plan) == 0
