@@ -464,6 +464,7 @@ def importance_weights(
     bigrams: bool = True,
     hash_fn=None,
     seed: str = "dsir",
+    cache_features: bool = True,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight (Xie et al., "Data Selection
     for Language Models via Importance Resampling"): hashed n-gram bucket
@@ -481,12 +482,23 @@ def importance_weights(
     one explode + two groupBys (bucket counts with map-side partials,
     then per-doc sums) and the raw text is never shuffled — only
     (id, bucket) pairs are.
+
+    ``cache_features`` persists the corpus's hashed feature table
+    between its two consumers (the bucket-count pass and the per-doc
+    sum) so the tokenize+hash explode runs ONCE — the
+    materialize-between-passes arrangement the DSIR paper prescribes.
+    The persisted frame rides on the returned DataFrame as
+    ``_graft_cached_feats``; callers running in a long-lived session
+    should unpersist it once the result is materialized (the repo
+    convention — see minhash_signatures).
     """
     from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
 
     hash_fn = hash_fn or md5_long
     B = int(num_buckets)
     feats_c = _hashed_buckets(corpus, id_col, text_col, B, bigrams, hash_fn, seed)
+    if cache_features:
+        feats_c = feats_c.persist()
     feats_t = _hashed_buckets(target, id_col, text_col, B, bigrams, hash_fn, seed)
     raw = feats_c.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
     tgt = feats_t.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
@@ -511,7 +523,7 @@ def importance_weights(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_features"), F.sum("_lr").alias("log_weight"))
     )
-    return (
+    out = (
         corpus.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
@@ -520,6 +532,9 @@ def importance_weights(
             F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
         )
     )
+    if cache_features:
+        out._graft_cached_feats = feats_c  # see docstring: caller may unpersist
+    return out
 
 
 def importance_resample(
