@@ -485,3 +485,21 @@ def test_temperature_mix_md5_and_xxhash_agree_on_shares(spark):
     b = temperature_mix(docs, "n_tokens", alpha=0.5, hash_fn="md5").count()
     # different hash families, same keep fractions — counts binomial-close
     assert abs(a - b) < 120
+
+
+def test_importance_weights_cache_path_equivalent(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import importance_weights
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta doc {i} gamma") for i in range(40)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(900 + i, "alpha alpha beta special target phrase") for i in range(5)],
+        "doc_id long, text string",
+    )
+    cached = importance_weights(corpus, target, cache_features=True)
+    plain = importance_weights(corpus, target, cache_features=False)
+    a = {r.doc_id: (r.n_features, round(r.log_weight, 9)) for r in cached.collect()}
+    b = {r.doc_id: (r.n_features, round(r.log_weight, 9)) for r in plain.collect()}
+    assert a == b
+    cached._graft_cached_feats.unpersist()
