@@ -156,7 +156,8 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
     for name in ("paragraph_dedup", "dedup_incremental", "lm_score",
                  "classifier_score", "frequent_ngrams",
                  "exact_substring_dedup", "importance_resample",
-                 "fuzzy_contamination"):
+                 "fuzzy_contamination", "normalize_text",
+                 "temperature_mix"):
         fn = EXTRA_QUERIES[name]
         samples = []
         for _ in range(2):
