@@ -271,3 +271,29 @@ def test_curate_gopher_gate(spark):
                               max_top_bigram_ratio=1.0, gopher=True)
     kept_on = {r.doc_id for r in curate(docs, config=gopher_cfg).collect()}
     assert kept_on == {1}                         # bullet doc dropped
+
+
+def test_curate_to_export_pipeline(spark, tmp_path):
+    """The whole north-star story in one flow: curate the corpus, count
+    tokens, export packed shards with a reproducible manifest."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate
+    from dbc_informed_socketcan_to_parquet_spark.storage import export_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = curate(docs)
+    with_tokens = kept.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""))
+        .cast("long").alias("n_tokens"),
+    )
+    out = str(tmp_path / "shards")
+    manifest = export_training_shards(with_tokens, out, "n_tokens",
+                                      max_tokens=512, num_shards=4)
+    n_kept = kept.count()
+    assert 0 < n_kept <= docs.count()
+    assert manifest["total_docs"] == n_kept          # lossless hand-off
+    assert len(manifest["shards"]) == 4
+    back = spark.read.parquet(out)
+    assert back.agg(F.sum("n_docs")).first()[0] == n_kept
