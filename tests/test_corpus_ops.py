@@ -1150,3 +1150,32 @@ def test_normalize_text_matches_python_reference_and_idempotent(spark):
     df2 = spark.createDataFrame([(i, t) for i, t in out.items()], "doc_id long, text string")
     out2 = {r.doc_id: r.text for r in normalize_text(df2).collect()}
     assert out2 == out
+
+
+def test_multimodal_near_dup_composition(spark):
+    """Media near-dup end-to-end: attach binary content, featurize via the
+    Arrow kernel, then block + exact-cosine near-dup over the feature
+    vectors — identical payloads must pair, distinct ones must not."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import embedding_near_dup_pairs
+    from dbc_informed_socketcan_to_parquet_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+    )
+
+    rows = [
+        (1, "the same exact image payload bytes here"),
+        (2, "the same exact image payload bytes here"),       # dup of 1
+        (3, "a completely different pixel distribution!!!"),
+        (4, "yet another unrelated binary blob of content"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = attach_media(docs)
+    feats = extract_features(media)
+    vecs = feats.withColumn("block", F.lit(0))                 # tiny corpus: one block
+    pairs = embedding_near_dup_pairs(vecs, "doc_id", "features", "block",
+                                     threshold=0.999)
+    got = {(r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got), got
