@@ -942,9 +942,15 @@ def dedup_against_corpus(
     # UDF payload (a few MB at the default sizing), shipped once per
     # session artifact upload rather than per task.
     try:
-        bc = spark.sparkContext.broadcast(bitmap)
+        sc = spark.sparkContext  # raises on Connect (PySparkAttributeError)
+    except AttributeError:
+        sc = None
+    if sc is not None:
+        # real broadcast failures (serialization OOM, stopped context)
+        # propagate — only the Connect no-sparkContext case falls back
+        bc = sc.broadcast(bitmap)
         get_bitmap = (lambda b: (lambda: b.value))(bc)
-    except Exception:
+    else:
         get_bitmap = (lambda b: (lambda: b))(bitmap)
 
     def _might_contain(positions):

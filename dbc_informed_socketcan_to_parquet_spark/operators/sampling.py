@@ -464,7 +464,7 @@ def importance_weights(
     bigrams: bool = True,
     hash_fn=None,
     seed: str = "dsir",
-    cache_features: bool = True,
+    cache_features: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight (Xie et al., "Data Selection
     for Language Models via Importance Resampling"): hashed n-gram bucket
@@ -487,11 +487,25 @@ def importance_weights(
     between its two consumers (the bucket-count pass and the per-doc
     sum) so the tokenize+hash explode runs ONCE — the
     materialize-between-passes arrangement the DSIR paper prescribes.
-    The persisted frame rides on the returned DataFrame as
-    ``_graft_cached_feats``; callers running in a long-lived session
-    should unpersist it once the result is materialized (the repo
-    convention — see minhash_signatures).
+    It defaults OFF because this function cannot know when the caller
+    materializes the result, so it cannot unpersist for them; owners
+    that materialize eagerly (``importance_resample``) opt in via the
+    internal ``_importance_weights_cached`` and unpersist themselves.
     """
+    out, _ = _importance_weights_cached(
+        corpus, target, id_col, text_col, num_buckets, bigrams, hash_fn,
+        seed, cache_features,
+    )
+    return out
+
+
+def _importance_weights_cached(
+    corpus, target, id_col, text_col, num_buckets, bigrams, hash_fn,
+    seed, cache_features,
+):
+    """:func:`importance_weights` body; additionally returns the persisted
+    feature frame (or None) so the caller OWNS the unpersist — an explicit
+    (df, cached) pair instead of a fragile attribute ride-along."""
     from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
 
     hash_fn = hash_fn or md5_long
@@ -532,9 +546,7 @@ def importance_weights(
             F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
         )
     )
-    if cache_features:
-        out._graft_cached_feats = feats_c  # see docstring: caller may unpersist
-    return out
+    return out, (feats_c if cache_features else None)
 
 
 def importance_resample(
@@ -569,8 +581,12 @@ def importance_resample(
     from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
 
     hash_fn = hash_fn or md5_long
-    lw = importance_weights(
-        corpus, target, id_col, text_col, num_buckets, bigrams, hash_fn, seed
+    # cache the hashed-feature explode between its two consumers, then
+    # unpersist as soon as the n-row sample is materialized — the cache's
+    # lifetime is THIS call, not the session (the r5 ADVICE leak)
+    lw, cached = _importance_weights_cached(
+        corpus, target, id_col, text_col, num_buckets, bigrams, hash_fn,
+        seed, True,
     )
     # deterministic uniform in (0, 1): 60-bit hash folded to 1e6 grains
     u = (F.pmod(hash_fn(F.col(id_col), salt=f"{seed}-g|"), F.lit(1_000_000)) + 1) / F.lit(
@@ -578,7 +594,7 @@ def importance_resample(
     )
     gumbel = -F.log(-F.log(u))
     key = F.round(F.col("log_weight") / F.lit(float(temperature)) + gumbel, round_to)
-    return (
+    sample = (
         lw.withColumn("sample_key", key)
         .orderBy(F.desc("sample_key"), F.col(id_col))
         .limit(int(n))
@@ -589,6 +605,15 @@ def importance_resample(
             F.col("sample_key"),
         )
     )
+    # n rows — materialize driver-side (cheap by contract) so the feature
+    # cache can be released BEFORE returning; a localCheckpoint would
+    # itself linger in executor storage
+    try:
+        rows = sample.collect()
+    finally:
+        if cached is not None:
+            cached.unpersist()
+    return corpus.sparkSession.createDataFrame(rows, sample.schema)
 
 
 def temperature_mix(
@@ -640,7 +665,17 @@ def temperature_mix(
         (s, min(1.0, cap0 * powed[s] / totals[s])) for s in sorted(totals)
     ]
     spark = docs.sparkSession
-    frac_df = spark.createDataFrame(fracs, f"{source_col} string, keep_frac double")
+    # mirror the source column's actual type (int domain ids, etc.) so the
+    # broadcast join neither fails createDataFrame nor casts implicitly
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    frac_schema = StructType(
+        [
+            StructField(source_col, docs.schema[source_col].dataType),
+            StructField("keep_frac", DoubleType()),
+        ]
+    )
+    frac_df = spark.createDataFrame(fracs, frac_schema)
     if hash_fn == "md5":
         from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
 

@@ -72,33 +72,45 @@ def export_training_shards(
     id_col: str = "doc_id",
     seed: int = 0,
     manifest_name: str = "_manifest.json",
+    pack_partitions: int = 256,
 ) -> dict:
     """The end of the pipeline: curated documents → fixed-token-budget
     packs → deterministic epoch shuffle → ``num_shards`` parquet shards
     + a verifiable manifest.
 
     Composition (every stage is an existing, tested operator):
-    ``pack_sequences`` (partition-local FFD, zero shuffle) →
-    ``shuffle_deterministic`` keyed on pack_id (ONE repartition into
-    exactly ``num_shards`` hash shards — shard membership is part of
-    the reproducibility contract) → parquet write (one file per shard).
+    deterministic pre-packing placement — the (id, tokens) projection is
+    repartitioned by hash(id) into exactly ``pack_partitions`` partitions,
+    so each FFD kernel sees the SAME document set whatever the input's
+    parallelism was — → ``pack_sequences`` (partition-local FFD; its
+    kernel re-sorts by (tokens desc, id) so within-partition order is
+    immaterial) → ``shuffle_deterministic`` keyed on a CONTENT-derived
+    pack key (md5 of the pack's sorted doc ids, not the
+    partition-ordinal ``pack_id``) into exactly ``num_shards`` hash
+    shards → parquet write (one file per shard).
 
     The manifest records, per shard index: pack rows, documents, total
     tokens, and an order-independent content fingerprint
-    (``bit_xor`` of a salted 60-bit hash of pack_id) — enough for a
-    training job to verify it read the same epoch the export wrote,
-    without re-reading row contents.  The manifest name is
-    underscore-prefixed so Hadoop file listings skip it (like
-    ``_SUCCESS``) and the shard dir stays cleanly re-readable as
-    parquet.  A re-run with the same seed
-    writes byte-identical shard CONTENT (file names carry fresh task
-    uuids; identity lives in the manifest fingerprints).
+    (``bit_xor`` of a salted 60-bit hash of the content pack key) —
+    enough for a training job to verify it read the same epoch the
+    export wrote, without re-reading row contents.  Every shard index in
+    ``[0, num_shards)`` appears, empty ones as explicit zero rows — a
+    missing index can never be mistaken for an empty shard.  The
+    manifest name is underscore-prefixed so Hadoop file listings skip it
+    (like ``_SUCCESS``) and the shard dir stays cleanly re-readable as
+    parquet.  Because pack membership, pack identity, and shard
+    placement are all pure functions of (content, seed, the two explicit
+    partition counts), a re-run with the same seed reproduces shard
+    content and fingerprints EVEN IF the input DataFrame arrives with
+    different partitioning (file names carry fresh task uuids; identity
+    lives in the manifest fingerprints).
 
-    Scale: the only corpus-wide movement is the single epoch
-    repartition; the manifest aggregation is one grouped pass whose
-    output is ``num_shards`` driver-sized rows.  The manifest JSON is
-    written driver-side next to the shards (object-store deployments
-    would put it behind the same committer as the data).
+    Scale: two corpus-wide exchanges — the narrow (id, tokens) placement
+    repartition and the epoch repartition; the manifest aggregation is
+    one grouped pass whose output is ``num_shards`` driver-sized rows.
+    The manifest JSON is written driver-side next to the shards
+    (object-store deployments would put it behind the same committer as
+    the data).
     """
     import json
     import os
@@ -111,9 +123,18 @@ def export_training_shards(
         shuffle_deterministic,
     )
 
-    packs = pack_sequences(docs, token_col, max_tokens, id_col=id_col)
+    placed = docs.select(id_col, token_col).repartition(
+        int(pack_partitions), F.col(id_col)
+    )
+    packs = pack_sequences(placed, token_col, max_tokens, id_col=id_col)
+    # content-derived pack identity: the partition-ordinal pack_id would
+    # tie shard membership to the input partitioning (r5 ADVICE)
+    packs = packs.withColumn(
+        "pack_key",
+        F.md5(F.concat_ws("\x1f", F.array_sort(F.col("doc_ids").cast("array<string>")))),
+    )
     epoch = shuffle_deterministic(
-        packs, id_col="pack_id", seed=seed, num_partitions=num_shards
+        packs, id_col="pack_key", seed=seed, num_partitions=num_shards
     )
     epoch.write.mode("overwrite").parquet(out_dir)
 
@@ -121,10 +142,16 @@ def export_training_shards(
     written = (
         spark.read.parquet(out_dir)
         .withColumn(
+            # anchor to the FILE BASENAME: a 'part-N' path segment higher
+            # up (e.g. /data/part-3/shards) must not capture (r5 ADVICE)
             "_shard",
-            F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1).cast("int"),
+            F.regexp_extract(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"^part-(\d+)",
+                1,
+            ).cast("int"),
         )
-        .withColumn("_fp", md5_long(F.col("pack_id"), salt="manifest"))
+        .withColumn("_fp", md5_long(F.col("pack_key"), salt="manifest"))
     )
     per_shard = (
         written.groupBy("_shard")
@@ -137,6 +164,21 @@ def export_training_shards(
         .orderBy("_shard")
         .collect()
     )
+    by_idx = {int(r["_shard"]): r for r in per_shard}
+    # explicit zero rows for empty shards: len(shards) == num_shards always
+    shards = {
+        i: (
+            {
+                "packs": int(by_idx[i]["packs"]),
+                "docs": int(by_idx[i]["docs"]),
+                "tokens": int(by_idx[i]["tokens"]),
+                "fingerprint": int(by_idx[i]["fingerprint"]),
+            }
+            if i in by_idx
+            else {"packs": 0, "docs": 0, "tokens": 0, "fingerprint": 0}
+        )
+        for i in range(int(num_shards))
+    }
     manifest = {
         "seed": seed,
         "num_shards": num_shards,
@@ -144,15 +186,7 @@ def export_training_shards(
         "total_packs": int(sum(r["packs"] for r in per_shard)),
         "total_docs": int(sum(r["docs"] for r in per_shard)),
         "total_tokens": int(sum(r["tokens"] for r in per_shard)),
-        "shards": {
-            int(r["_shard"]): {
-                "packs": int(r["packs"]),
-                "docs": int(r["docs"]),
-                "tokens": int(r["tokens"]),
-                "fingerprint": int(r["fingerprint"]),
-            }
-            for r in per_shard
-        },
+        "shards": shards,
     }
     with open(os.path.join(out_dir, manifest_name), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

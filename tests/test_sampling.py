@@ -502,4 +502,38 @@ def test_importance_weights_cache_path_equivalent(spark):
     a = {r.doc_id: (r.n_features, round(r.log_weight, 9)) for r in cached.collect()}
     b = {r.doc_id: (r.n_features, round(r.log_weight, 9)) for r in plain.collect()}
     assert a == b
-    cached._graft_cached_feats.unpersist()
+
+
+def test_importance_resample_releases_feature_cache(spark):
+    """importance_resample owns its feature cache: after it returns, no
+    persisted RDD from the call lingers in executor storage (r5 ADVICE)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import importance_resample
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta doc {i} gamma") for i in range(60)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(900, "alpha alpha beta target")], "doc_id long, text string"
+    )
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    got = importance_resample(corpus, target, n=10, num_buckets=1 << 10)
+    assert got.count() == 10
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    assert after <= before, f"leaked persisted RDDs: {after - before}"
+
+
+def test_temperature_mix_integer_source_column(spark):
+    """A non-string source column (int domain id) round-trips through the
+    broadcast fraction frame without cast or createDataFrame failure."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, i % 3, 10 + i % 7) for i in range(300)],
+        "doc_id long, source int, n_tokens long",
+    )
+    mixed = temperature_mix(docs, "n_tokens", alpha=0.5)
+    assert dict(mixed.dtypes)["source"] == "int"
+    kept = mixed.count()
+    assert 0 < kept <= 300
+    # alpha=1 keeps everything, whatever the source type
+    assert temperature_mix(docs, "n_tokens", alpha=1.0).count() == 300

@@ -85,7 +85,11 @@ def test_export_training_shards_manifest_reproducible(spark, tmp_path):
     out1 = str(tmp_path / "epoch1")
     out2 = str(tmp_path / "epoch1_rerun")
     m1 = export_training_shards(docs, out1, "n_tokens", max_tokens=256, num_shards=8)
-    m2 = export_training_shards(docs, out2, "n_tokens", max_tokens=256, num_shards=8)
+    # re-run with DIFFERENT input parallelism: pack membership/identity is
+    # content-derived, so the manifest must still be byte-identical
+    m2 = export_training_shards(
+        docs.repartition(13), out2, "n_tokens", max_tokens=256, num_shards=8
+    )
 
     # lossless: every doc and token accounted for
     assert m1["total_docs"] == 500
@@ -104,3 +108,39 @@ def test_export_training_shards_manifest_reproducible(spark, tmp_path):
     disk = json.load(open(f"{out1}/_manifest.json"))
     assert disk["total_tokens"] == m1["total_tokens"]
     assert {int(k): v for k, v in disk["shards"].items()} == m1["shards"]
+
+
+def test_export_training_shards_empty_shards_explicit(spark, tmp_path):
+    """Fewer packs than shards → the manifest still enumerates EVERY shard
+    index, empty ones as explicit zero rows (the r5 ADVICE silent-shrink)."""
+    from dbc_informed_socketcan_to_parquet_spark.storage import export_training_shards
+
+    docs = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit(50).cast("long").alias("n_tokens")
+    )
+    m = export_training_shards(
+        docs, str(tmp_path / "tiny"), "n_tokens", max_tokens=64, num_shards=16
+    )
+    assert len(m["shards"]) == 16
+    assert sorted(m["shards"]) == list(range(16))
+    empties = [s for s in m["shards"].values() if s["packs"] == 0]
+    assert empties and all(
+        s == {"packs": 0, "docs": 0, "tokens": 0, "fingerprint": 0} for s in empties
+    )
+    assert m["total_docs"] == 3
+
+
+def test_export_training_shards_shard_regex_ignores_path_segments(spark, tmp_path):
+    """An out_dir containing a 'part-<digits>' path segment must not poison
+    the shard-index extraction (anchored to the file basename)."""
+    from dbc_informed_socketcan_to_parquet_spark.storage import export_training_shards
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 31 + 5).cast("long").alias("n_tokens"),
+    )
+    out = str(tmp_path / "part-3" / "shards")
+    m = export_training_shards(docs, out, "n_tokens", max_tokens=128, num_shards=4)
+    nonempty = [i for i, s in m["shards"].items() if s["packs"] > 0]
+    assert len(nonempty) > 1, "all rows collapsed into one shard index"
+    assert m["total_docs"] == 200
