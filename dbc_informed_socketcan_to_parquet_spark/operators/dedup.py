@@ -524,6 +524,10 @@ def embedding_near_dup_pairs(
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0], "cosine": np.array([], dtype=np.float64)})
         return pd.concat(frames, ignore_index=True)
 
+    # `from __future__ import annotations` stringifies hints; give pyspark
+    # real objects so applyInPandas infers the eval type without warning
+    per_block.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
+
     return (
         df.select(id_col, vec_col, block_col)
         .groupBy(block_col)
