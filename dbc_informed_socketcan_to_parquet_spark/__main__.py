@@ -56,6 +56,14 @@ def build_curate_parser() -> argparse.ArgumentParser:
                    help="bigram-LM gate (trains on --lm-corpus if given, else on survivors)")
     p.add_argument("--lm-corpus", default=None, help="trusted reference parquet for the LM gate")
     p.add_argument("--hash", choices=("xxhash", "md5"), default="xxhash")
+    p.add_argument("--url-col", default=None,
+                   help="enable the URL front door (blocklist/dedup/cap) on this column")
+    p.add_argument("--block-domain", action="append", default=[],
+                   help="drop docs from this domain or its subdomains (repeatable)")
+    p.add_argument("--url-dedup", action="store_true",
+                   help="collapse canonical-URL duplicates (first occurrence wins)")
+    p.add_argument("--max-per-domain", type=int, default=None,
+                   help="cap any one domain at this many docs (in expectation)")
     return p
 
 
@@ -91,7 +99,13 @@ def run_curate(argv: list[str]) -> None:
         max_perplexity=args.max_perplexity,
         gopher=args.gopher,
         hash_fn=args.hash,
+        url_col=args.url_col,
+        url_blocklist=tuple(args.block_domain),
+        url_dedup=args.url_dedup,
+        max_per_domain=args.max_per_domain,
     )
+    if args.url_col is None and (args.block_domain or args.url_dedup or args.max_per_domain):
+        parser.error("--block-domain/--url-dedup/--max-per-domain require --url-col")
     lm_corpus = spark.read.parquet(args.lm_corpus) if args.lm_corpus else None
     # persist across write + count: one pipeline execution, and the count
     # never re-reads the output (an empty JSONL dir has no schema to infer)

@@ -99,6 +99,16 @@ class CurateConfig:
     # require every Gopher rule (textops.gopher_quality_flags defaults)
     # in addition to the built-in quality gate; off by default
     gopher: bool = False
+    # URL/domain front door (r6, operators/urlops) — all off unless
+    # url_col names a column.  These run FIRST (narrow/broadcast-only,
+    # so they cut corpus mass at scan cost before any text work):
+    # blocklisted domains drop, canonical-URL dups collapse to the
+    # min-id row, then any one domain is capped (in expectation) at
+    # max_per_domain docs via the deterministic hash filter.
+    url_col: str | None = None
+    url_blocklist: tuple[str, ...] = ()
+    url_dedup: bool = False
+    max_per_domain: int | None = None
 
 
 def curate(
@@ -119,6 +129,27 @@ def curate(
     meaningful at corpus scale (common bigrams must accumulate large
     counts; on a handful of docs add-one smoothing flattens — or even
     inverts — the signal)."""
+    if config.url_col is not None:
+        # URL/domain front door: narrow filter → one canonical-key groupBy
+        # → broadcast-frac cap.  Runs before ANY text stage because it is
+        # the cheapest mass reducer a crawl corpus has (no text shuffled,
+        # no regex over text).
+        from dbc_informed_socketcan_to_parquet_spark.operators.urlops import (
+            domain_cap as _domain_cap,
+            domain_filter as _domain_filter,
+            url_dedup as _url_dedup,
+        )
+
+        if config.url_blocklist:
+            docs = _domain_filter(docs, list(config.url_blocklist), url_col=config.url_col)
+        if config.url_dedup:
+            docs = _url_dedup(docs, url_col=config.url_col, id_col=id_col)
+        if config.max_per_domain is not None:
+            docs = _domain_cap(
+                docs, config.max_per_domain, url_col=config.url_col,
+                id_col=id_col, hash_fn=config.hash_fn,
+            ).drop("keep_frac")
+
     # Fan out between the scrub and the stats battery: a few-file corpus
     # scans as file-count partitions, so without the exchange the text
     # stages would run ~2-wide on 32 cores (measured r5 at sf1).

@@ -1,0 +1,246 @@
+"""URL/domain curation — the front door of a web-scale training pipeline.
+
+The reference engine has no web stage (it decodes CAN frames); these
+operators extend the north-star corpus layer with the three standard
+URL-level passes every crawl-derived corpus runs BEFORE any text is
+touched (they are narrow or broadcast-joined, so they cut corpus mass at
+scan cost):
+
+- :func:`domain_filter` — drop documents whose host matches a blocklist
+  (exact host or any-subdomain suffix).  A small blocklist compiles to a
+  literal predicate chain that pushes into the parquet scan; a large one
+  becomes a broadcast anti-join.
+- :func:`url_dedup` — canonicalize URLs (scheme dropped, host
+  lowercased, ``www.`` and default ports stripped, trailing slashes
+  trimmed, query params sorted with tracking params removed, fragment
+  dropped) and keep the first occurrence per canonical URL — the
+  same skew-safe min-struct shape as ``paragraph_dedup``
+  (operators/dedup.py:773): ONE shuffle, no window over the corpus.
+- :func:`domain_cap` — limit any single domain's share: one grouped
+  count (driver-small result per DOMAIN, not per doc) broadcast back as
+  a keep-fraction, then a deterministic hash filter — the
+  ``temperature_mix`` execution shape (operators/sampling.py).  The cap
+  is exact in expectation and deterministic given the salt;
+  :func:`domain_cap_exact` is the strict window-ranked variant for
+  small/skew-tolerant inputs.
+
+Every canonicalization step is expressed in builtin column functions
+(regexp_extract / array_sort / filter) so the whole stage stays inside
+whole-stage codegen, and each has a 1:1 DuckDB rendering
+(:func:`canonical_url_sql`) so the operators are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+
+#: query params stripped during canonicalization: click/campaign trackers
+#: that never change the resource identity
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=")
+
+_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)"
+_PATH_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def host_of(url: Column | str) -> Column:
+    """Canonical host: lowercased, ``www.`` prefix and default ``:80`` /
+    ``:443`` ports stripped.  Pure builtin expressions — stays in
+    codegen, pushes down."""
+    url = F.col(url) if isinstance(url, str) else url
+    h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    h = F.regexp_replace(h, r"^www\.", "")
+    return F.regexp_replace(h, r":(80|443)$", "")
+
+
+def registrable_domain(url: Column | str) -> Column:
+    """Last two host labels — the eTLD+1 approximation used when a public
+    -suffix list isn't warranted (``news.bbc.co.uk`` → ``co.uk`` is the
+    known limitation; pass a real PSL-derived map for exactness)."""
+    parts = F.split(host_of(url), r"\.")
+    return F.array_join(F.slice(parts, -2, 2), ".")
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form for identity comparison: ``host + path + '?' +
+    sorted-kept-query``.  Scheme and fragment are dropped (http/https
+    serve the same resource in dedup terms), tracking params removed,
+    remaining params sorted so order never splits an identity."""
+    url = F.col(url) if isinstance(url, str) else url
+    host = host_of(url)
+    path = F.regexp_replace(F.regexp_extract(url, _PATH_RE, 1), r"/+$", "")
+    raw_q = F.regexp_extract(url, _QUERY_RE, 1)
+    kept = F.filter(
+        F.split(raw_q, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~_any_prefix(p, _TRACKING_PREFIXES),
+    )
+    q = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        host, path, F.when(q != F.lit(""), F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    )
+
+
+def _any_prefix(col: Column, prefixes: tuple[str, ...]) -> Column:
+    cond = F.lit(False)
+    for p in prefixes:
+        cond = cond | col.startswith(p)
+    return cond
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`canonical_url` over SQL expression text
+    — byte-identical semantics (RE2 regexes, ASCII sort, same tracking
+    prefixes), used by the oracle-paired registry entries."""
+    host = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({expr}, '{_HOST_RE}', 1)),"
+        f" '^www\\.', ''), ':(80|443)$', '')"
+    )
+    path = f"regexp_replace(regexp_extract({expr}, '{_PATH_RE}', 1), '/+$', '')"
+    not_tracked = " AND ".join(
+        f"NOT starts_with(p, '{pre}')" for pre in _TRACKING_PREFIXES
+    )
+    q = (
+        f"array_to_string(list_sort(list_filter(string_split("
+        f"regexp_extract({expr}, '\\?([^#]*)', 1), '&'),"
+        f" p -> len(p) > 0 AND {not_tracked})), '&')"
+    )
+    return (
+        f"({host} || {path} || CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END)"
+    )
+
+
+def host_of_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`host_of`."""
+    return (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({expr}, '{_HOST_RE}', 1)),"
+        f" '^www\\.', ''), ':(80|443)$', '')"
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose canonical host is a blocked domain or any
+    subdomain of one.
+
+    ``blocklist`` is either a Python sequence of domains — compiled into
+    a literal OR-chain so Catalyst pushes the predicate into the scan
+    (right for the usual 10²–10⁴-entry lists) — or a single-column
+    DataFrame of domains for the million-entry case, executed as a
+    broadcast LEFT ANTI join on the suffix key (host itself plus its
+    registrable tail), which never shuffles the corpus."""
+    host = host_of(url_col)
+    if isinstance(blocklist, DataFrame):
+        bcol = blocklist.columns[0]
+        probe = df.withColumn("_host", host).withColumn(
+            "_reg", registrable_domain(F.col(url_col))
+        )
+        blocked = blocklist.select(F.lower(F.col(bcol)).alias("_bdom"))
+        out = (
+            probe.join(
+                F.broadcast(blocked), probe["_host"] == F.col("_bdom"), "left_anti"
+            )
+            .join(F.broadcast(blocked), F.col("_reg") == F.col("_bdom"), "left_anti")
+            .drop("_host", "_reg")
+        )
+        return out
+    cond = F.lit(False)
+    for d in blocklist:
+        d = d.lower()
+        cond = cond | (host == F.lit(d)) | host.endswith("." + d)
+    return df.filter(~cond)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the first occurrence (min ``id_col``) per canonical URL —
+    crawl snapshots and tracking-param variants collapse to one row.
+
+    Execution: ONE groupBy on the canonical key with a min-struct
+    aggregate carrying the whole row (partial aggregation runs map-side,
+    so a hot URL never concentrates rows on one reducer) — the
+    ``paragraph_dedup`` shape, no corpus-wide window."""
+    cols = df.columns
+    keyed = df.withColumn("_curl", canonical_url(url_col))
+    packed = keyed.groupBy("_curl").agg(
+        F.min(F.struct(id_col, *[c for c in cols if c != id_col])).alias("_w")
+    )
+    return packed.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
+
+
+def domain_cap(
+    df: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt: str = "domcap",
+    hash_fn: str = "xxhash",
+) -> DataFrame:
+    """Limit each domain to ``max_per_domain`` documents IN EXPECTATION:
+    one grouped count per domain, a broadcast keep-fraction join, then a
+    deterministic per-id hash filter (``hash_fn="md5"`` for the
+    DuckDB-replayable oracle path, ``"xxhash"`` for production).
+
+    Unlike a window rank this never concentrates a hot domain on one
+    reducer — the filter is a narrow map after a broadcast join, the
+    only aggregation output is one row per DOMAIN.  Adds ``keep_frac``
+    (provenance for the recipe log), like ``temperature_mix``."""
+    if max_per_domain <= 0:
+        raise ValueError(f"max_per_domain must be positive, got {max_per_domain}")
+    host = host_of(url_col)
+    keyed = df.withColumn("_dom", host)
+    counts = keyed.groupBy("_dom").agg(F.count(F.lit(1)).alias("_n"))
+    fracs = counts.select(
+        "_dom",
+        F.least(F.lit(1.0), F.lit(float(max_per_domain)) / F.col("_n")).alias("keep_frac"),
+    )
+    if hash_fn == "md5":
+        u = md5_long(F.col(id_col), salt=salt) / F.lit(float(1 << 60))
+    else:
+        u = (
+            F.shiftrightunsigned(
+                F.xxhash64(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 4
+            )
+            / F.lit(float(1 << 60))
+        )
+    return (
+        keyed.join(F.broadcast(fracs), "_dom")
+        .filter((F.col("keep_frac") >= 1.0) | (u < F.col("keep_frac")))
+        .drop("_dom")
+    )
+
+
+def domain_cap_exact(
+    df: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Strictly-exact per-domain cap: rank within each domain by a
+    deterministic (md5(id), id) order and keep the first
+    ``max_per_domain``.  A window partitioned by domain — one shuffle on
+    the domain key, and a HOT domain's rows do land on one reducer, so
+    prefer :func:`domain_cap` at crawl scale; this variant exists for
+    modest corpora where the cap must be exact."""
+    if max_per_domain <= 0:
+        raise ValueError(f"max_per_domain must be positive, got {max_per_domain}")
+    from pyspark.sql.window import Window
+
+    keyed = df.withColumn("_dom", host_of(url_col))
+    w = Window.partitionBy("_dom").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_domain)
+        .drop("_dom", "_rk")
+    )

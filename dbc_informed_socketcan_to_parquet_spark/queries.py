@@ -3528,3 +3528,153 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mixed.select("doc_id", "source", "n_tokens",
                         F.round("keep_frac", 9).alias("keep_frac"))
+
+
+# ---------------------------------------------------------------------------
+# URL/domain curation (r6) — operators/urlops.py
+#
+# The driver's documents fixture has no url column, so each entry DERIVES a
+# deterministic synthetic URL from doc_id — identically on both engines
+# (md5-based so DuckDB replays it bit-for-bit).  The derivation exercises
+# every canonicalization rule: scheme split http/https, optional www.,
+# default :443 port, trailing slash, unsorted + tracking query params, and
+# a fragment; doc_id % 200 keys the (domain, path, query-class) triple so
+# distinct doc_ids genuinely collide on canonical URL, and doc_id % 3
+# routes a third of the corpus to one hot domain for the cap test.
+# ---------------------------------------------------------------------------
+
+def _with_url(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    gid = (d % 200).cast("string")
+    h = F.md5(gid)
+    domain = F.when((d % 3) == 0, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("d"), F.substring(h, 1, 2), F.lit(".example.com"))
+    )
+    url = F.concat(
+        F.when((d % 5) == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when((d % 2) == 0, F.lit("www.")).otherwise(F.lit("")),
+        domain,
+        F.when((d % 7) == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 50).cast("string"),
+        F.when((d % 11) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when((d % 4) == 1, F.lit("?b=2&a=1"))
+        .when((d % 4) == 2, F.lit("?a=1&utm_source=x&b=2"))
+        .when((d % 4) == 3, F.lit("?utm_campaign=y"))
+        .otherwise(F.lit("")),
+        F.when((d % 6) == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return docs.withColumn("url", url)
+
+
+#: SQL twin of _with_url — a CTE body over `documents`
+_URL_CTE = """
+    SELECT doc_id, lang, source,
+      (CASE WHEN doc_id % 5 = 0 THEN 'http://' ELSE 'https://' END
+       || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+       || CASE WHEN doc_id % 3 = 0 THEN 'hot.example.com'
+               ELSE 'd' || substr(md5(CAST(doc_id % 200 AS VARCHAR)), 1, 2)
+                    || '.example.com' END
+       || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+       || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+       || CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END
+       || CASE WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+               WHEN doc_id % 4 = 2 THEN '?a=1&utm_source=x&b=2'
+               WHEN doc_id % 4 = 3 THEN '?utm_campaign=y' ELSE '' END
+       || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+    FROM documents
+"""
+
+
+def _urlops_sqls():
+    from dbc_informed_socketcan_to_parquet_spark.operators.urlops import (
+        canonical_url_sql,
+        host_of_sql,
+    )
+
+    return canonical_url_sql("url"), host_of_sql("url")
+
+
+_CANON_SQL, _HOST_SQL = _urlops_sqls()
+
+
+@extra_query(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH u AS ({_URL_CTE})
+    SELECT {_CANON_SQL} AS canonical_url,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM u GROUP BY 1
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonical dedup groups (operators/urlops.url_dedup semantics):
+    scheme/fragment dropped, host lowercased + www/default-port stripped,
+    trailing slash trimmed, query sorted with tracking params removed —
+    one groupBy on the canonical key, min-id-wins."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.urlops import canonical_url
+
+    docs = _with_url(_read(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn("canonical_url", canonical_url("url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@extra_query(
+    "domain_blocklist",
+    oracle=f"""
+    WITH u AS ({_URL_CTE}), hosts AS (SELECT doc_id, {_HOST_SQL} AS host FROM u)
+    SELECT doc_id, host FROM hosts
+    WHERE NOT (host = 'hot.example.com' OR host LIKE '%.hot.example.com'
+               OR host = 'd0a.example.com' OR host LIKE '%.d0a.example.com')
+    """,
+)
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist domain filter (operators/urlops.domain_filter, literal
+    predicate-chain path): exact host or any-subdomain match drops the
+    row — a narrow pushdown-able filter, no joins."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.urlops import (
+        domain_filter,
+        host_of,
+    )
+
+    docs = _with_url(_read(spark, sf_dir, "documents"))
+    kept = domain_filter(docs, ["hot.example.com", "d0a.example.com"], url_col="url")
+    return kept.select("doc_id", host_of("url").alias("host"))
+
+
+@extra_query(
+    "domain_cap",
+    oracle=f"""
+    WITH u AS ({_URL_CTE}),
+    hosts AS (SELECT doc_id, {_HOST_SQL} AS host FROM u),
+    counts AS (SELECT host, count(*) AS n FROM hosts GROUP BY host),
+    j AS (
+      SELECT h.doc_id, h.host, least(1.0, 25.0 / c.n) AS keep_frac
+      FROM hosts h JOIN counts c USING (host)
+    )
+    SELECT doc_id, host, round(keep_frac, 9) AS keep_frac FROM j
+    WHERE keep_frac >= 1.0
+       OR {md5_long_sql('doc_id', salt='domcap')} / {_U60} < keep_frac
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/urlops.domain_cap, md5 parity
+    path, cap=25): one grouped count per DOMAIN broadcast back as a
+    keep-fraction + a deterministic hash filter — the temperature_mix
+    shape; a hot domain never concentrates on one reducer."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.urlops import (
+        domain_cap,
+        host_of,
+    )
+
+    docs = _with_url(_read(spark, sf_dir, "documents"))
+    capped = domain_cap(docs, 25, url_col="url", id_col="doc_id", hash_fn="md5")
+    return capped.select(
+        "doc_id", host_of("url").alias("host"), F.round("keep_frac", 9).alias("keep_frac")
+    )

@@ -214,6 +214,34 @@ def test_cli_curate_subcommand(spark, tmp_path, capsys, monkeypatch):
     assert quarantined.count() == 1
 
 
+def test_cli_curate_url_front_door(spark, tmp_path, capsys):
+    """--url-col + --block-domain + --url-dedup gate the r6 URL stage."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    rows = [
+        (1, "an essay about distributed shuffle strategies in modern query engines",
+         "https://spam.net/a"),
+        (2, "a long meditation on columnar compression and run length encoding wins",
+         "https://keep.org/p?b=2&a=1"),
+        (3, "gardens tomatoes and the summer heat of a completely different topic",
+         "http://www.keep.org/p/?a=1&b=2&utm_source=x"),  # URL dup of 2
+    ]
+    src = str(tmp_path / "urldocs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, url string").write.parquet(src)
+    out = str(tmp_path / "urlkept.parquet")
+    main(["curate", "--in", src, "--out", out,
+          "--min-chars", "10", "--min-quality", "0.0", "--jaccard", "0.9",
+          "--url-col", "url", "--block-domain", "spam.net", "--url-dedup"])
+    kept = spark.read.parquet(out)
+    assert {r.doc_id for r in kept.collect()} == {2}
+    assert "curated 3 -> 1 documents" in capsys.readouterr().out
+
+    # url flags without --url-col are a parse error, not a silent no-op
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["curate", "--in", src, "--out", out, "--url-dedup"])
+
+
 def test_export_cli_writes_shards_and_manifest(spark, tmp_path, capsys):
     import json
 

@@ -1,0 +1,165 @@
+"""URL/domain curation operators (operators/urlops.py) — unit semantics.
+
+The registry-level oracle parity (canonicalization vs DuckDB at sf0.01)
+lives in tests/test_extra_registry.py (url_canonical_dedup,
+domain_blocklist, domain_cap); here: edge-case canonicalization,
+both blocklist execution paths, cap exactness, and the curate() gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbc_informed_socketcan_to_parquet_spark.operators.urlops import (
+    canonical_url,
+    domain_cap,
+    domain_cap_exact,
+    domain_filter,
+    host_of,
+    registrable_domain,
+    url_dedup,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+
+
+def test_canonical_url_rules(spark):
+    cases = {
+        # scheme + fragment dropped, host lowercased
+        "https://EXAMPLE.com/a#frag": "example.com/a",
+        "http://example.com/a": "example.com/a",
+        # www. and default ports stripped
+        "https://www.example.com:443/a": "example.com/a",
+        "http://example.com:80/a": "example.com/a",
+        # non-default port kept
+        "https://example.com:8443/a": "example.com:8443/a",
+        # trailing slashes trimmed; bare host stays bare
+        "https://example.com/a///": "example.com/a",
+        "https://example.com": "example.com",
+        # query: tracking stripped, rest sorted; all-tracking -> no query
+        "https://example.com/a?b=2&a=1": "example.com/a?a=1&b=2",
+        "https://example.com/a?utm_source=x&a=1&gclid=z": "example.com/a?a=1",
+        "https://example.com/a?utm_campaign=y": "example.com/a",
+        # schemeless input parses the same
+        "www.example.com/a?b=2&a=1#x": "example.com/a?a=1&b=2",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_host_and_registrable_domain(spark):
+    df = spark.createDataFrame(
+        [("https://www.news.bbc.co.uk:443/x",), ("http://sub.a.example.com/p",)],
+        "url string",
+    )
+    rows = df.select(
+        host_of("url").alias("h"), registrable_domain("url").alias("r")
+    ).collect()
+    assert (rows[0].h, rows[0].r) == ("news.bbc.co.uk", "co.uk")  # documented PSL limit
+    assert (rows[1].h, rows[1].r) == ("sub.a.example.com", "example.com")
+
+
+@pytest.fixture()
+def url_docs(spark):
+    rows = [
+        (1, "https://spam.example.com/a"),
+        (2, "https://deep.spam.example.com/b"),   # subdomain of blocked
+        (3, "https://ok.example.org/c"),
+        (4, "https://www.ok.example.org/c/"),     # canonical dup of 3
+        (5, "http://ok.example.org/c?utm_source=x"),  # canonical dup of 3
+        (6, "https://other.net/z?b=2&a=1"),
+        (7, "https://other.net/z?a=1&b=2"),       # canonical dup of 6
+        (8, "https://unique.io/q"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_domain_filter_literal_chain(spark, url_docs):
+    kept = domain_filter(url_docs, ["spam.example.com"], url_col="url")
+    assert sorted(r.doc_id for r in kept.collect()) == [3, 4, 5, 6, 7, 8]
+
+
+def test_domain_filter_broadcast_dataframe(spark, url_docs):
+    bl = spark.createDataFrame([("spam.example.com",), ("other.net",)], "domain string")
+    kept = domain_filter(url_docs, bl, url_col="url")
+    # spam.example.com blocked exactly; deep.spam… survives this path only
+    # if its registrable tail differs — example.com is NOT blocked, so it
+    # stays: the DataFrame path blocks host-exact + registrable-tail.
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4, 5, 8]
+    assert set(kept.columns) == {"doc_id", "url"}
+
+
+def test_url_dedup_first_occurrence(spark, url_docs):
+    out = url_dedup(url_docs, url_col="url", id_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3, 6, 8]
+    assert out.columns == ["doc_id", "url"]
+
+
+def test_url_dedup_keeps_full_row(spark):
+    df = spark.createDataFrame(
+        [(10, "https://a.com/x", "ten"), (2, "http://www.a.com/x/", "two")],
+        "doc_id long, url string, payload string",
+    )
+    rows = url_dedup(df, url_col="url", id_col="doc_id").collect()
+    assert len(rows) == 1 and rows[0].doc_id == 2 and rows[0].payload == "two"
+
+
+def test_domain_cap_exact_and_expectation(spark):
+    rows = [(i, "https://hot.com/p%d" % i) for i in range(400)] + [
+        (1000 + i, "https://cold%d.com/x" % i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    strict = domain_cap_exact(df, 30, url_col="url", id_col="doc_id")
+    per = {r.h: r.n for r in strict.groupBy(host_of("url").alias("h")).count()
+           .withColumnRenamed("count", "n").collect()}
+    assert per["hot.com"] == 30 and all(v == 1 for h, v in per.items() if h != "hot.com")
+
+    capped = domain_cap(df, 30, url_col="url", id_col="doc_id")
+    n_hot = capped.filter(host_of("url") == "hot.hot.com".replace("hot.hot", "hot")).count()
+    # expectation 30, binomial(400, .075) — generous band, deterministic seed
+    assert 10 <= n_hot <= 60
+    # under-cap domains keep everything, keep_frac provenance attached
+    assert capped.filter(F.col("keep_frac") >= 1.0).count() == 10
+    # deterministic across runs
+    a = sorted(r.doc_id for r in capped.collect())
+    b = sorted(r.doc_id for r in domain_cap(df, 30, url_col="url", id_col="doc_id").collect())
+    assert a == b
+
+
+def test_domain_cap_rejects_nonpositive(spark, url_docs):
+    with pytest.raises(ValueError):
+        domain_cap(url_docs, 0)
+    with pytest.raises(ValueError):
+        domain_cap_exact(url_docs, -1)
+
+
+def test_curate_url_front_door(spark):
+    """curate() with the url gates on: blocklisted domain drops, canonical
+    dups collapse, survivors flow into the text pipeline unchanged."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        CurateConfig,
+        curate,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today",
+         "https://spam.example.com/a"),
+        (2, "distributed query engines shuffle data between executors during wide joins",
+         "https://keep.org/p?b=2&a=1"),
+        (3, "a completely different sentence about gardens and tomatoes in summer heat",
+         "http://www.keep.org/p/?a=1&b=2&utm_source=x"),  # URL dup of 2
+        (4, "columnar storage formats compress runs of similar values very effectively",
+         "https://keep.org/other"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cfg = CurateConfig(
+        min_chars=10, min_quality=0.0, jaccard_threshold=0.99,
+        url_col="url", url_blocklist=("spam.example.com",), url_dedup=True,
+    )
+    kept = curate(docs, config=cfg)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 4]
+    assert set(kept.columns) == {"doc_id", "text", "url"}
