@@ -55,6 +55,12 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-perplexity", type=float, default=None,
                    help="bigram-LM gate (trains on --lm-corpus if given, else on survivors)")
     p.add_argument("--lm-corpus", default=None, help="trusted reference parquet for the LM gate")
+    p.add_argument("--lm-path", default=None,
+                   help="persisted bigram LM dir (textops.lm_write) — scores from disk, no training pass")
+    p.add_argument("--classifier-path", default=None,
+                   help="persisted classifier dir (textops.classifier_write); enables the gate with --min-clf-prob")
+    p.add_argument("--min-clf-prob", type=float, default=None,
+                   help="classifier gate threshold (needs --classifier-path)")
     p.add_argument("--hash", choices=("xxhash", "md5"), default="xxhash")
     p.add_argument("--url-col", default=None,
                    help="enable the URL front door (blocklist/dedup/cap) on this column")
@@ -74,6 +80,10 @@ def run_curate(argv: list[str]) -> None:
     args = parser.parse_args(argv)
     if args.lm_corpus and args.max_perplexity is None:
         parser.error("--lm-corpus has no effect without --max-perplexity (the LM gate threshold)")
+    if args.lm_path and args.max_perplexity is None:
+        parser.error("--lm-path has no effect without --max-perplexity (the LM gate threshold)")
+    if args.min_clf_prob is not None and not args.classifier_path:
+        parser.error("--min-clf-prob needs --classifier-path (the persisted model to score with)")
     spark = get_spark("curate-cli")
     if args.jsonl:
         from dbc_informed_socketcan_to_parquet_spark.sources.jsonl import (
@@ -99,6 +109,9 @@ def run_curate(argv: list[str]) -> None:
         max_perplexity=args.max_perplexity,
         gopher=args.gopher,
         hash_fn=args.hash,
+        lm_path=args.lm_path,
+        classifier_path=args.classifier_path,
+        min_clf_prob=args.min_clf_prob,
         url_col=args.url_col,
         url_blocklist=tuple(args.block_domain),
         url_dedup=args.url_dedup,

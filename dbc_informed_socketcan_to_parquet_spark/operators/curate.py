@@ -96,6 +96,13 @@ class CurateConfig:
     # None = stage off (weights come in via curate(classifier_weights=))
     min_clf_prob: float | None = None
     clf_num_features: int = 1 << 18
+    # persisted-model paths (r6): production curate runs train the LM /
+    # classifier ONCE (textops.lm_write / classifier_write) and reuse
+    # them across batches and streams — when set, the corresponding gate
+    # scores from disk instead of training inline, and the per-run
+    # corpus scan disappears
+    lm_path: str | None = None
+    classifier_path: str | None = None
     # require every Gopher rule (textops.gopher_quality_flags defaults)
     # in addition to the built-in quality gate; off by default
     gopher: bool = False
@@ -234,26 +241,48 @@ def curate(
     if config.min_clf_prob is not None:
         # hashed-linear-classifier gate: one explode + broadcast weight
         # join + per-doc mean — cheaper than the LM gate, so it runs
-        # first and shrinks the LM's input
-        from dbc_informed_socketcan_to_parquet_spark.operators.textops import classifier_score
+        # first and shrinks the LM's input.  classifier_path scores a
+        # PERSISTED model (classifier_write) — the production shape
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            classifier_score,
+            classifier_score_from,
+        )
 
-        if classifier_weights is None:
-            raise ValueError("min_clf_prob set but classifier_weights not provided")
-        clf_ids = classifier_score(
-            out, weights=classifier_weights, id_col=id_col, text_col=text_col,
-            num_features=config.clf_num_features,
-        ).filter(F.col("prob") >= config.min_clf_prob).select(id_col)
+        if config.classifier_path is not None:
+            scored = classifier_score_from(
+                out, config.classifier_path, id_col=id_col, text_col=text_col
+            )
+        elif classifier_weights is not None:
+            scored = classifier_score(
+                out, weights=classifier_weights, id_col=id_col, text_col=text_col,
+                num_features=config.clf_num_features,
+            )
+        else:
+            raise ValueError(
+                "min_clf_prob set but neither classifier_weights nor "
+                "config.classifier_path provided"
+            )
+        clf_ids = scored.filter(F.col("prob") >= config.min_clf_prob).select(id_col)
         out = out.join(clf_ids, id_col, "left_semi")
 
     if config.max_perplexity is not None:
-        # bigram-LM gibberish gate (CCNet shape): the LM trains on the
-        # already-gated survivors — the cleanest slice available without
-        # an external reference corpus
-        from dbc_informed_socketcan_to_parquet_spark.operators.textops import lm_score
+        # bigram-LM gibberish gate (CCNet shape).  lm_path scores a
+        # PERSISTED reference LM (lm_write) — no per-run training pass;
+        # else the LM trains on lm_corpus or the gate's own survivors
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            lm_score,
+            lm_score_from,
+        )
 
-        lm_ids = lm_score(
-            out, corpus=lm_corpus, id_col=id_col, text_col=text_col
-        ).filter(F.col("perplexity") <= config.max_perplexity).select(id_col)
+        if config.lm_path is not None:
+            lm_scored = lm_score_from(
+                out, config.lm_path, id_col=id_col, text_col=text_col
+            )
+        else:
+            lm_scored = lm_score(out, corpus=lm_corpus, id_col=id_col, text_col=text_col)
+        lm_ids = lm_scored.filter(
+            F.col("perplexity") <= config.max_perplexity
+        ).select(id_col)
         out = out.join(lm_ids, id_col, "left_semi")
 
     out = exact_dedup(out, id_col, text_col)

@@ -352,6 +352,25 @@ def lm_score(
     # FROM the checkpointed frame so they share the materialization
     bigram_counts = bigram_counts.localCheckpoint(eager=False)
     context_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return _lm_score_with(
+        df, bigram_counts, context_counts, vocab_size,
+        id_col, text_col, round_to, broadcast_lm,
+    )
+
+
+def _lm_score_with(
+    df: DataFrame,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab_size: int,
+    id_col: str,
+    text_col: str,
+    round_to: int,
+    broadcast_lm: bool,
+) -> DataFrame:
+    """Scoring half shared by :func:`lm_score` (inline-trained LM) and
+    :func:`lm_score_from` (persisted LM) — identical join + aggregate, so
+    the two paths are score-identical by construction (pytest-pinned)."""
     if broadcast_lm:
         bigram_counts = F.broadcast(bigram_counts)
         context_counts = F.broadcast(context_counts)
@@ -375,6 +394,69 @@ def lm_score(
         F.col("n_bigrams"),
         F.round(F.col("_avg"), round_to).alias("avg_logp"),
         F.round(F.exp(-F.col("_avg")), round_to).alias("perplexity"),
+    )
+
+
+def lm_write(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> int:
+    """Train the bigram LM once and PERSIST it — the production curate
+    arrangement (mirrors ``similarity.ivf_index_write``): a trusted
+    reference corpus is scanned exactly once, and every later batch or
+    micro-batch scores against the stored tables via
+    :func:`lm_score_from` instead of retraining per run.
+
+    Layout: ``{path}/bigrams`` = (w1, w2, c12), ``{path}/contexts`` =
+    (w1, c1), ``{path}/meta`` = one row (vocab_size, min_count).
+    ``min_count`` drops rare bigrams from the STORED bigram table so it
+    broadcasts at any corpus size; context totals are computed BEFORE
+    the threshold, so ``c1`` stays exact and thresholded bigrams simply
+    back off to the add-one floor — the standard pruned-LM semantics.
+    Returns the vocab size."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    bigram_counts, context_counts, vocab_size = train_bigram_lm(
+        corpus, text_col, id_col
+    )
+    bigram_counts = bigram_counts.localCheckpoint(eager=False)
+    # exact totals first, then threshold the stored bigrams
+    context_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    stored = bigram_counts
+    if min_count > 1:
+        stored = bigram_counts.filter(F.col("c12") >= min_count)
+    stored.write.mode("overwrite").parquet(f"{path}/bigrams")
+    context_counts.write.mode("overwrite").parquet(f"{path}/contexts")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(vocab_size), int(min_count))], "vocab_size long, min_count int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return int(vocab_size)
+
+
+def lm_score_from(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Score ``df`` against a persisted bigram LM written by
+    :func:`lm_write` — no training pass, no corpus scan; with the default
+    ``broadcast_lm`` the stored (pruned) tables broadcast and the scoring
+    join is shuffle-free.  Same output schema and (for ``min_count=1``
+    models) bit-identical scores to :func:`lm_score`."""
+    spark = df.sparkSession
+    bigram_counts = spark.read.parquet(f"{path}/bigrams")
+    context_counts = spark.read.parquet(f"{path}/contexts")
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return _lm_score_with(
+        df, bigram_counts, context_counts, int(meta["vocab_size"]),
+        id_col, text_col, round_to, broadcast_lm,
     )
 
 
@@ -447,6 +529,60 @@ def classifier_score(
         F.col("n_features"),
         F.round(margin, round_to).alias("margin"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), round_to).alias("prob"),
+    )
+
+
+def classifier_write(
+    weights: DataFrame,
+    path: str,
+    num_features: int = 1 << 18,
+    bigrams: bool = True,
+    bias: float = 0.0,
+    seed: str = "clf",
+) -> None:
+    """Persist a trained quality-classifier model (the (idx, w) weight
+    table plus ITS featurization config) so production curate runs load
+    it by path — a model scored with the wrong num_features/seed hashes
+    every token into the wrong bucket, so the config rides with the
+    weights instead of being re-specified per call.
+
+    Layout: ``{path}/weights`` = (idx long, w double); ``{path}/meta`` =
+    one row (num_features, bigrams, bias, seed)."""
+    weights.select(
+        F.col("idx").cast("long").alias("idx"), F.col("w").cast("double").alias("w")
+    ).write.mode("overwrite").parquet(f"{path}/weights")
+    spark = weights.sparkSession
+    spark.createDataFrame(
+        [(int(num_features), bool(bigrams), float(bias), str(seed))],
+        "num_features int, bigrams boolean, bias double, seed string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def classifier_score_from(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Score against a persisted classifier written by
+    :func:`classifier_write`: weights broadcast-join as in
+    :func:`classifier_score`, and the featurization config comes from the
+    stored meta — bit-identical scores to an inline call with the same
+    weights/config (pytest-pinned)."""
+    spark = df.sparkSession
+    weights = spark.read.parquet(f"{path}/weights")
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return classifier_score(
+        df,
+        weights=weights,
+        id_col=id_col,
+        text_col=text_col,
+        num_features=int(meta["num_features"]),
+        bigrams=bool(meta["bigrams"]),
+        bias=float(meta["bias"]),
+        seed=str(meta["seed"]),
+        round_to=round_to,
     )
 
 

@@ -1179,3 +1179,78 @@ def test_multimodal_near_dup_composition(spark):
     got = {(r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()}
     assert (1, 2) in got
     assert all(p == (1, 2) for p in got), got
+
+
+def test_lm_write_score_from_matches_inline(spark, tmp_path):
+    """Persisted-LM path (r6): lm_score_from(path) == lm_score(corpus)
+    bit-for-bit when the stored model is unpruned — train once, score
+    forever."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        lm_score,
+        lm_score_from,
+        lm_write,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(5)]
+        + [(100, "a rare bigram appears exactly once here")],
+        "doc_id long, text string",
+    )
+    scored_df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "zxqv wkjh qpzm vbnx lkjq zzzz yyyy xxxx wwww"),
+         (2, "a rare bigram appears exactly once here")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lm")
+    v = lm_write(corpus, path)
+    assert v > 0
+    inline = {r.doc_id: (r.n_bigrams, r.avg_logp, r.perplexity)
+              for r in lm_score(scored_df, corpus=corpus).collect()}
+    disk = {r.doc_id: (r.n_bigrams, r.avg_logp, r.perplexity)
+            for r in lm_score_from(scored_df, path).collect()}
+    assert inline == disk
+
+    # pruned model: thresholded bigrams back off to the add-one floor —
+    # the rare-bigram doc scores LOWER, common-text doc is unchanged
+    # (its bigrams all clear the threshold), and context totals stay exact
+    path2 = str(tmp_path / "lm_pruned")
+    lm_write(corpus, path2, min_count=2)
+    pruned = {r.doc_id: (r.n_bigrams, r.avg_logp, r.perplexity)
+              for r in lm_score_from(scored_df, path2).collect()}
+    assert pruned[0] == disk[0]
+    assert pruned[2][1] < disk[2][1]
+    with pytest.raises(ValueError):
+        lm_write(corpus, str(tmp_path / "bad"), min_count=0)
+
+
+def test_classifier_write_score_from_matches_inline(spark, tmp_path):
+    """Persisted-classifier path (r6): the featurization config rides with
+    the weights, and from-disk scores equal the inline call exactly."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_score,
+        classifier_score_from,
+        classifier_write,
+    )
+
+    nf = 1 << 12
+
+    def idx(feat, seed="s9"):
+        return _py_md5_long(feat, salt=f"{seed}|") % nf
+
+    docs = spark.createDataFrame(
+        [(0, "this text is very good indeed"), (1, "plain neutral words only here")],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame(
+        [(idx("good"), 10.0), (idx("very good"), 4.0)], "idx long, w double"
+    )
+    path = str(tmp_path / "clf")
+    classifier_write(w, path, num_features=nf, bigrams=True, bias=-0.5, seed="s9")
+    inline = {r.doc_id: (r.n_features, r.margin, r.prob)
+              for r in classifier_score(
+                  docs, weights=w, num_features=nf, bias=-0.5, seed="s9").collect()}
+    disk = {r.doc_id: (r.n_features, r.margin, r.prob)
+            for r in classifier_score_from(docs, path).collect()}
+    assert inline == disk
+    assert disk[0][1] == pytest.approx(14.0 / 11 - 0.5, abs=1e-6)

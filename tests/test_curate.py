@@ -297,3 +297,58 @@ def test_curate_to_export_pipeline(spark, tmp_path):
     assert len(manifest["shards"]) == 4
     back = spark.read.parquet(out)
     assert back.agg(F.sum("n_docs")).first()[0] == n_kept
+
+
+def test_curate_with_persisted_models(spark, tmp_path):
+    """curate() scores persisted LM + classifier models by path (r6): the
+    production arrangement where models train once (lm_write /
+    classifier_write) and batches score from disk — gate decisions match
+    the inline-model run exactly."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        CurateConfig,
+        curate,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_write,
+        lm_score,
+        lm_write,
+    )
+
+    body = ("a clear and well formed english paragraph about everyday cooking "
+            "with enough distinct words to pass every structural quality rule")
+    gibberish = ("zxqv wkjh qpzm vbnx lkjq rtyu asdf ghjk zxcv bnml qwer tyui "
+                 "opas dfgh jklz xcvb nmqw erty uiop asdf ghjk lzxc vbnm qwer")
+    docs = spark.createDataFrame(
+        [(1, body), (2, gibberish)], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame(
+        [(i, body) for i in range(20)], "doc_id long, text string"
+    )
+    lm_dir = str(tmp_path / "lm")
+    lm_write(ref, lm_dir)
+    perp = {r.doc_id: r.perplexity for r in lm_score(docs, corpus=ref).collect()}
+    thr = (perp[1] + perp[2]) / 2
+
+    # a one-weight classifier that likes "cooking": doc 1 scores > 0.5,
+    # doc 2 exactly 0.5 — threshold between
+    from tests.test_corpus_ops import _py_md5_long
+    nf = 1 << 12
+    w = spark.createDataFrame(
+        [(_py_md5_long("cooking", salt="clf|") % nf, 8.0)], "idx long, w double"
+    )
+    clf_dir = str(tmp_path / "clf")
+    classifier_write(w, clf_dir, num_features=nf, bigrams=True, bias=0.0, seed="clf")
+
+    cfg = CurateConfig(
+        min_chars=32, min_quality=0.0, jaccard_threshold=0.5,
+        max_perplexity=thr, lm_path=lm_dir,
+        min_clf_prob=0.51, classifier_path=clf_dir,
+    )
+    kept = [r.doc_id for r in curate(docs, config=cfg).collect()]
+    assert kept == [1]
+
+    # min_clf_prob without any model source still raises
+    import pytest as _pytest
+    bad = CurateConfig(min_chars=1, min_quality=0.0, min_clf_prob=0.5)
+    with _pytest.raises(ValueError, match="classifier_weights"):
+        curate(docs, config=bad).collect()
