@@ -1,0 +1,138 @@
+"""Streaming curate composition (streaming/curate.py): JSONL landing dir
+→ quarantine split → normalize → quality gate → watermarked exact dedup
+→ parquet landing, with cross-drain state via the checkpoint."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def _write_batch(land, name, rows):
+    lines = []
+    for r in rows:
+        lines.append(r if isinstance(r, str) else json.dumps(r))
+    (land / name).write_text("\n".join(lines) + "\n")
+
+
+def _doc(i, text, **kw):
+    d = {"doc_id": i, "text": text, "lang": "en", "source": "w",
+         "n_chars": len(text)}
+    d.update(kw)
+    return d
+
+
+GOOD_A = ("a clear and well formed english paragraph about everyday cooking "
+          "with enough distinct words to pass the structural quality rules")
+GOOD_B = ("an entirely different essay describing distributed query engines "
+          "and the shuffle strategies they use for terabyte scale joins")
+MESSY_B = GOOD_B.replace(" ", "  ") + " \n"   # normalizes to GOOD_B
+
+
+def test_streaming_curate_end_to_end(spark, tmp_path):
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        run_streaming_curate,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "curated")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    # drain 1: good doc, short doc (gated), corrupt line
+    _write_batch(land, "b0.jsonl", [
+        _doc(1, GOOD_A),
+        _doc(2, "too short"),
+        "corrupt {line",
+    ])
+    for q in run_streaming_curate(
+        spark, str(land), out, ckpt, min_chars=32, min_quality=0.0,
+        watermark="1 hour", quarantine_dir=quar, available_now=True,
+    ):
+        q.awaitTermination()
+
+    kept = spark.read.parquet(out)
+    assert [r.doc_id for r in kept.collect()] == [1]
+    assert spark.read.json(quar).count() == 1
+
+    # drain 2 (fresh queries, same checkpoint): an exact dup of doc 1 is
+    # suppressed BY STATE from drain 1; a whitespace-messy variant of a
+    # new doc normalizes, passes, and lands once
+    _write_batch(land, "b1.jsonl", [
+        _doc(3, GOOD_A),          # cross-drain exact dup -> suppressed
+        _doc(4, MESSY_B),         # normalizes to GOOD_B -> kept
+        _doc(5, GOOD_B),          # dup of the normalized 4 -> suppressed
+    ])
+    for q in run_streaming_curate(
+        spark, str(land), out, ckpt, min_chars=32, min_quality=0.0,
+        watermark="1 hour", quarantine_dir=quar, available_now=True,
+    ):
+        q.awaitTermination()
+
+    rows = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    # doc 3 suppressed by drain-1 state; docs 4 and 5 are content-equal
+    # AFTER normalization, so exactly ONE lands (in-batch arrival order
+    # across the repartition barrier is not part of the contract)
+    assert 1 in rows and len(rows) == 2
+    survivor = (set(rows) - {1}).pop()
+    assert survivor in (4, 5)
+    assert rows[survivor] == GOOD_B   # text landed normalized
+    # output schema = input schema + ingest timestamp provenance
+    assert set(spark.read.parquet(out).columns) == {
+        "doc_id", "text", "lang", "source", "n_chars", "_ingest_ts"
+    }
+
+
+def test_streaming_curate_frame_matches_batch_gate(spark, tmp_path):
+    """The streaming gate keeps exactly the docs the batch quality
+    expressions keep (same _doc_stat_cols, same thresholds)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        doc_quality_stats,
+        normalize_text,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        streaming_curate_frame,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    land = tmp_path / "gate_land"
+    land.mkdir()
+    rows = [
+        {"doc_id": r.doc_id, "text": r.text, "lang": r.lang,
+         "source": r.source, "n_chars": r.n_chars}
+        for r in docs.collect()
+    ]
+    _write_batch(land, "all.jsonl", rows)
+
+    from dbc_informed_socketcan_to_parquet_spark.sources.jsonl import stream_jsonl_dir
+    raw = stream_jsonl_dir(spark, str(land)).filter(
+        F.col("_corrupt_record").isNull()
+    ).drop("_corrupt_record")
+    curated = streaming_curate_frame(
+        raw, min_chars=64, min_quality=0.5, watermark="1 hour"
+    )
+    q = (curated.writeStream.format("memory").queryName("gate_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.h for r in spark.sql(
+        "SELECT md5(text) AS h FROM gate_out").collect()}
+    got_n = spark.sql("SELECT count(*) AS n FROM gate_out").collect()[0].n
+
+    normed = normalize_text(docs, "text")
+    stats = doc_quality_stats(normed, "doc_id", "text")
+    want_quality = {
+        r.doc_id for r in stats.filter(
+            (F.col("n_chars") >= 64) & (F.col("quality") >= 0.5)
+        ).collect()
+    }
+    # batch replay: the gated set deduped by content — compare CONTENT
+    # (which occurrence survives in-batch is not part of the contract)
+    gated = normed.join(
+        spark.createDataFrame([(i,) for i in want_quality], "doc_id long"),
+        "doc_id", "left_semi",
+    )
+    want = {r.h for r in gated.select(F.md5(F.col("text")).alias("h")).distinct().collect()}
+    assert got == want
+    assert got_n == len(want)         # exactly one row per content
