@@ -259,18 +259,33 @@ def pack_sequences(
 
 def _ffd_assign(tokens, max_tokens: int):
     """Exact first-fit-decreasing assignment for ``tokens`` already sorted
-    descending: returns ``(assign, n_packs, totals)`` where ``assign[i]``
-    is the pack index (creation order) of document i.
+    descending: returns ``(assign, n_packs, totals)`` — ``assign[i]`` is
+    the pack index (creation order) of document i.  Layout identical to
+    the r4 linear scan by construction (pytest-pinned against it).
 
-    The open packs live in a segment tree keyed on residual capacity;
-    "first pack that fits" is a leftmost-leaf-with-residual-≥-t descent,
-    so each placement is O(log n) instead of the O(n_packs) linear scan
-    the r4 kernel did (O(n·packs) total — the VERDICT r4 nit).  Identical
-    layout to the linear scan by construction: leaf order == pack
-    creation order == first-fit probe order.  An oversized document
-    (t > max_tokens) opens its own pack with residual 0, so nothing
-    joins it — same flagged-overflow semantics as before.
+    Two kernels, same output: the per-item segment-tree descent
+    (:func:`_ffd_assign_scalar`, O(log n) per item) for small inputs,
+    and the RUN-BATCHED kernel (:func:`_ffd_assign_runs`) above 4096
+    items — the r6 microbench found the scalar loop at ~145k docs/s on
+    10M docs/partition (BASELINE.md), below the ~1M docs/s bar VERDICT
+    r5 set, and numba isn't in the container, so the batching exploits
+    FFD structure instead: items of EQUAL size consume the leftmost
+    eligible pack exhaustively before moving right (residuals only
+    shrink, so the eligible set is monotone within a run), which turns a
+    run of k equal-sized docs into a handful of absorption events plus
+    one arithmetic batch of fresh packs — and sizes ≤ max_tokens can
+    only form ≤ max_tokens distinct runs.
     """
+    if len(tokens) < 4096:
+        return _ffd_assign_scalar(tokens, max_tokens)
+    return _ffd_assign_runs(tokens, max_tokens)
+
+
+def _ffd_assign_scalar(tokens, max_tokens: int):
+    """Per-item segment-tree FFD (see :func:`_ffd_assign`): "first pack
+    that fits" is a leftmost-leaf-with-residual-≥-t descent; an oversized
+    document (t > max_tokens) opens its own pack with residual 0, so
+    nothing joins it — the flagged-overflow semantics."""
     n = len(tokens)
     if n == 0:
         return [], 0, []
@@ -306,6 +321,92 @@ def _ffd_assign(tokens, max_tokens: int):
             tree[j] = max(tree[2 * j], tree[2 * j + 1])
             j //= 2
     return assign, n_packs, totals
+
+
+def _bulk_pullup(tree, size: int, lo: int, hi: int) -> None:
+    """Recompute internal max-residual nodes above the contiguous leaf
+    range [lo, hi) in one vectorized pass per level (new packs are always
+    appended as a contiguous leaf block)."""
+    import numpy as np
+
+    a, b = lo + size, hi + size
+    while a > 1:
+        a //= 2
+        b = (b + 1) // 2
+        if b <= a:
+            b = a + 1
+        np.maximum(tree[2 * a:2 * b:2], tree[2 * a + 1:2 * b:2], out=tree[a:b])
+
+
+def _ffd_assign_runs(tokens, max_tokens: int):
+    """Run-batched exact FFD (see :func:`_ffd_assign`): oversized docs are
+    a vectorized prefix; each equal-size run drains leftmost-eligible
+    packs via amortized tree descents (one per absorbing pack, each
+    absorbing ``residual // t`` docs at once), then opens
+    ``ceil(k / (C // t))`` fresh packs arithmetically with one bulk tree
+    pull-up.  Everything per-item is a numpy fill/repeat."""
+    import numpy as np
+
+    toks = np.asarray(tokens, dtype=np.int64)
+    n = len(toks)
+    C = int(max_tokens)
+    size = 1
+    while size < n:
+        size *= 2
+    tree = np.zeros(2 * size, dtype=np.int64)
+    assign = np.empty(n, dtype=np.int64)
+    totals = np.zeros(n, dtype=np.int64)
+
+    # oversized prefix (sorted descending): one flagged pack each, residual 0
+    n_over = int(np.searchsorted(-toks, -C, side="left"))
+    assign[:n_over] = np.arange(n_over)
+    totals[:n_over] = toks[:n_over]
+    n_packs = n_over
+
+    rest = toks[n_over:]
+    if len(rest):
+        change = np.flatnonzero(np.diff(rest)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(rest)]))
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            t = int(rest[s])
+            k = e - s
+            idx = n_over + s
+            # drain existing eligible packs, leftmost first
+            while k > 0 and tree[1] >= t:
+                j = 1
+                while j < size:
+                    j *= 2
+                    if tree[j] < t:
+                        j += 1
+                p = j - size
+                m = int(tree[j]) // t
+                if m > k:
+                    m = k
+                totals[p] += m * t
+                tree[j] -= m * t
+                jj = j // 2
+                while jj:
+                    v = tree[2 * jj] if tree[2 * jj] >= tree[2 * jj + 1] else tree[2 * jj + 1]
+                    if tree[jj] == v:
+                        break
+                    tree[jj] = v
+                    jj //= 2
+                assign[idx:idx + m] = p
+                idx += m
+                k -= m
+            if k > 0:
+                per = C // t
+                n_new = -(-k // per)
+                reps = np.full(n_new, per, dtype=np.int64)
+                reps[-1] = k - per * (n_new - 1)
+                pidx = np.arange(n_packs, n_packs + n_new)
+                assign[idx:n_over + e] = np.repeat(pidx, reps)
+                totals[pidx] = reps * t
+                tree[size + n_packs:size + n_packs + n_new] = C - reps * t
+                _bulk_pullup(tree, size, n_packs, n_packs + n_new)
+                n_packs += n_new
+    return assign, int(n_packs), totals[:n_packs]
 
 
 def stratified_sample(

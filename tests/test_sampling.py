@@ -246,13 +246,39 @@ def test_ffd_kernel_matches_linear_scan_and_is_fast():
 
     toks = sorted((rng.randrange(1, 2048) for _ in range(30_000)), reverse=True)
     t0 = time.time()
-    new = _ffd_assign(toks, 4096)
+    new = _ffd_assign(toks, 4096)   # n >= 4096 -> run-batched kernel
     t_new = time.time() - t0
     t0 = time.time()
     old = linear_scan(toks, 4096)
     t_old = time.time() - t0
-    assert (list(new[0]), new[1], list(new[2])) == old
+    assert (list(map(int, new[0])), new[1], list(map(int, new[2]))) == old
     assert t_old / max(t_new, 1e-9) >= 10, f"only {t_old / t_new:.1f}x"
+
+
+def test_ffd_runs_kernel_matches_scalar_kernel():
+    """The r6 run-batched kernel and the r5 scalar segment-tree kernel are
+    layout-identical on large mixed inputs (oversized docs, heavy value
+    repetition, long tails) — the property that keeps every export
+    fingerprint stable across the kernel switch."""
+    import numpy as np
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        _ffd_assign_runs,
+        _ffd_assign_scalar,
+    )
+
+    rng = np.random.default_rng(31)
+    toks = np.concatenate([
+        rng.integers(5000, 9000, 25),            # oversized (own packs)
+        np.repeat([4096, 2048, 1000, 999], 2000),  # heavy runs, exact fits
+        rng.integers(1, 4097, 20_000),           # mixed tail
+    ])
+    toks = np.sort(toks)[::-1]
+    a = _ffd_assign_scalar(toks, 4096)
+    b = _ffd_assign_runs(toks, 4096)
+    assert list(map(int, a[0])) == list(map(int, b[0]))
+    assert a[1] == b[1]
+    assert list(map(int, a[2])) == list(map(int, b[2]))
 
 
 def test_shuffle_deterministic_reproducible_permutation(spark):
