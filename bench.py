@@ -52,16 +52,19 @@ def main() -> None:
     for warm in ("bitfield_decode", "simhash_signatures"):
         QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # min of 2 passes per query: this host shows ±2× run-to-run noise, and
-    # a single bad draw (GC pause, page-cache miss) should not be recorded
-    # as a regression — min measures steady-state capability.  Cache is
-    # cleared between passes so operators that .cache() intermediates
-    # (minhash_lsh_pairs' signature table) are still measured cold.
+    # min of 3 passes per query (r6; was 2): this host shows ±2× run-to-run
+    # noise, and minhash_lsh_pairs see-sawed three rounds inside the noise
+    # band at min-of-2 while its fast path was strictly improving — one
+    # more draw collapses that (VERDICT r5 item 8).  A single bad draw
+    # (GC pause, page-cache miss) should not be recorded as a regression —
+    # min measures steady-state capability.  Cache is cleared between
+    # passes so operators that .cache() intermediates (minhash_lsh_pairs'
+    # signature table) are still measured cold.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -76,6 +79,10 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # r6 methodology: headline + fast-path entries are min-of-3 cold
+        # passes (cache cleared between); corpus additions min-of-2;
+        # decode throughput is median-of-5 after a JIT warm pass
+        "methodology": "headline=min3-cold, fast_path=min3-cold, corpus=min2-cold, decode=median5-warm",
         "queries": timings,
         "sf": sf,
         "decode_frames_per_sec": fps,
