@@ -662,6 +662,7 @@ def importance_resample(
     hash_fn=None,
     seed: str = "dsir",
     round_to: int = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """Select ``n`` corpus documents with probability ∝ importance weight
     via the Gumbel-top-k trick — the sampling half of DSIR.  Each doc's
@@ -678,6 +679,14 @@ def importance_resample(
     Scale: the ranking is ``orderBy(...).limit(n)`` — Spark's distributed
     TakeOrdered (per-partition top-n then a driver merge of n·parts
     keys), never a global sort of the corpus.
+
+    ``materialize=True`` (default) caches the hashed-feature explode
+    between its two consumers, collects the n-row sample, and releases
+    the cache before returning — call-scoped cache ownership (the r5
+    ADVICE leak).  ``materialize=False`` returns the fully LAZY plan
+    with no caching at all (the explode runs twice) — for plan
+    inspection and for callers composing it into a larger pipeline who
+    manage materialization themselves.
     """
     from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
 
@@ -687,7 +696,7 @@ def importance_resample(
     # lifetime is THIS call, not the session (the r5 ADVICE leak)
     lw, cached = _importance_weights_cached(
         corpus, target, id_col, text_col, num_buckets, bigrams, hash_fn,
-        seed, True,
+        seed, materialize,
     )
     # deterministic uniform in (0, 1): 60-bit hash folded to 1e6 grains
     u = (F.pmod(hash_fn(F.col(id_col), salt=f"{seed}-g|"), F.lit(1_000_000)) + 1) / F.lit(
@@ -706,6 +715,8 @@ def importance_resample(
             F.col("sample_key"),
         )
     )
+    if not materialize:
+        return sample
     # n rows — materialize driver-side (cheap by contract) so the feature
     # cache can be released BEFORE returning; a localCheckpoint would
     # itself linger in executor storage

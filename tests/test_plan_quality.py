@@ -277,8 +277,19 @@ def test_remove_hot_spans_broadcasts_hot_set(spark):
 def test_importance_resample_broadcast_weights_and_takeordered(spark):
     """The DSIR log-ratio table is <= num_buckets rows however big the
     corpora are — it must broadcast; and the top-n selection must be the
-    distributed TakeOrdered, never a global Sort+Exchange."""
-    plan = plan_of(EXTRA_QUERIES["importance_resample"](spark, SF))
+    distributed TakeOrdered, never a global Sort+Exchange.  Inspected via
+    materialize=False (the registry entry materializes driver-side to
+    scope its feature cache to the call — r6 — which hides the compute
+    plan behind a Scan ExistingRDD)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        importance_resample,
+    )
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    target = corpus.limit(50)
+    plan = plan_of(
+        importance_resample(corpus, target, n=100, materialize=False)
+    )
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
