@@ -382,3 +382,39 @@ def test_temperature_mix_broadcast_frac_join(spark):
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 1
     assert "SortMergeJoin" not in plan
     assert n_exchanges(plan) == 0
+
+
+def test_url_dedup_single_shuffle_partial_agg(spark):
+    """url_dedup is ONE aggregation on the canonical key with a map-side
+    partial (the min-struct shape) — no window, no second exchange."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.urlops import url_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/x?b=2&a=1")], "doc_id long, url string"
+    )
+    plan = plan_of(url_dedup(docs, url_col="url"))
+    assert n_exchanges(plan) == 1
+    assert "partial_min" in plan          # map-side combine before the shuffle
+    assert "Window" not in plan
+
+
+def test_domain_filter_literal_path_is_narrow(spark):
+    """The small-blocklist path compiles to a pure Filter over the scan —
+    zero joins, zero exchanges (it must cut mass at scan cost)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.urlops import domain_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("https://d"), F.col("doc_id").cast("string"),
+                        F.lit(".example.com/p"))
+    )
+    plan = plan_of(domain_filter(docs, ["bad.example.com", "spam.net"], url_col="url"))
+    assert n_exchanges(plan) == 0
+    assert "Join" not in plan
+
+
+def test_domain_cap_broadcasts_fractions(spark):
+    """domain_cap's per-domain keep-fraction table joins back BROADCAST —
+    the corpus is never shuffled on the (potentially hot) domain key."""
+    plan = plan_of(EXTRA_QUERIES["domain_cap"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
