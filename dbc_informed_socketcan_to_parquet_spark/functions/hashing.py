@@ -53,6 +53,15 @@ def xxhash60(col: Column, salt: str = "") -> Column:
     return F.shiftrightunsigned(F.xxhash64(s), 4)
 
 
+def py_md5_long(s: str, salt: str = "") -> int:
+    """Pure-Python replay of :func:`md5_long` — for row-local kernels
+    (streaming model gates) and test oracles that must hash identically
+    to the Column expression."""
+    import hashlib
+
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16)
+
+
 def md5_long_sql(expr: str, salt: str = "") -> str:
     """DuckDB SQL rendering of :func:`md5_long` over SQL expression text."""
     inner = f"concat('{salt}', CAST({expr} AS VARCHAR))" if salt else f"CAST({expr} AS VARCHAR)"

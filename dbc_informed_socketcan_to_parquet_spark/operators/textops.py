@@ -532,6 +532,129 @@ def classifier_score(
     )
 
 
+def lm_score_rowlocal(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    prefix: str = "lm_",
+    round_to: int = 6,
+) -> DataFrame:
+    """STREAMING-safe scoring against a persisted LM (:func:`lm_write`):
+    the batch scorer's explode → join → groupBy(doc) is a streaming
+    AGGREGATION (stateful, output-mode-constrained), so this form loads
+    the stored tables driver-side into plain dicts — the pruned bigram
+    table is broadcast-sized BY CONSTRUCTION (``min_count``) — and an
+    Arrow-batched pandas UDF computes each document's average bigram
+    log-probability row-locally: stateless, append-mode-safe, and
+    identical arithmetic to :func:`lm_score_from` (same add-one floor,
+    same tokenizer regex; pytest pins the scores equal).
+
+    Adds columns instead of reshaping rows (streams compose by column):
+    ``{prefix}n_bigrams int``, ``{prefix}avg_logp``,
+    ``{prefix}perplexity`` (NULL for docs with no bigram — the batch
+    scorer simply has no row for those; a perplexity-threshold filter
+    drops them either way, the documented conservative gate)."""
+    import math
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    bi = {
+        (r["w1"], r["w2"]): r["c12"]
+        for r in spark.read.parquet(f"{path}/bigrams").collect()
+    }
+    ctx = {r["w1"]: r["c1"] for r in spark.read.parquet(f"{path}/contexts").collect()}
+    V = int(spark.read.parquet(f"{path}/meta").collect()[0]["vocab_size"])
+    tok_re = _re.compile(LM_TOKEN_SPLIT)
+
+    def _score(texts):
+        n_out, a_out = [], []
+        for t in texts:
+            toks = [w for w in tok_re.split((t or "").lower()) if w]
+            if len(toks) < 2:
+                n_out.append(None)
+                a_out.append(None)
+                continue
+            s = 0.0
+            for w1, w2 in zip(toks, toks[1:]):
+                s += math.log((bi.get((w1, w2), 0) + 1) / (ctx.get(w1, 0) + V))
+            n_out.append(len(toks) - 1)
+            a_out.append(s / (len(toks) - 1))
+        return pd.DataFrame({"n": pd.array(n_out, dtype="Int32"),
+                             "a": pd.array(a_out, dtype="Float64")})
+
+    _score.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    kernel = pandas_udf(_score, "n int, a double")
+    scored = df.withColumn("_lm", kernel(F.col(text_col)))
+    return scored.select(
+        "*",
+        F.col("_lm.n").alias(f"{prefix}n_bigrams"),
+        F.round(F.col("_lm.a"), round_to).alias(f"{prefix}avg_logp"),
+        F.round(F.exp(-F.col("_lm.a")), round_to).alias(f"{prefix}perplexity"),
+    ).drop("_lm")
+
+
+def classifier_score_rowlocal(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    prefix: str = "clf_",
+    round_to: int = 6,
+) -> DataFrame:
+    """STREAMING-safe scoring against a persisted classifier
+    (:func:`classifier_write`) — same motivation and shape as
+    :func:`lm_score_rowlocal`: the weight dict loads driver-side (≤
+    num_features entries, tiny), feature hashing + the weight mean run
+    row-locally in one Arrow-batched kernel.  Adds
+    ``{prefix}n_features int``, ``{prefix}margin``, ``{prefix}prob``
+    (NULL for token-less docs); scores match
+    :func:`classifier_score_from` exactly (pytest-pinned)."""
+    import math
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import py_md5_long
+
+    spark = df.sparkSession
+    w = {int(r["idx"]): float(r["w"]) for r in spark.read.parquet(f"{path}/weights").collect()}
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    nf, use_bigrams = int(meta["num_features"]), bool(meta["bigrams"])
+    bias, seed = float(meta["bias"]), str(meta["seed"])
+    tok_re = _re.compile(LM_TOKEN_SPLIT)
+
+    def _score(texts):
+        n_out, m_out = [], []
+        for t in texts:
+            toks = [x for x in tok_re.split((t or "").lower()) if x]
+            feats = list(toks)
+            if use_bigrams:
+                feats += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            if not feats:
+                n_out.append(None)
+                m_out.append(None)
+                continue
+            s = sum(w.get(py_md5_long(f, salt=f"{seed}|") % nf, 0.0) for f in feats)
+            n_out.append(len(feats))
+            m_out.append(s / len(feats) + bias)
+        return pd.DataFrame({"n": pd.array(n_out, dtype="Int32"),
+                             "m": pd.array(m_out, dtype="Float64")})
+
+    _score.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    kernel = pandas_udf(_score, "n int, m double")
+    scored = df.withColumn("_clf", kernel(F.col(text_col)))
+    margin = F.col("_clf.m")
+    return scored.select(
+        "*",
+        F.col("_clf.n").alias(f"{prefix}n_features"),
+        F.round(margin, round_to).alias(f"{prefix}margin"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), round_to).alias(f"{prefix}prob"),
+    ).drop("_clf")
+
+
 def classifier_write(
     weights: DataFrame,
     path: str,

@@ -23,10 +23,12 @@ Design notes at 100 TB/day:
   track progress per query), so a burst of bad lines can never stall
   the main lane.
 
-Model-gated variants (persisted LM / classifier from ``lm_write`` /
-``classifier_write``) drop in as additional ``filter`` stages on scored
-columns; they are left to the caller because score joins against stored
-tables broadcast per micro-batch and need no state.
+Persisted-model gates (``lm_write`` / ``classifier_write`` artifacts)
+are built in: the batch scorers' explode→groupBy is a streaming
+aggregation, so the stream scores ROW-LOCALLY via Arrow-batched kernels
+against driver-loaded model dicts (``textops.lm_score_rowlocal`` /
+``classifier_score_rowlocal`` — broadcast-sized by construction,
+score-identical to the batch path).
 """
 
 from __future__ import annotations
@@ -60,6 +62,10 @@ def streaming_curate_frame(
     watermark: str = "10 minutes",
     normalize: bool = True,
     gate_partitions: int | None = None,
+    lm_path: str | None = None,
+    max_perplexity: float | None = None,
+    classifier_path: str | None = None,
+    min_clf_prob: float | None = None,
 ) -> DataFrame:
     """The transformation core (source- and sink-agnostic): normalize →
     quality gate → watermarked exact dedup, as one streaming-safe plan.
@@ -92,6 +98,32 @@ def streaming_curate_frame(
         (stats["n_chars"] >= F.lit(min_chars))
         & (stats["quality"] >= F.lit(min_quality))
     )
+    # persisted-model gates (r6): the batch scorers' explode→groupBy is a
+    # streaming aggregation, so the stream scores ROW-LOCALLY against the
+    # driver-loaded model dicts (broadcast-sized by construction) —
+    # stateless, append-safe, score-identical to the batch path.  Docs
+    # the kernels can't score (no bigrams / no tokens) have NULL scores
+    # and drop: the documented conservative gate.
+    if max_perplexity is not None:
+        if lm_path is None:
+            raise ValueError("max_perplexity set but lm_path not provided")
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            lm_score_rowlocal,
+        )
+
+        out = lm_score_rowlocal(out, lm_path, text_col=text_col).filter(
+            F.col("lm_perplexity") <= max_perplexity
+        ).drop("lm_n_bigrams", "lm_avg_logp", "lm_perplexity")
+    if min_clf_prob is not None:
+        if classifier_path is None:
+            raise ValueError("min_clf_prob set but classifier_path not provided")
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            classifier_score_rowlocal,
+        )
+
+        out = classifier_score_rowlocal(out, classifier_path, text_col=text_col).filter(
+            F.col("clf_prob") >= min_clf_prob
+        ).drop("clf_n_features", "clf_margin", "clf_prob")
     return streaming_exact_dedup(
         out, text_col=text_col, time_col=time_col, watermark=watermark
     )
@@ -110,6 +142,10 @@ def run_streaming_curate(
     quarantine_dir: str | None = None,
     max_files_per_trigger: int = 16,
     available_now: bool = False,
+    lm_path: str | None = None,
+    max_perplexity: float | None = None,
+    classifier_path: str | None = None,
+    min_clf_prob: float | None = None,
 ):
     """Start the full streaming curate pipeline; returns the list of
     live ``StreamingQuery`` handles (main lane first, then quarantine
@@ -127,6 +163,8 @@ def run_streaming_curate(
     curated = streaming_curate_frame(
         clean, text_col=text_col, min_chars=min_chars,
         min_quality=min_quality, watermark=watermark,
+        lm_path=lm_path, max_perplexity=max_perplexity,
+        classifier_path=classifier_path, min_clf_prob=min_clf_prob,
     )
 
     def _start(df, fmt, path, ckpt):

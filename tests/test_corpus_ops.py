@@ -1254,3 +1254,58 @@ def test_classifier_write_score_from_matches_inline(spark, tmp_path):
             for r in classifier_score_from(docs, path).collect()}
     assert inline == disk
     assert disk[0][1] == pytest.approx(14.0 / 11 - 0.5, abs=1e-6)
+
+
+def test_rowlocal_model_scores_match_batch(spark, tmp_path):
+    """The streaming-safe row-local scorers reproduce the batch from-disk
+    scorers' values exactly (same tokenizer, hash, add-one floor) — the
+    property that makes stream and batch gate decisions identical."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_score_from,
+        classifier_score_rowlocal,
+        classifier_write,
+        lm_score_from,
+        lm_score_rowlocal,
+        lm_write,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "zxqv wkjh qpzm vbnx lkjq zzzz yyyy"),
+         (2, "x"),                  # one token: no bigrams
+         (3, None)],                # NULL text
+        "doc_id long, text string",
+    )
+    lm_dir = str(tmp_path / "lm")
+    lm_write(corpus, lm_dir)
+    batch = {r.doc_id: (r.n_bigrams, r.avg_logp, r.perplexity)
+             for r in lm_score_from(docs, lm_dir).collect()}
+    local = {r.doc_id: (r.lm_n_bigrams, r.lm_avg_logp, r.lm_perplexity)
+             for r in lm_score_rowlocal(docs, lm_dir).collect()}
+    # batch emits no row for bigram-less docs; row-local emits NULL scores
+    assert set(batch) == {0, 1}
+    for d in (0, 1):
+        assert local[d][0] == batch[d][0]
+        assert local[d][1] == pytest.approx(batch[d][1], abs=2e-6)
+        assert local[d][2] == pytest.approx(batch[d][2], abs=2e-6)
+    assert local[2] == (None, None, None) and local[3] == (None, None, None)
+
+    nf = 1 << 12
+    w = spark.createDataFrame(
+        [(_py_md5_long("quick", salt="clf|") % nf, 5.0)], "idx long, w double"
+    )
+    clf_dir = str(tmp_path / "clf")
+    classifier_write(w, clf_dir, num_features=nf, bias=-0.25)
+    cb = {r.doc_id: (r.n_features, r.margin, r.prob)
+          for r in classifier_score_from(docs.filter("text IS NOT NULL"), clf_dir).collect()}
+    cl = {r.doc_id: (r.clf_n_features, r.clf_margin, r.clf_prob)
+          for r in classifier_score_rowlocal(docs, clf_dir).collect()}
+    for d in (0, 1, 2):
+        assert cl[d][0] == cb[d][0]
+        assert cl[d][1] == pytest.approx(cb[d][1], abs=2e-6)
+        assert cl[d][2] == pytest.approx(cb[d][2], abs=2e-6)
+    assert cl[3] == (None, None, None)

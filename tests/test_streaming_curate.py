@@ -136,3 +136,61 @@ def test_streaming_curate_frame_matches_batch_gate(spark, tmp_path):
     want = {r.h for r in gated.select(F.md5(F.col("text")).alias("h")).distinct().collect()}
     assert got == want
     assert got_n == len(want)         # exactly one row per content
+
+
+def test_streaming_curate_with_model_gates(spark, tmp_path):
+    """Persisted LM + classifier gates run INSIDE the stream (row-local
+    kernels) and drop exactly the docs the batch gates would."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_write,
+        lm_score,
+        lm_write,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import py_md5_long
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        run_streaming_curate,
+    )
+
+    body = ("a clear and well formed english paragraph about everyday cooking "
+            "with enough distinct words to pass the structural quality rules")
+    gib = ("zxqv wkjh qpzm vbnx lkjq rtyu asdf ghjk zxcv bnml qwer tyui "
+           "opas dfgh jklz xcvb nmqw erty uiop asdf ghjk lzxc vbnm qqqq")
+    ref = spark.createDataFrame([(i, body) for i in range(20)], "doc_id long, text string")
+    lm_dir = str(tmp_path / "lm")
+    lm_write(ref, lm_dir)
+    probe = spark.createDataFrame([(1, body), (2, gib)], "doc_id long, text string")
+    perp = {r.doc_id: r.perplexity for r in lm_score(probe, corpus=ref).collect()}
+    thr = (perp[1] + perp[2]) / 2
+
+    nf = 1 << 12
+    w = spark.createDataFrame(
+        [(py_md5_long("cooking", salt="clf|") % nf, 8.0)], "idx long, w double"
+    )
+    clf_dir = str(tmp_path / "clf")
+    classifier_write(w, clf_dir, num_features=nf)
+
+    land = tmp_path / "mg_land"
+    land.mkdir()
+    other = ("an entirely different but equally clean essay on distributed "
+             "query engines and the merits of columnar storage formats")
+    _write_batch(land, "b0.jsonl", [
+        _doc(1, body),      # passes both gates
+        _doc(2, gib),       # LM gate drops
+        _doc(3, other),     # clean but no 'cooking' -> classifier drops
+    ])
+    out = str(tmp_path / "mg_out")
+    for q in run_streaming_curate(
+        spark, str(land), out, str(tmp_path / "mg_ckpt"),
+        min_chars=32, min_quality=0.0, watermark="1 hour", available_now=True,
+        lm_path=lm_dir, max_perplexity=thr,
+        classifier_path=clf_dir, min_clf_prob=0.51,
+    ):
+        q.awaitTermination()
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [1]
+
+    import pytest as _pytest
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        streaming_curate_frame,
+    )
+    with _pytest.raises(ValueError, match="lm_path"):
+        streaming_curate_frame(probe, max_perplexity=100.0)
