@@ -164,12 +164,71 @@ def run_export(argv: list[str]) -> None:
           f"(seed {manifest['seed']})")
 
 
+def build_stream_curate_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark stream-curate")
+    p.add_argument("--in", dest="input_dir", required=True,
+                   help="JSONL landing directory (new shards picked up per micro-batch)")
+    p.add_argument("--out", dest="output_dir", required=True, help="curated parquet dir")
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint dir (dedup state + progress; reuse across runs)")
+    p.add_argument("--quarantine", default=None, help="corrupt-line JSONL dir")
+    p.add_argument("--min-chars", type=int, default=32)
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--watermark", default="10 minutes", help="dedup state horizon")
+    p.add_argument("--max-files-per-trigger", type=int, default=16)
+    p.add_argument("--available-now", action="store_true",
+                   help="drain the landing dir and stop (catch-up mode) instead of running continuously")
+    p.add_argument("--lm-path", default=None, help="persisted LM dir (textops.lm_write)")
+    p.add_argument("--max-perplexity", type=float, default=None)
+    p.add_argument("--classifier-path", default=None,
+                   help="persisted classifier dir (textops.classifier_write)")
+    p.add_argument("--min-clf-prob", type=float, default=None)
+    return p
+
+
+def run_stream_curate(argv: list[str]) -> None:
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        run_streaming_curate,
+    )
+
+    parser = build_stream_curate_parser()
+    args = parser.parse_args(argv)
+    if args.max_perplexity is not None and not args.lm_path:
+        parser.error("--max-perplexity needs --lm-path")
+    if args.min_clf_prob is not None and not args.classifier_path:
+        parser.error("--min-clf-prob needs --classifier-path")
+    spark = get_spark("stream-curate-cli")
+    queries = run_streaming_curate(
+        spark, args.input_dir, args.output_dir, args.checkpoint,
+        min_chars=args.min_chars, min_quality=args.min_quality,
+        watermark=args.watermark, quarantine_dir=args.quarantine,
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=args.available_now,
+        lm_path=args.lm_path, max_perplexity=args.max_perplexity,
+        classifier_path=args.classifier_path, min_clf_prob=args.min_clf_prob,
+    )
+    # C2 graceful shutdown, same contract as the decode stream: SIGINT
+    # stops cleanly; committed micro-batches stay durable via checkpoint
+    try:
+        for q in queries:
+            q.awaitTermination()
+    except KeyboardInterrupt:
+        for q in queries:
+            q.stop()
+    if args.available_now:
+        n = spark.read.parquet(args.output_dir).count()
+        print(f"stream-curate drained: {n} documents landed")
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
 
     argv = list(sys.argv[1:]) if argv is None else list(argv)
     if argv and argv[0] == "curate":
         run_curate(argv[1:])
+        return
+    if argv and argv[0] == "stream-curate":
+        run_stream_curate(argv[1:])
         return
     if argv and argv[0] == "export":
         run_export(argv[1:])

@@ -263,3 +263,45 @@ def test_export_cli_writes_shards_and_manifest(spark, tmp_path, capsys):
     assert manifest["total_tokens"] == sum(i % 31 + 5 for i in range(200))
     packs = spark.read.parquet(out)
     assert packs.agg(F.sum("n_docs")).first()[0] == 200
+
+
+def test_cli_stream_curate_drain(spark, tmp_path, capsys):
+    """`stream-curate --available-now` drains the landing dir through the
+    full streaming lane and reports the landed count; a second drain with
+    the same checkpoint suppresses cross-drain duplicates."""
+    import json as _json
+
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    land = tmp_path / "sc_land"
+    land.mkdir()
+    good = ("a clear and well formed english paragraph about everyday "
+            "cooking with enough distinct words to pass the quality rules")
+    (land / "b0.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": good, "lang": "en",
+                     "source": "w", "n_chars": len(good)}) + "\n"
+        + "broken {line\n"
+    )
+    out = str(tmp_path / "sc_out")
+    ckpt = str(tmp_path / "sc_ckpt")
+    quar = str(tmp_path / "sc_quar")
+    args = ["stream-curate", "--in", str(land), "--out", out,
+            "--checkpoint", ckpt, "--quarantine", quar,
+            "--min-chars", "32", "--min-quality", "0.0",
+            "--watermark", "1 hour", "--available-now"]
+    main(args)
+    assert "stream-curate drained: 1 documents" in capsys.readouterr().out
+    assert spark.read.json(quar).count() == 1
+
+    # duplicate arrives later: state from drain 1 suppresses it
+    (land / "b1.jsonl").write_text(
+        _json.dumps({"doc_id": 2, "text": good, "lang": "en",
+                     "source": "w", "n_chars": len(good)}) + "\n")
+    main(args)
+    assert "stream-curate drained: 1 documents" in capsys.readouterr().out
+
+    # threshold flags without their model paths are parse errors
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["stream-curate", "--in", str(land), "--out", out,
+              "--checkpoint", ckpt, "--max-perplexity", "5"])
