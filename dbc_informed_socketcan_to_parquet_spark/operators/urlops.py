@@ -154,7 +154,9 @@ def domain_filter(
     for d in blocklist:
         d = d.lower()
         cond = cond | (host == F.lit(d)) | host.endswith("." + d)
-    return df.filter(~cond)
+    # NULL url ⇒ NULL host ⇒ NULL predicate, which a bare filter would
+    # DROP — but an unknown domain is not a blocked domain; keep the row
+    return df.filter(~F.coalesce(cond, F.lit(False)))
 
 
 def url_dedup(
@@ -168,13 +170,19 @@ def url_dedup(
     Execution: ONE groupBy on the canonical key with a min-struct
     aggregate carrying the whole row (partial aggregation runs map-side,
     so a hot URL never concentrates rows on one reducer) — the
-    ``paragraph_dedup`` shape, no corpus-wide window."""
+    ``paragraph_dedup`` shape, no corpus-wide window.
+
+    A NULL url is NO identity, not a shared one: NULL-url rows pass
+    through untouched (a groupBy would otherwise collapse every
+    url-less document in the corpus into a single survivor)."""
     cols = df.columns
     keyed = df.withColumn("_curl", canonical_url(url_col))
-    packed = keyed.groupBy("_curl").agg(
+    no_url = keyed.filter(F.col(url_col).isNull()).drop("_curl")
+    packed = keyed.filter(F.col(url_col).isNotNull()).groupBy("_curl").agg(
         F.min(F.struct(id_col, *[c for c in cols if c != id_col])).alias("_w")
     )
-    return packed.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
+    deduped = packed.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
+    return deduped.unionByName(no_url.select(*cols))
 
 
 def domain_cap(
@@ -197,6 +205,11 @@ def domain_cap(
     if max_per_domain <= 0:
         raise ValueError(f"max_per_domain must be positive, got {max_per_domain}")
     host = host_of(url_col)
+    # NULL url ⇒ no domain to attribute the row to: it passes uncapped
+    # with keep_frac 1.0 (grouping NULLs would cap "unknown" as if it
+    # were one hot domain).  NULL-handling mirrors url_dedup.
+    no_url = df.filter(F.col(url_col).isNull()).withColumn("keep_frac", F.lit(1.0))
+    df = df.filter(F.col(url_col).isNotNull())
     keyed = df.withColumn("_dom", host)
     counts = keyed.groupBy("_dom").agg(F.count(F.lit(1)).alias("_n"))
     fracs = counts.select(
@@ -212,11 +225,12 @@ def domain_cap(
             )
             / F.lit(float(1 << 60))
         )
-    return (
+    capped = (
         keyed.join(F.broadcast(fracs), "_dom")
         .filter((F.col("keep_frac") >= 1.0) | (u < F.col("keep_frac")))
         .drop("_dom")
     )
+    return capped.unionByName(no_url)
 
 
 def domain_cap_exact(
@@ -235,12 +249,14 @@ def domain_cap_exact(
         raise ValueError(f"max_per_domain must be positive, got {max_per_domain}")
     from pyspark.sql.window import Window
 
-    keyed = df.withColumn("_dom", host_of(url_col))
+    no_url = df.filter(F.col(url_col).isNull())   # no domain ⇒ uncapped
+    keyed = df.filter(F.col(url_col).isNotNull()).withColumn("_dom", host_of(url_col))
     w = Window.partitionBy("_dom").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
-    return (
+    capped = (
         keyed.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= max_per_domain)
         .drop("_dom", "_rk")
     )
+    return capped.unionByName(no_url)

@@ -163,3 +163,33 @@ def test_curate_url_front_door(spark):
     kept = curate(docs, config=cfg)
     assert sorted(r.doc_id for r in kept.collect()) == [2, 4]
     assert set(kept.columns) == {"doc_id", "text", "url"}
+
+
+def test_null_url_semantics(spark):
+    """A NULL url is NO identity: blocklist keeps the row (unknown is not
+    blocked), url_dedup passes every NULL-url row through (they must not
+    collapse into one survivor), caps leave them uncapped."""
+    rows = [
+        (1, "https://spam.example.com/a"),
+        (2, None),
+        (3, None),
+        (4, "https://ok.org/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    kept = domain_filter(df, ["spam.example.com"], url_col="url")
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4]
+
+    bl = spark.createDataFrame([("spam.example.com",)], "domain string")
+    kept_df = domain_filter(df, bl, url_col="url")
+    assert sorted(r.doc_id for r in kept_df.collect()) == [2, 3, 4]
+
+    deduped = url_dedup(df, url_col="url", id_col="doc_id")
+    assert sorted(r.doc_id for r in deduped.collect()) == [1, 2, 3, 4]
+
+    capped = domain_cap(df, 1, url_col="url", id_col="doc_id")
+    got = {r.doc_id: r.keep_frac for r in capped.collect()}
+    assert {2, 3} <= set(got) and got[2] == 1.0 and got[3] == 1.0
+
+    strict = domain_cap_exact(df, 1, url_col="url", id_col="doc_id")
+    assert {2, 3} <= {r.doc_id for r in strict.collect()}
