@@ -418,3 +418,18 @@ def test_domain_cap_broadcasts_fractions(spark):
     plan = plan_of(EXTRA_QUERIES["domain_cap"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+_ALL_REGISTRY = {**QUERIES, **{f"extra:{k}": v for k, v in EXTRA_QUERIES.items()}}
+
+
+@pytest.mark.parametrize("name", sorted(_ALL_REGISTRY))
+def test_registry_entry_never_plans_cartesian(spark, name):
+    """Blanket guard over the ENTIRE registry: no entry may plan a
+    CartesianProduct, and at most the known 1-row-totals crossJoin may
+    appear as a BroadcastNestedLoopJoin (formatted explain prints each
+    node twice: tree + detail).  A predicate typo that degrades an
+    equi-join to a product fails HERE by name, not on the cluster."""
+    plan = plan_of(_ALL_REGISTRY[name](spark, SF))
+    assert "CartesianProduct" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, name
