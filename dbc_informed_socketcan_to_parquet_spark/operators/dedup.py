@@ -291,18 +291,19 @@ def minhash_dedup_pairs(
     ``max_bucket`` caps per-bucket pair generation (see
     :func:`lsh_candidate_pairs`) — the skew guard for boilerplate cliques.
 
-    Cache lifetime: the signature frame stays cached after return because
-    the (lazy) result still reads it; it is MEMORY_AND_DISK so the session
-    LRU-evicts it under pressure, but long-lived sessions calling this
-    repeatedly should unpersist once the result is materialized — the
-    handle is exposed as ``result._graft_cached_sigs`` for exactly that
-    (``minhash_star_clusters`` needs no such hook: its output is eager-
-    checkpointed, so it unpersists internally)."""
+    Materialization: the signature frame is a LAZY localCheckpoint —
+    computed once on first use, read by every consumer branch, and its
+    RDD blocks are GC-cleaned with the plan, so repeated calls in a
+    long-lived session leak nothing (r6; the previous ``.cache()`` +
+    ``_graft_cached_sigs`` attribute hand-off was the fragile-ownership
+    pattern ADVICE r5 flagged on importance_weights)."""
     rows_per_band = num_perms // num_bands
     # the signature table feeds the band explode AND both sides of the
-    # candidate join — cache it once instead of recomputing the full
-    # shingle pipeline four times (at cluster scale: a checkpoint/table)
-    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n, seed, hash_fn=hash_fn).cache()
+    # candidate join — materialize it once instead of recomputing the
+    # full shingle pipeline four times (at cluster scale: a table write)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perms, shingle_n, seed, hash_fn=hash_fn
+    ).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band, max_bucket=max_bucket)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -316,7 +317,6 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
-    out._graft_cached_sigs = sigs  # see docstring: caller may unpersist
     return out
 
 
@@ -352,11 +352,10 @@ def ngram_jaccard_pairs(
         rare = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df)
         sh = sh.join(rare.select("sh_hash"), "sh_hash", "left_semi")
     # the capped shingle table feeds sizes AND both self-join sides —
-    # cache it once instead of re-running the explode+distinct (+ df-cap
-    # semi-join) three times; exposed as result._graft_cached_sh for
-    # callers that want to unpersist after materialization (see
-    # minhash_dedup_pairs for the lifetime contract)
-    sh = sh.cache()
+    # materialize it once (lazy localCheckpoint: computed on first use,
+    # GC-cleaned with the plan — no session-lifetime cache entry) instead
+    # of re-running the explode+distinct (+ df-cap semi-join) three times
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
     b = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
@@ -378,7 +377,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    out._graft_cached_sh = sh  # caller may unpersist once materialized
     return out
 
 
