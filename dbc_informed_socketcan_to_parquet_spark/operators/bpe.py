@@ -1,0 +1,227 @@
+"""Trainable byte-pair-encoding tokenizer — token counting in REAL
+tokenizer units instead of the whitespace/`bpe_ish` regex approximations
+(`textops.doc_stats`), so token budgets (`pack_sequences`,
+`export_training_shards`, `temperature_mix`) can be denominated in the
+units the training job will actually see.
+
+Training is the classic word-frequency formulation (Sennrich et al.;
+the arrangement GPT-2/sentencepiece use): merge statistics depend only
+on the corpus's WORD-FREQUENCY table, so the corpus-sized work is one
+distributed explode + groupBy count — exactly one shuffle — and the
+driver learns merges over the (bounded) word-type table, never the
+corpus.  ``max_word_types`` caps the driver table by frequency rank; at
+100 TB the top 50k word types carry the overwhelming mass of merge
+statistics and the tail adds noise-rank merges only (documented
+truncation, logged via the returned stats).
+
+Encoding is an Arrow-batched pandas UDF (GPT-2-style rank-greedy merge
+loop) with per-word memoization — natural text repeats words heavily,
+so the amortized cost per token is a dict hit.  Persistence mirrors the
+other model artifacts (``lm_write``): ``{path}/merges`` parquet +
+``{path}/meta``, so a production pipeline trains ONCE and encodes every
+batch/stream from disk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word sentinel appended to every word's symbol sequence —
+#: standard BPE device so merges can't cross word boundaries and a
+#: word-final symbol differs from the same symbol mid-word
+EOW = "</w>"
+
+#: the word splitter (lowercase + split on non-alphanumeric, matching
+#: textops.LM_TOKEN_SPLIT so LM features and BPE units share a notion
+#: of "word")
+WORD_SPLIT = r"[^a-z0-9']+"
+
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the corpus — one explode + one counted groupBy
+    (map-side partials); the only corpus-sized stage of training."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), WORD_SPLIT)).alias("w")
+    ).filter(F.length("w") > 0)
+    return words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 1000,
+    text_col: str = "text",
+    max_word_types: int = 50_000,
+) -> tuple[list[tuple[str, str]], dict]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, stats)`` — merges in rank order (most frequent
+    pair first; ties broken lexicographically so training is
+    DETERMINISTIC regardless of partitioning), and stats recording the
+    word-type truncation so a capped run never silently reads as
+    exhaustive (`log what was dropped` — the repo's no-silent-caps
+    rule)."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    wc = bpe_word_counts(df, text_col)
+    total_types = wc.count()
+    top = (
+        wc.orderBy(F.desc("cnt"), F.col("w"))
+        .limit(int(max_word_types))
+        .collect()
+    )
+    word_freq = {r["w"]: int(r["cnt"]) for r in top}
+    merges = _train_merges(word_freq, num_merges)
+    stats = {
+        "word_types_total": int(total_types),
+        "word_types_used": len(word_freq),
+        "truncated": int(total_types) > len(word_freq),
+        "merges_learned": len(merges),
+    }
+    return merges, stats
+
+
+def _train_merges(word_freq: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
+    """Driver-side merge learning over the word-frequency table: classic
+    indexed BPE — a pair→{word ids} inverted index makes each merge touch
+    only the words containing the merged pair."""
+    words = [list(w) + [EOW] for w in word_freq]
+    freqs = list(word_freq.values())
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def add_word_pairs(i: int, sign: int) -> None:
+        syms, f = words[i], freqs[i]
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + sign * f
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(i)
+
+    for i in range(len(words)):
+        add_word_pairs(i, +1)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        live = [(c, p) for p, c in pair_counts.items() if c > 0]
+        if not live:
+            break
+        # deterministic argmax: count desc, then pair lexicographic
+        best = min(live, key=lambda cp: (-cp[0], cp[1]))[1]
+        merges.append(best)
+        merged = best[0] + best[1]
+        for i in list(pair_words.get(best, ())):
+            syms = words[i]
+            if best not in zip(syms, syms[1:]):
+                continue
+            add_word_pairs(i, -1)
+            out = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            add_word_pairs(i, +1)
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """GPT-2-style rank-greedy merge loop for one word."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, p in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        pair = (syms[best_i], syms[best_i + 1])
+        merged = pair[0] + pair[1]
+        out = []
+        j = 0
+        while j < len(syms):
+            if j + 1 < len(syms) and (syms[j], syms[j + 1]) == pair:
+                out.append(merged)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a trained merge list → ``out_col``
+    (array<string>).  Arrow-batched kernel, per-word memoized; narrow
+    per-row map — no shuffle, no state, streaming-safe."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    word_re = _re.compile(WORD_SPLIT)
+
+    def _enc(texts):
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in word_re.split((t or "").lower()):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _encode_word(w, ranks)
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    _enc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    kernel = pandas_udf(_enc, "array<string>")
+    return df.withColumn(out_col, kernel(F.col(text_col)))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Per-document token count in trained-BPE units — the budget column
+    to feed ``pack_sequences`` / ``export_training_shards``."""
+    enc = bpe_encode(df, merges, text_col, out_col="_bpe")
+    return enc.withColumn(out_col, F.size("_bpe").cast("long")).drop("_bpe")
+
+
+def bpe_write(spark, merges: list[tuple[str, str]], path: str, stats: dict | None = None) -> None:
+    """Persist a trained merge list: ``{path}/merges`` = (rank, first,
+    second); ``{path}/meta`` = one row (num_merges + training stats)."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, first string, second string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    s = stats or {}
+    spark.createDataFrame(
+        [(len(merges), int(s.get("word_types_total", -1)),
+          int(s.get("word_types_used", -1)), bool(s.get("truncated", False)))],
+        "num_merges int, word_types_total long, word_types_used long, truncated boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bpe_load(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge list in rank order."""
+    rows = spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
+    return [(r["first"], r["second"]) for r in rows]

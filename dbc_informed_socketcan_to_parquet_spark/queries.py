@@ -3678,3 +3678,23 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select(
         "doc_id", host_of("url").alias("host"), F.round("keep_frac", 9).alias("keep_frac")
     )
+
+
+@extra_query("bpe_token_count", oracle=None)  # rows-only: the iterative
+# rank-greedy merge loop has no sane SQL replay; training determinism,
+# a naive-reference equivalence sweep, and encode semantics are pinned
+# by tests/test_bpe.py instead.
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under a corpus-trained BPE tokenizer
+    (operators/bpe): ONE distributed word-count shuffle, driver-side
+    merge learning over the bounded word-type table, then an
+    Arrow-batched memoized encode — real-tokenizer units for the
+    packing/export budget."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+        bpe_token_count,
+        bpe_train,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, num_merges=200)
+    return bpe_token_count(docs, merges).select("doc_id", "n_bpe_tokens")

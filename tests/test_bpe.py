@@ -1,0 +1,133 @@
+"""Trainable BPE tokenizer (operators/bpe.py): merge learning vs a naive
+reference, deterministic training across partitionings, encode
+semantics, persistence round-trip, and the token-budget hand-off into
+the packing/export layer."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+    EOW,
+    _encode_word,
+    _train_merges,
+    bpe_encode,
+    bpe_load,
+    bpe_token_count,
+    bpe_train,
+    bpe_write,
+)
+
+
+def _naive_train(word_freq, num_merges):
+    """Textbook BPE: recount every pair each round (O(rounds × types))."""
+    words = {w: list(w) + [EOW] for w in word_freq}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, syms in words.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + word_freq[w]
+        live = [(c, p) for p, c in counts.items() if c > 0]
+        if not live:
+            break
+        best = min(live, key=lambda cp: (-cp[0], cp[1]))[1]
+        merges.append(best)
+        merged = best[0] + best[1]
+        for w, syms in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[w] = out
+    return merges
+
+
+def test_train_merges_matches_naive_reference():
+    import random
+
+    rng = random.Random(17)
+    alphabet = "abcdef"
+    for trial in range(10):
+        vocab = {
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 7))):
+            rng.randrange(1, 50)
+            for _ in range(rng.randrange(2, 30))
+        }
+        n = rng.randrange(1, 40)
+        assert _train_merges(dict(vocab), n) == _naive_train(dict(vocab), n), trial
+
+
+def test_encode_word_applies_ranks_greedily():
+    # merges learned on "low lower lowest": 'l'+'o' first, then 'lo'+'w'…
+    merges = [("l", "o"), ("lo", "w"), ("low", EOW)]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _encode_word("low", ranks) == ["low" + EOW]
+    assert _encode_word("lower", ranks) == ["low", "e", "r", EOW]
+    assert _encode_word("xyz", ranks) == ["x", "y", "z", EOW]
+
+
+def test_bpe_train_encode_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest low low newer new") for i in range(6)],
+        "doc_id long, text string",
+    )
+    merges, stats = bpe_train(docs, num_merges=12)
+    assert stats["merges_learned"] <= 12 and not stats["truncated"]
+    # training is invariant to input partitioning (word counts are exact)
+    merges2, _ = bpe_train(docs.repartition(5), num_merges=12)
+    assert merges == merges2
+    # 'low' is the most frequent word -> it becomes a single token
+    enc = bpe_encode(docs.limit(1), merges)
+    toks = enc.collect()[0].bpe_tokens
+    assert "low" + EOW in toks
+    # every word ends with an EOW-terminated symbol; word count preserved
+    assert sum(1 for t in toks if t.endswith(EOW)) == 7
+
+    counted = bpe_token_count(docs, merges)
+    n = counted.collect()[0].n_bpe_tokens
+    assert n == len(toks) > 0
+
+
+def test_bpe_persistence_roundtrip_and_budget_handoff(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.storage import export_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i} jumps over the lazy dog") for i in range(50)],
+        "doc_id long, text string",
+    )
+    merges, stats = bpe_train(docs, num_merges=30)
+    path = str(tmp_path / "bpe")
+    bpe_write(spark, merges, path, stats)
+    assert bpe_load(spark, path) == merges
+
+    # real-tokenizer budget feeds the export layer losslessly
+    with_tok = bpe_token_count(docs, bpe_load(spark, path), out_col="n_tokens")
+    m = export_training_shards(
+        with_tok.select("doc_id", "n_tokens"), str(tmp_path / "shards"),
+        "n_tokens", 64, num_shards=4, pack_partitions=4,
+    )
+    total = with_tok.agg(F.sum("n_tokens")).collect()[0][0]
+    assert m["total_tokens"] == total and m["total_docs"] == 50
+
+
+def test_bpe_train_rejects_bad_config(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe_train(docs, num_merges=0)
+
+
+def test_bpe_truncation_is_reported(spark):
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} word{i} token{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    _, stats = bpe_train(docs, num_merges=5, max_word_types=10)
+    assert stats["truncated"] and stats["word_types_used"] == 10
+    assert stats["word_types_total"] > 10

@@ -25,11 +25,11 @@ def test_extra_registry_shape():
     assert set(EXTRA_ORACLES) <= set(EXTRA_QUERIES)
     # rows-only extras (no DuckDB-replayable values) are a closed list —
     # each must name its dedicated pytest gate in a comment at its @extra_query
-    assert set(EXTRA_QUERIES) - set(EXTRA_ORACLES) == {"approx_distinct"}
+    assert set(EXTRA_QUERIES) - set(EXTRA_ORACLES) == {"approx_distinct", "bpe_token_count"}
     assert not set(EXTRA_QUERIES) & set(QUERIES)
     # the parametrized oracle test below shrinks silently if entries are
     # dropped — pin the floor so a lost registration fails loudly
-    assert len(EXTRA_QUERIES) >= 39, sorted(EXTRA_QUERIES)
+    assert len(EXTRA_QUERIES) >= 40, sorted(EXTRA_QUERIES)
 
 
 @pytest.fixture(scope="module")
@@ -47,7 +47,7 @@ def test_extra_query_matches_oracle(spark, duck, name):
 def test_extra_rows_only_query_executes(spark, name):
     """Rows-only extras still execute end-to-end with a stable schema;
     their value semantics live in dedicated pytests (approx_distinct →
-    tests/test_sketches.py)."""
+    tests/test_sketches.py; bpe_token_count → tests/test_bpe.py)."""
     df = EXTRA_QUERIES[name](spark, SF)
     assert df.columns, name
     assert df.count() > 0, name
