@@ -132,24 +132,48 @@ def domain_filter(
     ``blocklist`` is either a Python sequence of domains — compiled into
     a literal OR-chain so Catalyst pushes the predicate into the scan
     (right for the usual 10²–10⁴-entry lists) — or a single-column
-    DataFrame of domains for the million-entry case, executed as a
-    broadcast LEFT ANTI join on the suffix key (host itself plus its
-    registrable tail), which never shuffles the corpus."""
+    DataFrame of domains for the million-entry case: the list collects
+    ONCE driver-side (1M domains ≈ tens of MB — the same
+    broadcast-probe budget as ``dedup.dedup_against_corpus``'s bitmap)
+    and a row-local Arrow kernel tests the host's full SUFFIX CHAIN
+    (``a.b.c.d`` probes ``a.b.c.d``, ``b.c.d``, ``c.d``, ``d``), so
+    exact hosts and every subdomain depth match, the filter is a
+    narrow map, and the corpus never shuffles.  NULL urls are never
+    blocked on either path (unknown is not blocked)."""
     host = host_of(url_col)
     if isinstance(blocklist, DataFrame):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
         bcol = blocklist.columns[0]
-        probe = df.withColumn("_host", host).withColumn(
-            "_reg", registrable_domain(F.col(url_col))
+        domains = frozenset(
+            r["_d"] for r in blocklist.select(F.lower(F.col(bcol)).alias("_d")).collect()
         )
-        blocked = blocklist.select(F.lower(F.col(bcol)).alias("_bdom"))
-        out = (
-            probe.join(
-                F.broadcast(blocked), probe["_host"] == F.col("_bdom"), "left_anti"
-            )
-            .join(F.broadcast(blocked), F.col("_reg") == F.col("_bdom"), "left_anti")
-            .drop("_host", "_reg")
+        spark = df.sparkSession
+        try:
+            sc = spark.sparkContext  # Connect: no sparkContext -> closure ship
+        except AttributeError:
+            sc = None
+        get_set = (
+            (lambda b: (lambda: b.value))(sc.broadcast(domains))
+            if sc is not None
+            else (lambda d: (lambda: d))(domains)
         )
-        return out
+
+        def _blocked(hosts):
+            dset = get_set()
+
+            def hit(h):
+                if not h:
+                    return False
+                parts = h.split(".")
+                return any(".".join(parts[i:]) in dset for i in range(len(parts)))
+
+            return hosts.map(hit)
+
+        _blocked.__annotations__ = {"hosts": pd.Series, "return": pd.Series}
+        blocked_udf = pandas_udf(_blocked, "boolean")
+        return df.filter(~F.coalesce(blocked_udf(host), F.lit(False)))
     cond = F.lit(False)
     for d in blocklist:
         d = d.lower()

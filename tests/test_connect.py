@@ -46,6 +46,8 @@ GUARDED_SITES = {
     ("functions/partitioning.py", "fan_out"),
     # try sparkContext except AttributeError → closure-capture bitmap
     ("operators/dedup.py", "dedup_against_corpus"),
+    # try sparkContext except AttributeError → closure-capture domain set
+    ("operators/urlops.py", "domain_filter"),
 }
 
 CLASSIC_ATTRS = {"sparkContext", "_jdf", "_jsc", "_jvm", "rdd"}

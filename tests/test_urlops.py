@@ -86,11 +86,15 @@ def test_domain_filter_literal_chain(spark, url_docs):
 def test_domain_filter_broadcast_dataframe(spark, url_docs):
     bl = spark.createDataFrame([("spam.example.com",), ("other.net",)], "domain string")
     kept = domain_filter(url_docs, bl, url_col="url")
-    # spam.example.com blocked exactly; deep.spam… survives this path only
-    # if its registrable tail differs — example.com is NOT blocked, so it
-    # stays: the DataFrame path blocks host-exact + registrable-tail.
-    assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4, 5, 8]
+    # full subdomain semantics, same as the literal path (r6): doc 2
+    # (deep.spam.example.com) is a subdomain of a blocked domain -> gone
+    assert sorted(r.doc_id for r in kept.collect()) == [3, 4, 5, 8]
     assert set(kept.columns) == {"doc_id", "url"}
+    # both paths agree exactly
+    lit = domain_filter(url_docs, ["spam.example.com", "other.net"], url_col="url")
+    assert sorted(r.doc_id for r in lit.collect()) == sorted(
+        r.doc_id for r in kept.collect()
+    )
 
 
 def test_url_dedup_first_occurrence(spark, url_docs):
