@@ -56,12 +56,40 @@ def host_of(url: Column | str) -> Column:
     return F.regexp_replace(h, r":(80|443)$", "")
 
 
-def registrable_domain(url: Column | str) -> Column:
-    """Last two host labels — the eTLD+1 approximation used when a public
-    -suffix list isn't warranted (``news.bbc.co.uk`` → ``co.uk`` is the
-    known limitation; pass a real PSL-derived map for exactness)."""
-    parts = F.split(host_of(url), r"\.")
-    return F.array_join(F.slice(parts, -2, 2), ".")
+def registrable_domain(url: Column | str, public_suffixes=None) -> Column:
+    """eTLD+1 of the host.  Default (no suffix list): last two labels —
+    the approximation that is exact for plain TLDs but folds
+    ``news.bbc.co.uk`` to ``co.uk``.  Pass ``public_suffixes`` (an
+    iterable of multi-label public suffixes, e.g. a PSL-derived
+    ``{"co.uk", "com.au", ...}``) for exactness: the LONGEST listed
+    suffix matching the host gets one more label — evaluated in an
+    Arrow-batched kernel against the broadcast-small set (the real PSL
+    is ~10k entries)."""
+    if public_suffixes is None:
+        parts = F.split(host_of(url), r"\.")
+        return F.array_join(F.slice(parts, -2, 2), ".")
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sfx = frozenset(s.lower().strip(".") for s in public_suffixes)
+
+    def _etld1(hosts):
+        def one(h):
+            if not h:
+                return h
+            parts = h.split(".")
+            # longest listed public suffix, then one more label
+            for k in range(len(parts) - 1, 0, -1):
+                if ".".join(parts[-k:]) in sfx:
+                    take = min(k + 1, len(parts))
+                    return ".".join(parts[-take:])
+            return ".".join(parts[-2:])
+        return hosts.map(one)
+
+    _etld1.__annotations__ = {"hosts": pd.Series, "return": pd.Series}
+    kernel = pandas_udf(_etld1, "string")
+    return kernel(host_of(url))
 
 
 def canonical_url(url: Column | str) -> Column:

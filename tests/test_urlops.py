@@ -62,6 +62,12 @@ def test_host_and_registrable_domain(spark):
     assert (rows[0].h, rows[0].r) == ("news.bbc.co.uk", "co.uk")  # documented PSL limit
     assert (rows[1].h, rows[1].r) == ("sub.a.example.com", "example.com")
 
+    # with a public-suffix list the eTLD+1 is exact: longest suffix wins
+    psl = df.select(
+        registrable_domain("url", public_suffixes={"co.uk", "uk"}).alias("r")
+    ).collect()
+    assert [r.r for r in psl] == ["bbc.co.uk", "example.com"]
+
 
 @pytest.fixture()
 def url_docs(spark):
