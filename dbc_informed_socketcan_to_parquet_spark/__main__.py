@@ -146,6 +146,10 @@ def build_export_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-tokens", type=int, required=True, help="token budget per packed sequence")
     p.add_argument("--shards", type=int, default=64, help="fixed shard count (reproducibility contract)")
     p.add_argument("--seed", type=int, default=0, help="epoch permutation seed")
+    p.add_argument("--bpe-path", default=None,
+                   help="persisted BPE model (bpe_write): derive --token-col from --text-col "
+                        "in trained-tokenizer units instead of requiring it precomputed")
+    p.add_argument("--text-col", default="text", help="text column for --bpe-path tokenization")
     return p
 
 
@@ -155,6 +159,16 @@ def run_export(argv: list[str]) -> None:
     args = build_export_parser().parse_args(argv)
     spark = get_spark("export-cli")
     docs = spark.read.parquet(args.input_path)
+    if args.bpe_path:
+        from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+            bpe_load,
+            bpe_token_count,
+        )
+
+        docs = bpe_token_count(
+            docs, bpe_load(spark, args.bpe_path),
+            text_col=args.text_col, out_col=args.token_col,
+        )
     manifest = export_training_shards(
         docs, args.output_path, args.token_col, args.max_tokens,
         num_shards=args.shards, id_col=args.id_col, seed=args.seed,

@@ -225,3 +225,17 @@ def bpe_load(spark, path: str) -> list[tuple[str, str]]:
     """Load a persisted merge list in rank order."""
     rows = spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
     return [(r["first"], r["second"]) for r in rows]
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """The token inventory a merge list can emit, in a stable order:
+    single characters (and their word-final forms) seen in the merges
+    first (sorted), then merged tokens in rank order — the id table a
+    training job pairs with the encoded corpus."""
+    base = set()
+    for a, b in merges:
+        base.add(a)
+        base.add(b)
+    merged_tokens = [a + b for a, b in merges]
+    base -= set(merged_tokens)
+    return sorted(base) + merged_tokens

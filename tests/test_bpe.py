@@ -131,3 +131,41 @@ def test_bpe_truncation_is_reported(spark):
     _, stats = bpe_train(docs, num_merges=5, max_word_types=10)
     assert stats["truncated"] and stats["word_types_used"] == 10
     assert stats["word_types_total"] > 10
+
+
+def test_bpe_vocab_inventory():
+    merges = [("l", "o"), ("lo", "w"), ("low", EOW)]
+    from dbc_informed_socketcan_to_parquet_spark.operators.bpe import bpe_vocab
+
+    v = bpe_vocab(merges)
+    # base symbols sorted first, then merged tokens in rank order
+    assert v == [EOW, "l", "o", "w", "lo", "low", "low" + EOW]
+    assert len(v) == len(set(v))
+
+
+def test_export_cli_with_bpe_path(spark, tmp_path, capsys):
+    """`export --bpe-path` tokenizes on the fly in trained units."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+    from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+        bpe_train,
+        bpe_write,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i} jumps high") for i in range(30)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    merges, stats = bpe_train(docs, num_merges=20)
+    model = str(tmp_path / "bpe_model")
+    bpe_write(spark, merges, model, stats)
+
+    out = str(tmp_path / "shards")
+    main(["export", "--in", src, "--out", out, "--max-tokens", "256",
+          "--shards", "4", "--bpe-path", model])
+    captured = capsys.readouterr().out
+    assert "exported 30 docs" in captured
+    import json
+    m = json.load(open(f"{out}/_manifest.json"))
+    assert m["total_docs"] == 30 and m["total_tokens"] > 0
