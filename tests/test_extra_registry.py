@@ -29,7 +29,7 @@ def test_extra_registry_shape():
     assert not set(EXTRA_QUERIES) & set(QUERIES)
     # the parametrized oracle test below shrinks silently if entries are
     # dropped — pin the floor so a lost registration fails loudly
-    assert len(EXTRA_QUERIES) >= 40, sorted(EXTRA_QUERIES)
+    assert len(EXTRA_QUERIES) >= 41, sorted(EXTRA_QUERIES)
 
 
 @pytest.fixture(scope="module")
