@@ -3706,26 +3706,28 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH u AS ({_URL_CTE}),
     hosts AS (SELECT doc_id, {_HOST_SQL} AS host FROM u),
     reg AS (
-      SELECT doc_id,
+      SELECT doc_id, host,
              array_to_string(string_split(host, '.')[-2:], '.') AS domain
       FROM hosts
     )
-    SELECT domain, count(*) AS n_docs, min(doc_id) AS first_doc
-    FROM reg GROUP BY domain
+    SELECT domain, host, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM reg GROUP BY domain, host
     """,
 )
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-registrable-domain corpus profile (operators/urlops.
-    registrable_domain, pure-expression default): the 'who dominates this
-    crawl' report every curation run starts with — one grouped count on
-    the derived eTLD+1 key."""
+    """Per-host corpus profile rolled up under the registrable domain
+    (operators/urlops.host_of + registrable_domain, pure-expression
+    default): the 'who dominates this crawl' report every curation run
+    starts with — one grouped count on the derived (eTLD+1, host) key."""
     from dbc_informed_socketcan_to_parquet_spark.operators.urlops import (
+        host_of,
         registrable_domain,
     )
 
     docs = _with_url(_read(spark, sf_dir, "documents"))
     return (
         docs.withColumn("domain", registrable_domain(F.col("url")))
-        .groupBy("domain")
+        .withColumn("host", host_of(F.col("url")))
+        .groupBy("domain", "host")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )
