@@ -614,6 +614,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 15,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph →
     ``(doc_id, cluster_id)`` with ``cluster_id = min(id)`` per component.
@@ -634,6 +635,16 @@ def dedup_clusters(
     per round for convergence — no per-row driver work.  Isolated nodes
     (docs in no pair) are not in the output; keep_canonical treats
     absent as its own singleton.
+
+    HYBRID (r6): after dedup/LSH the edge list is orders of magnitude
+    smaller than the corpus, and below ``driver_threshold`` edges (1M ≈
+    tens of MB — the same driver budget class as the broadcast probes)
+    the components compute in one union-find pass on the driver instead
+    of O(log d) rounds of double shuffle joins: identical (doc_id,
+    cluster_id) output by construction (pytest-pinned against the
+    distributed loop), ~5 Spark jobs saved per call.  Above the
+    threshold — the genuine 100 TB regime — the distributed loop runs
+    unchanged.  ``driver_threshold=0`` forces the loop.
     """
     # symmetric edge list: propagation must flow both directions.
     # Checkpoint it ONCE — it is re-joined every round, and without the
@@ -645,6 +656,9 @@ def dedup_clusters(
     edges = e.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct().localCheckpoint(eager=True)
+
+    if driver_threshold > 0 and edges.count() <= driver_threshold:
+        return _cc_driver(edges)
 
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -714,6 +728,43 @@ def dedup_clusters(
             stacklevel=2,
         )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a (symmetric, distinct, checkpointed)
+    edge frame small enough to collect — same output contract as the
+    distributed loop: one row per node appearing in an edge, cluster_id
+    = min(id) of its component, id type preserved."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pdf = edges.toPandas()
+    both = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    codes, uniq = pd.factorize(both)
+    n = len(uniq)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    m = len(pdf)
+    a_codes, b_codes = codes[:m], codes[m:]
+    for i in range(m):
+        ra, rb = find(int(a_codes[i])), find(int(b_codes[i]))
+        if ra != rb:
+            parent[rb] = ra
+    roots = [find(c) for c in range(n)]
+    ids = pd.Series(uniq)
+    comp_min = ids.groupby(roots).transform("min")
+    out = pd.DataFrame({"doc_id": ids, "cluster_id": comp_min})
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
 def keep_canonical(

@@ -418,7 +418,9 @@ def test_dedup_clusters_warns_on_non_convergence(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
     with _warnings.catch_warnings(record=True) as w:
         _warnings.simplefilter("always")
-        out = dedup_clusters(chain, max_iters=1)
+        # driver_threshold=0 forces the distributed loop (the r6 driver
+        # fast path computes exactly and has no convergence concept)
+        out = dedup_clusters(chain, max_iters=1, driver_threshold=0)
         out.collect()
         assert any("did not converge" in str(x.message) for x in w)
 
@@ -1309,3 +1311,31 @@ def test_rowlocal_model_scores_match_batch(spark, tmp_path):
         assert cl[d][1] == pytest.approx(cb[d][1], abs=2e-6)
         assert cl[d][2] == pytest.approx(cb[d][2], abs=2e-6)
     assert cl[3] == (None, None, None)
+
+
+def test_cc_driver_fast_path_matches_distributed_loop(spark):
+    """The r6 driver union-find and the distributed label-prop loop must
+    emit identical (doc_id, cluster_id) sets on randomized graphs —
+    chains, cliques, singleton edges, string ids."""
+    import random
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(23)
+    for trial in range(4):
+        n = rng.randrange(5, 120)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(1, 200))]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = {(r.doc_id, r.cluster_id)
+                for r in dedup_clusters(df).collect()}
+        loop = {(r.doc_id, r.cluster_id)
+                for r in dedup_clusters(df, driver_threshold=0).collect()}
+        assert fast == loop, trial
+
+    # string ids exercise the non-numeric min + factorize path
+    df = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    fast = {(r.doc_id, r.cluster_id) for r in dedup_clusters(df).collect()}
+    assert fast == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
