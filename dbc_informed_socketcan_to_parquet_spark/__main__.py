@@ -62,6 +62,9 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-clf-prob", type=float, default=None,
                    help="classifier gate threshold (needs --classifier-path)")
     p.add_argument("--hash", choices=("xxhash", "md5"), default="xxhash")
+    p.add_argument("--against", default=None,
+                   help="existing curated corpus parquet: drop batch docs whose content "
+                        "already appears there (Bloom-gated exact incremental dedup)")
     p.add_argument("--url-col", default=None,
                    help="enable the URL front door (blocklist/dedup/cap) on this column")
     p.add_argument("--block-domain", action="append", default=[],
@@ -120,9 +123,13 @@ def run_curate(argv: list[str]) -> None:
     if args.url_col is None and (args.block_domain or args.url_dedup or args.max_per_domain):
         parser.error("--block-domain/--url-dedup/--max-per-domain require --url-col")
     lm_corpus = spark.read.parquet(args.lm_corpus) if args.lm_corpus else None
+    against = spark.read.parquet(args.against) if args.against else None
     # persist across write + count: one pipeline execution, and the count
     # never re-reads the output (an empty JSONL dir has no schema to infer)
-    kept = curate(docs, args.id_col, args.text_col, cfg, lm_corpus=lm_corpus).persist()
+    kept = curate(
+        docs, args.id_col, args.text_col, cfg,
+        lm_corpus=lm_corpus, against_corpus=against,
+    ).persist()
     try:
         if args.jsonl:
             from dbc_informed_socketcan_to_parquet_spark.sources.jsonl import write_jsonl

@@ -125,6 +125,7 @@ def curate(
     config: CurateConfig = CurateConfig(),
     classifier_weights: DataFrame | None = None,
     lm_corpus: DataFrame | None = None,
+    against_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the kept documents with
     their original schema (text scrubbed when ``config.scrub``, rebuilt
@@ -135,7 +136,14 @@ def curate(
     ``None`` the LM trains on the gate's own survivors, which is only
     meaningful at corpus scale (common bigrams must accumulate large
     counts; on a handful of docs add-one smoothing flattens — or even
-    inverts — the signal)."""
+    inverts — the signal).
+
+    ``against_corpus`` (r6): the INCREMENTAL batch mode — an existing
+    curated corpus (or its digest table) whose content this batch must
+    not duplicate.  Runs as the Bloom-gated exact check
+    (``dedup.dedup_against_corpus``: definitely-new rows skip the join
+    entirely) right after the batch's own exact dedup, so a daily batch
+    curates against years of history without shuffling the history."""
     if config.url_col is not None:
         # URL/domain front door: narrow filter → one canonical-key groupBy
         # → broadcast-frac cap.  Runs before ANY text stage because it is
@@ -286,6 +294,17 @@ def curate(
         out = out.join(lm_ids, id_col, "left_semi")
 
     out = exact_dedup(out, id_col, text_col)
+
+    if against_corpus is not None:
+        # incremental mode: drop batch rows whose content already exists
+        # in the historical corpus — Bloom broadcast probe, exact result
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+            dedup_against_corpus,
+        )
+
+        out = dedup_against_corpus(
+            out, against_corpus, id_col=id_col, text_col=text_col
+        )
 
     # O(bucket) star-edge clustering — identical connected components to
     # the all-pairs graph (pytest-pinned in tests/test_dedup.py), output

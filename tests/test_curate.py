@@ -352,3 +352,45 @@ def test_curate_with_persisted_models(spark, tmp_path):
     bad = CurateConfig(min_chars=1, min_quality=0.0, min_clf_prob=0.5)
     with _pytest.raises(ValueError, match="classifier_weights"):
         curate(docs, config=bad).collect()
+
+
+def test_curate_incremental_against_corpus(spark, tmp_path):
+    """curate(against_corpus=...) drops batch docs whose content already
+    exists in the historical corpus — the daily-batch production mode."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        CurateConfig,
+        curate,
+    )
+
+    seen = "an article the corpus already contains with plenty of distinct words"
+    fresh = "a genuinely new essay describing columnar shuffle strategies at scale"
+    corpus = spark.createDataFrame(
+        [(100 + i, seen) for i in range(3)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, seen), (2, fresh)], "doc_id long, text string"
+    )
+    cfg = CurateConfig(min_chars=10, min_quality=0.0, jaccard_threshold=0.99, scrub=False)
+    kept = curate(batch, config=cfg, against_corpus=corpus)
+    assert [r.doc_id for r in kept.collect()] == [2]
+    # without the corpus the duplicate-of-history doc passes
+    both = {r.doc_id for r in curate(batch, config=cfg).collect()}
+    assert both == {1, 2}
+
+
+def test_cli_curate_against_flag(spark, tmp_path, capsys):
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    seen = "an article the corpus already contains with plenty of distinct words"
+    fresh = "a genuinely new essay describing columnar shuffle strategies at scale"
+    hist = str(tmp_path / "hist.parquet")
+    spark.createDataFrame([(100, seen)], "doc_id long, text string").write.parquet(hist)
+    src = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [(1, seen), (2, fresh)], "doc_id long, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "kept.parquet")
+    main(["curate", "--in", src, "--out", out, "--min-chars", "10",
+          "--min-quality", "0.0", "--jaccard", "0.99", "--against", hist])
+    assert "curated 2 -> 1 documents" in capsys.readouterr().out
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
