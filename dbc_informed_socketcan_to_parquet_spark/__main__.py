@@ -62,6 +62,8 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-clf-prob", type=float, default=None,
                    help="classifier gate threshold (needs --classifier-path)")
     p.add_argument("--hash", choices=("xxhash", "md5"), default="xxhash")
+    p.add_argument("--lang", action="append", default=[],
+                   help="keep only docs lang_id predicts as this language (repeatable)")
     p.add_argument("--against", default=None,
                    help="existing curated corpus parquet: drop batch docs whose content "
                         "already appears there (Bloom-gated exact incremental dedup)")
@@ -115,6 +117,7 @@ def run_curate(argv: list[str]) -> None:
         lm_path=args.lm_path,
         classifier_path=args.classifier_path,
         min_clf_prob=args.min_clf_prob,
+        allowed_langs=tuple(args.lang),
         url_col=args.url_col,
         url_blocklist=tuple(args.block_domain),
         url_dedup=args.url_dedup,

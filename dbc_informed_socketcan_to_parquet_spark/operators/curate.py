@@ -106,6 +106,11 @@ class CurateConfig:
     # require every Gopher rule (textops.gopher_quality_flags defaults)
     # in addition to the built-in quality gate; off by default
     gopher: bool = False
+    # language gate (r6): keep only docs whose lang_id prediction lands
+    # in this set (e.g. ("en",)); "unknown" passes only if listed.
+    # Empty tuple = stage off.  Runs with the quality gate (both are
+    # row-local projections over the same text).
+    allowed_langs: tuple[str, ...] = ()
     # URL/domain front door (r6, operators/urlops) — all off unless
     # url_col names a column.  These run FIRST (narrow/broadcast-only,
     # so they cut corpus mass at scan cost before any text work):
@@ -232,6 +237,17 @@ def curate(
         & (F.col("top_bigram_ratio") <= config.max_top_bigram_ratio)
     ).select(id_col)
     out = out.join(good_ids, id_col, "left_semi")
+
+    if config.allowed_langs:
+        # language gate: lang_id is a row-local projection (no join/agg);
+        # same semi-join-on-ids shape as every other gate so the doc
+        # stream itself is filtered, not rebuilt
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import lang_id
+
+        lang_ids = lang_id(out, id_col, text_col).filter(
+            F.col("predicted_lang").isin(list(config.allowed_langs))
+        ).select(id_col)
+        out = out.join(lang_ids, id_col, "left_semi")
 
     if config.gopher:
         # named-rule battery gate — same materialization barrier as the

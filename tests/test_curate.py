@@ -394,3 +394,27 @@ def test_cli_curate_against_flag(spark, tmp_path, capsys):
           "--min-quality", "0.0", "--jaccard", "0.99", "--against", hist])
     assert "curated 2 -> 1 documents" in capsys.readouterr().out
     assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
+
+
+def test_curate_language_gate(spark):
+    """allowed_langs keeps only lang_id-predicted languages; off by
+    default."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        CurateConfig,
+        curate,
+    )
+
+    rows = [
+        (1, "the quick brown fox is running through the field and the sun is high"),
+        (2, "der schnelle braune fuchs und das feld und die sonne ist hoch oben"),
+        (3, "le renard brun et rapide traverse le champ et le soleil est haut"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = CurateConfig(min_chars=10, min_quality=0.0, jaccard_threshold=0.99, scrub=False)
+    import dataclasses
+    en_only = dataclasses.replace(base, allowed_langs=("en",))
+    assert [r.doc_id for r in curate(docs, config=en_only).collect()] == [1]
+    en_de = dataclasses.replace(base, allowed_langs=("en", "de"))
+    assert sorted(r.doc_id for r in curate(docs, config=en_de).collect()) == [1, 2]
+    # gate off: everything survives
+    assert sorted(r.doc_id for r in curate(docs, config=base).collect()) == [1, 2, 3]
