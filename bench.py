@@ -164,7 +164,9 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  "classifier_score", "frequent_ngrams",
                  "exact_substring_dedup", "importance_resample",
                  "fuzzy_contamination", "normalize_text",
-                 "temperature_mix"):
+                 "temperature_mix",
+                 # r6 additions: the URL front door + trained-BPE counting
+                 "url_canonical_dedup", "domain_cap", "bpe_token_count"):
         fn = EXTRA_QUERIES[name]
         samples = []
         for _ in range(2):
