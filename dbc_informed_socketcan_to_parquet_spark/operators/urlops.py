@@ -38,8 +38,12 @@ from pyspark.sql import functions as F
 from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
 
 #: query params stripped during canonicalization: click/campaign trackers
-#: that never change the resource identity
-_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=")
+#: that never change the resource identity.  Matching is on the param KEY
+#: (the text before ``=``), so valueless variants (``?fbclid``, common
+#: when trackers are stripped upstream) are removed too — a prefix match
+#: on ``fbclid=`` would let those survive and split one dedup identity.
+_TRACKING_KEYS = ("fbclid", "gclid", "msclkid")
+_TRACKING_KEY_PREFIX = "utm_"
 
 _HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)"
 _PATH_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)"
@@ -64,10 +68,19 @@ def registrable_domain(url: Column | str, public_suffixes=None) -> Column:
     ``{"co.uk", "com.au", ...}``) for exactness: the LONGEST listed
     suffix matching the host gets one more label — evaluated in an
     Arrow-batched kernel against the broadcast-small set (the real PSL
-    is ~10k entries)."""
+    is ~10k entries).
+
+    Single-label hosts (``localhost``, intranet names) are their own
+    registrable domain on BOTH paths: the expression path guards on
+    label count (``F.slice(parts, -2, 2)`` returns an EMPTY array for a
+    1-element input, which would fold every intranet host into one
+    ``''`` group), matching the pandas path's ``parts[-2:]``."""
     if public_suffixes is None:
-        parts = F.split(host_of(url), r"\.")
-        return F.array_join(F.slice(parts, -2, 2), ".")
+        host = host_of(url)
+        parts = F.split(host, r"\.")
+        return F.when(
+            F.size(parts) >= 2, F.array_join(F.slice(parts, -2, 2), ".")
+        ).otherwise(host)
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -103,8 +116,7 @@ def canonical_url(url: Column | str) -> Column:
     raw_q = F.regexp_extract(url, _QUERY_RE, 1)
     kept = F.filter(
         F.split(raw_q, "&"),
-        lambda p: (F.length(p) > 0)
-        & ~_any_prefix(p, _TRACKING_PREFIXES),
+        lambda p: (F.length(p) > 0) & ~_is_tracking_param(p),
     )
     q = F.array_join(F.array_sort(kept), "&")
     return F.concat(
@@ -112,11 +124,11 @@ def canonical_url(url: Column | str) -> Column:
     )
 
 
-def _any_prefix(col: Column, prefixes: tuple[str, ...]) -> Column:
-    cond = F.lit(False)
-    for p in prefixes:
-        cond = cond | col.startswith(p)
-    return cond
+def _is_tracking_param(p: Column) -> Column:
+    """True when the param's KEY (text before the first ``=``; the whole
+    param when valueless) is a tracker — utm_* prefix or a known click id."""
+    key = F.split_part(p, F.lit("="), F.lit(1))
+    return key.startswith(_TRACKING_KEY_PREFIX) | key.isin(*_TRACKING_KEYS)
 
 
 def canonical_url_sql(expr: str) -> str:
@@ -128,8 +140,10 @@ def canonical_url_sql(expr: str) -> str:
         f" '^www\\.', ''), ':(80|443)$', '')"
     )
     path = f"regexp_replace(regexp_extract({expr}, '{_PATH_RE}', 1), '/+$', '')"
-    not_tracked = " AND ".join(
-        f"NOT starts_with(p, '{pre}')" for pre in _TRACKING_PREFIXES
+    keys = ", ".join(f"'{k}'" for k in _TRACKING_KEYS)
+    not_tracked = (
+        f"NOT (starts_with(split_part(p, '=', 1), '{_TRACKING_KEY_PREFIX}')"
+        f" OR split_part(p, '=', 1) IN ({keys}))"
     )
     q = (
         f"array_to_string(list_sort(list_filter(string_split("

@@ -3707,7 +3707,9 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosts AS (SELECT doc_id, {_HOST_SQL} AS host FROM u),
     reg AS (
       SELECT doc_id, host,
-             array_to_string(string_split(host, '.')[-2:], '.') AS domain
+             CASE WHEN len(string_split(host, '.')) >= 2
+                  THEN array_to_string(string_split(host, '.')[-2:], '.')
+                  ELSE host END AS domain
       FROM hosts
     )
     SELECT domain, host, count(*) AS n_docs, min(doc_id) AS first_doc

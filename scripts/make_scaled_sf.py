@@ -84,21 +84,36 @@ def main() -> None:
         + f") TO '{dst}/events.parquet' (FORMAT PARQUET)"
     )
 
-    # documents: per-copy rotation cipher (see module docstring)
+    # documents: per-copy AFFINE substitution cipher (see module docstring).
+    # A plain rotation repeats every 26 copies (copies 0/26/52/78 would share
+    # a cipher, re-merging near-dup cliques across copies and driving the LSH
+    # band join quadratic at N=100), so the letter map is k -> (a*k + b) mod 26
+    # with a coprime to 26: 12*26 = 312 distinct permutations, all distinct for
+    # N <= 312.  i < 26 keeps a=1 (pure rotation), so sf1 fixtures built by the
+    # earlier rotation version are byte-identical and need no rebuild.
     con.sql(f"CREATE VIEW docs AS SELECT * FROM read_parquet('{src}/documents.parquet')")
     lower = "abcdefghijklmnopqrstuvwxyz"
     upper = lower.upper()
     digits = "0123456789"
+    AFF26 = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    AFF10 = (1, 3, 7, 9)
+
+    def _affine(alphabet: str, a: int, b: int) -> str:
+        m = len(alphabet)
+        return "".join(alphabet[(a * k + b) % m] for k in range(m))
 
     def salted(i: int) -> str:
         if not i:
             return "SELECT * FROM docs"
-        # rotate digits too: digit-heavy shingles otherwise survive the
+        # substitute digits too: digit-heavy shingles otherwise survive the
         # letter cipher identically in every copy, and minhash minima
-        # landing on them re-merge cliques across copies
-        rl = lower[i:] + lower[:i]
-        ru = upper[i:] + upper[:i]
-        rd = digits[i % 10:] + digits[: i % 10]
+        # landing on them re-merge cliques across copies.  The digit map has
+        # only 40 distinct affine forms, so PURE-digit shingles can collide
+        # across copies 40 apart — mixed shingles (any letter present)
+        # always differ; acceptable, and documented here (no silent caps).
+        rl = _affine(lower, AFF26[(i // 26) % 12], i % 26)
+        ru = _affine(upper, AFF26[(i // 26) % 12], i % 26)
+        rd = _affine(digits, AFF10[(i // 10) % 4], i % 10)
         return (
             "SELECT * REPLACE ("
             f"doc_id + {i * KEY_OFFSET} AS doc_id, "
@@ -106,16 +121,24 @@ def main() -> None:
         )
     con.sql("COPY (" + union(salted) + f") TO '{dst}/documents.parquet' (FORMAT PARQUET)")
 
-    # embeddings: rotate the vector by copy index
+    # embeddings: rotate the vector by copy index; past one full cycle of
+    # rotations (i >= dim) also reverse the vector, so rotation×reversal
+    # gives 2*dim distinct permutations and copies i and i+dim don't carry
+    # IDENTICAL vectors (which would merge near-dup cliques across copies)
     con.sql(f"CREATE VIEW emb AS SELECT * FROM read_parquet('{src}/embeddings.parquet')")
     dim = con.sql("SELECT len(embedding) FROM emb LIMIT 1").fetchone()[0]
-    rotated = lambda i: (  # noqa: E731
-        "SELECT * REPLACE ("
-        f"vec_id + {i * KEY_OFFSET} AS vec_id, "
-        f"embedding[{i % dim + 1}:] || embedding[:{i % dim}] AS embedding) FROM emb"
-        if i % dim
-        else f"SELECT * REPLACE (vec_id + {i * KEY_OFFSET} AS vec_id) FROM emb"
-    )
+
+    def rotated(i: int) -> str:
+        r = i % dim
+        e = f"embedding[{r + 1}:] || embedding[:{r}]" if r else "embedding"
+        if (i // dim) % 2:
+            e = f"list_reverse({e})"
+        if e == "embedding":
+            return f"SELECT * REPLACE (vec_id + {i * KEY_OFFSET} AS vec_id) FROM emb"
+        return (
+            "SELECT * REPLACE ("
+            f"vec_id + {i * KEY_OFFSET} AS vec_id, {e} AS embedding) FROM emb"
+        )
     con.sql("COPY (" + union(rotated) + f") TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
 
     for t in ("region", "nation", "customer", "supplier", "part", "orders",

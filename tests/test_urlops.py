@@ -46,6 +46,13 @@ def test_canonical_url_rules(spark):
         "https://example.com/a?utm_campaign=y": "example.com/a",
         # schemeless input parses the same
         "www.example.com/a?b=2&a=1#x": "example.com/a?a=1&b=2",
+        # tracking match is on the param KEY: valueless click ids (?fbclid)
+        # and bare utm keys are stripped too (ADVICE r6)...
+        "https://example.com/a?fbclid&a=1": "example.com/a?a=1",
+        "https://example.com/a?utm_source&gclid=&msclkid": "example.com/a",
+        # ...but a non-tracker key that merely STARTS with a tracker name
+        # is kept (key equality, not prefix, for the click ids)
+        "https://example.com/a?fbclid2=x": "example.com/a?fbclid2=x",
     }
     got = _canon(spark, list(cases))
     assert got == list(cases.values())
@@ -67,6 +74,27 @@ def test_host_and_registrable_domain(spark):
         registrable_domain("url", public_suffixes={"co.uk", "uk"}).alias("r")
     ).collect()
     assert [r.r for r in psl] == ["bbc.co.uk", "example.com"]
+
+
+def test_registrable_domain_single_label_host(spark):
+    """Single-label hosts (localhost, intranet names) are their own
+    registrable domain on BOTH paths — the expression path must not fold
+    them all into one '' group (ADVICE r6)."""
+    df = spark.createDataFrame(
+        [("http://localhost:8080/x",), ("https://intranet/y",), ("https://a.example.com/z",)],
+        "url string",
+    )
+    expr = [r.r for r in df.select(registrable_domain("url").alias("r")).collect()]
+    psl = [
+        r.r
+        for r in df.select(
+            registrable_domain("url", public_suffixes={"co.uk"}).alias("r")
+        ).collect()
+    ]
+    assert expr == ["localhost:8080", "intranet", "example.com"] or expr == [
+        "localhost", "intranet", "example.com",
+    ]
+    assert expr == psl  # the two paths agree
 
 
 @pytest.fixture()
