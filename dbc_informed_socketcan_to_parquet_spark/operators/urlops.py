@@ -49,15 +49,96 @@ _HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)"
 _PATH_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
+#: RFC 3986 §2.3 unreserved characters — percent-escapes of these are
+#: equivalent to the bare character and decode during canonicalization;
+#: every other escape is kept but hex-uppercased (§6.2.2.1)
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
 
-def host_of(url: Column | str) -> Column:
+
+def pct_normalize(c: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization as a pure builtin
+    expression chain (stays in codegen; 1:1 DuckDB rendering in
+    :func:`pct_normalize_sql`):
+
+    1. uppercase the hex digits of every escape (``%3a`` → ``%3A``) —
+       no case-transform exists in a regex replacement, so each
+       lowercase hex letter is rewritten per position with a
+       backreference carrying the other digit (12 replaces);
+    2. decode escapes of UNRESERVED characters (``%41`` → ``A``,
+       ``%7E`` → ``~``) via literal replaces against the now-uppercase
+       forms (66 replaces).  Reserved escapes (``%2F``, ``%3D``,
+       ``%26``...) stay encoded, so path/query structure parsed BEFORE
+       this call is never re-interpreted, and ``%25`` (the escape of
+       ``%`` itself) cannot cascade into a second decode.
+
+    Malformed escapes (``%zz``, trailing ``%a``) pass through untouched.
+    """
+    for d in "abcdef":
+        c = F.regexp_replace(c, f"%{d}([0-9a-fA-F])", f"%{d.upper()}$1")
+    for d in "abcdef":
+        c = F.regexp_replace(c, f"%([0-9A-F]){d}", f"%$1{d.upper()}")
+    for ch in _UNRESERVED:
+        c = F.replace(c, F.lit("%%%02X" % ord(ch)), F.lit(ch))
+    return c
+
+
+def pct_normalize_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`pct_normalize` — identical rewrite
+    order; DuckDB needs the explicit ``'g'`` flag (its regexp_replace is
+    first-match-only by default, Spark's is global)."""
+    c = expr
+    for d in "abcdef":
+        c = f"regexp_replace({c}, '%{d}([0-9a-fA-F])', '%{d.upper()}\\1', 'g')"
+    for d in "abcdef":
+        c = f"regexp_replace({c}, '%([0-9A-F]){d}', '%\\1{d.upper()}', 'g')"
+    for ch in _UNRESERVED:
+        c = f"replace({c}, '%{ord(ch):02X}', '{ch}')"
+    return c
+
+
+def _idna_fold(host: Column) -> Column:
+    """Fold ``xn--`` (punycode/IDNA) labels to their unicode form in an
+    Arrow-batched kernel (stdlib ``encodings.idna`` — no Spark builtin
+    exists).  Labels that fail to decode pass through unchanged; hosts
+    without ``xn--`` never enter the per-label loop."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fold(hosts):
+        from encodings import idna as _idna
+
+        def one(h):
+            if not h or "xn--" not in h:
+                return h
+            out = []
+            for lbl in h.split("."):
+                if lbl.startswith("xn--"):
+                    try:
+                        lbl = _idna.ToUnicode(lbl)
+                    except (UnicodeError, ValueError):
+                        pass
+                out.append(lbl)
+            return ".".join(out)
+
+        return hosts.map(one)
+
+    _fold.__annotations__ = {"hosts": pd.Series, "return": pd.Series}
+    return pandas_udf(_fold, "string")(host)
+
+
+def host_of(url: Column | str, decode_idna: bool = False) -> Column:
     """Canonical host: lowercased, ``www.`` prefix and default ``:80`` /
     ``:443`` ports stripped.  Pure builtin expressions — stays in
-    codegen, pushes down."""
+    codegen, pushes down.  ``decode_idna=True`` additionally folds
+    ``xn--`` punycode labels to unicode (Arrow kernel — opt-in because
+    it leaves codegen and has no DuckDB oracle rendering)."""
     url = F.col(url) if isinstance(url, str) else url
     h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     h = F.regexp_replace(h, r"^www\.", "")
-    return F.regexp_replace(h, r":(80|443)$", "")
+    h = F.regexp_replace(h, r":(80|443)$", "")
+    return _idna_fold(h) if decode_idna else h
 
 
 def registrable_domain(url: Column | str, public_suffixes=None) -> Column:
@@ -105,15 +186,25 @@ def registrable_domain(url: Column | str, public_suffixes=None) -> Column:
     return kernel(host_of(url))
 
 
-def canonical_url(url: Column | str) -> Column:
+def canonical_url(url: Column | str, decode_idna: bool = False) -> Column:
     """Canonical form for identity comparison: ``host + path + '?' +
     sorted-kept-query``.  Scheme and fragment are dropped (http/https
     serve the same resource in dedup terms), tracking params removed,
-    remaining params sorted so order never splits an identity."""
+    remaining params sorted so order never splits an identity.
+
+    Path and query are percent-normalized (:func:`pct_normalize`):
+    unreserved escapes decode, the rest hex-uppercase — so
+    ``/a%2Db%3f`` and ``/a-b%3F`` are one identity.  Normalization runs
+    AFTER structural parsing, and reserved escapes stay encoded, so a
+    ``%26`` in a value can never split into a new query param.
+    ``decode_idna=True`` folds punycode hosts too (see
+    :func:`host_of`)."""
     url = F.col(url) if isinstance(url, str) else url
-    host = host_of(url)
-    path = F.regexp_replace(F.regexp_extract(url, _PATH_RE, 1), r"/+$", "")
-    raw_q = F.regexp_extract(url, _QUERY_RE, 1)
+    host = host_of(url, decode_idna=decode_idna)
+    path = pct_normalize(
+        F.regexp_replace(F.regexp_extract(url, _PATH_RE, 1), r"/+$", "")
+    )
+    raw_q = pct_normalize(F.regexp_extract(url, _QUERY_RE, 1))
     kept = F.filter(
         F.split(raw_q, "&"),
         lambda p: (F.length(p) > 0) & ~_is_tracking_param(p),
@@ -139,15 +230,18 @@ def canonical_url_sql(expr: str) -> str:
         f"regexp_replace(regexp_replace(lower(regexp_extract({expr}, '{_HOST_RE}', 1)),"
         f" '^www\\.', ''), ':(80|443)$', '')"
     )
-    path = f"regexp_replace(regexp_extract({expr}, '{_PATH_RE}', 1), '/+$', '')"
+    path = pct_normalize_sql(
+        f"regexp_replace(regexp_extract({expr}, '{_PATH_RE}', 1), '/+$', '')"
+    )
     keys = ", ".join(f"'{k}'" for k in _TRACKING_KEYS)
     not_tracked = (
         f"NOT (starts_with(split_part(p, '=', 1), '{_TRACKING_KEY_PREFIX}')"
         f" OR split_part(p, '=', 1) IN ({keys}))"
     )
+    raw_q = pct_normalize_sql(f"regexp_extract({expr}, '\\?([^#]*)', 1)")
     q = (
         f"array_to_string(list_sort(list_filter(string_split("
-        f"regexp_extract({expr}, '\\?([^#]*)', 1), '&'),"
+        f"{raw_q}, '&'),"
         f" p -> len(p) > 0 AND {not_tracked})), '&')"
     )
     return (
@@ -167,6 +261,7 @@ def domain_filter(
     df: DataFrame,
     blocklist,
     url_col: str = "url",
+    impl: str = "join",
 ) -> DataFrame:
     """Drop rows whose canonical host is a blocked domain or any
     subdomain of one.
@@ -174,20 +269,44 @@ def domain_filter(
     ``blocklist`` is either a Python sequence of domains — compiled into
     a literal OR-chain so Catalyst pushes the predicate into the scan
     (right for the usual 10²–10⁴-entry lists) — or a single-column
-    DataFrame of domains for the million-entry case: the list collects
-    ONCE driver-side (1M domains ≈ tens of MB — the same
-    broadcast-probe budget as ``dedup.dedup_against_corpus``'s bitmap)
-    and a row-local Arrow kernel tests the host's full SUFFIX CHAIN
-    (``a.b.c.d`` probes ``a.b.c.d``, ``b.c.d``, ``c.d``, ``d``), so
-    exact hosts and every subdomain depth match, the filter is a
-    narrow map, and the corpus never shuffles.  NULL urls are never
-    blocked on either path (unknown is not blocked)."""
+    DataFrame of domains for the million-entry case.  The DataFrame path
+    (default ``impl="join"``) stays entirely JVM-side: the host's suffix
+    chain only needs probing at the label DEPTHS that occur in the
+    blocklist (a 12-label host can only match a 2-label entry via its
+    last-2-label suffix), so the filter is max-blocklist-depth chained
+    **broadcast left-anti hash joins** — one equi-probe per depth, all
+    inside codegen, the corpus never shuffles and never crosses into
+    Python.  ``impl="kernel"`` keeps the earlier Arrow suffix-chain
+    kernel (driver-collected frozenset + row-local probe) for
+    environments where a broadcast is unavailable; both paths are
+    pytest-pinned equivalent.  NULL urls are never blocked on any path
+    (unknown is not blocked)."""
     host = host_of(url_col)
     if isinstance(blocklist, DataFrame):
+        bcol = blocklist.columns[0]
+        if impl == "join":
+            # no .distinct(): LeftAnti is duplicate-insensitive on the build
+            # side, and skipping it keeps the returned plan exchange-free
+            bl = blocklist.select(F.lower(F.col(bcol)).alias("_bl_dom"))
+            depths = [
+                r["_k"]
+                for r in bl.select(
+                    F.size(F.split("_bl_dom", r"\.")).alias("_k")
+                ).distinct().collect()
+            ]
+            parts = F.split(host, r"\.")
+            out = df
+            for k in sorted(depths):
+                # last-k-label suffix; NULL when the host is shorter (and
+                # for NULL urls) — NULL probe keys never match an anti-join
+                sfx = F.when(
+                    F.size(parts) >= k, F.array_join(F.slice(parts, -k, k), ".")
+                )
+                out = out.join(F.broadcast(bl), sfx == F.col("_bl_dom"), "left_anti")
+            return out
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        bcol = blocklist.columns[0]
         domains = frozenset(
             r["_d"] for r in blocklist.select(F.lower(F.col(bcol)).alias("_d")).collect()
         )

@@ -412,6 +412,30 @@ def test_domain_filter_literal_path_is_narrow(spark):
     assert "Join" not in plan
 
 
+def test_domain_filter_dataframe_path_is_broadcast_anti_join(spark):
+    """The big-blocklist (DataFrame) path is chained broadcast LeftAnti
+    HASH joins — one per blocklist label depth — with no shuffle of the
+    corpus, no SortMergeJoin, no nested-loop join, and no Python UDF in
+    the plan (r7: the stage that sees 100% of corpus mass is JVM-side)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.urlops import domain_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("https://d"), F.col("doc_id").cast("string"),
+                        F.lit(".example.com/p"))
+    )
+    bl = spark.createDataFrame(
+        [("bad.example.com",), ("spam.net",), ("block.co.uk",)], "domain string"
+    )
+    plan = plan_of(domain_filter(docs, bl, url_col="url"))
+    antis = re.findall(r"BroadcastHashJoin LeftAnti", plan)
+    assert len(antis) == 2  # blocklist has 2 distinct label depths (2 and 3)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+    # the only exchanges are the blocklist broadcasts, never the corpus
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+
+
 def test_domain_cap_broadcasts_fractions(spark):
     """domain_cap's per-domain keep-fraction table joins back BROADCAST —
     the corpus is never shuffled on the (potentially hot) domain key."""

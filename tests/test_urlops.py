@@ -53,9 +53,40 @@ def test_canonical_url_rules(spark):
         # ...but a non-tracker key that merely STARTS with a tracker name
         # is kept (key equality, not prefix, for the click ids)
         "https://example.com/a?fbclid2=x": "example.com/a?fbclid2=x",
+        # percent-normalization (r7): unreserved escapes decode, the
+        # rest hex-uppercase; %25 never cascades; reserved %2F/%3D stay
+        "https://example.com/a%2db?x=%41%42": "example.com/a-b?x=AB",
+        "https://example.com/p%3a?k=%7e": "example.com/p%3A?k=~",
+        "https://example.com/%2541": "example.com/%2541",
+        "https://example.com/a?b%3Dc=1": "example.com/a?b%3Dc=1",
+        "https://example.com/a%2Fb": "example.com/a%2Fb",
+        "http://example.com/100%good": "example.com/100%good",
     }
     got = _canon(spark, list(cases))
     assert got == list(cases.values())
+
+
+def test_canonical_url_idna_fold(spark):
+    """decode_idna folds punycode labels to unicode; undecodable xn--
+    labels and plain hosts pass through; default path leaves them be."""
+    df = spark.createDataFrame(
+        [
+            ("https://xn--mnchen-3ya.example/a",),   # münchen
+            ("https://www.XN--BCHER-KVA.ch/x",),      # bücher, via lowercase
+            ("https://xn--zzzzzz-!!!.com/y",),        # undecodable -> as-is
+            ("https://plain.example.com/z",),
+        ],
+        "url string",
+    )
+    got = [r.c for r in df.select(canonical_url("url", decode_idna=True).alias("c")).collect()]
+    assert got == [
+        "münchen.example/a",
+        "bücher.ch/x",
+        "xn--zzzzzz-!!!.com/y",
+        "plain.example.com/z",
+    ]
+    plain = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert plain[0] == "xn--mnchen-3ya.example/a"
 
 
 def test_host_and_registrable_domain(spark):
@@ -124,11 +155,42 @@ def test_domain_filter_broadcast_dataframe(spark, url_docs):
     # (deep.spam.example.com) is a subdomain of a blocked domain -> gone
     assert sorted(r.doc_id for r in kept.collect()) == [3, 4, 5, 8]
     assert set(kept.columns) == {"doc_id", "url"}
-    # both paths agree exactly
+    # all three paths agree exactly (r7: default DataFrame path is the
+    # JVM-side chained broadcast anti-join; the Arrow kernel remains as
+    # impl="kernel")
     lit = domain_filter(url_docs, ["spam.example.com", "other.net"], url_col="url")
-    assert sorted(r.doc_id for r in lit.collect()) == sorted(
-        r.doc_id for r in kept.collect()
+    kern = domain_filter(url_docs, bl, url_col="url", impl="kernel")
+    assert (
+        sorted(r.doc_id for r in lit.collect())
+        == sorted(r.doc_id for r in kern.collect())
+        == sorted(r.doc_id for r in kept.collect())
     )
+
+
+def test_domain_filter_join_kernel_equivalence_mixed_depths(spark):
+    """join vs kernel paths on a blocklist mixing 1/2/3-label entries and
+    hosts at every relative depth (exact, shallower, deeper, unrelated)."""
+    rows = [
+        (1, "https://tld/x"),                      # exact 1-label match
+        (2, "https://a.tld/x"),                    # subdomain of 1-label
+        (3, "https://bad.com/x"),                  # exact 2-label
+        (4, "https://x.y.bad.com/x"),              # deep subdomain of 2-label
+        (5, "https://notbad.com/x"),               # suffix-STRING but not label
+        (6, "https://deep.block.co.uk/x"),         # subdomain of 3-label
+        (7, "https://block.co.uk/x"),              # exact 3-label
+        (8, "https://co.uk/x"),                    # SHALLOWER than 3-label entry
+        (9, None),
+        (10, "https://fine.org/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("tld",), ("bad.com",), ("block.co.uk",)], "domain string"
+    )
+    joined = sorted(r.doc_id for r in domain_filter(df, bl, url_col="url").collect())
+    kernel = sorted(
+        r.doc_id for r in domain_filter(df, bl, url_col="url", impl="kernel").collect()
+    )
+    assert joined == kernel == [5, 8, 9, 10]
 
 
 def test_url_dedup_first_occurrence(spark, url_docs):

@@ -30,6 +30,21 @@ _WORD = st.text(
     max_size=8,
 )
 
+#: percent-escape fragments — valid escapes of unreserved (%41, %7e) and
+#: reserved (%2F, %3d) chars in both hex cases, the self-escape %25, and
+#: malformed sequences (%, %a, %zz, %4g) that must pass through
+_ESC = st.sampled_from(
+    ["%41", "%7e", "%7E", "%2F", "%2f", "%3d", "%3D", "%25", "%2541",
+     "%aa", "%AA", "%", "%a", "%zz", "%4g", "%%41"]
+)
+
+_WORD = st.builds(
+    lambda a, e, b: a + e + b,
+    _WORD,
+    st.one_of(st.just(""), _ESC),
+    _WORD,
+)
+
 _PARAM = st.one_of(
     st.builds(lambda k, v: f"{k}={v}", _WORD, _WORD),
     st.sampled_from(["utm_source=x", "utm_campaign=Y", "fbclid=abc",
@@ -54,7 +69,7 @@ _URL = st.builds(
 )
 
 _GARBAGE = st.text(
-    alphabet="abc:/?#&=%. \t漢é",
+    alphabet="abc:/?#&=%. \t漢é419AFf",
     min_size=0,
     max_size=24,
 )
