@@ -64,6 +64,9 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--hash", choices=("xxhash", "md5"), default="xxhash")
     p.add_argument("--lang", action="append", default=[],
                    help="keep only docs lang_id predicts as this language (repeatable)")
+    p.add_argument("--lang-model", default=None,
+                   help="persisted trained language-ID model dir (langid.lang_write); "
+                        "the --lang gate predicts with it instead of the stopword heuristic")
     p.add_argument("--against", default=None,
                    help="existing curated corpus parquet: drop batch docs whose content "
                         "already appears there (Bloom-gated exact incremental dedup)")
@@ -118,6 +121,7 @@ def run_curate(argv: list[str]) -> None:
         classifier_path=args.classifier_path,
         min_clf_prob=args.min_clf_prob,
         allowed_langs=tuple(args.lang),
+        lang_model_path=args.lang_model,
         url_col=args.url_col,
         url_blocklist=tuple(args.block_domain),
         url_dedup=args.url_dedup,
@@ -125,6 +129,8 @@ def run_curate(argv: list[str]) -> None:
     )
     if args.url_col is None and (args.block_domain or args.url_dedup or args.max_per_domain):
         parser.error("--block-domain/--url-dedup/--max-per-domain require --url-col")
+    if args.lang_model and not args.lang:
+        parser.error("--lang-model has no effect without --lang (the languages to keep)")
     lm_corpus = spark.read.parquet(args.lm_corpus) if args.lm_corpus else None
     against = spark.read.parquet(args.against) if args.against else None
     # persist across write + count: one pipeline execution, and the count
@@ -207,6 +213,10 @@ def build_stream_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--classifier-path", default=None,
                    help="persisted classifier dir (textops.classifier_write)")
     p.add_argument("--min-clf-prob", type=float, default=None)
+    p.add_argument("--lang", action="append", default=[],
+                   help="keep only docs the trained model predicts as this language (repeatable; needs --lang-model)")
+    p.add_argument("--lang-model", default=None,
+                   help="persisted trained language-ID model dir (langid.lang_write)")
     return p
 
 
@@ -221,6 +231,9 @@ def run_stream_curate(argv: list[str]) -> None:
         parser.error("--max-perplexity needs --lm-path")
     if args.min_clf_prob is not None and not args.classifier_path:
         parser.error("--min-clf-prob needs --classifier-path")
+    if args.lang and not args.lang_model:
+        parser.error("--lang needs --lang-model (the streaming gate scores row-locally "
+                     "against a trained model, not the heuristic)")
     spark = get_spark("stream-curate-cli")
     queries = run_streaming_curate(
         spark, args.input_dir, args.output_dir, args.checkpoint,
@@ -230,6 +243,7 @@ def run_stream_curate(argv: list[str]) -> None:
         available_now=args.available_now,
         lm_path=args.lm_path, max_perplexity=args.max_perplexity,
         classifier_path=args.classifier_path, min_clf_prob=args.min_clf_prob,
+        lang_model_path=args.lang_model, allowed_langs=tuple(args.lang),
     )
     # C2 graceful shutdown, same contract as the decode stream: SIGINT
     # stops cleanly; committed micro-batches stay durable via checkpoint

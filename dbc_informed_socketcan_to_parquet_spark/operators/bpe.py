@@ -84,30 +84,56 @@ def bpe_train(
 def _train_merges(word_freq: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
     """Driver-side merge learning over the word-frequency table: classic
     indexed BPE — a pair→{word ids} inverted index makes each merge touch
-    only the words containing the merged pair."""
+    only the words containing the merged pair, and the per-merge argmax
+    is a LAZY MAX-HEAP with stale-entry discard (r7: the earlier
+    full-scan argmax was O(#pairs) per merge — fine at 1k merges, ~10¹⁰
+    comparisons at a production 32k; the heap makes each merge
+    O(touched·log) and 32k merges train in seconds, measured in
+    BASELINE.md).  Determinism is unchanged: heap order is (-count,
+    pair), i.e. count desc then pair lexicographic."""
+    import heapq
+
     words = [list(w) + [EOW] for w in word_freq]
     freqs = list(word_freq.values())
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, tuple[str, str]]] = []
 
     def add_word_pairs(i: int, sign: int) -> None:
         syms, f = words[i], freqs[i]
         for a, b in zip(syms, syms[1:]):
             p = (a, b)
-            pair_counts[p] = pair_counts.get(p, 0) + sign * f
+            c = pair_counts.get(p, 0) + sign * f
+            pair_counts[p] = c
             if sign > 0:
                 pair_words.setdefault(p, set()).add(i)
+                heapq.heappush(heap, (-c, p))
+            # decrements don't push: the stale larger entry is discarded
+            # at pop time; a pair whose count later GROWS pushes then
 
     for i in range(len(words)):
         add_word_pairs(i, +1)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        live = [(c, p) for p, c in pair_counts.items() if c > 0]
-        if not live:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            c = pair_counts.get(p, 0)
+            if c > 0 and -negc == c:
+                best = p
+                break
+            if c > 0:
+                # stale entry for a still-live pair: re-queue its true
+                # count so it stays findable (lazy decrement repair)
+                heapq.heappush(heap, (-c, p))
+                # the pushed entry may be the max: loop pops it next
+                if heap[0] == (-c, p):
+                    heapq.heappop(heap)
+                    best = p
+                    break
+        if best is None:
             break
-        # deterministic argmax: count desc, then pair lexicographic
-        best = min(live, key=lambda cp: (-cp[0], cp[1]))[1]
         merges.append(best)
         merged = best[0] + best[1]
         for i in list(pair_words.get(best, ())):
@@ -227,15 +253,31 @@ def bpe_load(spark, path: str) -> list[tuple[str, str]]:
     return [(r["first"], r["second"]) for r in rows]
 
 
-def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
-    """The token inventory a merge list can emit, in a stable order:
-    single characters (and their word-final forms) seen in the merges
-    first (sorted), then merged tokens in rank order — the id table a
-    training job pairs with the encoded corpus."""
-    base = set()
+def bpe_vocab(
+    merges: list[tuple[str, str]],
+    words=None,
+) -> list[str]:
+    """The token inventory to pair with :func:`bpe_encode` output as an
+    id table, in a stable order: base symbols first (sorted), then
+    merged tokens in rank order.
+
+    ``bpe_encode`` emits raw single characters (and bare ``EOW``) for
+    any character never involved in a learned merge, so the base
+    alphabet must come from the CORPUS, not just the merge list —
+    pass ``words`` (an iterable of word types, e.g.
+    ``bpe_word_counts(df)`` keys or the training ``word_freq``) to
+    cover every emittable symbol (ADVICE r6).  Without ``words`` the
+    base set is merge-derived plus ``EOW`` and covers only text whose
+    characters all appear in some merge; encoding OOV-character text
+    against that table produces lookup misses — callers on open text
+    must supply ``words`` or add a byte/char fallback alphabet."""
+    base = {EOW}
     for a, b in merges:
         base.add(a)
         base.add(b)
+    if words is not None:
+        for w in words:
+            base.update(w.lower())
     merged_tokens = [a + b for a, b in merges]
     base -= set(merged_tokens)
     return sorted(base) + merged_tokens

@@ -111,6 +111,11 @@ class CurateConfig:
     # Empty tuple = stage off.  Runs with the quality gate (both are
     # row-local projections over the same text).
     allowed_langs: tuple[str, ...] = ()
+    # r7: path to a TRAINED language-ID model (langid.lang_write) — when
+    # set, the language gate predicts with the persisted NB model
+    # (explode + broadcast weight join) instead of the stopword
+    # heuristic; allowed_langs still names the languages kept
+    lang_model_path: str | None = None
     # URL/domain front door (r6, operators/urlops) — all off unless
     # url_col names a column.  These run FIRST (narrow/broadcast-only,
     # so they cut corpus mass at scan cost before any text work):
@@ -239,12 +244,24 @@ def curate(
     out = out.join(good_ids, id_col, "left_semi")
 
     if config.allowed_langs:
-        # language gate: lang_id is a row-local projection (no join/agg);
-        # same semi-join-on-ids shape as every other gate so the doc
-        # stream itself is filtered, not rebuilt
-        from dbc_informed_socketcan_to_parquet_spark.operators.textops import lang_id
+        # language gate: the heuristic is a row-local projection, the
+        # trained model (lang_model_path, r7) an explode + broadcast
+        # weight join; either way the same semi-join-on-ids shape as
+        # every other gate so the doc stream itself is filtered, not
+        # rebuilt
+        if config.lang_model_path is not None:
+            from dbc_informed_socketcan_to_parquet_spark.operators.langid import (
+                lang_id_from,
+            )
 
-        lang_ids = lang_id(out, id_col, text_col).filter(
+            predicted = lang_id_from(
+                out, config.lang_model_path, id_col=id_col, text_col=text_col
+            )
+        else:
+            from dbc_informed_socketcan_to_parquet_spark.operators.textops import lang_id
+
+            predicted = lang_id(out, id_col, text_col)
+        lang_ids = predicted.filter(
             F.col("predicted_lang").isin(list(config.allowed_langs))
         ).select(id_col)
         out = out.join(lang_ids, id_col, "left_semi")

@@ -402,7 +402,7 @@ def lm_write(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    min_count: int = 1,
+    min_count: int = 2,
 ) -> int:
     """Train the bigram LM once and PERSIST it — the production curate
     arrangement (mirrors ``similarity.ivf_index_write``): a trusted
@@ -416,7 +416,13 @@ def lm_write(
     broadcasts at any corpus size; context totals are computed BEFORE
     the threshold, so ``c1`` stays exact and thresholded bigrams simply
     back off to the add-one floor — the standard pruned-LM semantics.
-    Returns the vocab size."""
+    The DEFAULT is pruned (``min_count=2``): natural-language bigram
+    counts are Zipfian, so singletons are ~half the table, and the
+    row-local scorers (:func:`lm_score_rowlocal`) collect the stored
+    table driver-side — an unpruned default from a large corpus is a
+    silent driver-OOM path (ADVICE r6).  Pass ``min_count=1``
+    explicitly for a model whose from-disk scores are bit-identical to
+    the inline :func:`lm_score`.  Returns the vocab size."""
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     bigram_counts, context_counts, vocab_size = train_bigram_lm(
@@ -532,22 +538,44 @@ def classifier_score(
     )
 
 
+def _broadcast_getter(spark, value):
+    """Ship ``value`` to executors via ``sc.broadcast`` (ONE copy per
+    executor, torrent distribution) instead of pickling it into every
+    task closure; falls back to closure capture under Connect (no
+    sparkContext) — the same arrangement as ``urlops.domain_filter``.
+    Returns a zero-arg getter usable inside a UDF."""
+    try:
+        sc = spark.sparkContext
+    except AttributeError:
+        return (lambda v: (lambda: v))(value)
+    return (lambda b: (lambda: b.value))(sc.broadcast(value))
+
+
 def lm_score_rowlocal(
     df: DataFrame,
     path: str,
     text_col: str = "text",
     prefix: str = "lm_",
     round_to: int = 6,
+    max_model_rows: int = 5_000_000,
 ) -> DataFrame:
     """STREAMING-safe scoring against a persisted LM (:func:`lm_write`):
     the batch scorer's explode → join → groupBy(doc) is a streaming
     AGGREGATION (stateful, output-mode-constrained), so this form loads
-    the stored tables driver-side into plain dicts — the pruned bigram
-    table is broadcast-sized BY CONSTRUCTION (``min_count``) — and an
-    Arrow-batched pandas UDF computes each document's average bigram
-    log-probability row-locally: stateless, append-mode-safe, and
-    identical arithmetic to :func:`lm_score_from` (same add-one floor,
-    same tokenizer regex; pytest pins the scores equal).
+    the stored tables driver-side into plain dicts and an Arrow-batched
+    pandas UDF computes each document's average bigram log-probability
+    row-locally: stateless, append-mode-safe, and identical arithmetic
+    to :func:`lm_score_from` (same add-one floor, same tokenizer regex;
+    pytest pins the scores equal).  The dicts ship to executors via
+    ``sc.broadcast`` (one torrent copy per executor, not a copy per
+    task closure).
+
+    The driver-side collect is guarded, not assumed (ADVICE r6): the
+    stored bigram+context row count is checked against
+    ``max_model_rows`` FIRST, and an over-ceiling model — e.g. one
+    written with ``min_count=1`` from a large corpus — raises with the
+    fix (re-write pruned, or use the distributed
+    :func:`lm_score_from`) instead of silently OOMing the driver.
 
     Adds columns instead of reshaping rows (streams compose by column):
     ``{prefix}n_bigrams int``, ``{prefix}avg_logp``,
@@ -561,15 +589,27 @@ def lm_score_rowlocal(
     from pyspark.sql.functions import pandas_udf
 
     spark = df.sparkSession
-    bi = {
-        (r["w1"], r["w2"]): r["c12"]
-        for r in spark.read.parquet(f"{path}/bigrams").collect()
-    }
-    ctx = {r["w1"]: r["c1"] for r in spark.read.parquet(f"{path}/contexts").collect()}
+    bi_df = spark.read.parquet(f"{path}/bigrams")
+    ctx_df = spark.read.parquet(f"{path}/contexts")
+    n_model = bi_df.count() + ctx_df.count()
+    if n_model > max_model_rows:
+        meta_row = spark.read.parquet(f"{path}/meta").collect()[0]
+        mc = meta_row["min_count"] if "min_count" in meta_row.__fields__ else 1
+        raise ValueError(
+            f"persisted LM at {path} has {n_model} rows (> max_model_rows="
+            f"{max_model_rows}); collecting it driver-side would risk OOM. "
+            f"It was written with min_count={mc} — re-write with a higher "
+            f"min_count (lm_write default prunes at 2), or score with the "
+            f"distributed lm_score_from() instead."
+        )
+    bi = {(r["w1"], r["w2"]): r["c12"] for r in bi_df.collect()}
+    ctx = {r["w1"]: r["c1"] for r in ctx_df.collect()}
     V = int(spark.read.parquet(f"{path}/meta").collect()[0]["vocab_size"])
+    get_model = _broadcast_getter(spark, (bi, ctx, V))
     tok_re = _re.compile(LM_TOKEN_SPLIT)
 
     def _score(texts):
+        bi_l, ctx_l, v_l = get_model()
         n_out, a_out = [], []
         for t in texts:
             toks = [w for w in tok_re.split((t or "").lower()) if w]
@@ -579,7 +619,7 @@ def lm_score_rowlocal(
                 continue
             s = 0.0
             for w1, w2 in zip(toks, toks[1:]):
-                s += math.log((bi.get((w1, w2), 0) + 1) / (ctx.get(w1, 0) + V))
+                s += math.log((bi_l.get((w1, w2), 0) + 1) / (ctx_l.get(w1, 0) + v_l))
             n_out.append(len(toks) - 1)
             a_out.append(s / (len(toks) - 1))
         return pd.DataFrame({"n": pd.array(n_out, dtype="Int32"),
@@ -624,9 +664,11 @@ def classifier_score_rowlocal(
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     nf, use_bigrams = int(meta["num_features"]), bool(meta["bigrams"])
     bias, seed = float(meta["bias"]), str(meta["seed"])
+    get_w = _broadcast_getter(spark, w)  # ≤ num_features entries, one executor copy
     tok_re = _re.compile(LM_TOKEN_SPLIT)
 
     def _score(texts):
+        w_l = get_w()
         n_out, m_out = [], []
         for t in texts:
             toks = [x for x in tok_re.split((t or "").lower()) if x]
@@ -637,7 +679,7 @@ def classifier_score_rowlocal(
                 n_out.append(None)
                 m_out.append(None)
                 continue
-            s = sum(w.get(py_md5_long(f, salt=f"{seed}|") % nf, 0.0) for f in feats)
+            s = sum(w_l.get(py_md5_long(f, salt=f"{seed}|") % nf, 0.0) for f in feats)
             n_out.append(len(feats))
             m_out.append(s / len(feats) + bias)
         return pd.DataFrame({"n": pd.array(n_out, dtype="Int32"),

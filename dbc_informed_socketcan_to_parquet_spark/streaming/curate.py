@@ -66,6 +66,8 @@ def streaming_curate_frame(
     max_perplexity: float | None = None,
     classifier_path: str | None = None,
     min_clf_prob: float | None = None,
+    lang_model_path: str | None = None,
+    allowed_langs: tuple[str, ...] = (),
 ) -> DataFrame:
     """The transformation core (source- and sink-agnostic): normalize →
     quality gate → watermarked exact dedup, as one streaming-safe plan.
@@ -124,6 +126,17 @@ def streaming_curate_frame(
         out = classifier_score_rowlocal(out, classifier_path, text_col=text_col).filter(
             F.col("clf_prob") >= min_clf_prob
         ).drop("clf_n_features", "clf_margin", "clf_prob")
+    if allowed_langs:
+        if lang_model_path is None:
+            raise ValueError("allowed_langs set but lang_model_path not provided "
+                             "(streaming uses the trained row-local model)")
+        from dbc_informed_socketcan_to_parquet_spark.operators.langid import (
+            lang_id_rowlocal,
+        )
+
+        out = lang_id_rowlocal(out, lang_model_path, text_col=text_col).filter(
+            F.col("lang_pred").isin(list(allowed_langs))
+        ).drop("lang_pred", "lang_score")
     return streaming_exact_dedup(
         out, text_col=text_col, time_col=time_col, watermark=watermark
     )
@@ -146,6 +159,8 @@ def run_streaming_curate(
     max_perplexity: float | None = None,
     classifier_path: str | None = None,
     min_clf_prob: float | None = None,
+    lang_model_path: str | None = None,
+    allowed_langs: tuple[str, ...] = (),
 ):
     """Start the full streaming curate pipeline; returns the list of
     live ``StreamingQuery`` handles (main lane first, then quarantine
@@ -165,6 +180,7 @@ def run_streaming_curate(
         min_quality=min_quality, watermark=watermark,
         lm_path=lm_path, max_perplexity=max_perplexity,
         classifier_path=classifier_path, min_clf_prob=min_clf_prob,
+        lang_model_path=lang_model_path, allowed_langs=allowed_langs,
     )
 
     def _start(df, fmt, path, ckpt):

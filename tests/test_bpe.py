@@ -143,6 +143,34 @@ def test_bpe_vocab_inventory():
     assert len(v) == len(set(v))
 
 
+def test_bpe_vocab_closed_over_corpus(spark):
+    """With the corpus word table supplied, bpe_vocab covers EVERY token
+    bpe_encode can emit — no out-of-vocabulary lookup at training time
+    (ADVICE r6: merge-derived base symbols alone miss characters that
+    never joined a merge)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+        bpe_encode,
+        bpe_vocab,
+        bpe_word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "zebra? quartz; jinx!"),
+         (2, "the the the qqq xyzzy")],
+        "doc_id long, text string",
+    )
+    merges, _ = bpe_train(docs, num_merges=8)
+    words = [r["w"] for r in bpe_word_counts(docs).collect()]
+    vocab = set(bpe_vocab(merges, words=words))
+    emitted = set()
+    for r in bpe_encode(docs, merges).select("bpe_tokens").collect():
+        emitted.update(r.bpe_tokens)
+    assert emitted <= vocab
+    # merge-only base (no words) is NOT closed on this corpus — the
+    # documented limitation the words= parameter exists for
+    assert not emitted <= set(bpe_vocab(merges))
+
+
 def test_export_cli_with_bpe_path(spark, tmp_path, capsys):
     """`export --bpe-path` tokenizes on the fly in trained units."""
     from dbc_informed_socketcan_to_parquet_spark.__main__ import main

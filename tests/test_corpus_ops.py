@@ -1205,7 +1205,7 @@ def test_lm_write_score_from_matches_inline(spark, tmp_path):
         "doc_id long, text string",
     )
     path = str(tmp_path / "lm")
-    v = lm_write(corpus, path)
+    v = lm_write(corpus, path, min_count=1)  # bit-identity needs unpruned
     assert v > 0
     inline = {r.doc_id: (r.n_bigrams, r.avg_logp, r.perplexity)
               for r in lm_score(scored_df, corpus=corpus).collect()}
@@ -1224,6 +1224,37 @@ def test_lm_write_score_from_matches_inline(spark, tmp_path):
     assert pruned[2][1] < disk[2][1]
     with pytest.raises(ValueError):
         lm_write(corpus, str(tmp_path / "bad"), min_count=0)
+
+    # the DEFAULT artifact is pruned (r7, ADVICE r6): min_count=2 in meta
+    # and no singleton bigram survives in the stored table
+    path3 = str(tmp_path / "lm_default")
+    lm_write(corpus, path3)
+    meta = spark.read.parquet(path3 + "/meta").collect()[0]
+    assert meta["min_count"] == 2
+    min_c12 = spark.read.parquet(path3 + "/bigrams").agg({"c12": "min"}).collect()[0][0]
+    assert min_c12 >= 2
+
+
+def test_lm_score_rowlocal_guards_oversized_model(spark, tmp_path):
+    """lm_score_rowlocal refuses to driver-collect a model above its row
+    ceiling and names min_count + the distributed alternative (ADVICE r6:
+    the silent-OOM path is now a loud, actionable error)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        lm_score_rowlocal,
+        lm_write,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lm")
+    lm_write(corpus, path, min_count=1)
+    with pytest.raises(ValueError, match="min_count.*lm_score_from"):
+        lm_score_rowlocal(corpus, path, max_model_rows=3).collect()
+    # under the ceiling it scores normally
+    out = lm_score_rowlocal(corpus, path, max_model_rows=1000)
+    assert out.filter("lm_avg_logp IS NOT NULL").count() == 3
 
 
 def test_classifier_write_score_from_matches_inline(spark, tmp_path):

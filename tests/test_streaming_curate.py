@@ -194,3 +194,43 @@ def test_streaming_curate_with_model_gates(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="lm_path"):
         streaming_curate_frame(probe, max_perplexity=100.0)
+
+
+def test_streaming_curate_with_trained_lang_gate(spark, tmp_path):
+    """The r7 trained language gate runs INSIDE the stream (row-local NB
+    kernel against the persisted langid model) and keeps exactly the
+    allowed languages."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.langid import lang_write
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        run_streaming_curate,
+        streaming_curate_frame,
+    )
+
+    en = ("the quick brown fox jumps over the lazy dog near the river and "
+          "the engine reads the plan before sending work to every node")
+    de = ("der schnelle braune fuchs springt über den faulen hund am fluss und "
+          "die maschine liest den plan bevor sie die arbeit verteilt")
+    corpus = spark.createDataFrame(
+        [(1, en, "en"), (2, de, "de")], "doc_id long, text string, lang string"
+    )
+    model_dir = str(tmp_path / "langmodel")
+    lang_write(corpus, model_dir, num_features=1 << 14)
+
+    land = tmp_path / "lg_land"
+    land.mkdir()
+    _write_batch(land, "b0.jsonl", [_doc(1, en), _doc(2, de)])
+    out = str(tmp_path / "lg_out")
+    for q in run_streaming_curate(
+        spark, str(land), out, str(tmp_path / "lg_ckpt"),
+        min_chars=32, min_quality=0.0, watermark="1 hour", available_now=True,
+        lang_model_path=model_dir, allowed_langs=("en",),
+    ):
+        q.awaitTermination()
+    landed = spark.read.parquet(out)
+    assert [r.doc_id for r in landed.collect()] == [1]
+    # gate columns are internal: the landed schema is the input schema
+    assert "lang_pred" not in landed.columns
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lang_model_path"):
+        streaming_curate_frame(corpus, allowed_langs=("en",))
