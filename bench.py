@@ -166,7 +166,9 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  "fuzzy_contamination", "normalize_text",
                  "temperature_mix",
                  # r6 additions: the URL front door + trained-BPE counting
-                 "url_canonical_dedup", "domain_cap", "bpe_token_count"):
+                 "url_canonical_dedup", "domain_cap", "bpe_token_count",
+                 # r7 addition: trained multiclass language ID (train+score)
+                 "lang_id_trained"):
         fn = EXTRA_QUERIES[name]
         samples = []
         for _ in range(2):

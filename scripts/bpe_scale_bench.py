@@ -42,6 +42,29 @@ def main() -> None:
     t_wordcount = time.perf_counter() - t0
     word_freq = {r["w"]: int(r["cnt"]) for r in top}
 
+    # The synthetic fixture's vocabulary is tiny (~310 word types at sf1
+    # — a small word pool times the per-copy cipher), so 32k merges
+    # exhaust after <1k.  The driver merge loop's cost depends only on
+    # the WORD-TYPE table (that is the whole point of the word-frequency
+    # formulation), so to measure the production fixed cost we pad to
+    # 50k Zipfian-weighted synthetic word types — deterministic, flagged
+    # in the output (no silent substitution).
+    augmented = False
+    if len(word_freq) < 50_000:
+        import hashlib
+
+        augmented = True
+        syll = ["ba", "ne", "to", "ri", "mul", "sta", "pre", "ver", "ing",
+                "ed", "er", "un", "re", "con", "ly", "ment", "tion", "al",
+                "ous", "ex", "qu", "zo", "fi", "gra", "ph"]
+        i = 0
+        while len(word_freq) < 50_000:
+            h = hashlib.md5(f"w{i}".encode()).digest()
+            w = "".join(syll[b % len(syll)] for b in h[: 3 + h[3] % 4])
+            if w not in word_freq:
+                word_freq[w] = max(1, 200_000 // (i + 1))
+            i += 1
+
     t0 = time.perf_counter()
     merges = _train_merges(word_freq, num_merges)
     t_train = time.perf_counter() - t0
@@ -58,6 +81,7 @@ def main() -> None:
         "num_merges_requested": num_merges,
         "merges_learned": len(merges),
         "word_types": len(word_freq),
+        "word_types_augmented": augmented,
         "n_docs": n_docs,
         "wordcount_s": round(t_wordcount, 2),
         "train_s": round(t_train, 2),

@@ -1,0 +1,154 @@
+"""Two-decade scaling study for the expensive tail (VERDICT r6 #1):
+run the most expensive registry entries + the e2e compositions at
+sf0.1 → sf1 (×10) → sf10 (×100) and record per-point wall time and the
+per-decade ratios.  Superlinear terms that hide at ×10 (state growth,
+broadcast limits, driver-side tables) show up as a second-decade ratio
+well above the 10× data growth.
+
+Entry selection: the top of REGISTRY_SCALING_r6 by sf1 cost, plus
+curate_e2e and export_training_shards (the two compositions a
+production pipeline actually ships), plus the r7 lang_id_trained.
+
+Usage:
+    python scripts/tail_scaling.py [OUT_JSON]
+Requires `.benchdata/sf1` and `.benchdata/sf10`
+(scripts/make_scaled_sf.py 10 / 100).
+
+Methodology: min of 2 cold passes at sf0.1/sf1; ONE cold pass at sf10
+(recorded in the output — a second ×100 pass would double a multi-hour
+budget for noise reduction the decade trend doesn't need).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbc_informed_socketcan_to_parquet_spark.queries import (  # noqa: E402
+    EXTRA_QUERIES,
+    QUERIES,
+)
+from dbc_informed_socketcan_to_parquet_spark.session import get_spark  # noqa: E402
+
+SF_POINTS = {
+    "sf01": "/root/testdata/sf0.1",
+    "sf1": os.path.join(REPO, ".benchdata", "sf1"),
+    "sf10": os.path.join(REPO, ".benchdata", "sf10"),
+}
+
+#: the r6 expensive tail (by sf1 cost) + the r7 trained-langid entry
+TAIL = [
+    "extra:classifier_score",
+    "extra:importance_resample",
+    "extra:lm_score",
+    "semantic_dedup",
+    "ngram_jaccard_pairs",
+    "leakage_safe_split",
+    "dedup_star_clusters",
+    "extra:chunk_documents",
+    "extra:frequent_ngrams",
+    "benchmark_contamination",
+    "minhash_lsh_pairs",
+    "doc_fingerprints",
+    "simhash_signatures",
+    "similarity_ann_ivf",
+    "extra:lang_id_trained",
+]
+
+
+def _curate_e2e(spark, sf_dir):
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate(docs)
+
+
+def _export_shards(spark, sf_dir):
+    """export_training_shards writes files (no noop sink) — wrapped so
+    the timing harness treats the write as the action."""
+    from dbc_informed_socketcan_to_parquet_spark.storage import export_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", F.size(F.split("text", r"\s+")).cast("long")
+    )
+    out = os.path.join(REPO, ".benchdata", "_tail_export")
+    shutil.rmtree(out, ignore_errors=True)
+    export_training_shards(docs, out, "n_tokens", 4096, num_shards=32)
+    shutil.rmtree(out, ignore_errors=True)
+    return None
+
+
+def _resolve(name):
+    if name == "curate_e2e":
+        return _curate_e2e
+    if name == "export_training_shards":
+        return _export_shards
+    if name.startswith("extra:"):
+        return EXTRA_QUERIES[name.split(":", 1)[1]]
+    return QUERIES[name]
+
+
+def time_entry(spark, fn, sf_dir: str, passes: int) -> float:
+    samples = []
+    for _ in range(passes):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if df is not None:
+            df.write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, ".benchdata", "tail_scaling.json"
+    )
+    for k, p in SF_POINTS.items():
+        if not os.path.isdir(p):
+            raise SystemExit(f"missing {p}: run scripts/make_scaled_sf.py first")
+    spark = get_spark("tail-scaling")
+    spark.read.parquet(f"{SF_POINTS['sf01']}/lineitem.parquet").count()  # warmup
+
+    names = TAIL + ["curate_e2e", "export_training_shards"]
+    results: dict[str, dict] = {}
+    for i, name in enumerate(names, 1):
+        fn = _resolve(name)
+        row: dict = {}
+        for point, passes in (("sf01", 2), ("sf1", 2), ("sf10", 1)):
+            try:
+                row[f"{point}_s"] = time_entry(spark, fn, SF_POINTS[point], passes)
+            except Exception as e:
+                row[f"{point}_err"] = f"{type(e).__name__}: {e}"[:300]
+                break
+        if "sf01_s" in row and "sf1_s" in row and row["sf01_s"] > 0:
+            row["ratio_x10"] = round(row["sf1_s"] / row["sf01_s"], 2)
+        if "sf1_s" in row and "sf10_s" in row and row["sf1_s"] > 0:
+            row["ratio_x100_decade2"] = round(row["sf10_s"] / row["sf1_s"], 2)
+        results[name] = row
+        print(f"[{i}/{len(names)}] {name}: {row}", flush=True)
+
+    payload = {
+        "methodology": "min2-cold at sf0.1/sf1, single cold pass at sf10",
+        "data_growth_per_decade": 10,
+        "entries": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    flagged = {
+        k: v for k, v in results.items()
+        if v.get("ratio_x100_decade2", 0) > 12 or any("err" in kk for kk in v)
+    }
+    print(json.dumps({"n": len(results), "flagged": flagged}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,9 @@ GUARDED_SITES = {
     ("operators/dedup.py", "dedup_against_corpus"),
     # try sparkContext except AttributeError → closure-capture domain set
     ("operators/urlops.py", "domain_filter"),
+    # try sparkContext except AttributeError → closure-capture model dicts
+    # (shared by lm/classifier/langid rowlocal scorers, r7)
+    ("operators/textops.py", "_broadcast_getter"),
 }
 
 CLASSIC_ATTRS = {"sparkContext", "_jdf", "_jsc", "_jvm", "rdd"}
