@@ -538,7 +538,7 @@ def semantic_dedup_clusters(
     id_col: str,
     vec_col: str,
     threshold: float = 0.7,
-    num_clusters: int = 16,
+    num_clusters: int | str = "auto",
     n_iters: int = 2,
     dim: int | None = None,
     sample_mod: int = 1,
@@ -546,6 +546,7 @@ def semantic_dedup_clusters(
     kernel: str = "pandas",
     max_iters: int = 15,
     nprobe: int = 1,
+    target_block: int = 4096,
 ) -> DataFrame:
     """SEMANTIC near-dup clustering over an embedding column — the
     embedding-space analog of :func:`minhash_star_clusters`:
@@ -568,13 +569,33 @@ def semantic_dedup_clusters(
     pair volume (components can only merge as nprobe grows — edges are
     a superset; pytest-pinned).  At 100 TB the assignment is the same
     one-off batch job as the persisted IVF index; pairs + components
-    then touch each inverted list independently."""
+    then touch each inverted list independently.
+
+    ``num_clusters`` must GROW with the corpus — the r7 ×100 study
+    measured the fixed-k shape OOMing a 24 GiB heap at 200k vectors
+    (k=16 ⇒ ~25k-vector blocks ⇒ both the Gram passes and the
+    O(block²) pair OUTPUT go quadratic in N).  The default ``"auto"``
+    sizes ``k = max(16, ceil(nprobe·N / target_block))`` from one
+    count(), rounded up to a power of two (quantizer seeding
+    requirement), so blocks stay ~``target_block`` vectors and cost
+    stays ~linear in N; pass an int (as the oracle-paired registry
+    entry does) only when k must be pinned."""
+    import math
+
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
         _ivf_train,
         _nearest_label,
         _nearest_labels,
     )
 
+    if num_clusters == "auto":
+        n = df.count()
+        # next power of two (the quantizer seeds centroids from
+        # hyperplane sign patterns, so k must be 2^nplanes)
+        k = max(16, math.ceil(max(1, nprobe) * n / target_block))
+        num_clusters = 1 << (k - 1).bit_length()
+    elif not isinstance(num_clusters, int):
+        raise ValueError(f"num_clusters must be an int or 'auto', got {num_clusters!r}")
     dim, centers = _ivf_train(df, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, "expr")
     vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     base = df.select(F.col(id_col), F.col(vec_col))

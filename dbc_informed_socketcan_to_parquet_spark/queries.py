@@ -3817,3 +3817,92 @@ def q_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["lang"], r["logprior"], r["floor_w"]) for r in priors_df.collect()
     ]
     return lang_id_trained(docs, weights, priors, num_features=_LID_F)
+
+
+@extra_query(
+    "tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                t -> t != '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(rk AS INT) AS rank, tfidf
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by smoothed TF-IDF (operators/tfidf.py,
+    r7): keyword extraction for topic tagging — tf⋈df on pre-aggregated
+    tables, per-doc array-sort+slice top-k (no corpus window), sklearn
+    smooth idf, deterministic tie-break."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.tfidf import tfidf_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=5)
+
+
+_BM25_QUERY = ("merge", "window", "query", "spark")
+
+
+@extra_query(
+    "bm25_search",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         t -> t != '') AS tk
+      FROM documents
+    ),
+    lengths AS (SELECT doc_id, len(tk) AS dl FROM tk),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM lengths
+    ),
+    hits AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+      WHERE term IN ({", ".join(f"'{t}'" for t in sorted(_BM25_QUERY))})
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+    idf AS (
+      SELECT term,
+             ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf
+      FROM dfreq
+    ),
+    scored AS (
+      SELECT h.doc_id,
+             i.idf * (h.tf * 2.2)
+               / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM stats))) AS s
+      FROM hits h JOIN idf i USING (term) JOIN lengths l USING (doc_id)
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_hits, round(sum(s), 6) AS bm25
+    FROM scored GROUP BY 1
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed 4-term query
+    (operators/tfidf.py, r7) — sparse corpus search without embeddings.
+    The query terms compile to an isin filter below the tf aggregation
+    (only query-term rows ever shuffle); query-term idf values collect
+    driver-side (|query| rows) and score as a literal map — no join in
+    the scoring pass."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.tfidf import bm25_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_score(docs, list(_BM25_QUERY))

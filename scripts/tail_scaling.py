@@ -71,6 +71,23 @@ def _curate_e2e(spark, sf_dir):
     return curate(docs)
 
 
+def _semantic_dedup_prod(spark, sf_dir):
+    """The production-shaped semantic dedup: auto-scaled cluster count
+    (blocks bounded at ~target_block vectors regardless of N) and a
+    real near-dup threshold (0.9 — the registry entry's 0.25 passes
+    ~2.3% of RANDOM 64-dim pairs, so its pair output is quadratic by
+    fixture construction, not by operator design)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        semantic_dedup_clusters,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup_clusters(
+        emb, "vec_id", "embedding",
+        threshold=0.9, num_clusters="auto", n_iters=2, dim=64, nprobe=2,
+    )
+
+
 def _export_shards(spark, sf_dir):
     """export_training_shards writes files (no noop sink) — wrapped so
     the timing harness treats the write as the action."""
@@ -91,6 +108,8 @@ def _resolve(name):
         return _curate_e2e
     if name == "export_training_shards":
         return _export_shards
+    if name == "semantic_dedup_prod":
+        return _semantic_dedup_prod
     if name.startswith("extra:"):
         return EXTRA_QUERIES[name.split(":", 1)[1]]
     return QUERIES[name]
@@ -118,7 +137,7 @@ def main() -> None:
     spark = get_spark("tail-scaling")
     spark.read.parquet(f"{SF_POINTS['sf01']}/lineitem.parquet").count()  # warmup
 
-    names = TAIL + ["curate_e2e", "export_training_shards"]
+    names = TAIL + ["semantic_dedup_prod", "curate_e2e", "export_training_shards"]
     results: dict[str, dict] = {}
     for i, name in enumerate(names, 1):
         fn = _resolve(name)
@@ -128,6 +147,22 @@ def main() -> None:
                 row[f"{point}_s"] = time_entry(spark, fn, SF_POINTS[point], passes)
             except Exception as e:
                 row[f"{point}_err"] = f"{type(e).__name__}: {e}"[:300]
+                # a fatal executor error (e.g. heap OOM) kills the shared
+                # local SparkContext and would poison every later entry —
+                # recycle the session before moving on
+                try:
+                    alive = not spark.sparkContext._jsc.sc().isStopped()
+                except Exception:
+                    alive = False
+                if not alive:
+                    try:
+                        spark.stop()
+                    except Exception:
+                        pass
+                    spark = get_spark("tail-scaling")
+                    spark.read.parquet(
+                        f"{SF_POINTS['sf01']}/lineitem.parquet"
+                    ).count()
                 break
         if "sf01_s" in row and "sf1_s" in row and row["sf01_s"] > 0:
             row["ratio_x10"] = round(row["sf1_s"] / row["sf01_s"], 2)

@@ -567,6 +567,38 @@ def test_semantic_dedup_clusters_invariants(spark):
     assert kept_ids == expected
 
 
+def test_semantic_dedup_auto_cluster_count(spark):
+    """num_clusters='auto' (the r7 default) sizes k from the corpus so
+    blocks stay ~target_block vectors — the fixed-k shape OOM'd at the
+    ×100 point (blocks and the O(block²) pair output grow with N)."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        semantic_dedup_clusters,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    # tiny target_block forces auto-k above the 16 floor: ceil(2n/8)
+    auto = semantic_dedup_clusters(
+        emb, "vec_id", "embedding", threshold=0.25, n_iters=1, dim=64,
+        round_to=6, nprobe=2, target_block=8,
+    )
+    # equivalent explicit k (rounded up to a power of two — quantizer
+    # requirement) produces the identical clustering
+    import math
+    k = 1 << (max(16, math.ceil(2 * n / 8)) - 1).bit_length()
+    explicit = semantic_dedup_clusters(
+        emb, "vec_id", "embedding", threshold=0.25, num_clusters=k,
+        n_iters=1, dim=64, round_to=6, nprobe=2,
+    )
+    got = {(r.doc_id, r.cluster_id) for r in auto.collect()}
+    want = {(r.doc_id, r.cluster_id) for r in explicit.collect()}
+    assert got == want
+    with _pytest.raises(ValueError, match="auto"):
+        semantic_dedup_clusters(emb, "vec_id", "embedding", num_clusters="huge")
+
+
 def test_semantic_dedup_multiprobe_only_merges(spark):
     """Raising nprobe adds edges (each vector lands in a superset of
     blocks), so connected components can only MERGE: any two docs

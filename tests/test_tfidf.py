@@ -1,0 +1,99 @@
+"""TF-IDF / BM25 (operators/tfidf.py) — hand-computed semantics, edge
+cases, and plan shape.  Registry-level oracle parity at sf0.01 lives in
+tests/test_extra_registry.py (tfidf_topk, bm25_search)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dbc_informed_socketcan_to_parquet_spark.operators.tfidf import (
+    bm25_score,
+    doc_frequencies,
+    term_counts,
+    tfidf_topk,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_term_and_doc_frequencies(spark, docs):
+    tf = {(r.doc_id, r.term): r.tf for r in term_counts(docs).collect()}
+    assert tf[(1, "apple")] == 2 and tf[(1, "banana")] == 1
+    assert tf[(3, "cherry")] == 3 and tf[(3, "durian")] == 1
+    df = {r.term: r.df for r in doc_frequencies(term_counts(docs)).collect()}
+    assert df == {"apple": 1, "banana": 2, "cherry": 2, "durian": 1}
+
+
+def test_tfidf_topk_hand_computed(spark, docs):
+    # N=3; smooth idf = ln((N+1)/(df+1)) + 1
+    idf = {t: math.log(4 / (d + 1)) + 1 for t, d in
+           {"apple": 1, "banana": 2, "cherry": 2, "durian": 1}.items()}
+    out = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in tfidf_topk(docs, k=2).collect()}
+    assert out[(1, 1)][0] == "apple"
+    assert out[(1, 1)][1] == pytest.approx(2 * idf["apple"], abs=1e-6)
+    assert out[(1, 2)][0] == "banana"
+    assert out[(3, 1)][0] == "cherry"
+    assert out[(3, 1)][1] == pytest.approx(3 * idf["cherry"], abs=1e-6)
+    assert out[(3, 2)][0] == "durian"
+    # doc 2: tie on tf=1 — banana (idf ln(4/3)+1) < cherry? equal idf
+    # (same df) -> tie broken by term asc: banana first
+    assert out[(2, 1)][0] == "banana" and out[(2, 2)][0] == "cherry"
+    with pytest.raises(ValueError):
+        tfidf_topk(docs, k=0)
+
+
+def test_bm25_hand_computed(spark, docs):
+    # query = {cherry}: df=2, N=3 -> idf = ln(1 + (3-2+0.5)/(2+0.5))
+    out = {r.doc_id: (r.n_hits, r.bm25) for r in bm25_score(docs, ["cherry"]).collect()}
+    assert set(out) == {2, 3}          # doc 1 has no query term
+    idf = math.log(1 + 1.5 / 2.5)
+    avgdl = (3 + 2 + 4) / 3
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[2] == (1, pytest.approx(s(1, 2), abs=1e-6))
+    assert out[3] == (1, pytest.approx(s(3, 4), abs=1e-6))
+    # multi-term query sums per-term contributions
+    multi = {r.doc_id: r.bm25 for r in bm25_score(docs, ["cherry", "durian"]).collect()}
+    assert multi[3] > out[3][1]
+    with pytest.raises(ValueError):
+        bm25_score(docs, [])
+
+
+def test_bm25_query_filter_prunes_before_shuffle(spark, docs):
+    """The query-term isin filter must sit below the aggregation — only
+    query-term rows reach the exchange — and the scoring pass has no
+    join (idf is a literal map)."""
+    import re
+
+    df = bm25_score(docs, ["cherry"])
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Join" not in plan
+    # one aggregation exchange for (doc, term), one for the final doc agg
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) <= 2
+
+
+def test_tfidf_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple"), (2, None), (3, ""), (4, "???")],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(df, k=3)
+    assert {r.doc_id for r in out.collect()} == {1}
+    assert bm25_score(df, ["apple"]).count() == 1
