@@ -78,6 +78,60 @@ def cosine_topk(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """k-NN label propagation: predict each query vector's label by
+    MAJORITY VOTE of its ``k`` nearest labeled corpus vectors — the
+    standard way a small human-labeled seed set (quality tiers, topic
+    tags, safety labels) spreads to a whole embedded corpus without
+    training a model.
+
+    Returns ``(query_id_col, predicted_label, votes, n_neighbors)``
+    with a deterministic tie-break (more votes wins, then smallest
+    label).  ``n_neighbors`` < k flags queries near the corpus boundary
+    (fewer than k labeled rows exist).
+
+    Execution: the exact :func:`cosine_topk` shape (broadcast queries,
+    no corpus shuffle, one bounded top-k window) → the k·|Q|-row result
+    joins the corpus label column BROADCAST (top-k side is the small
+    one) → one grouped vote count + one min-struct argmax per query.
+    For corpus-scale query sets swap the brute-force stage for
+    :func:`ivf_ann_topk` / :func:`lsh_ann_topk` (same output contract)
+    and vote identically."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    topk = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, round_to=round_to,
+    )
+    labeled = corpus.select(F.col(id_col), F.col(label_col).alias("_lbl")).join(
+        F.broadcast(topk.select(query_id_col, id_col)), id_col
+    )
+    votes = labeled.groupBy(query_id_col, "_lbl").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    best = votes.groupBy(query_id_col).agg(
+        F.min(
+            F.struct((-F.col("votes")).alias("nv"), F.col("_lbl").alias("lbl"))
+        ).alias("_b"),
+        F.sum("votes").cast("int").alias("n_neighbors"),
+    )
+    return best.select(
+        F.col(query_id_col),
+        F.col("_b.lbl").alias("predicted_label"),
+        (-F.col("_b.nv")).cast("int").alias("votes"),
+        F.col("n_neighbors"),
+    )
+
+
 # -- sign-LSH (random hyperplane) bucketed ANN -------------------------------
 
 def _hyperplane_component(table: int | str, plane: int, dim: int) -> float:

@@ -3906,3 +3906,51 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return bm25_score(docs, list(_BM25_QUERY))
+
+
+@extra_query(
+    "knn_classify",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id, e.label, {_COS} AS cosine
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < 50 AND e.vec_id >= 50
+    ),
+    topk AS (
+      SELECT query_id, vec_id, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+      QUALIFY rk <= 5
+    ),
+    votes AS (
+      SELECT query_id, label, count(*) AS votes FROM topk GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT query_id, label, votes,
+             sum(votes) OVER (PARTITION BY query_id) AS n_neighbors,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS rk
+      FROM votes
+    )
+    SELECT query_id, label AS predicted_label,
+           CAST(votes AS INT) AS votes, CAST(n_neighbors AS INT) AS n_neighbors
+    FROM best WHERE rk = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label propagation (operators/similarity.knn_classify, r7):
+    50 query vectors classified by majority vote of their 5 nearest
+    labeled corpus vectors (the seed-label spreading step of a curation
+    pipeline).  Broadcast-query top-k, broadcast label join, one vote
+    aggregation — the corpus never shuffles."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    return knn_classify(corpus, queries, k=5)

@@ -97,3 +97,51 @@ def test_tfidf_null_and_empty_text(spark):
     out = tfidf_topk(df, k=3)
     assert {r.doc_id for r in out.collect()} == {1}
     assert bm25_score(df, ["apple"]).count() == 1
+
+
+# -- knn_classify (operators/similarity.py, r7) ------------------------------
+
+def test_knn_classify_separable_clusters(spark):
+    """Queries near a labeled cluster inherit its label; votes and
+    n_neighbors are exact; tie-break picks the smallest label."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    def vec(angle):  # unit 2-d vectors by angle
+        return [math.cos(angle), math.sin(angle)]
+
+    corpus_rows = (
+        [(i, vec(0.0 + 0.01 * i), 1) for i in range(5)]          # cluster A @ 0 rad
+        + [(10 + i, vec(2.0 + 0.01 * i), 2) for i in range(5)]   # cluster B @ 2 rad
+    )
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = spark.createDataFrame(
+        [(100, vec(0.02)), (101, vec(2.02))],
+        "query_id long, embedding array<double>",
+    )
+    out = {r.query_id: (r.predicted_label, r.votes, r.n_neighbors)
+           for r in knn_classify(corpus, queries, k=3).collect()}
+    assert out[100] == (1, 3, 3)
+    assert out[101] == (2, 3, 3)
+
+    # k larger than the corpus: n_neighbors caps at corpus size
+    small = corpus.filter("vec_id < 2")
+    capped = knn_classify(small, queries, k=5).collect()
+    assert all(r.n_neighbors == 2 for r in capped)
+
+    # exact vote tie (1 neighbor each from two labels) -> smallest label
+    tie_corpus = spark.createDataFrame(
+        [(1, vec(0.0), 7), (2, vec(0.04), 3)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    tie = knn_classify(tie_corpus, queries.filter("query_id = 100"), k=2).collect()
+    assert tie[0].predicted_label == 3 and tie[0].votes == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        knn_classify(corpus, queries, k=0)
