@@ -547,6 +547,7 @@ def semantic_dedup_clusters(
     max_iters: int = 15,
     nprobe: int = 1,
     target_block: int = 4096,
+    assign_kernel: str = "auto",
 ) -> DataFrame:
     """SEMANTIC near-dup clustering over an embedding column — the
     embedding-space analog of :func:`minhash_star_clusters`:
@@ -579,15 +580,27 @@ def semantic_dedup_clusters(
     count(), rounded up to a power of two (quantizer seeding
     requirement), so blocks stay ~``target_block`` vectors and cost
     stays ~linear in N; pass an int (as the oracle-paired registry
-    entry does) only when k must be pinned."""
+    entry does) only when k must be pinned.
+
+    ``assign_kernel`` picks how vectors meet centroids: ``"expr"`` is
+    the Column-expression form whose arithmetic the DuckDB oracle
+    replays exactly, but it embeds k·dim literal nodes evaluated per
+    row — the r7 study measured the auto-k sf10 point (k=128) at 27×
+    decade-2 BECAUSE of this term; ``"pandas"`` is one numpy matmul per
+    Arrow batch (O(k·dim) cost paid once per batch, not per row).
+    Default ``"auto"``: pandas whenever k was auto-sized (production),
+    expr for pinned k (oracle replay)."""
     import math
 
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
         _ivf_train,
         _nearest_label,
         _nearest_labels,
+        _nearest_pandas,
     )
 
+    if assign_kernel == "auto":
+        assign_kernel = "pandas" if num_clusters == "auto" else "expr"
     if num_clusters == "auto":
         n = df.count()
         # next power of two (the quantizer seeds centroids from
@@ -596,15 +609,26 @@ def semantic_dedup_clusters(
         num_clusters = 1 << (k - 1).bit_length()
     elif not isinstance(num_clusters, int):
         raise ValueError(f"num_clusters must be an int or 'auto', got {num_clusters!r}")
-    dim, centers = _ivf_train(df, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, "expr")
-    vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    dim, centers = _ivf_train(
+        df, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, assign_kernel
+    )
     base = df.select(F.col(id_col), F.col(vec_col))
-    if nprobe <= 1:
-        blocked = base.withColumn("_blk", _nearest_label(vec_sql, centers))
-    else:
-        blocked = base.withColumn(
-            "_blk", F.explode(_nearest_labels(vec_sql, centers, nprobe))
+    if assign_kernel == "pandas":
+        inner = base.withColumn("_v64", F.col(vec_col).cast("array<double>"))
+        assigned = _nearest_pandas(
+            inner, centers, "_v64", "_blk", n=(nprobe if nprobe > 1 else 1)
+        ).drop("_v64")
+        blocked = (
+            assigned.withColumn("_blk", F.explode("_blk")) if nprobe > 1 else assigned
         )
+    else:
+        vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+        if nprobe <= 1:
+            blocked = base.withColumn("_blk", _nearest_label(vec_sql, centers))
+        else:
+            blocked = base.withColumn(
+                "_blk", F.explode(_nearest_labels(vec_sql, centers, nprobe))
+            )
     pairs = embedding_near_dup_pairs(
         blocked, id_col, vec_col, "_blk",
         threshold=threshold, kernel=kernel, round_to=round_to,
