@@ -1166,3 +1166,52 @@ def ivfpq_ann_topk(
         .filter(F.col("rank") <= topk)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Recall@k of an ANN result against the exact baseline — the eval
+    harness that turns "we built an IVF/LSH/PQ index" into a measured
+    quality number (the reference has no ANN layer; this grades ours).
+
+    ``exact`` and ``approx`` are two top-k frames with the shared
+    ``(query_id_col, id_col)`` contract that :func:`cosine_topk`,
+    :func:`lsh_ann_topk`, :func:`ivf_ann_topk`, :func:`pq_topk` and
+    :func:`ivfpq_ann_topk` all emit, so any index variant plugs in
+    unchanged.  Returns one row per query:
+    ``(query_id, n_exact, hits, recall)`` where ``recall =
+    hits / n_exact`` (n_exact = min(k, corpus) — corpora smaller than k
+    don't deflate the score) rounded to ``round_to``.
+
+    Execution: the per-query ground-truth and hit counts are two
+    bounded aggregates over k-rows-per-query inputs (output is ≤ k·|Q|
+    rows by contract); the intersection is an inner join on
+    (query, id) — both sides are top-k results, so even at corpus-scale
+    query sets this is a join of two bounded-by-construction tables,
+    never a corpus scan.  Queries the index missed entirely survive via
+    the left join + zero-fill (an approx frame with no rows for a query
+    must score 0, not vanish).
+    """
+    e = exact.select(F.col(query_id_col), F.col(id_col))
+    a = approx.select(F.col(query_id_col), F.col(id_col))
+    truth = e.groupBy(query_id_col).agg(F.count(F.lit(1)).cast("int").alias("n_exact"))
+    hits = (
+        e.join(a, [query_id_col, id_col])
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("hits"))
+    )
+    return (
+        truth.join(hits, query_id_col, "left")
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)))
+        .select(
+            query_id_col,
+            "n_exact",
+            "hits",
+            F.round(F.col("hits") / F.col("n_exact"), round_to).alias("recall"),
+        )
+    )

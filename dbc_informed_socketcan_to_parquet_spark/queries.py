@@ -1019,6 +1019,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (  # noqa: E
     simhash,
 )
 from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (  # noqa: E402
+    ann_recall,
     cosine,
     cosine_topk,
     lsh_ann_topk,
@@ -1855,6 +1856,65 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_ann_topk(emb, queries, dim=64, k=10, num_clusters=16, nprobe=4, round_to=6)
+
+
+def _ann_recall_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
+                           nprobe: int = 2, k: int = 10) -> str:
+    """Recall@k of the IVF index vs brute force, both replayed in SQL:
+    the deterministic-Lloyd's CTE chain (shared with the IVF/semantic
+    oracles) yields the approx top-k; a cross-join cosine rank yields the
+    exact top-k; recall = |intersection| / |exact| per query."""
+    parts = _ivf_corpus_assign_ctes(dim, nplanes, n_iters)
+    final = f"centers{n_iters}"
+    parts.append(f"""probe AS (
+      SELECT vec_id AS query_id, b AS cluster
+      FROM ({_ivf_assign_sql('(SELECT * FROM vecs WHERE vec_id < 5)', final, f'rn <= {nprobe}')})
+    )""")
+    parts.append(f"""approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, ca.vec_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY {_COS} DESC, ca.vec_id) AS rank
+        FROM probe p
+        JOIN corpus_assign ca ON ca.b = p.cluster
+        JOIN embeddings e ON e.vec_id = ca.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+      ) WHERE rank <= {k}
+    )""")
+    parts.append(f"""exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+      ) WHERE rank <= {k}
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT x.query_id,
+           CAST(count(*) AS INT) AS n_exact,
+           CAST(count(a.vec_id) AS INT) AS hits,
+           round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall
+    FROM exact x
+    LEFT JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY x.query_id
+    """
+
+
+@extra_query("ann_recall", oracle=_ann_recall_oracle_sql())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUALITY eval: recall@10 of the IVF index (nprobe=2 —
+    deliberately below the registry IVF entry's 4 so misses actually
+    occur) against the exact cosine baseline, per query.  Both sides are
+    the registry operators; the recall join runs over two
+    bounded-by-contract top-k tables.  Oracle replays the whole
+    pipeline — k-means, probe, both rankings, the recall arithmetic."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ivf_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries, k=10, round_to=6)
+    approx = ivf_ann_topk(emb, queries, dim=64, k=10, num_clusters=16, nprobe=2, round_to=6)
+    return ann_recall(exact, approx)
 
 
 def _semantic_dedup_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,

@@ -453,7 +453,12 @@ def test_registry_entry_never_plans_cartesian(spark, name):
     CartesianProduct, and at most the known 1-row-totals crossJoin may
     appear as a BroadcastNestedLoopJoin (formatted explain prints each
     node twice: tree + detail).  A predicate typo that degrades an
-    equi-join to a product fails HERE by name, not on the cluster."""
+    equi-join to a product fails HERE by name, not on the cluster.
+
+    ann_recall composes TWO top-k operators (exact baseline + IVF), each
+    with its own bounded query-table broadcast — two NLJ nodes by
+    construction, so its cap is doubled."""
     plan = plan_of(_ALL_REGISTRY[name](spark, SF))
     assert "CartesianProduct" not in plan, name
-    assert plan.count("BroadcastNestedLoopJoin") <= 2, name
+    cap = 4 if name == "extra:ann_recall" else 2
+    assert plan.count("BroadcastNestedLoopJoin") <= cap, name

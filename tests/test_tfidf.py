@@ -145,3 +145,28 @@ def test_knn_classify_separable_clusters(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         knn_classify(corpus, queries, k=0)
+
+
+# -- ann_recall (operators/similarity.py, r7) ---------------------------------
+
+def test_ann_recall_exact_partial_and_empty(spark):
+    """recall(exact, exact) == 1; partial overlap counts per-query; a
+    query the approx side missed entirely scores 0, not a dropped row."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(0, i) for i in range(5)] + [(1, 10 + i) for i in range(5)],
+        "query_id long, vec_id long",
+    )
+    # query 0: 3/5 correct; query 1: nothing returned at all
+    approx = spark.createDataFrame(
+        [(0, 0), (0, 1), (0, 2), (0, 99), (0, 98)],
+        "query_id long, vec_id long",
+    )
+    perfect = {r.query_id: r.recall for r in ann_recall(exact, exact).collect()}
+    assert perfect == {0: 1.0, 1: 1.0}
+
+    out = {r.query_id: (r.n_exact, r.hits, r.recall)
+           for r in ann_recall(exact, approx).collect()}
+    assert out[0] == (5, 3, 0.6)
+    assert out[1] == (5, 0, 0.0)
