@@ -1319,3 +1319,59 @@ def fuzzy_contamination(
         (-F.col("_m._neg")).alias("eval_id"),
         F.col("_m._est").alias("est_jaccard"),
     )
+
+
+def pair_recall(
+    truth: DataFrame,
+    candidates: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """Recall AND precision of a candidate near-dup pair set against an
+    exact ground truth — the tuning harness for the LSH band/row
+    trade-off (more bands → higher recall, more false candidates; the
+    number a dedup job must know before it deletes documents).
+
+    Both inputs are ``(id_a, id_b, ...)`` pair frames (any near-dup
+    operator here: :func:`minhash_dedup_pairs`,
+    :func:`lsh_candidate_pairs`, :func:`ngram_jaccard_pairs`,
+    :func:`simhash_near_pairs`, :func:`embedding_near_dup_pairs`).
+    Pairs are canonicalized to (min, max) order and de-duplicated, so
+    orientation and multiplicity don't skew the counts.  Returns ONE
+    row: ``(n_truth, n_candidates, hits, recall, precision)`` — recall
+    = hits/n_truth, precision = hits/n_candidates, NULL when the
+    denominator is empty (no silent 0-vs-undefined conflation).
+
+    Execution: near-dup pair sets are bounded by construction (LSH
+    bucket caps / df caps upstream), so this is a full-outer join of
+    two bounded tables on the pair key followed by one global
+    aggregate — never a corpus scan."""
+    def canon(df: DataFrame) -> DataFrame:
+        a, b = F.col(id_a), F.col(id_b)
+        return df.select(
+            F.least(a, b).alias(id_a), F.greatest(a, b).alias(id_b)
+        ).distinct()
+
+    t = canon(truth).withColumn("_t", F.lit(1))
+    c = canon(candidates).withColumn("_c", F.lit(1))
+    both = t.join(c, [id_a, id_b], "full_outer")
+    agg = both.agg(
+        F.count("_t").cast("int").alias("n_truth"),
+        F.count("_c").cast("int").alias("n_candidates"),
+        F.count(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1))
+        .cast("int")
+        .alias("hits"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "hits",
+        F.round(
+            F.when(F.col("n_truth") > 0, F.col("hits") / F.col("n_truth")), round_to
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_candidates") > 0, F.col("hits") / F.col("n_candidates")),
+            round_to,
+        ).alias("precision"),
+    )

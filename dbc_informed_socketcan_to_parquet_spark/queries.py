@@ -1016,6 +1016,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (  # noqa: E
     minhash_signatures,
     minhash_star_clusters,
     ngram_jaccard_pairs,
+    pair_recall,
     simhash,
 )
 from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (  # noqa: E402
@@ -1163,6 +1164,78 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to derive the df cap (footer stats are metadata-only at any scale)
     max_df = min(200, _parquet_rows(f"{sf_dir}/documents.parquet") // 25)
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=5, threshold=0.5, max_df=max_df)
+
+
+_MH_EST = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(16))
+
+
+@extra_query(
+    "dedup_pair_recall",
+    oracle=f"""
+    WITH sigs AS ({_MH_SIG_SQL}),
+    bands AS ({_BAND_SQL}),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ),
+    mh AS (
+      SELECT id_a, id_b
+      FROM mh_cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+      WHERE ({_MH_EST}) / 16.0 >= 0.5
+    ),
+    sh0 AS ({_SHINGLE_SQL.format(n=5, nm1=4)}),
+    sh AS (
+      SELECT doc_id, h FROM sh0
+      WHERE h IN (SELECT h FROM sh0 GROUP BY h
+                  HAVING count(*) <= LEAST(200, (SELECT count(*) // 25 FROM documents)))
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.h = b.h
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b
+      FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    counts AS (
+      SELECT CAST(count(t.id_a) AS INT) AS n_truth,
+             CAST(count(c.id_a) AS INT) AS n_candidates,
+             CAST(count(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL
+                             THEN 1 END) AS INT) AS hits
+      FROM truth t FULL JOIN mh c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT n_truth, n_candidates, hits,
+           round(CAST(hits AS DOUBLE) / NULLIF(n_truth, 0), 6) AS recall,
+           round(CAST(hits AS DOUBLE) / NULLIF(n_candidates, 0), 6) AS precision
+    FROM counts
+    """,
+)
+def q_dedup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup candidate QUALITY eval: recall and precision of the full
+    MinHash-LSH pipeline (16 perms, 4 bands, est ≥ 0.5 — the
+    `minhash_lsh_pairs` registry config) against exact n-gram Jaccard
+    ≥ 0.5 ground truth (the `ngram_jaccard_pairs` config) — the
+    band/row tuning harness run BEFORE a dedup config deletes
+    documents at scale.  One full-outer join of two bounded pair
+    tables + one global aggregate; the oracle replays both pipelines
+    and the recall/precision arithmetic."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    max_df = min(200, _parquet_rows(f"{sf_dir}/documents.parquet") // 25)
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=5, threshold=0.5, max_df=max_df
+    )
+    cand = minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perms=16, shingle_n=5,
+        num_bands=_MH_BANDS, threshold=0.5, seed=42,
+    )
+    return pair_recall(truth, cand)
 
 
 _SH_BITS = 16
