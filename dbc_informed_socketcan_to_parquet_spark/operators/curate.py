@@ -57,7 +57,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
 )
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, kw_only=True)
 class CurateConfig:
     min_chars: int = 32
     min_quality: float = 0.5

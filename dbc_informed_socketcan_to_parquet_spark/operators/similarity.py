@@ -97,7 +97,11 @@ def knn_classify(
     Returns ``(query_id_col, predicted_label, votes, n_neighbors)``
     with a deterministic tie-break (more votes wins, then smallest
     label).  ``n_neighbors`` < k flags queries near the corpus boundary
-    (fewer than k labeled rows exist).
+    (fewer than k labeled rows exist).  EVERY query emits a row
+    (ADVICE r7): a query with zero neighbors — an empty labeled corpus
+    — comes back as ``predicted_label=NULL, votes=0, n_neighbors=0``
+    instead of silently vanishing, mirroring langid's explicit
+    ``'unknown'`` row.
 
     Execution: the exact :func:`cosine_topk` shape (broadcast queries,
     no corpus shuffle, one bounded top-k window) → the k·|Q|-row result
@@ -124,11 +128,21 @@ def knn_classify(
         ).alias("_b"),
         F.sum("votes").cast("int").alias("n_neighbors"),
     )
-    return best.select(
+    voted = best.select(
         F.col(query_id_col),
         F.col("_b.lbl").alias("predicted_label"),
         (-F.col("_b.nv")).cast("int").alias("votes"),
         F.col("n_neighbors"),
+    )
+    # left-join back to the full query set so neighborless queries keep
+    # a row; `voted` is ≤ |Q| rows — broadcast, no query-set shuffle
+    return queries.select(F.col(query_id_col)).join(
+        F.broadcast(voted), query_id_col, "left"
+    ).select(
+        F.col(query_id_col),
+        F.col("predicted_label"),
+        F.coalesce(F.col("votes"), F.lit(0)).alias("votes"),
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
     )
 
 

@@ -543,12 +543,80 @@ def _broadcast_getter(spark, value):
     executor, torrent distribution) instead of pickling it into every
     task closure; falls back to closure capture under Connect (no
     sparkContext) — the same arrangement as ``urlops.domain_filter``.
-    Returns a zero-arg getter usable inside a UDF."""
+    Returns a zero-arg getter usable inside a UDF; the broadcast handle
+    (or None under Connect) rides on ``getter._bcast`` so callers that
+    cache getters can unpersist stale ones."""
     try:
         sc = spark.sparkContext
     except AttributeError:
-        return (lambda v: (lambda: v))(value)
-    return (lambda b: (lambda: b.value))(sc.broadcast(value))
+        getter = (lambda v: (lambda: v))(value)
+        getter._bcast = None
+        return getter
+    b = sc.broadcast(value)
+    getter = (lambda bb: (lambda: bb.value))(b)
+    getter._bcast = b
+    return getter
+
+
+# model path -> (content token, getter).  Bounds executor broadcast
+# accumulation (ADVICE r7): repeated rowlocal scorer calls in a
+# long-lived session reuse ONE broadcast per model path, and a
+# rewritten model (token change) unpersists the stale copy first.
+_MODEL_GETTER_CACHE: dict[str, tuple[object, object]] = {}
+
+
+def _model_token(path: str):
+    """Best-effort change token for a local model directory: (file
+    count, max mtime_ns).  Non-local / unstatable paths return None —
+    the cache then reloads per call but still unpersists the previous
+    broadcast, so at most one copy per path stays live."""
+    import os
+
+    try:
+        stamps = [
+            os.stat(os.path.join(root, fn)).st_mtime_ns
+            for root, _dirs, files in os.walk(path)
+            for fn in files
+        ]
+    except OSError:
+        return None
+    return (len(stamps), max(stamps)) if stamps else None
+
+
+def _cached_model_getter(spark, path: str, loader):
+    """Zero-arg getter for the model artifact at ``path``, broadcast at
+    most once per (path, content token).  ``loader`` is a zero-arg
+    callable doing the driver-side collect — it runs ONLY on a cache
+    miss, so repeated streaming/rowlocal scorer calls skip both the
+    re-collect and the re-broadcast."""
+    token = _model_token(path)
+    hit = _MODEL_GETTER_CACHE.get(path)
+    if hit is not None:
+        if token is not None and hit[0] == token:
+            return hit[1]
+        old = getattr(hit[1], "_bcast", None)
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+    getter = _broadcast_getter(spark, loader())
+    _MODEL_GETTER_CACHE[path] = (token, getter)
+    return getter
+
+
+def clear_model_broadcasts() -> None:
+    """Cleanup hook (ADVICE r7): unpersist every cached model broadcast
+    and empty the cache.  Safe to call between jobs in a long-lived
+    session; the next scorer call reloads and re-broadcasts."""
+    for _token, getter in _MODEL_GETTER_CACHE.values():
+        b = getattr(getter, "_bcast", None)
+        if b is not None:
+            try:
+                b.unpersist()
+            except Exception:
+                pass
+    _MODEL_GETTER_CACHE.clear()
 
 
 def lm_score_rowlocal(

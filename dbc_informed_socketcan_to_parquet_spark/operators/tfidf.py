@@ -51,8 +51,15 @@ def term_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def doc_frequencies(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(term, df) — number of documents containing each term, derived
     from the already-counted tf table (one row per (doc, term), so a
-    plain count per term — no re-explode, no distinct)."""
-    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    count of non-null ``id_col`` per term — no re-explode, no
+    distinct).  ``id_col`` must name the tf frame's document column
+    (ADVICE r7: the parameter now validates and counts on it instead
+    of being dead surface)."""
+    if id_col not in tf.columns:
+        raise ValueError(
+            f"doc_frequencies: id_col {id_col!r} not in tf columns {tf.columns}"
+        )
+    return tf.groupBy("term").agg(F.count(F.col(id_col)).alias("df"))
 
 
 def tfidf_topk(
