@@ -297,23 +297,29 @@ def lang_id_rowlocal(
 
     from dbc_informed_socketcan_to_parquet_spark.functions.hashing import py_md5_long
     from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
-        _broadcast_getter,
+        _cached_model_getter,
     )
 
     spark = df.sparkSession
-    nf, ngram, max_chars, seed, round_to = _load_meta(spark, path)
-    w = {
-        (r["lang"], int(r["idx"])): float(r["w"])
-        for r in spark.read.parquet(f"{path}/weights").collect()
-    }
-    priors = sorted(
-        (r["lang"], float(r["logprior"]), float(r["floor_w"]))
-        for r in spark.read.parquet(f"{path}/priors").collect()
-    )
-    get_model = _broadcast_getter(spark, (w, priors))
+
+    def _load():
+        nf, ngram, max_chars, seed, round_to = _load_meta(spark, path)
+        w = {
+            (r["lang"], int(r["idx"])): float(r["w"])
+            for r in spark.read.parquet(f"{path}/weights").collect()
+        }
+        priors = sorted(
+            (r["lang"], float(r["logprior"]), float(r["floor_w"]))
+            for r in spark.read.parquet(f"{path}/priors").collect()
+        )
+        return (w, priors, nf, ngram, max_chars, seed, round_to)
+
+    # one broadcast per (context, path, content token) — meta included
+    # so a cache hit performs zero driver-side reads (ADVICE r7/r8)
+    get_model = _cached_model_getter(spark, path, _load)
 
     def _score(texts):
-        w_l, priors_l = get_model()
+        w_l, priors_l, nf, ngram, max_chars, seed, round_to = get_model()
         preds, scores = [], []
         for t in texts:
             s = (t or "").lower()[:max_chars]

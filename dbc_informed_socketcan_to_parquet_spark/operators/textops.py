@@ -558,11 +558,27 @@ def _broadcast_getter(spark, value):
     return getter
 
 
-# model path -> (content token, getter).  Bounds executor broadcast
-# accumulation (ADVICE r7): repeated rowlocal scorer calls in a
-# long-lived session reuse ONE broadcast per model path, and a
-# rewritten model (token change) unpersists the stale copy first.
-_MODEL_GETTER_CACHE: dict[str, tuple[object, object]] = {}
+# (context key, model path) -> (content token, getter).  Bounds
+# executor broadcast accumulation (ADVICE r7): repeated rowlocal scorer
+# calls in a long-lived session reuse ONE broadcast per model path, and
+# a rewritten model (token change) unpersists the stale copy first.
+# Keyed by SparkContext identity too (ADVICE r8): a broadcast minted by
+# a stopped context must not be served to a restarted one.
+_MODEL_GETTER_CACHE: dict[tuple[object, str], tuple[object, object]] = {}
+
+
+def _ctx_key(spark):
+    """Identity of the live SparkContext for cache keying: its
+    applicationId is fresh per context (``local-<startTimeMs>`` in
+    local mode), so a stop/restart cycle naturally invalidates cached
+    broadcasts minted by the dead context.  Connect sessions (no
+    sparkContext) key by session object identity — getters there hold
+    plain closures, not broadcasts, so staleness is only a memory
+    concern, not a correctness one."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return id(spark)
 
 
 def _model_token(path: str):
@@ -588,9 +604,13 @@ def _cached_model_getter(spark, path: str, loader):
     most once per (path, content token).  ``loader`` is a zero-arg
     callable doing the driver-side collect — it runs ONLY on a cache
     miss, so repeated streaming/rowlocal scorer calls skip both the
-    re-collect and the re-broadcast."""
+    re-collect and the re-broadcast.  Note: any call-time guards inside
+    ``loader`` (e.g. ``lm_score_rowlocal``'s ``max_model_rows`` ceiling)
+    run only on a miss — an unchanged artifact stays admitted once
+    admitted."""
     token = _model_token(path)
-    hit = _MODEL_GETTER_CACHE.get(path)
+    key = (_ctx_key(spark), path)
+    hit = _MODEL_GETTER_CACHE.get(key)
     if hit is not None:
         if token is not None and hit[0] == token:
             return hit[1]
@@ -601,7 +621,7 @@ def _cached_model_getter(spark, path: str, loader):
             except Exception:
                 pass
     getter = _broadcast_getter(spark, loader())
-    _MODEL_GETTER_CACHE[path] = (token, getter)
+    _MODEL_GETTER_CACHE[key] = (token, getter)
     return getter
 
 
@@ -657,23 +677,30 @@ def lm_score_rowlocal(
     from pyspark.sql.functions import pandas_udf
 
     spark = df.sparkSession
-    bi_df = spark.read.parquet(f"{path}/bigrams")
-    ctx_df = spark.read.parquet(f"{path}/contexts")
-    n_model = bi_df.count() + ctx_df.count()
-    if n_model > max_model_rows:
-        meta_row = spark.read.parquet(f"{path}/meta").collect()[0]
-        mc = meta_row["min_count"] if "min_count" in meta_row.__fields__ else 1
-        raise ValueError(
-            f"persisted LM at {path} has {n_model} rows (> max_model_rows="
-            f"{max_model_rows}); collecting it driver-side would risk OOM. "
-            f"It was written with min_count={mc} — re-write with a higher "
-            f"min_count (lm_write default prunes at 2), or score with the "
-            f"distributed lm_score_from() instead."
-        )
-    bi = {(r["w1"], r["w2"]): r["c12"] for r in bi_df.collect()}
-    ctx = {r["w1"]: r["c1"] for r in ctx_df.collect()}
-    V = int(spark.read.parquet(f"{path}/meta").collect()[0]["vocab_size"])
-    get_model = _broadcast_getter(spark, (bi, ctx, V))
+
+    def _load():
+        bi_df = spark.read.parquet(f"{path}/bigrams")
+        ctx_df = spark.read.parquet(f"{path}/contexts")
+        n_model = bi_df.count() + ctx_df.count()
+        if n_model > max_model_rows:
+            meta_row = spark.read.parquet(f"{path}/meta").collect()[0]
+            mc = meta_row["min_count"] if "min_count" in meta_row.__fields__ else 1
+            raise ValueError(
+                f"persisted LM at {path} has {n_model} rows (> max_model_rows="
+                f"{max_model_rows}); collecting it driver-side would risk OOM. "
+                f"It was written with min_count={mc} — re-write with a higher "
+                f"min_count (lm_write default prunes at 2), or score with the "
+                f"distributed lm_score_from() instead."
+            )
+        bi = {(r["w1"], r["w2"]): r["c12"] for r in bi_df.collect()}
+        ctx = {r["w1"]: r["c1"] for r in ctx_df.collect()}
+        V = int(spark.read.parquet(f"{path}/meta").collect()[0]["vocab_size"])
+        return (bi, ctx, V)
+
+    # one broadcast per (context, path, content token): repeated calls
+    # in a long-lived session (streaming foreachBatch, notebook loops)
+    # reuse the executor copy instead of re-collecting + re-broadcasting
+    get_model = _cached_model_getter(spark, path, _load)
     tok_re = _re.compile(LM_TOKEN_SPLIT)
 
     def _score(texts):
@@ -728,15 +755,28 @@ def classifier_score_rowlocal(
     from dbc_informed_socketcan_to_parquet_spark.functions.hashing import py_md5_long
 
     spark = df.sparkSession
-    w = {int(r["idx"]): float(r["w"]) for r in spark.read.parquet(f"{path}/weights").collect()}
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    nf, use_bigrams = int(meta["num_features"]), bool(meta["bigrams"])
-    bias, seed = float(meta["bias"]), str(meta["seed"])
-    get_w = _broadcast_getter(spark, w)  # ≤ num_features entries, one executor copy
+
+    def _load():
+        w = {
+            int(r["idx"]): float(r["w"])
+            for r in spark.read.parquet(f"{path}/weights").collect()
+        }
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        return (
+            w,
+            int(meta["num_features"]),
+            bool(meta["bigrams"]),
+            float(meta["bias"]),
+            str(meta["seed"]),
+        )
+
+    # meta rides inside the broadcast payload so a cache hit skips
+    # every driver-side parquet read, not just the weight collect
+    get_model = _cached_model_getter(spark, path, _load)
     tok_re = _re.compile(LM_TOKEN_SPLIT)
 
     def _score(texts):
-        w_l = get_w()
+        w_l, nf, use_bigrams, bias, seed = get_model()
         n_out, m_out = [], []
         for t in texts:
             toks = [x for x in tok_re.split((t or "").lower()) if x]

@@ -931,7 +931,10 @@ def q_agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cn * sxy - sx * sy) / (F.sqrt(cn * sxx - sx * sx) * F.sqrt(cn * syy - sy * sy)), 6
         ).alias("corr_xy")
     )
-    return stats.crossJoin(corr)
+    # corr is a 1-row aggregate: broadcast it so the cross join is a
+    # BroadcastNestedLoopJoin (no shuffle of stats), matching every
+    # other crossJoin in the repo — enforced by test_plan_quality
+    return stats.crossJoin(F.broadcast(corr))
 
 
 @query(

@@ -462,3 +462,24 @@ def test_registry_entry_never_plans_cartesian(spark, name):
     assert "CartesianProduct" not in plan, name
     cap = 4 if name == "extra:ann_recall" else 2
     assert plan.count("BroadcastNestedLoopJoin") <= cap, name
+
+
+def test_every_crossjoin_in_source_is_broadcast_hinted():
+    """Static enforcement of the audited invariant (ADVICE r8 #6): every
+    ``crossJoin(`` in the package must broadcast its argument —
+    ``crossJoin(F.broadcast(...))``.  A 1-row aggregate joined without
+    the hint can still plan as a shuffle-both-sides CartesianProduct
+    when stats are missing (100 TB: the corpus side shuffles for
+    nothing).  Scans source, so a new unhinted call site fails here by
+    file:line even before any registry entry exercises it."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "dbc_informed_socketcan_to_parquet_spark"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            for m in re.finditer(r"\.crossJoin\(", line):
+                rest = line[m.end():]
+                if not rest.startswith(("F.broadcast(", "broadcast(")):
+                    offenders.append(f"{py.relative_to(pkg.parent)}:{i}: {line.strip()}")
+    assert not offenders, "unhinted crossJoin call sites:\n" + "\n".join(offenders)

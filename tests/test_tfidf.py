@@ -147,6 +147,42 @@ def test_knn_classify_separable_clusters(spark):
         knn_classify(corpus, queries, k=0)
 
 
+def test_knn_classify_neighborless_queries_keep_rows(spark):
+    """ADVICE r8: the every-query-emits-a-row contract. An EMPTY labeled
+    corpus must return one (query_id, NULL, 0, 0) row per query instead
+    of the old inner-join vanishing behavior; a tiny corpus (< k rows)
+    keeps per-query rows exact alongside."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle)]
+
+    queries = spark.createDataFrame(
+        [(100, vec(0.02)), (101, vec(2.02)), (102, vec(4.0))],
+        "query_id long, embedding array<double>",
+    )
+    empty_corpus = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.query_id: (r.predicted_label, r.votes, r.n_neighbors)
+           for r in knn_classify(empty_corpus, queries, k=3).collect()}
+    assert out == {100: (None, 0, 0), 101: (None, 0, 0), 102: (None, 0, 0)}
+
+    # mixed: corpus exists but is smaller than k -> every query still
+    # gets exactly one row, n_neighbors capped at |corpus|
+    tiny = spark.createDataFrame(
+        [(1, vec(0.0), 7)], "vec_id long, embedding array<double>, label int"
+    )
+    rows = knn_classify(tiny, queries, k=5).collect()
+    assert len(rows) == 3
+    assert all((r.predicted_label, r.votes, r.n_neighbors) == (7, 1, 1)
+               for r in rows)
+
+
 # -- ann_recall (operators/similarity.py, r7) ---------------------------------
 
 def test_ann_recall_exact_partial_and_empty(spark):
