@@ -78,6 +78,13 @@ def build_curate_parser() -> argparse.ArgumentParser:
                    help="collapse canonical-URL duplicates (first occurrence wins)")
     p.add_argument("--max-per-domain", type=int, default=None,
                    help="cap any one domain at this many docs (in expectation)")
+    p.add_argument("--extract-html", action="store_true",
+                   help="text column is raw HTML: strip markup, decode entities, "
+                        "drop boilerplate lines before any text stage")
+    p.add_argument("--html-min-words", type=int, default=3,
+                   help="boilerplate gate: keep lines with at least this many words")
+    p.add_argument("--html-max-link-density", type=float, default=0.5,
+                   help="boilerplate gate: drop lines with more anchor text than this fraction")
     return p
 
 
@@ -126,6 +133,9 @@ def run_curate(argv: list[str]) -> None:
         url_blocklist=tuple(args.block_domain),
         url_dedup=args.url_dedup,
         max_per_domain=args.max_per_domain,
+        html_extract=args.extract_html,
+        html_min_words=args.html_min_words,
+        html_max_link_density=args.html_max_link_density,
     )
     if args.url_col is None and (args.block_domain or args.url_dedup or args.max_per_domain):
         parser.error("--block-domain/--url-dedup/--max-per-domain require --url-col")
@@ -217,6 +227,10 @@ def build_stream_curate_parser() -> argparse.ArgumentParser:
                    help="keep only docs the trained model predicts as this language (repeatable; needs --lang-model)")
     p.add_argument("--lang-model", default=None,
                    help="persisted trained language-ID model dir (langid.lang_write)")
+    p.add_argument("--extract-html", action="store_true",
+                   help="text field is raw HTML: extract rendered text first")
+    p.add_argument("--html-min-words", type=int, default=3)
+    p.add_argument("--html-max-link-density", type=float, default=0.5)
     return p
 
 
@@ -244,6 +258,8 @@ def run_stream_curate(argv: list[str]) -> None:
         lm_path=args.lm_path, max_perplexity=args.max_perplexity,
         classifier_path=args.classifier_path, min_clf_prob=args.min_clf_prob,
         lang_model_path=args.lang_model, allowed_langs=tuple(args.lang),
+        extract_html=args.extract_html, html_min_words=args.html_min_words,
+        html_max_link_density=args.html_max_link_density,
     )
     # C2 graceful shutdown, same contract as the decode stream: SIGINT
     # stops cleanly; committed micro-batches stay durable via checkpoint

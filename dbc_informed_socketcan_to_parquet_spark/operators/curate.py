@@ -126,6 +126,14 @@ class CurateConfig:
     url_blocklist: tuple[str, ...] = ()
     url_dedup: bool = False
     max_per_domain: int | None = None
+    # HTML front door (r9, operators/htmlops): when True the text column
+    # arrives as raw HTML and the extraction stage (markup strip, entity
+    # decode, CCNet-style line boilerplate drop) rewrites it to rendered
+    # text FIRST — before scrub/stats/dedup, which all assume text.  One
+    # codegen projection, no shuffle; off by default.
+    html_extract: bool = False
+    html_min_words: int = 3
+    html_max_link_density: float = 0.5
 
 
 def curate(
@@ -174,6 +182,21 @@ def curate(
                 docs, config.max_per_domain, url_col=config.url_col,
                 id_col=id_col, hash_fn=config.hash_fn,
             ).drop("keep_frac")
+
+    if config.html_extract:
+        # HTML front door: rewrite raw HTML to rendered text before any
+        # stage that assumes text (scrub regexes, quality stats, dedup
+        # shingles).  Runs after the URL stages (those never read text)
+        # and, like them, costs scan speed — one codegen projection.
+        from dbc_informed_socketcan_to_parquet_spark.operators.htmlops import (
+            extract_text as _extract_text,
+        )
+
+        docs = _extract_text(
+            docs, html_col=text_col, out_col=text_col,
+            min_words=config.html_min_words,
+            max_link_density=config.html_max_link_density,
+        )
 
     # Fan out between the scrub and the stats battery: a few-file corpus
     # scans as file-count partitions, so without the exchange the text

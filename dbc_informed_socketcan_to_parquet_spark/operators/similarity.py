@@ -701,7 +701,29 @@ def ivf_ann_topk(
     dim, centers = _ivf_train(
         corpus, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, assign_kernel
     )
+    return _ivf_search(
+        corpus, queries, centers, k=k, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, query_id_col=query_id_col, round_to=round_to,
+        assign_kernel=assign_kernel,
+    )
 
+
+def _ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centers: dict[int, list[float]],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int | None = None,
+    assign_kernel: str = "expr",
+) -> DataFrame:
+    """The probe + rerank phase of :func:`ivf_ann_topk`, factored out so
+    a TRAINED model can be searched at several ``nprobe`` values without
+    re-running Lloyd's per value (:func:`ann_tune`'s sweep — and the
+    production shape, where the quantizer is fit once and reused)."""
     c = fan_out(corpus).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
     if assign_kernel == "pandas":
@@ -1228,4 +1250,129 @@ def ann_recall(
             "hits",
             F.round(F.col("hits") / F.col("n_exact"), round_to).alias("recall"),
         )
+    )
+
+
+def ann_tune(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int | None = None,
+    k: int = 10,
+    index: str = "ivf",
+    candidates: tuple[int, ...] = (1, 2, 4),
+    target_recall: float = 0.9,
+    num_clusters: int = 16,
+    n_iters: int = 2,
+    sample_mod: int = 1,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+    assign_kernel: str = "expr",
+) -> DataFrame:
+    """Recall-targeted ANN tuning (VERDICT r8 #5): sweep the index's
+    recall knob — ``nprobe`` for ``index="ivf"``, ``num_tables`` for
+    ``index="lsh"`` — over ``candidates`` against the exact cosine
+    baseline on the given (held-out) query sample, and SELECT the
+    cheapest value whose mean recall@k meets ``target_recall`` (or the
+    best-recall value, smallest knob on ties, when none does).
+
+    Returns the full frontier, one row per candidate:
+    ``(param int, mean_recall double, meets_target boolean,
+    selected boolean)`` — the frontier is the documentation (what would
+    recall have been one step cheaper?), the ``selected`` row is the
+    config to deploy.
+
+    Cost shape, because a tuner that re-trains per knob value is
+    unusable at scale: the IVF quantizer fits ONCE (``_ivf_train``) and
+    every candidate re-probes the same centroids (``_ivf_search``);
+    sign-LSH tables are deterministic by table index, so table t's
+    buckets are shared across candidates by construction and each sweep
+    step only widens the bucket join.  The exact baseline computes once.
+    Everything downstream of the top-k frames is bounded: per-candidate
+    recall is an aggregate over ≤ k·|Q| rows, and the frontier/selection
+    arithmetic runs over ``len(candidates)`` rows (broadcast, no
+    shuffle).  Tune on a SAMPLE of queries — recall estimates are
+    per-query means, so a few hundred held-out queries bound the sweep
+    cost at any corpus size.
+    """
+    if index not in ("ivf", "lsh"):
+        raise ValueError(f"index must be 'ivf' or 'lsh', got {index!r}")
+    if not candidates:
+        raise ValueError("candidates must be non-empty")
+    if sorted(set(candidates)) != sorted(candidates):
+        raise ValueError(f"candidates must be distinct, got {candidates!r}")
+
+    exact = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, round_to=round_to,
+    )
+    if index == "ivf":
+        dim, centers = _ivf_train(
+            corpus, dim, num_clusters, n_iters, id_col, vec_col,
+            sample_mod, assign_kernel,
+        )
+
+        def _approx(param: int) -> DataFrame:
+            return _ivf_search(
+                corpus, queries, centers, k=k, nprobe=param, id_col=id_col,
+                vec_col=vec_col, query_id_col=query_id_col,
+                round_to=round_to, assign_kernel=assign_kernel,
+            )
+    else:
+        if dim is None:
+            raise ValueError("index='lsh' requires dim")
+
+        def _approx(param: int) -> DataFrame:
+            return lsh_ann_topk(
+                corpus, queries, dim=dim, k=k, num_planes=num_planes,
+                num_tables=param, id_col=id_col, vec_col=vec_col,
+                query_id_col=query_id_col, round_to=round_to,
+            )
+
+    rows = []
+    for param in candidates:
+        rec = ann_recall(
+            exact, _approx(param), query_id_col=query_id_col,
+            id_col=id_col, round_to=round_to,
+        )
+        rows.append(
+            rec.agg(
+                F.round(F.avg("recall"), round_to).alias("mean_recall")
+            ).select(
+                F.lit(int(param)).alias("param"),
+                "mean_recall",
+                (F.col("mean_recall") >= F.lit(float(target_recall))).alias(
+                    "meets_target"
+                ),
+            )
+        )
+    front = rows[0]
+    for r in rows[1:]:
+        front = front.unionByName(r)
+
+    # selection over the len(candidates)-row frontier: cheapest meeting
+    # the target, else best recall (smallest knob on recall ties).  Two
+    # tiny broadcast aggregates — the comparisons reuse the exact same
+    # rounded doubles on both engines, so the oracle replays bit-for-bit.
+    a1 = front.agg(
+        F.min(F.when(F.col("meets_target"), F.col("param"))).alias("_cheapest"),
+        F.max("mean_recall").alias("_best_r"),
+    )
+    a2 = (
+        front.crossJoin(F.broadcast(a1))
+        .filter(F.col("mean_recall") == F.col("_best_r"))
+        .agg(F.min("param").alias("_best_p"))
+    )
+    return (
+        front.crossJoin(F.broadcast(a1))
+        .crossJoin(F.broadcast(a2))
+        .withColumn(
+            "selected",
+            F.when(
+                F.col("_cheapest").isNotNull(), F.col("param") == F.col("_cheapest")
+            ).otherwise(F.col("param") == F.col("_best_p")),
+        )
+        .drop("_cheapest", "_best_r", "_best_p")
     )

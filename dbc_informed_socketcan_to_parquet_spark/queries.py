@@ -4090,3 +4090,163 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 50)
     return knn_classify(corpus, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# round 9: HTML -> text extraction (operators/htmlops)
+# ---------------------------------------------------------------------------
+
+# Deterministic HTML wrapper around the documents table: every real-page
+# hazard the extractor must survive (script with comparison operators,
+# style, comments, nav/footer link farms, entities, NBSP, short/heading
+# lines) synthesized identically on both engines, so the hash gate
+# checks the FULL chain: markup strip -> entity decode -> boilerplate drop.
+_HTML_PRE = (
+    '<html><head><title>Synth Page For Extraction Test</title>'
+    '<script type="text/javascript">var x = 1 < 2 && 2 > 1;</script>'
+    '<style>p { color: red; }</style></head><body><!-- header -->'
+    '<nav><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact us</a></nav><h1>Doc '
+)
+_HTML_MID = (
+    '</h1><p>'
+)
+_HTML_POST = (
+    ' &amp; trailing entities &lt;kept&gt; as&nbsp;text</p><ul>'
+    '<li>src is '
+)
+_HTML_TAIL = (
+    ' for this document</li><li><a href="/x">pure link bullet</a></li></ul>'
+    '<footer><a href="/privacy">Privacy</a> | '
+    '<a href="/terms">Terms of Service</a></footer></body></html>'
+)
+
+
+def _extract_text_oracle() -> str:
+    from dbc_informed_socketcan_to_parquet_spark.operators.htmlops import (
+        extract_text_oracle_sql,
+    )
+
+    html_expr = (
+        f"'{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID}' || text"
+        f" || '{_HTML_POST}' || source || '{_HTML_TAIL}'"
+    )
+    return (
+        f"SELECT doc_id, {extract_text_oracle_sql(html_expr)} AS text"
+        " FROM documents"
+    )
+
+
+@extra_query("extract_text", oracle=_extract_text_oracle())
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (operators/htmlops.extract_text, r9): the
+    crawl pipeline's first stage — comment/script/style strip, block
+    tags to newlines, anchor-sentinel link-density measurement, entity
+    decode, CCNet-style line-level boilerplate drop — as ONE codegen
+    projection (no UDF, no shuffle; plan-guarded).  The oracle replays
+    the identical RE2-safe regex chain + higher-order line filter in
+    DuckDB over the same synthesized pages."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.htmlops import (
+        extract_text,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE), F.col("doc_id").cast("string"), F.lit(_HTML_MID),
+        F.col("text"), F.lit(_HTML_POST), F.col("source"), F.lit(_HTML_TAIL),
+    )
+    return (
+        docs.withColumn("html", html)
+        .transform(lambda d: extract_text(d, "html", out_col="text"))
+        .select("doc_id", "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 9: recall-targeted ANN tuning (operators/similarity.ann_tune)
+# ---------------------------------------------------------------------------
+
+def _ann_tune_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
+                         candidates: tuple[int, ...] = (1, 2, 4), k: int = 10,
+                         target: float = 0.8) -> str:
+    """Full replay of the nprobe sweep: ONE shared Lloyd's chain + exact
+    baseline, then per-candidate probe/approx/recall CTEs, the frontier
+    union, and the cheapest-meeting-target (else best-recall) selection —
+    the same single-training-pass structure as the operator."""
+    parts = _ivf_corpus_assign_ctes(dim, nplanes, n_iters)
+    final = f"centers{n_iters}"
+    parts.append(f"""exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+      ) WHERE rank <= {k}
+    )""")
+    for p in candidates:
+        parts.append(f"""probe_{p} AS (
+      SELECT vec_id AS query_id, b AS cluster
+      FROM ({_ivf_assign_sql('(SELECT * FROM vecs WHERE vec_id < 5)', final, f'rn <= {p}')})
+    )""")
+        parts.append(f"""approx_{p} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT pr.query_id, ca.vec_id,
+               row_number() OVER (PARTITION BY pr.query_id ORDER BY {_COS} DESC, ca.vec_id) AS rank
+        FROM probe_{p} pr
+        JOIN corpus_assign ca ON ca.b = pr.cluster
+        JOIN embeddings e ON e.vec_id = ca.vec_id
+        JOIN embeddings q ON q.vec_id = pr.query_id
+      ) WHERE rank <= {k}
+    )""")
+        parts.append(f"""rec_{p} AS (
+      SELECT x.query_id,
+             round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall
+      FROM exact x
+      LEFT JOIN approx_{p} a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+      GROUP BY x.query_id
+    )""")
+        parts.append(
+            f"row_{p} AS (SELECT {p} AS param, round(avg(recall), 6) AS mean_recall"
+            f" FROM rec_{p})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM row_{p}" for p in candidates)
+    parts.append(
+        f"front AS (SELECT param, mean_recall, mean_recall >= {target} AS"
+        f" meets_target FROM ({union}))"
+    )
+    parts.append(
+        "a1 AS (SELECT min(CASE WHEN meets_target THEN param END) AS cheapest,"
+        " max(mean_recall) AS best_r FROM front)"
+    )
+    parts.append(
+        "a2 AS (SELECT min(param) AS best_p FROM front, a1"
+        " WHERE front.mean_recall = a1.best_r)"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT f.param, f.mean_recall, f.meets_target,
+           CASE WHEN a1.cheapest IS NOT NULL THEN f.param = a1.cheapest
+                ELSE f.param = a2.best_p END AS selected
+    FROM front f, a1, a2
+    """
+
+
+@extra_query("ann_tune", oracle=_ann_tune_oracle_sql())
+def q_ann_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-targeted ANN tuning (operators/similarity.ann_tune, r9):
+    sweep the IVF index's nprobe knob over (1, 2, 4) against the exact
+    baseline on 5 held-out queries and select the cheapest value with
+    mean recall@10 >= 0.8 (else best recall).  The quantizer trains ONCE
+    across the sweep; every per-candidate stage is bounded by the top-k
+    contract.  The oracle replays the whole thing — shared Lloyd's
+    chain, per-nprobe probe/rerank/recall, frontier, selection."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ann_tune
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_tune(
+        emb, queries, dim=64, k=10, index="ivf", candidates=(1, 2, 4),
+        target_recall=0.8, num_clusters=16, round_to=6,
+    )

@@ -61,6 +61,9 @@ def streaming_curate_frame(
     min_quality: float = 0.5,
     watermark: str = "10 minutes",
     normalize: bool = True,
+    extract_html: bool = False,
+    html_min_words: int = 3,
+    html_max_link_density: float = 0.5,
     gate_partitions: int | None = None,
     lm_path: str | None = None,
     max_perplexity: float | None = None,
@@ -88,6 +91,18 @@ def streaming_curate_frame(
     out = docs
     if time_col not in out.columns:
         out = out.withColumn(time_col, F.current_timestamp())
+    if extract_html:
+        # HTML front door (r9): rewrite raw HTML to rendered text before
+        # normalize/stats.  Stateless codegen projection — streaming-safe
+        # by construction (no aggregation, no watermark interaction).
+        from dbc_informed_socketcan_to_parquet_spark.operators.htmlops import (
+            extract_text,
+        )
+
+        out = extract_text(
+            out, html_col=text_col, out_col=text_col,
+            min_words=html_min_words, max_link_density=html_max_link_density,
+        )
     if normalize:
         out = normalize_text(out, text_col)
         # projection barrier (see module docstring): without it the gate
@@ -161,6 +176,9 @@ def run_streaming_curate(
     min_clf_prob: float | None = None,
     lang_model_path: str | None = None,
     allowed_langs: tuple[str, ...] = (),
+    extract_html: bool = False,
+    html_min_words: int = 3,
+    html_max_link_density: float = 0.5,
 ):
     """Start the full streaming curate pipeline; returns the list of
     live ``StreamingQuery`` handles (main lane first, then quarantine
@@ -181,6 +199,8 @@ def run_streaming_curate(
         lm_path=lm_path, max_perplexity=max_perplexity,
         classifier_path=classifier_path, min_clf_prob=min_clf_prob,
         lang_model_path=lang_model_path, allowed_langs=allowed_langs,
+        extract_html=extract_html, html_min_words=html_min_words,
+        html_max_link_density=html_max_link_density,
     )
 
     def _start(df, fmt, path, ckpt):

@@ -206,3 +206,90 @@ def test_ann_recall_exact_partial_and_empty(spark):
            for r in ann_recall(exact, approx).collect()}
     assert out[0] == (5, 3, 0.6)
     assert out[1] == (5, 0, 0.0)
+
+
+# -- ann_tune (operators/similarity.py, r9) ----------------------------------
+
+def _tune_fixture(spark, n=200, dim=8, seed=7):
+    """Deterministic clustered vectors: enough structure that IVF recall
+    rises with nprobe, enough spread that nprobe=1 misses neighbors."""
+    import math
+    import random
+
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n):
+        center = i % 4
+        base = [math.cos(center * 1.5 + d * 0.3) for d in range(dim)]
+        rows.append((i, [b + rnd.uniform(-0.4, 0.4) for b in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_tune_monotone_recall_and_selection(spark):
+    """Recall@k is monotone in nprobe on the fixture (each probe widens a
+    SUPERSET candidate scan), and selection picks the cheapest candidate
+    meeting the target — nprobe=num_clusters is exhaustive (recall 1.0),
+    so a 1.0 target always selects something."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ann_tune
+
+    emb = _tune_fixture(spark)
+    queries = emb.filter("vec_id < 6").selectExpr("vec_id AS query_id", "embedding")
+    out = ann_tune(
+        emb, queries, dim=8, k=10, index="ivf", candidates=(1, 2, 4, 8),
+        target_recall=1.0, num_clusters=8, round_to=6,
+    ).collect()
+    by_p = {r.param: r for r in out}
+    assert sorted(by_p) == [1, 2, 4, 8]
+    recalls = [by_p[p].mean_recall for p in (1, 2, 4, 8)]
+    assert recalls == sorted(recalls), recalls          # monotone in nprobe
+    assert by_p[8].mean_recall == 1.0                   # exhaustive probe
+    assert recalls[0] < 1.0                             # nprobe=1 actually misses
+    cheapest_meeting = min(p for p in by_p if by_p[p].mean_recall >= 1.0)
+    assert [p for p, r in by_p.items() if r.selected] == [cheapest_meeting]
+    assert all(r.meets_target == (r.mean_recall >= 1.0) for r in out)
+
+
+def test_ann_tune_falls_back_to_best_recall(spark):
+    """No candidate meets an impossible target -> the best-recall row is
+    selected (smallest knob on ties), never zero selected rows."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ann_tune
+
+    emb = _tune_fixture(spark)
+    queries = emb.filter("vec_id < 4").selectExpr("vec_id AS query_id", "embedding")
+    out = ann_tune(
+        emb, queries, dim=8, k=10, index="ivf", candidates=(1, 2),
+        target_recall=2.0, num_clusters=8, round_to=6,
+    ).collect()
+    assert not any(r.meets_target for r in out)
+    sel = [r for r in out if r.selected]
+    assert len(sel) == 1
+    best = max(r.mean_recall for r in out)
+    assert sel[0].mean_recall == best
+
+
+def test_ann_tune_lsh_index_and_validation(spark):
+    """The LSH variant sweeps num_tables through the same contract; bad
+    arguments fail loudly."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ann_tune
+
+    emb = _tune_fixture(spark, n=80)
+    queries = emb.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    out = ann_tune(
+        emb, queries, dim=8, k=5, index="lsh", candidates=(1, 4),
+        target_recall=0.0, num_planes=4, round_to=6,
+    ).collect()
+    by_p = {r.param: r for r in out}
+    assert sorted(by_p) == [1, 4]
+    assert by_p[1].mean_recall <= by_p[4].mean_recall   # more tables, ≥ recall
+    assert by_p[1].selected                              # target 0: cheapest wins
+
+    with _pytest.raises(ValueError, match="index"):
+        ann_tune(emb, queries, dim=8, index="faiss")
+    with _pytest.raises(ValueError, match="candidates"):
+        ann_tune(emb, queries, dim=8, candidates=())
+    with _pytest.raises(ValueError, match="distinct"):
+        ann_tune(emb, queries, dim=8, candidates=(2, 2))
+    with _pytest.raises(ValueError, match="dim"):
+        ann_tune(emb, queries, index="lsh")
