@@ -274,6 +274,53 @@ def run_stream_curate(argv: list[str]) -> None:
         print(f"stream-curate drained: {n} documents landed")
 
 
+def build_train_classifier_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark train-classifier")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="labeled parquet corpus (id, text, label columns)")
+    p.add_argument("--out", dest="output_path", required=True,
+                   help="model dir (classifier_write layout: weights/ + meta/)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--label-col", default="label",
+                   help="0/1 (or boolean) quality label column")
+    p.add_argument("--num-features", type=int, default=1 << 18)
+    p.add_argument("--no-bigrams", action="store_true")
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--lr", type=float, default=1.0)
+    p.add_argument("--l2", type=float, default=0.0)
+    p.add_argument("--seed", default="clf")
+    return p
+
+
+def run_train_classifier(argv: list[str]) -> None:
+    """Train the hashed quality classifier in-engine and persist it in
+    the classifier_write layout, ready for `curate --classifier-path` /
+    `stream-curate --classifier-path` — closes the train→persist→score
+    production loop without an external trainer."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_train,
+        classifier_write,
+    )
+
+    args = build_train_classifier_parser().parse_args(argv)
+    spark = get_spark("train-classifier-cli")
+    docs = spark.read.parquet(args.input_path)
+    weights, bias = classifier_train(
+        docs, label_col=args.label_col, id_col=args.id_col,
+        text_col=args.text_col, num_features=args.num_features,
+        bigrams=not args.no_bigrams, seed=args.seed,
+        n_iters=args.iters, lr=args.lr, l2=args.l2,
+    )
+    classifier_write(
+        weights, args.output_path, num_features=args.num_features,
+        bigrams=not args.no_bigrams, bias=bias, seed=args.seed,
+    )
+    n_w = weights.count()
+    print(f"trained classifier: {n_w} feature weights, bias {bias}; "
+          f"wrote {args.output_path}")
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
 
@@ -283,6 +330,9 @@ def main(argv: list[str] | None = None) -> None:
         return
     if argv and argv[0] == "stream-curate":
         run_stream_curate(argv[1:])
+        return
+    if argv and argv[0] == "train-classifier":
+        run_train_classifier(argv[1:])
         return
     if argv and argv[0] == "export":
         run_export(argv[1:])

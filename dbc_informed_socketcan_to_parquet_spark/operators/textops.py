@@ -468,6 +468,37 @@ def lm_score_from(
 
 # -- hashed linear classifier scoring (fastText-style) -----------------------
 
+def _clf_hashed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_features: int,
+    bigrams: bool,
+    seed: str,
+) -> DataFrame:
+    """(id, idx) hashed-feature table shared by the classifier scorer and
+    trainer — one row per unigram (+ word-bigram) occurrence, hashed into
+    ``num_features`` buckets.  Identical expression in both call sites so
+    a model trained here scores correctly there."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+
+    toks = _lm_tokens(text_col)
+    feats = toks
+    if bigrams:
+        pair_strs = F.transform(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+            ),
+            lambda p: F.concat(p["a"], F.lit(" "), p["b"]),
+        )
+        feats = F.concat(toks, pair_strs)
+    return df.select(F.col(id_col), F.explode(feats).alias("_f")).select(
+        F.col(id_col),
+        F.pmod(md5_long(F.col("_f"), salt=f"{seed}|"), F.lit(num_features)).alias("idx"),
+    )
+
+
 def classifier_score(
     df: DataFrame,
     weights: DataFrame | None = None,
@@ -499,23 +530,7 @@ def classifier_score(
     Scale: one explode (unigram + zipped bigram arrays) + at most one
     broadcast join + one groupBy(doc) with map-side partial sums.
     """
-    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
-
-    toks = _lm_tokens(text_col)
-    feats = toks
-    if bigrams:
-        pair_strs = F.transform(
-            F.arrays_zip(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
-            ),
-            lambda p: F.concat(p["a"], F.lit(" "), p["b"]),
-        )
-        feats = F.concat(toks, pair_strs)
-    hashed = df.select(F.col(id_col), F.explode(feats).alias("_f")).select(
-        F.col(id_col),
-        F.pmod(md5_long(F.col("_f"), salt=f"{seed}|"), F.lit(num_features)).alias("idx"),
-    )
+    hashed = _clf_hashed(df, id_col, text_col, num_features, bigrams, seed)
     if weights is not None:
         weighted = hashed.join(F.broadcast(weights), "idx", "left").select(
             F.col(id_col), F.coalesce(F.col("w"), F.lit(0.0)).alias("w")
@@ -862,6 +877,125 @@ def classifier_score_from(
 # -- Gopher quality rules (Rae et al. 2021, table A1) ------------------------
 
 #: the rule's fixed English indicator set — two or more must appear
+def classifier_train(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+    bigrams: bool = True,
+    seed: str = "clf",
+    n_iters: int = 5,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    round_to: int = 6,
+    grad_round_to: int = 9,
+) -> tuple[DataFrame, float]:
+    """Train the hashed linear quality classifier IN the engine —
+    full-batch logistic regression by gradient descent over the same
+    unigram+bigram hashed features :func:`classifier_score` scores with,
+    so the returned ``(weights, bias)`` plug straight into
+    ``classifier_score(df, weights, bias=...)`` / ``classifier_write``.
+    Closes the train→persist→score loop that previously needed an
+    external trainer (weights had to arrive from outside).
+
+    Model: ``margin(d) = mean(w[idx] for each feature occurrence) +
+    bias``; ``p = sigmoid(margin)``; mean log-loss over the ``N``
+    featureful labeled docs (rows with NULL label or zero features are
+    excluded).  Per iteration: ``g[idx] = Σ_d (p_d − y_d)/n_d / N`` over
+    that idx's occurrences, ``g_bias = Σ_d (p_d − y_d)/N``, then
+    ``w := w − lr·(g + l2·w)``.
+
+    DETERMINISM (the oracle contract): margins, probabilities and
+    weights round to ``round_to`` and gradients to ``grad_round_to`` at
+    every iteration boundary — the same resynchronization device the
+    scoring entries use, so the DuckDB replay (unrolled-iteration CTEs
+    at ``queries.py``) stays hash-exact instead of drifting a ulp per
+    iteration.
+
+    Scale: featurization runs ONCE and persists (reused every
+    iteration); per iteration the plan is one broadcast weight join
+    (weights ≤ num_features rows BY CONSTRUCTION), one groupBy(doc)
+    margin aggregate, one join of the N-row error table back to the
+    feature table (shuffle on the doc key — the lm_score shape), and one
+    groupBy(idx) gradient aggregate whose ≤ num_features-row result
+    collects to the driver (the bounded-model-table doctrine; same
+    bound as the scorer's broadcast).  n_iters is small by design —
+    full-batch GD on a convex loss with mean-normalized features
+    converges in a handful of steps; for epoch-scale SGD training use an
+    external trainer and import via ``classifier_write``.
+
+    Returns ``(weights, bias)``: weights = (idx long, w double) for
+    EVERY observed feature index (zeros included — the deterministic
+    support set), bias the trained scalar.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    spark = df.sparkSession
+    labeled = df.filter(F.col(label_col).isNotNull())
+    hashed = _clf_hashed(labeled, id_col, text_col, num_features, bigrams, seed)
+    nd = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    lab = labeled.select(F.col(id_col), F.col(label_col).cast("double").alias("_y"))
+    base = hashed.join(nd, id_col).join(lab, id_col).persist()
+    try:
+        n_docs = base.select(id_col).distinct().count()
+        if n_docs == 0:
+            raise ValueError("no featureful labeled documents to train on")
+        w: dict[int, float] = {}
+        bias = 0.0
+        for _ in range(n_iters):
+            if w:
+                wdf = spark.createDataFrame(
+                    list(w.items()), "idx long, w double"
+                )
+                joined = base.join(F.broadcast(wdf), "idx", "left").withColumn(
+                    "w", F.coalesce(F.col("w"), F.lit(0.0))
+                )
+            else:
+                joined = base.withColumn("w", F.lit(0.0))
+            margins = joined.groupBy(id_col, "_n", "_y").agg(
+                F.round(
+                    F.sum("w") / F.col("_n") + F.lit(float(bias)), round_to
+                ).alias("_m")
+            )
+            errs = margins.select(
+                F.col(id_col),
+                F.col("_n"),
+                (
+                    F.round(
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_m"))), round_to
+                    )
+                    - F.col("_y")
+                ).alias("_err"),
+            ).persist()
+            try:
+                g_rows = (
+                    base.select(id_col, "idx")
+                    .join(errs, id_col)
+                    .groupBy("idx")
+                    .agg(
+                        F.round(
+                            F.sum(F.col("_err") / F.col("_n")) / F.lit(float(n_docs)),
+                            grad_round_to,
+                        ).alias("g")
+                    )
+                    .collect()
+                )
+                g_bias = errs.agg(
+                    F.round(F.sum("_err") / F.lit(float(n_docs)), grad_round_to)
+                ).collect()[0][0]
+            finally:
+                errs.unpersist()
+            for r in g_rows:
+                old = w.get(r["idx"], 0.0)
+                w[r["idx"]] = round(old - lr * (r["g"] + l2 * old), round_to)
+            bias = round(bias - lr * g_bias, round_to)
+    finally:
+        base.unpersist()
+    weights = spark.createDataFrame(list(w.items()), "idx long, w double")
+    return weights, bias
+
+
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -4250,3 +4250,99 @@ def q_ann_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, dim=64, k=10, index="ivf", candidates=(1, 2, 4),
         target_recall=0.8, num_clusters=16, round_to=6,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: in-engine classifier training (operators/textops.classifier_train)
+# ---------------------------------------------------------------------------
+
+def _clf_train_oracle_sql(nf: int = 256, n_iters: int = 2,
+                          lr: float = 1.0, l2: float = 0.0) -> str:
+    """Unrolled-iteration replay of full-batch logistic GD: shared
+    featurization CTEs, then per-iteration (margin → error → gradient →
+    weight-update) CTE blocks with the operator's exact rounding
+    boundaries (margins/p/weights 6 dp, gradients 9 dp) — the same
+    resynchronization device the scoring oracles use, so the replay is
+    hash-exact instead of drifting a ulp per iteration."""
+    parts = [
+        f"toks AS ({_LM_TOKS_SQL})",
+        """bg AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    )""",
+        """feats AS (
+      SELECT doc_id, w AS f FROM toks
+      UNION ALL
+      SELECT doc_id, w1 || ' ' || w2 AS f FROM bg
+    )""",
+        f"hashed AS (SELECT doc_id, {md5_long_sql('f', salt='clf|')} % {nf} AS idx FROM feats)",
+        "nd AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1)",
+        ("lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"
+         " AS y FROM documents)"),
+        "docs0 AS (SELECT nd.doc_id, nd.n, lab.y FROM nd JOIN lab USING (doc_id))",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM docs0)",
+        ("base AS (SELECT h.doc_id, h.idx, d.n, d.y FROM hashed h"
+         " JOIN docs0 d USING (doc_id))"),
+    ]
+    for t in range(1, n_iters + 1):
+        if t == 1:
+            # w=0, bias=0 -> margin 0, p = 0.5 for every doc
+            parts.append("err1 AS (SELECT doc_id, n, y, 0.5 - y AS err FROM docs0)")
+        else:
+            parts.append(f"""m{t} AS (
+      SELECT b.doc_id, any_value(b.n) AS n, any_value(b.y) AS y,
+             round(sum(coalesce(w{t - 1}.w, 0)) / any_value(b.n)
+                   + (SELECT b FROM b{t - 1}), 6) AS m
+      FROM base b LEFT JOIN w{t - 1} USING (idx) GROUP BY b.doc_id
+    )""")
+            parts.append(
+                f"err{t} AS (SELECT doc_id, n, y,"
+                f" round(1.0 / (1.0 + exp(-m)), 6) - y AS err FROM m{t})"
+            )
+        parts.append(f"""g{t} AS (
+      SELECT b.idx, round(sum(e.err / b.n) / (SELECT nv FROM nn), 9) AS g
+      FROM base b JOIN err{t} e USING (doc_id) GROUP BY b.idx
+    )""")
+        prev_w = f"coalesce(w{t - 1}.w, 0)" if t > 1 else "0"
+        prev_join = f" LEFT JOIN w{t - 1} USING (idx)" if t > 1 else ""
+        parts.append(
+            f"w{t} AS (SELECT g{t}.idx, round({prev_w} - {lr} * (g{t}.g"
+            f" + {l2} * {prev_w}), 6) AS w FROM g{t}{prev_join})"
+        )
+        prev_b = f"(SELECT b FROM b{t - 1})" if t > 1 else "0.0"
+        parts.append(
+            f"b{t} AS (SELECT round({prev_b} - {lr} * round(sum(err) /"
+            f" (SELECT nv FROM nn), 9), 6) AS b FROM err{t})"
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT idx, w FROM w{n_iters}
+    """
+
+
+@extra_query("classifier_train", oracle=_clf_train_oracle_sql())
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier training (textops.classifier_train,
+    r9): 2 full-batch logistic-GD iterations over the hashed
+    unigram+bigram features (256 buckets), labels y = (lang = 'en') —
+    the train half of the train→persist→score loop (the scorer entries
+    cover the other half; a model trained here plugs into
+    classifier_write / classifier_score unchanged).  Featurization runs
+    once and persists; per iteration: broadcast weight join, one
+    groupBy(doc) margin pass, one doc-key join of the N-row error table,
+    one bounded groupBy(idx) gradient whose ≤ num_features rows collect.
+    The oracle unrolls both iterations as CTEs with the identical
+    rounding boundaries."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_train,
+    )
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    weights, _bias = classifier_train(
+        docs, label_col="label", num_features=256, bigrams=True,
+        n_iters=2, lr=1.0, l2=0.0,
+    )
+    return weights

@@ -10,9 +10,11 @@ curate_e2e and export_training_shards (the two compositions a
 production pipeline actually ships), plus the r7 lang_id_trained.
 
 Usage:
-    python scripts/tail_scaling.py [OUT_JSON]
+    python scripts/tail_scaling.py [OUT_JSON] [--only name1,name2]
 Requires `.benchdata/sf1` and `.benchdata/sf10`
-(scripts/make_scaled_sf.py 10 / 100).
+(scripts/make_scaled_sf.py 10 / 100).  ``--only`` restricts the run to
+the named entries — the incremental mode for measuring entries added
+after a full (multi-hour) sweep; merge the JSONs when recording.
 
 Methodology: min of 2 cold passes at sf0.1/sf1; ONE cold pass at sf10
 (recorded in the output — a second ×100 pass would double a multi-hour
@@ -61,6 +63,12 @@ TAIL = [
     "simhash_signatures",
     "similarity_ann_ivf",
     "extra:lang_id_trained",
+    # r9 (VERDICT r8 #7): the r7 retrieval additions + the r9 tuner
+    "extra:tfidf_topk",
+    "extra:bm25_search",
+    "extra:knn_classify",
+    "extra:ann_tune",
+    "extra:extract_text",
 ]
 
 
@@ -128,7 +136,13 @@ def time_entry(spark, fn, sf_dir: str, passes: int) -> float:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    out_path = argv[0] if argv else os.path.join(
         REPO, ".benchdata", "tail_scaling.json"
     )
     for k, p in SF_POINTS.items():
@@ -138,6 +152,11 @@ def main() -> None:
     spark.read.parquet(f"{SF_POINTS['sf01']}/lineitem.parquet").count()  # warmup
 
     names = TAIL + ["semantic_dedup_prod", "curate_e2e", "export_training_shards"]
+    if only is not None:
+        unknown = only - set(names)
+        if unknown:
+            raise SystemExit(f"--only names not in the tail set: {sorted(unknown)}")
+        names = [n for n in names if n in only]
     results: dict[str, dict] = {}
     for i, name in enumerate(names, 1):
         fn = _resolve(name)

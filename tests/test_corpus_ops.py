@@ -1402,3 +1402,66 @@ def test_cc_driver_fast_path_matches_distributed_loop(spark):
     )
     fast = {(r.doc_id, r.cluster_id) for r in dedup_clusters(df).collect()}
     assert fast == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+# -- classifier_train (operators/textops.py, r9) -----------------------------
+
+def _separable_corpus(spark, n=30):
+    rows = []
+    for i in range(n):
+        rows.append((i, f"fluffy cat purrs softly kitten whiskers feline friend {i % 3}", 1))
+        rows.append((100 + i, f"compile the code segfault pointer debug stack trace {i % 3}", 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_classifier_train_learns_and_roundtrips(spark, tmp_path):
+    """In-engine GD training separates a separable corpus, and the
+    trained model round-trips through classifier_write /
+    classifier_score_from with identical scores — the full
+    train→persist→score production loop."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_score,
+        classifier_score_from,
+        classifier_train,
+        classifier_write,
+    )
+
+    docs = _separable_corpus(spark)
+    w, b = classifier_train(docs, n_iters=8, lr=4.0, num_features=1024)
+    scored = classifier_score(
+        docs.drop("label"), weights=w, bias=b, num_features=1024
+    ).join(docs.select("doc_id", "label"), "doc_id")
+    p1 = [r.prob for r in scored.filter("label = 1").collect()]
+    p0 = [r.prob for r in scored.filter("label = 0").collect()]
+    assert min(p1) > max(p0), (min(p1), max(p0))
+
+    path = str(tmp_path / "clf")
+    classifier_write(w, path, num_features=1024, bigrams=True, bias=b)
+    from_disk = {r.doc_id: r.prob for r in classifier_score_from(
+        docs.drop("label"), path).collect()}
+    inline = {r.doc_id: r.prob for r in scored.collect()}
+    assert from_disk == inline
+
+
+def test_classifier_train_null_labels_excluded_and_validation(spark):
+    """NULL-label rows do not influence training (train(sub) ==
+    train(sub + null rows)); degenerate inputs fail loudly."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_train,
+    )
+
+    docs = _separable_corpus(spark, n=5)
+    with_nulls = docs.union(spark.createDataFrame(
+        [(900, "some unlabeled text floating around here", None)],
+        "doc_id long, text string, label int",
+    ))
+    w_a, b_a = classifier_train(docs, n_iters=2, num_features=256)
+    w_b, b_b = classifier_train(with_nulls, n_iters=2, num_features=256)
+    assert b_a == b_b
+    assert sorted(map(tuple, w_a.collect())) == sorted(map(tuple, w_b.collect()))
+
+    with pytest.raises(ValueError, match="n_iters"):
+        classifier_train(docs, n_iters=0)
+    empty = spark.createDataFrame([], "doc_id long, text string, label int")
+    with pytest.raises(ValueError, match="featureful"):
+        classifier_train(empty, n_iters=1)
