@@ -168,7 +168,9 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  # r6 additions: the URL front door + trained-BPE counting
                  "url_canonical_dedup", "domain_cap", "bpe_token_count",
                  # r7 addition: trained multiclass language ID (train+score)
-                 "lang_id_trained"):
+                 "lang_id_trained",
+                 # r9 additions: HTML extraction + in-engine classifier GD
+                 "extract_text", "classifier_train"):
         fn = EXTRA_QUERIES[name]
         samples = []
         for _ in range(2):

@@ -124,6 +124,7 @@ def extract_text(
     min_words: int = 3,
     max_link_density: float = 0.5,
     drop_boilerplate: bool = True,
+    entities: str = "named",
 ) -> DataFrame:
     """Extract rendered text from an HTML column; see module docstring.
 
@@ -133,7 +134,22 @@ def extract_text(
     oracle compare the same exact doubles).  ``drop_boilerplate=False``
     keeps every non-empty visible line instead (markup strip only).
 
+    ``entities="named"`` (default) decodes the fixed core set JVM-side —
+    pure codegen, DuckDB-replayable.  ``entities="full"`` additionally
+    runs Python's complete ``html.unescape`` (all named + numeric
+    entities) over the KEPT text as one Arrow-batched kernel — applied
+    after the line stage, so (a) a ``&#1;`` in the input can never forge
+    an anchor sentinel (decode happens once sentinels are consumed; any
+    decoded C0 control is then stripped), and (b) the boilerplate
+    decision itself stays engine-replayable (word counts see the
+    named-decoded text — exotic entities are whole-token rare, so the
+    keep set is unaffected in practice).  Full mode is rows-only w.r.t.
+    the oracle (SQL has no codepoint substitution) and is pinned by a
+    Python-reference parity test instead.
+
     Adds/overwrites ``out_col``; all other columns pass through."""
+    if entities not in ("named", "full"):
+        raise ValueError(f"entities must be 'named' or 'full', got {entities!r}")
     marked = html_to_marked_text(F.col(html_col))
     lines = F.split(marked, "\n")
     if drop_boilerplate:
@@ -151,7 +167,32 @@ def extract_text(
         def _keep(line: Column) -> Column:
             return _visible(line) != F.lit("")
     kept = F.transform(F.filter(lines, _keep), _visible)
-    return df.withColumn(out_col, F.array_join(kept, "\n"))
+    out = df.withColumn(out_col, F.array_join(kept, "\n"))
+    if entities == "full":
+        out = out.withColumn(out_col, _unescape_full(F.col(out_col)))
+    return out
+
+
+def _unescape_full(c):
+    """Arrow-batched full HTML entity decode (``html.unescape``) + a
+    post-decode C0-control strip (minus tab/newline) so numeric control
+    entities (``&#1;`` …) cannot smuggle control bytes into the corpus."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ctrl = re.compile(_CONTROL_CLASS)
+
+    def _ker(s):
+        import html
+
+        return s.map(
+            lambda t: ctrl.sub("", html.unescape(t)) if t is not None else None
+        )
+
+    _ker.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_ker, "string")(c)
 
 
 def extract_text_oracle_sql(

@@ -192,3 +192,36 @@ def test_streaming_curate_extracts_html_end_to_end(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out")).collect()
     assert [r["doc_id"] for r in out] == [1]
     assert out[0]["text"] == prose
+
+
+def test_full_entity_decode_matches_python_reference(spark):
+    """entities='full': numeric + exotic named entities decode via the
+    Arrow html.unescape kernel, control entities are stripped, and the
+    named-mode prefix behavior is unchanged."""
+    import html as _html
+
+    cases = [
+        "<p>numeric &#8364; euro and hex &#x2603; snowman plus words</p>",
+        "<p>exotic named &mdash; entity &hellip; decodes here fine</p>",
+        "<p>control entity &#1; cannot smuggle control bytes in</p>",
+        "<p>core set still works &lt;x&gt; &amp; friends obviously</p>",
+    ]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(cases)],
+                               "doc_id long, html string")
+    out = {r.doc_id: r.text
+           for r in extract_text(df, "html", entities="full").collect()}
+    assert out[0] == "numeric € euro and hex ☃ snowman plus words"
+    assert out[1] == "exotic named — entity … decodes here fine"
+    assert out[2] == "control entity  cannot smuggle control bytes in"
+    assert "\x01" not in out[2] and "\x02" not in out[2]
+    assert out[3] == "core set still works <x> & friends obviously"
+    # reference parity: full mode == named-mode output passed through
+    # html.unescape + control strip
+    named = {r.doc_id: r.text for r in extract_text(df, "html").collect()}
+    import re
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    for i in out:
+        assert out[i] == ctrl.sub("", _html.unescape(named[i])), i
+
+    with pytest.raises(ValueError, match="entities"):
+        extract_text(df, "html", entities="everything")

@@ -142,3 +142,63 @@ def test_production_recipe_end_to_end(spark, tmp_path):
     mixed = temperature_mix(with_tok, "n_tokens", source_col="source", alpha=0.5)
     assert 0 < mixed.count() <= len(cur)
     assert "keep_frac" in mixed.columns
+
+
+def test_r9_crawl_recipe_html_plus_trained_classifier(spark, tmp_path):
+    """The round-9 crawl-shaped loop end-to-end: raw HTML corpus →
+    extract_text front door → in-engine classifier_train on labeled
+    seeds → classifier_write → curate with BOTH --extract-html and the
+    trained --classifier-path gate.  Pins that the extraction output is
+    what the trained model actually scores (extraction runs before the
+    gate), and that the gate separates on extracted prose, not markup."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        CurateConfig,
+        curate,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_train,
+        classifier_write,
+    )
+
+    def page(body):
+        return (f"<html><head><script>var x=1;</script></head><body>"
+                f"<nav><a href='/'>Home</a> <a href='/a'>About pages</a></nav>"
+                f"<p>{body}</p><footer><a href='/t'>Terms</a></footer></body></html>")
+
+    good = [
+        "a clear well formed paragraph about everyday cooking with plenty of distinct words",
+        "another thoughtfully written passage on cooking techniques and seasoned pans",
+        "a third clean essay praising fresh herbs sharp knives and patient stock",
+    ]
+    bad = [
+        "zxqv wkjh qpzm vbnx lkjq rtyu asdf ghjk spam spam spam spam spam click",
+        "qqqq wwww eeee rrrr tttt buy now click here spam offer expires tonight",
+        "asdf ghjk zxcv bnml click buy spam now qwer tyui opas dfgh free offer",
+    ]
+    # stage 0: train on labeled PLAIN-TEXT seeds (what extraction emits)
+    seeds = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(good * 5)]
+        + [(100 + i, t, 0) for i, t in enumerate(bad * 5)],
+        "doc_id long, text string, label int",
+    )
+    w, b = classifier_train(seeds, n_iters=8, lr=4.0, num_features=2048)
+    clf_dir = str(tmp_path / "clf")
+    classifier_write(w, clf_dir, num_features=2048, bigrams=True, bias=b)
+
+    # stage 1: the crawl arrives as HTML (good and spam pages, distinct)
+    crawl = spark.createDataFrame(
+        [(i, page(f"{t} crawl variant {i}")) for i, t in enumerate(good)]
+        + [(100 + i, page(f"{t} crawl variant {i}")) for i, t in enumerate(bad)],
+        "doc_id long, text string",
+    )
+    kept = curate(
+        crawl,
+        config=CurateConfig(
+            html_extract=True, min_quality=0.0, min_chars=10,
+            classifier_path=clf_dir, min_clf_prob=0.5,
+        ),
+    ).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [0, 1, 2], ids                     # spam pages gated out
+    for r in kept:
+        assert "Home" not in r["text"] and "<p>" not in r["text"]
