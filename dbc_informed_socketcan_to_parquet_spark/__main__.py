@@ -321,10 +321,64 @@ def run_train_classifier(argv: list[str]) -> None:
           f"wrote {args.output_path}")
 
 
+def build_ingest_warc_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark ingest-warc")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="WARC file, or directory of *.warc / *.warc.gz segments")
+    p.add_argument("--out", dest="output_path", required=True,
+                   help="output documents parquet")
+    p.add_argument("--record-types", default="response",
+                   help="comma-separated WARC-Type filter ('*' = all)")
+    p.add_argument("--all-content", action="store_true",
+                   help="keep every content type (default: text/html only)")
+    p.add_argument("--keep-all-status", action="store_true",
+                   help="keep every HTTP status (default: 200 only)")
+    p.add_argument("--extract-html", action="store_true",
+                   help="run htmlops.extract_text so `text` is prose, not markup")
+    p.add_argument("--max-content-length", type=int, default=8 * 1024 * 1024,
+                   help="skip payloads larger than this many bytes")
+    return p
+
+
+def run_ingest_warc(argv: list[str]) -> None:
+    """Crawl front door: WARC segments → documents parquet.  One
+    streaming task per segment file (sources/warc.WarcReader); doc_id is
+    the content-independent xxhash64 of (record_id, url) so re-ingesting
+    the same crawl is idempotent.  With --extract-html the output feeds
+    `curate` directly."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.sources.warc import read_warc
+
+    args = build_ingest_warc_parser().parse_args(argv)
+    spark = get_spark("ingest-warc-cli")
+    recs = read_warc(
+        spark, args.input_path, record_types=args.record_types,
+        html_only=not args.all_content,
+        max_content_length=args.max_content_length,
+    ).where(F.col("parse_ok") & F.col("text").isNotNull())
+    if not args.keep_all_status:
+        recs = recs.where(F.col("http_status") == 200)
+    docs = recs.select(
+        F.xxhash64("record_id", "url").alias("doc_id"),
+        "url", "warc_date", "content_type", "text", "warc_file",
+    )
+    if args.extract_html:
+        from dbc_informed_socketcan_to_parquet_spark.operators.htmlops import extract_text
+
+        docs = extract_text(docs, "text", out_col="text")
+    docs.write.mode("overwrite").parquet(args.output_path)
+    n = spark.read.parquet(args.output_path).count()
+    print(f"ingested {n} documents from WARC at {args.input_path}")
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
 
     argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "ingest-warc":
+        run_ingest_warc(argv[1:])
+        return
     if argv and argv[0] == "curate":
         run_curate(argv[1:])
         return

@@ -4346,3 +4346,76 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iters=2, lr=1.0, l2=0.0,
     )
     return weights
+
+
+# ---------------------------------------------------------------------------
+# round 9: WARC crawl ingest (sources/warc) — render→parse round trip
+# ---------------------------------------------------------------------------
+
+_WARC_HTML_PRE = "<html><body><h1>Doc "
+_WARC_HTML_MID = "</h1><p>"
+_WARC_HTML_POST = "</p></body></html>"
+
+
+@extra_query(
+    "warc_extract",
+    oracle=f"""
+    SELECT doc_id,
+           'https://synth.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           200 AS http_status,
+           'text/html; charset=utf-8' AS content_type,
+           '{_WARC_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_WARC_HTML_MID}'
+             || text || '{_WARC_HTML_POST}' AS body_html
+    FROM documents
+    """,
+)
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl ingest (sources/warc, r9): each document is rendered as
+    a complete WARC/1.0 response record — WARC headers with a computed
+    byte-exact Content-Length, an HTTP/1.1 envelope, an HTML body — in
+    ONE codegen concat projection, then parsed back through
+    ``warc_record_decode``, the same ``iter_warc_records`` +
+    ``parse_http_response`` + charset-decode byte path the distributed
+    file source (one streaming InputPartition per crawl segment) runs.
+    The oracle computes the expected fields directly from ``documents``,
+    so the hash gate proves the render→parse round trip is lossless:
+    WARC framing, header fold, Content-Length arithmetic (utf-8 octets,
+    not chars), HTTP split, and body decode.  Beyond the reference's
+    source surface (candump/SocketCAN/parquet — SURVEY §2.1;
+    /root/reference/src/inputs/fileInput.cpp:16-31 is its file front
+    door); with ``htmlops.extract_text`` this completes the crawl chain
+    WARC → HTML → text → curate."""
+    from dbc_informed_socketcan_to_parquet_spark.sources.warc import (
+        warc_record_decode,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit(_WARC_HTML_PRE), F.col("doc_id").cast("string"),
+        F.lit(_WARC_HTML_MID), F.col("text"), F.lit(_WARC_HTML_POST),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+        body,
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"),
+        F.lit("WARC-Record-ID: <urn:doc:"), F.col("doc_id").cast("string"),
+        F.lit(">\r\nWARC-Target-URI: https://synth.test/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+              "Content-Type: application/http; msgtype=response\r\n"
+              "Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+    )
+    parsed = docs.select(
+        "doc_id", warc_record_decode(F.encode(record, "utf-8")).alias("r")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("r.url").alias("url"),
+        F.col("r.http_status").alias("http_status"),
+        F.col("r.content_type").alias("content_type"),
+        F.col("r.text").alias("body_html"),
+    )
