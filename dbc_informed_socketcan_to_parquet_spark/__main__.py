@@ -231,6 +231,9 @@ def build_stream_curate_parser() -> argparse.ArgumentParser:
                    help="text field is raw HTML: extract rendered text first")
     p.add_argument("--html-min-words", type=int, default=3)
     p.add_argument("--html-max-link-density", type=float, default=0.5)
+    p.add_argument("--warc", action="store_true",
+                   help="landing dir holds *.warc[.gz] crawl segments instead of "
+                        "JSONL; implies HTML extraction (sources/warc stream reader)")
     return p
 
 
@@ -260,6 +263,7 @@ def run_stream_curate(argv: list[str]) -> None:
         lang_model_path=args.lang_model, allowed_langs=tuple(args.lang),
         extract_html=args.extract_html, html_min_words=args.html_min_words,
         html_max_link_density=args.html_max_link_density,
+        input_format="warc" if args.warc else "jsonl",
     )
     # C2 graceful shutdown, same contract as the decode stream: SIGINT
     # stops cleanly; committed micro-batches stay durable via checkpoint

@@ -42,7 +42,12 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 #: Output schema of the ``warc`` data source (one row per WARC record).
 WARC_SCHEMA = T.StructType(
@@ -253,15 +258,20 @@ class _WarcPartition(InputPartition):
         self.path = path
 
 
-class WarcReader(DataSourceReader):
-    """One InputPartition per WARC file — the crawl's natural work unit.
+def _list_warc_files(path: str) -> list[str]:
+    """All *.warc / *.warc.gz under ``path`` (or the file itself)."""
+    if os.path.isdir(path):
+        pats = [os.path.join(path, "*.warc"), os.path.join(path, "*.warc.gz")]
+    else:
+        pats = [path]
+    out: list[str] = []
+    for p in pats:
+        out.extend(_glob.glob(p))
+    return sorted(set(out))
 
-    At 100 TB (≈100k segment files) this plans 100k tasks, each a
-    bounded-memory streaming scan; Spark's scheduler handles placement
-    and AQE-free static parallelism is exactly right for a source whose
-    per-file cost is uniform by construction (crawlers emit fixed-size
-    segments).
-    """
+
+class _WarcOptions:
+    """Shared option parsing for the batch and stream readers."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -277,30 +287,72 @@ class WarcReader(DataSourceReader):
             options.get("max_content_length", _DEFAULT_MAX_CONTENT)
         )
 
-    def _files(self) -> list[str]:
-        if os.path.isdir(self.path):
-            pats = [os.path.join(self.path, "*.warc"),
-                    os.path.join(self.path, "*.warc.gz")]
-        else:
-            pats = [self.path]
-        out: list[str] = []
-        for p in pats:
-            out.extend(_glob.glob(p))
-        return sorted(set(out))
-
-    def partitions(self):
-        files = self._files()
-        if not files:
-            raise FileNotFoundError(f"no WARC files match {self.path!r}")
-        return [_WarcPartition(p) for p in files]
-
-    def read(self, partition: _WarcPartition):
-        yield from iter_warc_file(
-            partition.path,
+    def read_file(self, path: str):
+        return iter_warc_file(
+            path,
             record_types=self.record_types,
             html_only=self.html_only,
             max_content_length=self.max_content_length,
         )
+
+
+class WarcReader(DataSourceReader):
+    """One InputPartition per WARC file — the crawl's natural work unit.
+
+    At 100 TB (≈100k segment files) this plans 100k tasks, each a
+    bounded-memory streaming scan; Spark's scheduler handles placement
+    and AQE-free static parallelism is exactly right for a source whose
+    per-file cost is uniform by construction (crawlers emit fixed-size
+    segments).
+    """
+
+    def __init__(self, options):
+        self.opts = _WarcOptions(options)
+
+    def partitions(self):
+        files = _list_warc_files(self.opts.path)
+        if not files:
+            raise FileNotFoundError(f"no WARC files match {self.opts.path!r}")
+        return [_WarcPartition(p) for p in files]
+
+    def read(self, partition: _WarcPartition):
+        yield from self.opts.read_file(partition.path)
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over a WARC landing directory.
+
+    Offset = the sorted list of segment files already planned; each
+    ``latestOffset`` re-lists the directory, ``partitions(start, end)``
+    schedules exactly the new files, one executor-side streaming task
+    per segment — arrival order does not matter (no name-monotonicity
+    contract), so a late-delivered segment is never silently skipped.
+    The landing contract is the usual one: write segments elsewhere and
+    atomically rename them in.  The offset grows with the file count;
+    for a continuously-landing crawl that is thousands of names per day
+    — for a one-shot 100k-segment backfill use the batch
+    ``ingest-warc`` path instead, which plans all files at once without
+    offset bookkeeping.
+    """
+
+    def __init__(self, options):
+        self.opts = _WarcOptions(options)
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": _list_warc_files(self.opts.path)}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return [_WarcPartition(p) for p in new]
+
+    def read(self, partition: _WarcPartition):
+        yield from self.opts.read_file(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class WarcDataSource(DataSource):
@@ -316,6 +368,9 @@ class WarcDataSource(DataSource):
     def reader(self, schema) -> WarcReader:
         return WarcReader(self.options)
 
+    def streamReader(self, schema) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
+
 
 def read_warc(
     spark: SparkSession,
@@ -328,6 +383,26 @@ def read_warc(
     spark.dataSource.register(WarcDataSource)
     return (
         spark.read.format("warc")
+        .option("path", path)
+        .option("record_types", record_types)
+        .option("html_only", str(html_only).lower())
+        .option("max_content_length", str(max_content_length))
+        .load()
+    )
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: str = "response",
+    html_only: bool = False,
+    max_content_length: int = _DEFAULT_MAX_CONTENT,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: micro-batches of newly-landed
+    WARC segments (see :class:`WarcStreamReader` for the offset model)."""
+    spark.dataSource.register(WarcDataSource)
+    return (
+        spark.readStream.format("warc")
         .option("path", path)
         .option("record_types", record_types)
         .option("html_only", str(html_only).lower())

@@ -179,6 +179,7 @@ def run_streaming_curate(
     extract_html: bool = False,
     html_min_words: int = 3,
     html_max_link_density: float = 0.5,
+    input_format: str = "jsonl",
 ):
     """Start the full streaming curate pipeline; returns the list of
     live ``StreamingQuery`` handles (main lane first, then quarantine
@@ -187,12 +188,36 @@ def run_streaming_curate(
     ``available_now=True`` drains everything currently in the landing
     dir and stops — the batch-drain mode used by tests and by catch-up
     runs after downtime; the checkpoint makes successive drains resume
-    exactly (dedup state included)."""
-    raw = stream_jsonl_dir(
-        spark, input_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
-    )
-    corrupt = F.col(CORRUPT_COL).isNotNull()
-    clean = raw.filter(~corrupt).drop(CORRUPT_COL)
+    exactly (dedup state included).
+
+    ``input_format="warc"`` swaps the landing-dir source for the WARC
+    stream reader (sources/warc): newly-landed ``*.warc[.gz]`` segments
+    become documents (``doc_id`` = content-keyed xxhash64, ``source`` =
+    target URI) with ``extract_html`` forced on — the crawl chain's
+    streaming twin.  WARC has no quarantine lane (malformed records end
+    a segment's iteration at the source, jsonl-doctrine)."""
+    if input_format == "warc":
+        from dbc_informed_socketcan_to_parquet_spark.sources.warc import stream_warc
+
+        recs = stream_warc(spark, input_dir, html_only=True).where(
+            F.col("parse_ok") & F.col("text").isNotNull()
+            & (F.col("http_status") == 200)
+        )
+        clean = recs.select(
+            F.xxhash64("record_id", "url").alias("doc_id"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("url").alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+        raw = None
+        extract_html = True
+    else:
+        raw = stream_jsonl_dir(
+            spark, input_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+        )
+        corrupt = F.col(CORRUPT_COL).isNotNull()
+        clean = raw.filter(~corrupt).drop(CORRUPT_COL)
     curated = streaming_curate_frame(
         clean, text_col=text_col, min_chars=min_chars,
         min_quality=min_quality, watermark=watermark,
@@ -212,7 +237,7 @@ def run_streaming_curate(
         return w.start()
 
     queries = [_start(curated, "parquet", output_dir, f"{checkpoint_dir}/main")]
-    if quarantine_dir is not None:
+    if quarantine_dir is not None and raw is not None:
         qrows = raw.filter(corrupt).select(F.col(CORRUPT_COL).alias("raw_line"))
         queries.append(
             _start(qrows, "json", quarantine_dir, f"{checkpoint_dir}/quarantine")

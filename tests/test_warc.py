@@ -240,3 +240,61 @@ def test_ingest_warc_cli_end_to_end(spark, tmp_path):
     before = rows[0]["doc_id"]
     main(["ingest-warc", "--in", str(seg), "--out", str(out), "--extract-html"])
     assert spark.read.parquet(str(out)).collect()[0]["doc_id"] == before
+
+
+def test_stream_warc_incremental_landing_dir(spark, tmp_path):
+    """Streaming twin: segments landing over time are each planned
+    exactly once (offset = seen-file set), regardless of name order."""
+    from dbc_informed_socketcan_to_parquet_spark.sources.warc import stream_warc
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # deliberately non-monotonic names: z- lands first, a- second
+    (land / "z-first.warc").write_bytes(
+        _record("response", _http(b"<p>one</p>"), url="https://x.test/1"))
+    q = (stream_warc(spark, str(land))
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+        (land / "a-second.warc.gz").write_bytes(gzip.compress(
+            _record("response", _http(b"<p>two</p>"), url="https://x.test/2")))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["url"] for r in rows) == [
+        "https://x.test/1", "https://x.test/2"]  # both, exactly once
+
+
+def test_stream_curate_warc_lane_cli(spark, tmp_path):
+    """stream-curate --warc --available-now: crawl segments land, the
+    curate lane extracts HTML, gates quality, dedups, and writes
+    documents parquet — the streaming twin of ingest-warc + curate."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    prose = ("a genuinely long paragraph of crawl prose with plenty of "
+             "distinct everyday words to keep the quality gate happy here")
+    page = (b"<html><body><nav><a href='/'>Home</a></nav><p>" + prose.encode()
+            + b"</p></body></html>")
+    land = tmp_path / "land"
+    land.mkdir()
+    recs = (
+        _record("response", _http(page), url="https://x.test/good")
+        # duplicate content under another URL: streaming dedup drops it
+        + _record("response", _http(page), url="https://x.test/mirror")
+        + _record("response", _http(b'{"k":1}', content_type="application/json"),
+                  url="https://x.test/api")
+    )
+    (land / "seg-0.warc.gz").write_bytes(gzip.compress(recs))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    main(["stream-curate", "--in", str(land), "--out", out,
+          "--checkpoint", ckpt, "--warc", "--available-now",
+          "--min-quality", "0.0", "--min-chars", "10"])
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == prose
+    assert rows[0]["source"] in ("https://x.test/good", "https://x.test/mirror")
