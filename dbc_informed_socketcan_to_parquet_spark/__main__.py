@@ -57,6 +57,10 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--lm-corpus", default=None, help="trusted reference parquet for the LM gate")
     p.add_argument("--lm-path", default=None,
                    help="persisted bigram LM dir (textops.lm_write) — scores from disk, no training pass")
+    p.add_argument("--keep-ppl-tier", action="append", default=[],
+                   choices=("head", "middle", "tail"),
+                   help="CCNet partition: keep only these relative perplexity "
+                        "tiers (repeatable; shares the LM scoring pass)")
     p.add_argument("--classifier-path", default=None,
                    help="persisted classifier dir (textops.classifier_write); enables the gate with --min-clf-prob")
     p.add_argument("--min-clf-prob", type=float, default=None,
@@ -122,6 +126,7 @@ def run_curate(argv: list[str]) -> None:
         hot_span_window=args.hot_span_window,
         hot_span_min_count=args.hot_span_min_count,
         max_perplexity=args.max_perplexity,
+        keep_ppl_tiers=tuple(args.keep_ppl_tier),
         gopher=args.gopher,
         hash_fn=args.hash,
         lm_path=args.lm_path,

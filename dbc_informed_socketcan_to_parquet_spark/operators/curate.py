@@ -134,6 +134,13 @@ class CurateConfig:
     html_extract: bool = False
     html_min_words: int = 3
     html_max_link_density: float = 0.5
+    # CCNet perplexity partition (r9, textops.perplexity_buckets): keep
+    # only these relative quality tiers ("head"/"middle"/"tail" of the
+    # per-run perplexity distribution, lowest ppl = head).  Needs the
+    # LM (lm_path, or inline-trained like max_perplexity).  Runs with /
+    # after the absolute max_perplexity gate and reuses its scores —
+    # setting both gates costs ONE scoring pass.  Empty tuple = off.
+    keep_ppl_tiers: tuple[str, ...] = ()
 
 
 def curate(
@@ -329,13 +336,16 @@ def curate(
         clf_ids = scored.filter(F.col("prob") >= config.min_clf_prob).select(id_col)
         out = out.join(clf_ids, id_col, "left_semi")
 
-    if config.max_perplexity is not None:
+    if config.max_perplexity is not None or config.keep_ppl_tiers:
         # bigram-LM gibberish gate (CCNet shape).  lm_path scores a
         # PERSISTED reference LM (lm_write) — no per-run training pass;
-        # else the LM trains on lm_corpus or the gate's own survivors
+        # else the LM trains on lm_corpus or the gate's own survivors.
+        # Both perplexity gates (absolute ceiling + relative tier keep)
+        # share this one scoring pass.
         from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
             lm_score,
             lm_score_from,
+            perplexity_buckets,
         )
 
         if config.lm_path is not None:
@@ -344,10 +354,17 @@ def curate(
             )
         else:
             lm_scored = lm_score(out, corpus=lm_corpus, id_col=id_col, text_col=text_col)
-        lm_ids = lm_scored.filter(
-            F.col("perplexity") <= config.max_perplexity
-        ).select(id_col)
-        out = out.join(lm_ids, id_col, "left_semi")
+        keep = lm_scored
+        if config.max_perplexity is not None:
+            keep = keep.filter(F.col("perplexity") <= config.max_perplexity)
+        if config.keep_ppl_tiers:
+            bad = set(config.keep_ppl_tiers) - {"head", "middle", "tail"}
+            if bad:
+                raise ValueError(f"unknown ppl tiers: {sorted(bad)}")
+            keep = perplexity_buckets(keep, n_buckets=3, id_col=id_col).filter(
+                F.col("ppl_tier").isin(*config.keep_ppl_tiers)
+            )
+        out = out.join(keep.select(id_col), id_col, "left_semi")
 
     out = exact_dedup(out, id_col, text_col)
 

@@ -466,6 +466,73 @@ def lm_score_from(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    ppl_col: str = "perplexity",
+    lang_col: str | None = None,
+    labels: tuple[str, ...] | None = ("head", "middle", "tail"),
+    exact: bool = False,
+    id_col: str = "doc_id",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet-style perplexity partition: split documents into quality
+    tiers by LM perplexity (lowest = ``head``), optionally per language
+    (the published recipe buckets each language separately so one
+    easy-to-model language doesn't absorb the whole head).
+
+    Input is the output of :func:`lm_score` / :func:`lm_score_from`
+    (any frame with ``ppl_col``).  Adds ``ppl_bucket`` (1-based int) and
+    ``ppl_tier`` (label, when ``labels`` matches ``n_buckets``).
+
+    Two physical strategies:
+
+    * ``exact=False`` (default, the 100 TB path): per-group
+      ``approx_percentile`` cut points — ONE partial-aggregated pass to
+      ≤ #languages rows, broadcast back, bucket assignment as a codegen
+      comparison.  No global sort, no window; the corpus shuffles zero
+      times.  Cut points are approximate (Greenwald-Khanna within
+      1/``accuracy``), which is exactly the trade CCNet's own
+      equal-sized-thirds makes irrelevant at corpus scale.
+    * ``exact=True``: ``ntile`` over a window ordered by
+      (``ppl_col``, ``id_col``) — deterministic equal-count tiles, the
+      DuckDB-replayable mode the oracle entry pins.  A per-language
+      global sort: correct, but the small-data / validation path.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    part = [lang_col] if lang_col else []
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*part).orderBy(ppl_col, id_col)
+        out = scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+    else:
+        fracs = F.array(
+            *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+        )
+        cuts = scored.groupBy(*part).agg(
+            F.percentile_approx(ppl_col, fracs, F.lit(accuracy)).alias("_cuts")
+        )
+        joined = (
+            scored.join(F.broadcast(cuts), part, "left")
+            if part else scored.crossJoin(F.broadcast(cuts))
+        )
+        # bucket = 1 + number of cut points strictly below this doc's ppl
+        n_below = F.aggregate(
+            "_cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col(ppl_col) > c, 1).otherwise(0),
+        )
+        out = joined.withColumn("ppl_bucket", (n_below + 1).cast("int")).drop("_cuts")
+    if labels and len(labels) == n_buckets:
+        mapping = F.array(*[F.lit(x) for x in labels])
+        out = out.withColumn(
+            "ppl_tier", F.element_at(mapping, F.col("ppl_bucket"))
+        )
+    return out
+
+
 # -- hashed linear classifier scoring (fastText-style) -----------------------
 
 def _clf_hashed(

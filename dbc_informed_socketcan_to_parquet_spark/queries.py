@@ -4419,3 +4419,57 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.content_type").alias("content_type"),
         F.col("r.text").alias("body_html"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: CCNet perplexity partition (operators/textops.perplexity_buckets)
+# ---------------------------------------------------------------------------
+
+@extra_query(
+    "ppl_partition",
+    oracle=f"""
+    WITH {_LM_BIGRAM_CTES},
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1  AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v   AS (SELECT count(DISTINCT w) AS v FROM toks),
+    lp AS (
+      SELECT bg.doc_id, ln((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE)) AS lp
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    ppl AS (
+      SELECT doc_id, round(exp(-avg(lp)), 6) AS perplexity
+      FROM lp GROUP BY doc_id
+    ),
+    b AS (
+      SELECT p.doc_id, d.lang, p.perplexity,
+             CAST(NTILE(3) OVER (PARTITION BY d.lang
+                                 ORDER BY p.perplexity, p.doc_id) AS INTEGER)
+               AS ppl_bucket
+      FROM ppl p JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, perplexity, ppl_bucket,
+           CASE ppl_bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_tier
+    FROM b
+    """,
+)
+def q_ppl_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity partition (textops.perplexity_buckets, r9): score
+    every document with the corpus bigram LM, then split each language
+    into head/middle/tail quality tiers.  This entry runs the
+    ``exact=True`` ntile mode (deterministic equal-count tiles ordered
+    by (perplexity, doc_id)) so DuckDB's NTILE replays it hash-exact;
+    production uses the default approx-percentile mode — one
+    partial-aggregated cut-point pass broadcast back, zero corpus
+    shuffles, no window (same selection semantics at corpus scale)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        lm_score,
+        perplexity_buckets,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = lm_score(docs, id_col="doc_id", text_col="text", round_to=6)
+    with_lang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return perplexity_buckets(
+        with_lang, n_buckets=3, lang_col="lang", exact=True
+    ).select("doc_id", "lang", "perplexity", "ppl_bucket", "ppl_tier")

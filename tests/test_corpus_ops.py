@@ -1465,3 +1465,56 @@ def test_classifier_train_null_labels_excluded_and_validation(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, label int")
     with pytest.raises(ValueError, match="featureful"):
         classifier_train(empty, n_iters=1)
+
+
+def test_perplexity_buckets_exact_ntile(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        perplexity_buckets,
+    )
+
+    rows = [(i, "en", float(10 + i)) for i in range(6)] + \
+           [(10 + i, "de", float(100 - i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, perplexity double")
+    out = perplexity_buckets(df, n_buckets=3, lang_col="lang", exact=True)
+    got = {r["doc_id"]: (r["ppl_bucket"], r["ppl_tier"]) for r in out.collect()}
+    # en: 6 docs ordered 10..15 -> tiles of 2
+    assert got[0] == (1, "head") and got[1] == (1, "head")
+    assert got[2] == (2, "middle") and got[3] == (2, "middle")
+    assert got[4] == (3, "tail") and got[5] == (3, "tail")
+    # de partitioned separately: its lowest ppl doc is ITS head
+    assert got[12] == (1, "head") and got[10] == (3, "tail")
+
+
+def test_perplexity_buckets_approx_scale_path(spark):
+    """Default mode: cut points via percentile_approx broadcast — buckets
+    are monotone in perplexity, every tier nonempty, no window/sort of
+    the corpus in the plan."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(90)], "doc_id long, perplexity double"
+    )
+    out = perplexity_buckets(df, n_buckets=3)
+    rows = sorted(out.collect(), key=lambda r: r["perplexity"])
+    buckets = [r["ppl_bucket"] for r in rows]
+    assert buckets == sorted(buckets)                     # monotone
+    assert {1, 2, 3} == set(buckets)                      # all tiers hit
+    # roughly equal thirds (exact on this distinct-valued fixture)
+    from collections import Counter
+    sizes = Counter(buckets)
+    assert all(25 <= sizes[b] <= 35 for b in (1, 2, 3)), sizes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan.split("Exchange")[0]
+
+
+def test_perplexity_buckets_validation(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, perplexity double")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(df, n_buckets=1)

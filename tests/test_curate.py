@@ -418,3 +418,58 @@ def test_curate_language_gate(spark):
     assert sorted(r.doc_id for r in curate(docs, config=en_de).collect()) == [1, 2]
     # gate off: everything survives
     assert sorted(r.doc_id for r in curate(docs, config=base).collect()) == [1, 2, 3]
+
+
+def test_curate_keep_ppl_tiers(spark):
+    """CCNet partition gate: keep_ppl_tiers=('head',) keeps the
+    best-modeled (lowest-perplexity) third; shares the LM pass with
+    max_perplexity; unknown tiers raise."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import lm_score
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    # distinct per-doc tails keep pairwise Jaccard well under the
+    # near-dup threshold so the dedup stage leaves all nine docs alone
+    tails = [
+        "while morning sunlight warms the quiet meadow grass gently",
+        "as evening shadows stretch across the silent valley floor slowly",
+        "when autumn breezes scatter golden leaves along winding paths",
+        "frozen copper kettles whistle beside crowded market stalls daily",
+        "purple mountain bicycles carry heavy wooden crates uphill",
+        "ancient stone lighthouses guide weary sailors through foggy harbors",
+        "zxqv wkjh qpzm vbnx lkjq rtyu asdf ghjk qwer uiop",
+        "mnbv cxza sdfg hjkl poiu ytre wqas zxcv bnml kjhg",
+        "qpwo eiru tyal skdj fhgz xcvb nmqw erty uias dfgh",
+    ]
+    docs = spark.createDataFrame(
+        # 3 fluent docs (reference prose + distinct tail), 3 mid, 3 gibberish
+        [(i, f"{base} {tails[i]}") for i in range(3)]
+        # mid docs reuse SOME reference bigrams ("the lazy dog", "the
+        # river bank") so their perplexity lands strictly between the
+        # fluent docs and the all-unseen gibberish (value-distinct ppl is
+        # what the approx-cut mode needs to split tiers)
+        + [(10 + i, f"the lazy dog near the river bank {tails[3 + i]}")
+           for i in range(3)]
+        + [(20 + i, tails[6 + i] + " " + tails[6 + i]) for i in range(3)],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    perp = {r.doc_id: r.perplexity
+            for r in lm_score(docs, corpus=ref).collect()}
+    # sanity: fluent < mid < gibberish perplexity on average
+    assert max(perp[i] for i in (0, 1, 2)) < min(perp[i] for i in (20, 21, 22))
+
+    cfg = CurateConfig(min_chars=10, min_quality=0.0, jaccard_threshold=0.5,
+                       keep_ppl_tiers=("head",))
+    kept = {r.doc_id for r in curate(docs, config=cfg, lm_corpus=ref).collect()}
+    assert kept == {0, 1, 2}, kept                 # exactly the fluent third
+
+    cfg2 = CurateConfig(min_chars=10, min_quality=0.0, jaccard_threshold=0.5,
+                        keep_ppl_tiers=("head", "middle"))
+    kept2 = {r.doc_id for r in curate(docs, config=cfg2, lm_corpus=ref).collect()}
+    assert kept2 == {0, 1, 2, 10, 11, 12}, kept2   # gibberish tail dropped
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown ppl tiers"):
+        curate(docs, config=CurateConfig(keep_ppl_tiers=("best",)),
+               lm_corpus=ref).collect()
