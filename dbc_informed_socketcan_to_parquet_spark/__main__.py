@@ -74,6 +74,10 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--against", default=None,
                    help="existing curated corpus parquet: drop batch docs whose content "
                         "already appears there (Bloom-gated exact incremental dedup)")
+    p.add_argument("--against-sigs", default=None,
+                   help="persisted MinHash signature store (dedup.minhash_write): "
+                        "additionally drop batch docs that NEAR-duplicate history "
+                        "(band collision + --jaccard verify; store never shuffles)")
     p.add_argument("--url-col", default=None,
                    help="enable the URL front door (blocklist/dedup/cap) on this column")
     p.add_argument("--block-domain", action="append", default=[],
@@ -127,6 +131,7 @@ def run_curate(argv: list[str]) -> None:
         hot_span_min_count=args.hot_span_min_count,
         max_perplexity=args.max_perplexity,
         keep_ppl_tiers=tuple(args.keep_ppl_tier),
+        against_sigs_path=args.against_sigs,
         gopher=args.gopher,
         hash_fn=args.hash,
         lm_path=args.lm_path,

@@ -134,6 +134,11 @@ class CurateConfig:
     html_extract: bool = False
     html_min_words: int = 3
     html_max_link_density: float = 0.5
+    # incremental NEAR dedup vs history (r9): path to a persisted MinHash
+    # signature store (dedup.minhash_write); batch rows near-duplicating
+    # any history row (band collision + jaccard_threshold verify) drop.
+    # Composes with curate(against_corpus=) — exact first, fuzzy second.
+    against_sigs_path: str | None = None
     # CCNet perplexity partition (r9, textops.perplexity_buckets): keep
     # only these relative quality tiers ("head"/"middle"/"tail" of the
     # per-run perplexity distribution, lowest ppl = head).  Needs the
@@ -377,6 +382,30 @@ def curate(
 
         out = dedup_against_corpus(
             out, against_corpus, id_col=id_col, text_col=text_col
+        )
+    if config.against_sigs_path is not None:
+        # incremental NEAR mode (r9): drop batch rows near-duplicating
+        # history via its persisted MinHash signature store — the store
+        # never shuffles (batch band table broadcast), history text
+        # never re-read.  Composes with the exact mode above: exact
+        # catches byte-identical re-crawls cheaply, this catches the
+        # serial-token/boilerplate mutations exact misses.
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+            minhash_read,
+            near_dedup_against_corpus,
+        )
+
+        store_sigs, meta = minhash_read(out.sparkSession, config.against_sigs_path)
+        out = near_dedup_against_corpus(
+            out, corpus_sigs=store_sigs, id_col=id_col, text_col=text_col,
+            num_perms=meta["num_perms"], shingle_n=meta["shingle_n"],
+            seed=meta["seed"],
+            num_bands=config.minhash_bands,
+            rows_per_band=meta["num_perms"] // config.minhash_bands,
+            verify_threshold=config.jaccard_threshold,
+            # the STORE pins the signature family — mixing hash families
+            # across batch and history would compare unrelated minima
+            hash_fn=_HASH_FNS[meta.get("hash_name", "md5")],
         )
 
     # O(bucket) star-edge clustering — identical connected components to

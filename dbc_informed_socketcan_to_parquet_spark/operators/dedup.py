@@ -1081,6 +1081,110 @@ def dedup_against_corpus(
     return definitely_new.unionByName(verified_new).drop("_ch", "_maybe")
 
 
+def minhash_write(
+    sigs: DataFrame,
+    path: str,
+    num_perms: int,
+    shingle_n: int,
+    seed: int = 42,
+    hash_name: str = "md5",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a MinHash signature store (``sigs/`` + ``meta/``) so daily
+    batches near-dedup against history WITHOUT rescanning its text.
+    ``mode="append"`` adds an accepted batch's signatures to the store —
+    the continuous-corpus loop.  Meta pins the signature family; a reader
+    with different parameters would compare apples to oranges, so
+    :func:`minhash_read` validates on load."""
+    spark = sigs.sparkSession
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
+    spark.createDataFrame(
+        [(int(num_perms), int(shingle_n), int(seed), hash_name)],
+        "num_perms int, shingle_n int, seed int, hash_name string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def minhash_read(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a signature store → (sigs frame, meta dict)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    return spark.read.parquet(f"{path}/sigs"), meta
+
+
+def near_dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_sigs: DataFrame | None = None,
+    num_perms: int = 32,
+    shingle_n: int = 5,
+    seed: int = 42,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    verify_threshold: float | None = None,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """Incremental NEAR dedup: rows of ``batch`` with no near-duplicate
+    in the historical corpus — the fuzzy twin of
+    :func:`dedup_against_corpus` (which is exact-content only).
+
+    The 100 TB shape: the batch (small, daily) is signed and banded; the
+    history side is ``corpus_sigs`` — the PERSISTED signature store
+    (:func:`minhash_write`), so the historical text is never re-read, let
+    alone re-shingled.  The batch band table is **broadcast** into a join
+    against the history band table: the corpus side never shuffles — it
+    streams partition-local against the ≤ (batch × bands) broadcast.
+    Colliding batch ids (optionally signature-verified at
+    ``verify_threshold``) form a tiny distinct set, anti-joined back
+    broadcast.  Total corpus-side cost: one scan of the signature store.
+
+    Signature parameters must match the store's (``minhash_read`` hands
+    back the meta to pass in); ``corpus`` text is accepted as a
+    convenience for small/one-shot runs.
+    """
+    if (corpus is None) == (corpus_sigs is None):
+        raise ValueError("pass exactly one of corpus / corpus_sigs")
+    if num_perms < num_bands * rows_per_band:
+        raise ValueError(
+            f"num_perms={num_perms} < num_bands*rows_per_band="
+            f"{num_bands * rows_per_band}"
+        )
+    sigs_b = minhash_signatures(
+        batch, id_col, text_col, num_perms=num_perms, shingle_n=shingle_n,
+        seed=seed, hash_fn=hash_fn,
+    )
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(
+            corpus, id_col, text_col, num_perms=num_perms,
+            shingle_n=shingle_n, seed=seed, hash_fn=hash_fn,
+        )
+    bands_b = _band_table(sigs_b, id_col, num_bands, rows_per_band).select(
+        F.col(id_col).alias("_bid"), "band", "bh"
+    )
+    bands_c = _band_table(corpus_sigs, id_col, num_bands, rows_per_band).select(
+        F.col(id_col).alias("_cid"), "band", "bh"
+    )
+    hits = F.broadcast(bands_b).join(bands_c, ["band", "bh"]).select("_bid", "_cid")
+    if verify_threshold is not None:
+        a = sigs_b.select(F.col(id_col).alias("_bid"), F.col("sig").alias("sig_a"))
+        b = corpus_sigs.select(F.col(id_col).alias("_cid"), F.col("sig").alias("sig_b"))
+        est = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.lit(float(num_perms))
+        # hits (collisions) and a (batch sigs) are both batch-sized —
+        # broadcast their join so the corpus signature scan streams
+        # against it partition-local; the store never shuffles here either
+        hits = (
+            F.broadcast(hits.distinct().join(F.broadcast(a), "_bid"))
+            .join(b, "_cid")
+            .filter(est >= verify_threshold)
+        )
+    dup_ids = hits.select(F.col("_bid").alias(id_col)).distinct()
+    return batch.join(F.broadcast(dup_ids), id_col, "left_anti")
+
+
 # -- repeated token-window (hot span) detection ------------------------------
 
 def hot_window_stats(

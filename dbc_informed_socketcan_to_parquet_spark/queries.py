@@ -4473,3 +4473,58 @@ def q_ppl_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(
         with_lang, n_buckets=3, lang_col="lang", exact=True
     ).select("doc_id", "lang", "perplexity", "ppl_bucket", "ppl_tier")
+
+
+# ---------------------------------------------------------------------------
+# round 9: incremental near dedup vs history (dedup.near_dedup_against_corpus)
+# ---------------------------------------------------------------------------
+
+_NDA_EST = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+
+@extra_query(
+    "near_dedup_against",
+    oracle=f"""
+    WITH sigs AS ({_MH_SIG_SQL}),
+    bands AS ({_BAND_SQL}),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+      FROM bands b JOIN bands c ON b.band = c.band AND b.bh = c.bh
+      WHERE b.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+    ),
+    hit AS (
+      SELECT DISTINCT cand.bid
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.bid
+      JOIN sigs sb ON sb.doc_id = cand.cid
+      WHERE ({_NDA_EST}) / 16.0 >= 0.5
+    )
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT bid FROM hit)
+    """,
+)
+def q_near_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near dedup vs history
+    (dedup.near_dedup_against_corpus, r9): documents with doc_id % 3 = 0
+    play the incoming batch, the rest the historical corpus; batch rows
+    whose MinHash signature collides in any LSH band with a history row
+    AND verify at estimated Jaccard ≥ 0.5 are dropped.  The 100 TB
+    shape: history arrives as the persisted signature store
+    (minhash_write) and NEVER shuffles — the batch band table and the
+    collision set are broadcast (plan-guarded no SortMergeJoin in
+    pytest).  The oracle replays the full chain: shingles → 16-perm
+    signatures → 4-band collisions across the split → per-pair
+    signature-equality verify → anti-join."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        near_dedup_against_corpus,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    return near_dedup_against_corpus(
+        batch, corpus, num_perms=16, shingle_n=5, seed=42,
+        num_bands=4, rows_per_band=4, verify_threshold=0.5,
+    )

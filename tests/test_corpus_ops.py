@@ -1518,3 +1518,102 @@ def test_perplexity_buckets_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_buckets"):
         perplexity_buckets(df, n_buckets=1)
+
+
+def _near_dup_fixture(spark):
+    hist = (
+        "this historical boilerplate document is repeated nearly verbatim "
+        "across crawls with only one serial token changing near the end of "
+        "the body text which makes every copy a near duplicate serial one"
+    )
+    corpus = spark.createDataFrame(
+        [(100, hist),
+         (101, "a completely unrelated historical essay on alpine botany and "
+               "the seasonal migration of pollinators across high meadows")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, hist.replace("serial one", "serial two")),   # near-dup of 100
+         (2, "a genuinely fresh article about maritime navigation techniques "
+             "used before the invention of the marine chronometer at sea"),
+         (3, "another new piece describing distributed query engines and "
+             "their shuffle strategies at terabyte scale with novel ideas")],
+        "doc_id long, text string",
+    )
+    return corpus, batch
+
+
+def test_near_dedup_against_corpus_text(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        near_dedup_against_corpus,
+    )
+
+    corpus, batch = _near_dup_fixture(spark)
+    kept = near_dedup_against_corpus(
+        batch, corpus, num_perms=32, num_bands=8, rows_per_band=4,
+        verify_threshold=0.5,
+    )
+    assert {r.doc_id for r in kept.collect()} == {2, 3}
+
+    with pytest.raises(ValueError, match="exactly one"):
+        near_dedup_against_corpus(batch)
+    with pytest.raises(ValueError, match="num_perms"):
+        near_dedup_against_corpus(batch, corpus, num_perms=8, num_bands=8,
+                                  rows_per_band=4)
+
+
+def test_near_dedup_against_persisted_store(spark, tmp_path):
+    """The production loop: sign history once (minhash_write), then each
+    batch dedups against the store and appends its own signatures."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        minhash_read,
+        minhash_signatures,
+        minhash_write,
+        near_dedup_against_corpus,
+    )
+
+    corpus, batch = _near_dup_fixture(spark)
+    store = str(tmp_path / "sig_store")
+    sigs = minhash_signatures(corpus, "doc_id", "text", num_perms=32)
+    minhash_write(sigs, store, num_perms=32, shingle_n=5)
+
+    loaded, meta = minhash_read(spark, store)
+    assert meta["num_perms"] == 32 and meta["shingle_n"] == 5
+    kept = near_dedup_against_corpus(
+        batch, corpus_sigs=loaded, num_perms=meta["num_perms"],
+        shingle_n=meta["shingle_n"], seed=meta["seed"],
+        num_bands=8, rows_per_band=4, verify_threshold=0.5,
+    )
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert kept_ids == {2, 3}
+
+    # append the accepted batch; a re-run of the SAME batch now fully dedups
+    accepted_sigs = minhash_signatures(
+        kept.select("doc_id", "text"), "doc_id", "text", num_perms=32
+    )
+    minhash_write(accepted_sigs, store, num_perms=32, shingle_n=5, mode="append")
+    loaded2, _ = minhash_read(spark, store)
+    rerun = near_dedup_against_corpus(
+        batch, corpus_sigs=loaded2, num_perms=32, num_bands=8,
+        rows_per_band=4, verify_threshold=0.5,
+    )
+    assert rerun.count() == 0
+
+
+def test_near_dedup_corpus_never_shuffles(spark):
+    """Plan guard for the 100 TB shape: every join in the plan is a
+    BroadcastHashJoin — the history side streams against broadcast batch
+    structures; no SortMergeJoin / ShuffledHashJoin of the store."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        minhash_signatures,
+        near_dedup_against_corpus,
+    )
+
+    corpus, batch = _near_dup_fixture(spark)
+    sigs = minhash_signatures(corpus, "doc_id", "text", num_perms=32)
+    out = near_dedup_against_corpus(
+        batch, corpus_sigs=sigs, num_perms=32, num_bands=8,
+        rows_per_band=4, verify_threshold=0.5,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

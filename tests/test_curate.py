@@ -473,3 +473,36 @@ def test_curate_keep_ppl_tiers(spark):
     with pytest.raises(ValueError, match="unknown ppl tiers"):
         curate(docs, config=CurateConfig(keep_ppl_tiers=("best",)),
                lm_corpus=ref).collect()
+
+
+def test_curate_against_near_signature_store(spark, tmp_path):
+    """curate --against-sigs: the batch near-dedups against a persisted
+    MinHash signature store of history — serial-token mutations that the
+    exact --against mode misses are dropped, genuinely new docs pass."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_write,
+    )
+
+    hist = (
+        "this historical boilerplate document is repeated nearly verbatim "
+        "across crawls with only one serial token changing near the end of "
+        "the body text which makes every copy a near duplicate serial one"
+    )
+    history = spark.createDataFrame([(100, hist)], "doc_id long, text string")
+    store = str(tmp_path / "store")
+    minhash_write(
+        minhash_signatures(history, "doc_id", "text", num_perms=32),
+        store, num_perms=32, shingle_n=5,
+    )
+    batch = spark.createDataFrame(
+        [(1, hist.replace("serial one", "serial two")),   # near-dup: drop
+         (2, "a genuinely fresh article about maritime navigation methods "
+             "used before the invention of the marine chronometer at sea")],
+        "doc_id long, text string",
+    )
+    cfg = CurateConfig(min_chars=10, min_quality=0.0, jaccard_threshold=0.5,
+                       minhash_perms=32, minhash_bands=8,
+                       against_sigs_path=store)
+    kept = {r.doc_id for r in curate(batch, config=cfg).collect()}
+    assert kept == {2}
