@@ -169,8 +169,10 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  "url_canonical_dedup", "domain_cap", "bpe_token_count",
                  # r7 addition: trained multiclass language ID (train+score)
                  "lang_id_trained",
-                 # r9 additions: HTML extraction + in-engine classifier GD
-                 "extract_text", "classifier_train"):
+                 # r9 additions: HTML extraction + in-engine classifier GD,
+                 # WARC ingest, CCNet partition, incremental near dedup
+                 "extract_text", "classifier_train",
+                 "warc_extract", "ppl_partition", "near_dedup_against"):
         fn = EXTRA_QUERIES[name]
         samples = []
         for _ in range(2):

@@ -386,10 +386,52 @@ def run_ingest_warc(argv: list[str]) -> None:
     print(f"ingested {n} documents from WARC at {args.input_path}")
 
 
+def build_report_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark report")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="documents parquet to report on")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--group-col", default=None,
+                   help="per-group rows + grand total (e.g. lang, source)")
+    p.add_argument("--approx", action="store_true",
+                   help="HLL cardinality + approx percentiles (the 100 TB mode)")
+    p.add_argument("--out", dest="output_path", default=None,
+                   help="also write the report as parquet")
+    return p
+
+
+def run_report(argv: list[str]) -> None:
+    """Corpus health report: one rollup aggregation, printed (and
+    optionally persisted) — the pre/post-curation sanity check."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import corpus_report
+
+    args = build_report_parser().parse_args(argv)
+    spark = get_spark("report-cli")
+    rep = corpus_report(
+        spark.read.parquet(args.input_path), text_col=args.text_col,
+        group_col=args.group_col, approx=args.approx,
+    )
+    if args.group_col:
+        rep = rep.orderBy(F_asc_nulls_first(args.group_col))
+    rep.show(truncate=False)
+    if args.output_path:
+        rep.write.mode("overwrite").parquet(args.output_path)
+        print(f"wrote report to {args.output_path}")
+
+
+def F_asc_nulls_first(col):
+    from pyspark.sql import functions as F
+
+    return F.col(col).asc_nulls_first()
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
 
     argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "report":
+        run_report(argv[1:])
+        return
     if argv and argv[0] == "ingest-warc":
         run_ingest_warc(argv[1:])
         return

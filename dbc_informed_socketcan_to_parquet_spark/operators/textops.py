@@ -466,6 +466,66 @@ def lm_score_from(
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    approx: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-pass corpus health report: per-``group_col`` rows (language,
+    source, shard …) PLUS the grand total via ``rollup`` — the first
+    thing an operator looks at after (or before) a curation run.
+
+    Columns: ``n_docs``, ``n_distinct`` (exact-content cardinality),
+    ``dup_ratio``, ``total_chars``, ``total_tokens``, ``avg_chars``,
+    ``p50_chars``/``p90_chars`` (length distribution).
+
+    Scale shape: ONE aggregation over a narrow projection (hash, two
+    lengths — the text itself never shuffles).  ``approx=True`` swaps
+    the exact ``count_distinct`` (whose distinct-expand is the only
+    second-pass term) for the HLL ``approx_count_distinct`` and the
+    exact percentiles for ``percentile_approx`` — the 100 TB mode:
+    single shuffle, bounded state per group, ~1–2% cardinality error
+    that a health report never cares about.  The exact mode is the
+    DuckDB-replayable one the registry entry pins (ROLLUP + quantile_cont
+    agree with Spark's rollup + percentile — same interpolation).
+    """
+    from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
+
+    n_chars = F.length(F.col(text_col))
+    n_toks = F.size(tokens(F.col(text_col))).cast("long")
+    proj = [
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_ch"),
+        n_chars.alias("_nc"),
+        n_toks.alias("_nt"),
+    ]
+    if group_col:
+        proj.insert(0, F.col(group_col))
+    base = df.select(*proj)
+    distinct = (
+        F.approx_count_distinct("_ch") if approx else F.count_distinct("_ch")
+    )
+    p50, p90 = (
+        (F.percentile_approx("_nc", 0.5), F.percentile_approx("_nc", 0.9))
+        if approx
+        else (F.expr("percentile(_nc, 0.5)"), F.expr("percentile(_nc, 0.9)"))
+    )
+    grouped = base.rollup(group_col) if group_col else base.rollup()
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        distinct.alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - distinct.cast("double") / F.count(F.lit(1)), round_to
+        ).alias("dup_ratio"),
+        F.sum("_nc").alias("total_chars"),
+        F.sum("_nt").alias("total_tokens"),
+        F.round(F.avg("_nc"), round_to).alias("avg_chars"),
+        F.round(p50.cast("double"), round_to).alias("p50_chars"),
+        F.round(p90.cast("double"), round_to).alias("p90_chars"),
+    )
+
+
 def perplexity_buckets(
     scored: DataFrame,
     n_buckets: int = 3,

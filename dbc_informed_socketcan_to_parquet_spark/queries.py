@@ -4528,3 +4528,41 @@ def q_near_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, corpus, num_perms=16, shingle_n=5, seed=42,
         num_bands=4, rows_per_band=4, verify_threshold=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: corpus health report (operators/textops.corpus_report)
+# ---------------------------------------------------------------------------
+
+@extra_query(
+    "corpus_report",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_distinct,
+           round(1.0 - count(DISTINCT md5(coalesce(text, '')))
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_ratio,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x != ''))) AS BIGINT) AS total_tokens,
+           round(avg(length(text)), 6) AS avg_chars,
+           round(quantile_cont(length(text), 0.5), 6) AS p50_chars,
+           round(quantile_cont(length(text), 0.9), 6) AS p90_chars
+    FROM documents
+    GROUP BY ROLLUP (lang)
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report (textops.corpus_report, r9): per-language
+    rows + grand total in ONE rollup aggregation over a narrow
+    (hash, lengths) projection — the text never shuffles.  Exact mode
+    here (count_distinct + exact percentile) for the DuckDB ROLLUP /
+    quantile_cont replay; production at 100 TB flips ``approx=True``
+    (HLL cardinality + percentile_approx: single shuffle, bounded
+    per-group state)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        corpus_report,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_report(docs, group_col="lang")

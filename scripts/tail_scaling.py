@@ -69,6 +69,10 @@ TAIL = [
     "extra:knn_classify",
     "extra:ann_tune",
     "extra:extract_text",
+    # r9 late additions: crawl ingest, CCNet partition, incremental near dedup
+    "extra:warc_extract",
+    "extra:ppl_partition",
+    "extra:near_dedup_against",
 ]
 
 

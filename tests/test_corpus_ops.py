@@ -1617,3 +1617,46 @@ def test_near_dedup_corpus_never_shuffles(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_corpus_report_exact_and_approx(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        corpus_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "alpha beta gamma"), (2, "en", "alpha beta gamma"),
+         (3, "en", "delta epsilon"), (4, "de", "zeta eta theta iota")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in corpus_report(df, group_col="lang").collect()}
+    assert rows["en"]["n_docs"] == 3 and rows["en"]["n_distinct"] == 2
+    assert abs(rows["en"]["dup_ratio"] - (1 - 2 / 3)) < 1e-6
+    assert rows["en"]["total_tokens"] == 8
+    assert rows["de"]["n_docs"] == 1 and rows["de"]["dup_ratio"] == 0.0
+    total = rows[None]                      # rollup grand-total row
+    assert total["n_docs"] == 4 and total["n_distinct"] == 3
+    assert total["total_tokens"] == 12
+
+    # approx mode: same counts/sums, cardinality within HLL tolerance
+    arows = {r["lang"]: r
+             for r in corpus_report(df, group_col="lang", approx=True).collect()}
+    assert arows[None]["n_docs"] == 4
+    assert abs(arows[None]["n_distinct"] - 3) <= 1
+    assert arows[None]["total_tokens"] == 12
+
+    # ungrouped: a single total row
+    solo = corpus_report(df).collect()
+    assert len(solo) == 1 and solo[0]["n_docs"] == 4
+
+
+def test_report_cli(spark, tmp_path, capsys):
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    out = str(tmp_path / "rep.parquet")
+    main(["report", "--in", "/root/testdata/sf0.001/documents.parquet",
+          "--group-col", "lang", "--out", out])
+    printed = capsys.readouterr().out
+    assert "n_docs" in printed and "dup_ratio" in printed
+    rep = {r["lang"]: r for r in spark.read.parquet(out).collect()}
+    assert rep[None]["n_docs"] == 500 and len(rep) == 6
