@@ -51,6 +51,10 @@ GUARDED_SITES = {
     # try sparkContext except AttributeError → closure-capture model dicts
     # (shared by lm/classifier/langid rowlocal scorers, r7)
     ("operators/textops.py", "_broadcast_getter"),
+    # try sparkContext.applicationId except → id(spark) (Connect keys the
+    # model-getter cache by session object identity; getters there hold
+    # closures, not broadcasts, so staleness is a memory concern only)
+    ("operators/textops.py", "_ctx_key"),
 }
 
 CLASSIC_ATTRS = {"sparkContext", "_jdf", "_jsc", "_jvm", "rdd"}
