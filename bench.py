@@ -172,7 +172,8 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  # r9 additions: HTML extraction + in-engine classifier GD,
                  # WARC ingest, CCNet partition, incremental near dedup
                  "extract_text", "classifier_train",
-                 "warc_extract", "ppl_partition", "near_dedup_against"):
+                 "warc_extract", "ppl_partition", "near_dedup_against",
+                 "corpus_report"):
         fn = EXTRA_QUERIES[name]
         samples = []
         for _ in range(2):

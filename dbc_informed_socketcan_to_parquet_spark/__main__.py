@@ -429,6 +429,20 @@ def main(argv: list[str] | None = None) -> None:
     import sys
 
     argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "run-recipe":
+        from dbc_informed_socketcan_to_parquet_spark.plans.recipe import (
+            load_recipe,
+            run_recipe,
+        )
+
+        if len(argv) != 2:
+            raise SystemExit("usage: run-recipe <recipe.json>")
+        recipe = load_recipe(argv[1])
+        summary = run_recipe(get_spark("recipe-cli"), recipe)
+        import json as _json
+
+        print(_json.dumps(summary, indent=2, sort_keys=True))
+        return
     if argv and argv[0] == "report":
         run_report(argv[1:])
         return

@@ -1,0 +1,215 @@
+"""Declarative pipeline recipes — ONE JSON document drives the whole
+production chain: ingest → curate → report → split → export.
+
+The CLI flags cover each stage individually; a recipe pins the entire
+run (every knob, every path) in a reviewable, diffable artifact — the
+way a 100 TB curation run is actually operated (checked into the data
+repo next to the corpus manifest, re-run byte-identically after an
+incident).  Every stage delegates to the existing, tested operator —
+the recipe layer adds NO computation of its own.
+
+Shape::
+
+    {
+      "ingest":  {"format": "parquet" | "jsonl" | "warc", "path": "..."},
+      "curate":  {"min_quality": 0.0, "jaccard_threshold": 0.5, ...,
+                  "against": "hist.parquet", "lm_corpus": "ref.parquet"},
+      "out":     "curated.parquet",
+      "report":  {"group_col": "lang", "out": "report.parquet"},
+      "split":   {"fractions": {"train": 0.98, "val": 0.01, "test": 0.01},
+                  "leakage_safe": true},
+      "export":  {"out": "shards/", "max_tokens": 4096, "num_shards": 64}
+    }
+
+``ingest`` + ``out`` are required; ``curate``/``report``/``split``/
+``export`` are each optional (omit = stage off).  ``curate`` keys are
+``CurateConfig`` fields plus ``against`` (historical corpus parquet for
+the exact incremental gate) and ``lm_corpus`` (LM training reference);
+unknown keys fail fast BEFORE any compute.  With ``leakage_safe`` the
+split keys on the near-dup cluster representative (members of a dup
+cluster land in the same split); splits are written as a ``split``
+column on the curated output.  ``export`` defaults ``token_col`` to a
+whitespace token count added on the fly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_recipe(path: str) -> dict:
+    with open(path) as f:
+        recipe = json.load(f)
+    validate_recipe(recipe)
+    return recipe
+
+
+def validate_recipe(recipe: dict) -> None:
+    """Fail fast — a typo'd knob must die before hour one of the run."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import CurateConfig
+
+    known_top = {"ingest", "curate", "out", "report", "split", "export"}
+    unknown = set(recipe) - known_top
+    if unknown:
+        raise ValueError(f"unknown recipe sections: {sorted(unknown)}")
+    for req in ("ingest", "out"):
+        if req not in recipe:
+            raise ValueError(f"recipe requires a {req!r} section")
+    ing = recipe["ingest"]
+    if ing.get("format", "parquet") not in ("parquet", "jsonl", "warc"):
+        raise ValueError(f"unknown ingest format: {ing.get('format')!r}")
+    if "path" not in ing:
+        raise ValueError("ingest requires a path")
+    cfg_fields = {f.name for f in dataclasses.fields(CurateConfig)}
+    extra_keys = {"against", "lm_corpus"}
+    unknown = set(recipe.get("curate", {})) - cfg_fields - extra_keys
+    if unknown:
+        raise ValueError(f"unknown curate keys: {sorted(unknown)}")
+    if "split" in recipe and "fractions" not in recipe["split"]:
+        raise ValueError("split requires fractions")
+    if "export" in recipe:
+        for req in ("out", "max_tokens"):
+            if req not in recipe["export"]:
+                raise ValueError(f"export requires {req!r}")
+
+
+def _ingest(spark: SparkSession, ing: dict) -> tuple[DataFrame, dict]:
+    fmt = ing.get("format", "parquet")
+    if fmt == "parquet":
+        return spark.read.parquet(ing["path"]), {}
+    if fmt == "jsonl":
+        from dbc_informed_socketcan_to_parquet_spark.sources.jsonl import (
+            read_jsonl,
+            split_corrupt,
+            write_jsonl,
+        )
+
+        docs, quarantine = split_corrupt(read_jsonl(spark, ing["path"]))
+        info = {}
+        if ing.get("quarantine"):
+            n_bad = quarantine.count()
+            if n_bad:
+                write_jsonl(quarantine, ing["quarantine"])
+            info["quarantined"] = n_bad
+        return docs, info
+    # warc: same projection as the ingest-warc CLI
+    from dbc_informed_socketcan_to_parquet_spark.sources.warc import read_warc
+
+    recs = read_warc(
+        spark, ing["path"],
+        record_types=ing.get("record_types", "response"),
+        html_only=ing.get("html_only", True),
+    ).where(F.col("parse_ok") & F.col("text").isNotNull()
+            & (F.col("http_status") == 200))
+    docs = recs.select(
+        F.xxhash64("record_id", "url").alias("doc_id"),
+        "url", "warc_date", "content_type", "text", "warc_file",
+    )
+    return docs, {}
+
+
+def run_recipe(spark: SparkSession, recipe: dict) -> dict:
+    """Execute a validated recipe; returns a per-stage summary dict."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        CurateConfig,
+        curate,
+    )
+
+    validate_recipe(recipe)
+    summary: dict = {}
+    docs, info = _ingest(spark, recipe["ingest"])
+    summary["ingest"] = {"n_docs": docs.count(), **info}
+
+    cur = dict(recipe.get("curate", {}))
+    against_path = cur.pop("against", None)
+    lm_corpus_path = cur.pop("lm_corpus", None)
+    # a WARC ingest hands over raw HTML — extraction defaults on there
+    if recipe["ingest"].get("format") == "warc":
+        cur.setdefault("html_extract", True)
+    kept = curate(
+        docs,
+        config=CurateConfig(**cur),
+        against_corpus=(
+            spark.read.parquet(against_path) if against_path else None
+        ),
+        lm_corpus=(
+            spark.read.parquet(lm_corpus_path) if lm_corpus_path else None
+        ),
+    )
+
+    if "split" in recipe:
+        sp = recipe["split"]
+        if sp.get("leakage_safe"):
+            from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+                minhash_star_clusters,
+            )
+            from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+                leakage_safe_split,
+            )
+
+            clusters = minhash_star_clusters(kept, "doc_id", "text")
+            assigned = leakage_safe_split(kept, clusters, sp["fractions"])
+            kept = kept.join(assigned, "doc_id")
+        else:
+            from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+                assign_split,
+            )
+
+            kept = kept.withColumn(
+                "split", assign_split(kept, sp["fractions"], "doc_id")
+            )
+
+    kept.write.mode("overwrite").parquet(recipe["out"])
+    kept = spark.read.parquet(recipe["out"])  # re-read: one compute pass
+    summary["curate"] = {"n_docs": kept.count(), "out": recipe["out"]}
+    if "split" in recipe:
+        summary["split"] = {
+            r["split"]: r["n"]
+            for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+
+    if "report" in recipe:
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            corpus_report,
+        )
+
+        rep = corpus_report(
+            kept,
+            group_col=recipe["report"].get("group_col"),
+            approx=recipe["report"].get("approx", False),
+        )
+        if recipe["report"].get("out"):
+            rep.write.mode("overwrite").parquet(recipe["report"]["out"])
+        summary["report"] = {
+            "rows": rep.count(), "out": recipe["report"].get("out"),
+        }
+
+    if "export" in recipe:
+        from dbc_informed_socketcan_to_parquet_spark.storage import (
+            export_training_shards,
+        )
+
+        ex = recipe["export"]
+        token_col = ex.get("token_col")
+        docs_ex = kept
+        if token_col is None:
+            from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
+
+            token_col = "n_tokens"
+            if token_col not in docs_ex.columns:
+                docs_ex = docs_ex.withColumn(
+                    token_col, F.size(tokens(F.col("text"))).cast("long")
+                )
+        manifest = export_training_shards(
+            docs_ex, ex["out"], token_col, int(ex["max_tokens"]),
+            num_shards=int(ex.get("num_shards", 64)),
+            seed=int(ex.get("seed", 0)),
+        )
+        summary["export"] = {
+            "out": ex["out"], "n_shards": len(manifest.get("shards", [])),
+        }
+    return summary

@@ -73,6 +73,7 @@ TAIL = [
     "extra:warc_extract",
     "extra:ppl_partition",
     "extra:near_dedup_against",
+    "extra:corpus_report",
 ]
 
 

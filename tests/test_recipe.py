@@ -1,0 +1,90 @@
+"""Declarative recipe runner (plans/recipe, r9): one JSON drives
+ingest → curate → report → split → export, each stage delegating to the
+already-tested operator."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from dbc_informed_socketcan_to_parquet_spark.plans.recipe import (
+    run_recipe,
+    validate_recipe,
+)
+
+
+def test_validate_recipe_fails_fast():
+    with pytest.raises(ValueError, match="requires a 'ingest'"):
+        validate_recipe({"out": "x"})
+    with pytest.raises(ValueError, match="unknown recipe sections"):
+        validate_recipe({"ingest": {"path": "p"}, "out": "x", "extra": {}})
+    with pytest.raises(ValueError, match="unknown curate keys"):
+        validate_recipe({"ingest": {"path": "p"}, "out": "x",
+                         "curate": {"min_qality": 0.5}})
+    with pytest.raises(ValueError, match="unknown ingest format"):
+        validate_recipe({"ingest": {"path": "p", "format": "csv"}, "out": "x"})
+    with pytest.raises(ValueError, match="split requires fractions"):
+        validate_recipe({"ingest": {"path": "p"}, "out": "x", "split": {}})
+    with pytest.raises(ValueError, match="export requires"):
+        validate_recipe({"ingest": {"path": "p"}, "out": "x",
+                         "export": {"out": "e"}})
+
+
+def test_recipe_parquet_full_chain(spark, tmp_path):
+    """parquet ingest → curate → leakage-safe split → report → export:
+    every stage's artifact lands and the summary reflects it."""
+    recipe = {
+        "ingest": {"format": "parquet",
+                   "path": "/root/testdata/sf0.001/documents.parquet"},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": str(tmp_path / "curated.parquet"),
+        "report": {"group_col": "lang", "out": str(tmp_path / "report.parquet")},
+        "split": {"fractions": {"train": 0.8, "val": 0.1, "test": 0.1},
+                  "leakage_safe": True},
+        "export": {"out": str(tmp_path / "shards"), "max_tokens": 4096,
+                   "num_shards": 8},
+    }
+    summary = run_recipe(spark, recipe)
+    assert summary["ingest"]["n_docs"] == 500
+    assert 0 < summary["curate"]["n_docs"] <= 500
+    assert set(summary["split"]) <= {"train", "val", "test"}
+    assert sum(summary["split"].values()) == summary["curate"]["n_docs"]
+    assert summary["report"]["rows"] >= 2          # langs + total row
+    assert summary["export"]["n_shards"] == 8
+
+    curated = spark.read.parquet(recipe["out"])
+    assert "split" in curated.columns
+    manifest = json.loads((tmp_path / "shards" / "_manifest.json").read_text())
+    assert len(manifest["shards"]) == 8
+
+
+def test_recipe_warc_cli(spark, tmp_path):
+    """run-recipe CLI over a WARC landing dir: extraction defaults on,
+    spam-free prose lands curated."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    prose = ("a clear well formed paragraph about everyday cooking with "
+             "plenty of distinct words to pass the quality gate easily")
+    page = (b"<html><body><nav><a href='/'>Home</a></nav><p>" + prose.encode()
+            + b"</p></body></html>")
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+            + page)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:1>\r\n"
+           b"WARC-Target-URI: https://x.test/p\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n"
+           + f"Content-Length: {len(http)}\r\n\r\n".encode() + http + b"\r\n\r\n")
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "seg-0.warc.gz").write_bytes(gzip.compress(rec))
+    recipe_path = tmp_path / "recipe.json"
+    out = str(tmp_path / "curated.parquet")
+    recipe_path.write_text(json.dumps({
+        "ingest": {"format": "warc", "path": str(land)},
+        "curate": {"min_quality": 0.0, "min_chars": 10},
+        "out": out,
+    }))
+    main(["run-recipe", str(recipe_path)])
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["text"] == prose
