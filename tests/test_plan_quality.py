@@ -355,6 +355,43 @@ def test_q17_decorrelated_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q6_pure_scan_filter_agg(spark):
+    """Q6 is the pushdown benchmark: no join, all three predicates at
+    the parquet scan, a 4-column ReadSchema (shipdate/discount/quantity/
+    extendedprice), and exactly one exchange (partial -> final agg)."""
+    plan = plan_of(QUERIES["tpch_q6_forecast_revenue"](spark, SF))
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_returnflag" not in schema and "l_orderkey" not in schema
+    assert n_exchanges(plan) == 1
+
+
+def test_q12_filters_before_fact_join(spark):
+    """The lineitem side is filtered at the scan (ship-date window in
+    PushedFilters) BEFORE the orders equi-join; the join is hash/
+    sort-merge on the order key, never a nested loop — orders is NOT
+    broadcast because at production scale it is the second-largest
+    table."""
+    plan = plan_of(QUERIES["tpch_q12_shipmode"](spark, SF))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "l_shipdate" in pushed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q14_broadcasts_part_single_pass(spark):
+    """part broadcasts (dim side); the promo share is ONE aggregation
+    over one scan — no self-join, no second lineitem scan."""
+    plan = plan_of(QUERIES["tpch_q14_promo_ratio"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # lineitem + part, once each (numbered detail nodes, one per scan)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2
+
+
 def test_normalize_text_single_python_eval(spark):
     """Only the NFC step may cross into Python (one ArrowEvalPython /
     BatchEvalPython node); every regexp_replace must stay JVM-side in
