@@ -156,10 +156,20 @@ def curate(
     classifier_weights: DataFrame | None = None,
     lm_corpus: DataFrame | None = None,
     against_corpus: DataFrame | None = None,
+    _trace: list | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the kept documents with
     their original schema (text scrubbed when ``config.scrub``, rebuilt
     when ``config.paragraph_dedup``).
+
+    ``_trace`` (r9, internal — use :func:`curate_audit`): a list the
+    pipeline appends ``(stage_name, df_after_stage)`` to at every
+    drop-capable stage boundary.  Tracing wraps each boundary in
+    ``localCheckpoint(eager=False)`` so each stage computes ONCE and the
+    audit anti-joins read the materialized boundary — the in-memory
+    analog of the stage-boundary table writes the module docstring
+    prescribes at cluster scale.  ``None`` (the default) leaves the
+    plan untouched.
 
     ``lm_corpus``: trusted reference slice (Wikipedia-style) the
     perplexity gate's bigram LM trains on — the CCNet arrangement.  With
@@ -174,6 +184,14 @@ def curate(
     (``dedup.dedup_against_corpus``: definitely-new rows skip the join
     entirely) right after the batch's own exact dedup, so a daily batch
     curates against years of history without shuffling the history."""
+
+    def _mark(stage: str, df: DataFrame) -> DataFrame:
+        if _trace is None:
+            return df
+        df = df.localCheckpoint(eager=False)
+        _trace.append((stage, df))
+        return df
+
     if config.url_col is not None:
         # URL/domain front door: narrow filter → one canonical-key groupBy
         # → broadcast-frac cap.  Runs before ANY text stage because it is
@@ -186,14 +204,16 @@ def curate(
         )
 
         if config.url_blocklist:
-            docs = _domain_filter(docs, list(config.url_blocklist), url_col=config.url_col)
+            docs = _mark("url_blocklist", _domain_filter(
+                docs, list(config.url_blocklist), url_col=config.url_col))
         if config.url_dedup:
-            docs = _url_dedup(docs, url_col=config.url_col, id_col=id_col)
+            docs = _mark("url_dedup", _url_dedup(
+                docs, url_col=config.url_col, id_col=id_col))
         if config.max_per_domain is not None:
-            docs = _domain_cap(
+            docs = _mark("domain_cap", _domain_cap(
                 docs, config.max_per_domain, url_col=config.url_col,
                 id_col=id_col, hash_fn=config.hash_fn,
-            ).drop("keep_frac")
+            ).drop("keep_frac"))
 
     if config.html_extract:
         # HTML front door: rewrite raw HTML to rendered text before any
@@ -276,7 +296,7 @@ def curate(
         & (F.col("dup_line_ratio") <= config.max_dup_line_ratio)
         & (F.col("top_bigram_ratio") <= config.max_top_bigram_ratio)
     ).select(id_col)
-    out = out.join(good_ids, id_col, "left_semi")
+    out = _mark("quality", out.join(good_ids, id_col, "left_semi"))
 
     if config.allowed_langs:
         # language gate: the heuristic is a row-local projection, the
@@ -299,7 +319,7 @@ def curate(
         lang_ids = predicted.filter(
             F.col("predicted_lang").isin(list(config.allowed_langs))
         ).select(id_col)
-        out = out.join(lang_ids, id_col, "left_semi")
+        out = _mark("language", out.join(lang_ids, id_col, "left_semi"))
 
     if config.gopher:
         # named-rule battery gate — same materialization barrier as the
@@ -310,9 +330,9 @@ def curate(
         )
 
         flags = gopher_quality_flags(out, id_col, text_col).localCheckpoint(eager=False)
-        out = out.join(
+        out = _mark("gopher", out.join(
             flags.filter(F.col("passes_gopher")).select(id_col), id_col, "left_semi"
-        )
+        ))
 
     if config.min_clf_prob is not None:
         # hashed-linear-classifier gate: one explode + broadcast weight
@@ -339,7 +359,7 @@ def curate(
                 "config.classifier_path provided"
             )
         clf_ids = scored.filter(F.col("prob") >= config.min_clf_prob).select(id_col)
-        out = out.join(clf_ids, id_col, "left_semi")
+        out = _mark("classifier", out.join(clf_ids, id_col, "left_semi"))
 
     if config.max_perplexity is not None or config.keep_ppl_tiers:
         # bigram-LM gibberish gate (CCNet shape).  lm_path scores a
@@ -369,9 +389,9 @@ def curate(
             keep = perplexity_buckets(keep, n_buckets=3, id_col=id_col).filter(
                 F.col("ppl_tier").isin(*config.keep_ppl_tiers)
             )
-        out = out.join(keep.select(id_col), id_col, "left_semi")
+        out = _mark("perplexity", out.join(keep.select(id_col), id_col, "left_semi"))
 
-    out = exact_dedup(out, id_col, text_col)
+    out = _mark("exact_dup", exact_dedup(out, id_col, text_col))
 
     if against_corpus is not None:
         # incremental mode: drop batch rows whose content already exists
@@ -380,9 +400,9 @@ def curate(
             dedup_against_corpus,
         )
 
-        out = dedup_against_corpus(
+        out = _mark("against_exact", dedup_against_corpus(
             out, against_corpus, id_col=id_col, text_col=text_col
-        )
+        ))
     if config.against_sigs_path is not None:
         # incremental NEAR mode (r9): drop batch rows near-duplicating
         # history via its persisted MinHash signature store — the store
@@ -396,7 +416,7 @@ def curate(
         )
 
         store_sigs, meta = minhash_read(out.sparkSession, config.against_sigs_path)
-        out = near_dedup_against_corpus(
+        out = _mark("against_near", near_dedup_against_corpus(
             out, corpus_sigs=store_sigs, id_col=id_col, text_col=text_col,
             num_perms=meta["num_perms"], shingle_n=meta["shingle_n"],
             seed=meta["seed"],
@@ -406,7 +426,7 @@ def curate(
             # the STORE pins the signature family — mixing hash families
             # across batch and history would compare unrelated minima
             hash_fn=_HASH_FNS[meta.get("hash_name", "md5")],
-        )
+        ))
 
     # O(bucket) star-edge clustering — identical connected components to
     # the all-pairs graph (pytest-pinned in tests/test_dedup.py), output
