@@ -93,6 +93,9 @@ def build_curate_parser() -> argparse.ArgumentParser:
                    help="boilerplate gate: keep lines with at least this many words")
     p.add_argument("--html-max-link-density", type=float, default=0.5,
                    help="boilerplate gate: drop lines with more anchor text than this fraction")
+    p.add_argument("--audit", action="store_true",
+                   help="print the per-stage drop funnel (stage, rows_in, rows_out, "
+                        "dropped) instead of writing the curated output")
     return p
 
 
@@ -153,6 +156,17 @@ def run_curate(argv: list[str]) -> None:
         parser.error("--lang-model has no effect without --lang (the languages to keep)")
     lm_corpus = spark.read.parquet(args.lm_corpus) if args.lm_corpus else None
     against = spark.read.parquet(args.against) if args.against else None
+    if args.audit:
+        from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate_audit
+
+        funnel = curate_audit(
+            docs, args.id_col, args.text_col, cfg,
+            lm_corpus=lm_corpus, against_corpus=against,
+        )
+        for r in sorted(funnel.collect(), key=lambda r: r.stage_idx):
+            print(f"audit {r.stage_idx} {r.stage}: "
+                  f"{r.rows_in} -> {r.rows_out} (-{r.dropped})")
+        return
     # persist across write + count: one pipeline execution, and the count
     # never re-reads the output (an empty JSONL dir has no schema to infer)
     kept = curate(

@@ -439,7 +439,54 @@ def curate(
         num_bands=config.minhash_bands, threshold=config.jaccard_threshold,
         seed=config.seed, hash_fn=_HASH_FNS[config.hash_fn],
     )
-    return keep_canonical(out, clusters, id_col)
+    return _mark("near_dup", keep_canonical(out, clusters, id_col))
+
+
+def curate_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    config: CurateConfig = CurateConfig(),
+    classifier_weights: DataFrame | None = None,
+    lm_corpus: DataFrame | None = None,
+    against_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Per-stage drop funnel for a :func:`curate` run — the "where did my
+    corpus go" report every production curation batch ships with.
+
+    Returns one row per DROP-CAPABLE stage that ran, in pipeline order:
+    ``(stage_idx, stage, rows_in, rows_out, dropped)``.  Text-rewrite
+    stages (HTML extract, paragraph dedup, hot-span scrub) never drop
+    rows, so ``rows_in`` of each stage equals ``rows_out`` of the
+    previous one and the funnel telescopes from ``count(docs)`` down to
+    the curated output size.
+
+    Scale design: tracing wraps every stage boundary in a lazy
+    ``localCheckpoint``, so counting the boundaries in pipeline order
+    computes each stage ONCE (stage k's count materializes the
+    checkpoint stage k+1 builds on) — auditing costs one extra count
+    action per stage over a plain :func:`curate` run, not a re-run per
+    stage.  The per-stage loop is driver-side but bounded by the stage
+    list (≤ 12), never by data.  At cluster scale the boundaries are the
+    stage-boundary table writes the module docstring prescribes, and
+    this funnel is their row-count manifest.
+    """
+    trace: list[tuple[str, DataFrame]] = []
+    curate(
+        docs, id_col, text_col, config,
+        classifier_weights=classifier_weights, lm_corpus=lm_corpus,
+        against_corpus=against_corpus, _trace=trace,
+    )
+    rows = []
+    prev = docs.count()
+    for i, (stage, df) in enumerate(trace, start=1):
+        n = df.count()
+        rows.append((i, stage, prev, n, prev - n))
+        prev = n
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "stage_idx INT, stage STRING, rows_in BIGINT, rows_out BIGINT, dropped BIGINT",
+    )
 
 
 _HASH_FNS = {"md5": md5_long, "xxhash": xxhash60}

@@ -4566,3 +4566,73 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return corpus_report(docs, group_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# round 9: curation drop funnel (operators/curate.curate_audit)
+# ---------------------------------------------------------------------------
+
+# the star-CC chain over the exact-dedup survivors instead of raw documents:
+# the shingle source is the one place the chain names a table
+_AUDIT_CC = _STAR_CC_CTES.replace("FROM documents)", "FROM exact_docs)")
+
+
+@extra_query(
+    "curate_audit",
+    oracle=f"""
+    WITH RECURSIVE
+    quality AS (SELECT doc_id, text FROM documents WHERE length(text) >= 32),
+    exact_docs AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    {_AUDIT_CC},
+    clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    kept AS (
+      SELECT d.doc_id FROM exact_docs d LEFT JOIN clusters c USING (doc_id)
+      WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+    ),
+    n0 AS (SELECT count(*) AS n FROM documents),
+    n1 AS (SELECT count(*) AS n FROM quality),
+    n2 AS (SELECT count(*) AS n FROM exact_docs),
+    n3 AS (SELECT count(*) AS n FROM kept)
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS stage_idx, 'quality' AS stage,
+             n0.n AS rows_in, n1.n AS rows_out, n0.n - n1.n AS dropped
+      FROM n0, n1
+      UNION ALL
+      SELECT CAST(2 AS INT), 'exact_dup', n1.n, n2.n, n1.n - n2.n FROM n1, n2
+      UNION ALL
+      SELECT CAST(3 AS INT), 'near_dup', n2.n, n3.n, n2.n - n3.n FROM n2, n3
+    )
+    """,
+)
+def q_curate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage curation drop funnel (curate.curate_audit, r9): run the
+    pipeline once with stage-boundary tracing and report
+    (stage, rows_in, rows_out, dropped) for every drop-capable stage —
+    the "where did my corpus go" manifest a production batch publishes
+    next to its output.  Each boundary is a lazy localCheckpoint, so the
+    funnel costs one count per stage over a plain curate run, never a
+    re-run per stage; at cluster scale the boundaries are stage tables
+    and the funnel is their row-count manifest.  The oracle replays the
+    whole chain: length gate → first-occurrence exact dedup → shingle →
+    16-perm MinHash → 4-band LSH → star edges → verified transitive
+    closure → canonical-survivor anti-filter, then telescopes the four
+    counts into the three funnel rows."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        CurateConfig,
+        curate_audit,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = CurateConfig(
+        min_chars=32, min_quality=0.0,
+        max_dup_line_ratio=1.0, max_top_bigram_ratio=1.0,
+        minhash_perms=16, minhash_bands=_MH_BANDS, shingle_n=5,
+        jaccard_threshold=0.5, seed=42, scrub=False, hash_fn="md5",
+    )
+    return curate_audit(docs, config=cfg)

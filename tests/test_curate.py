@@ -506,3 +506,97 @@ def test_curate_against_near_signature_store(spark, tmp_path):
                        against_sigs_path=store)
     kept = {r.doc_id for r in curate(batch, config=cfg).collect()}
     assert kept == {2}
+
+
+def test_curate_audit_funnel_default_stages(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate_audit
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the quiet green field while the sun is high in the clear blue sky"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                       # exact dup → exact_dup stage
+            (3, base.replace("dog", "cat")), # near dup → near_dup stage
+            (4, "x"),                        # too short → quality stage
+            (5, "mail me about the totally different proposal for building a "
+                "better analytics engine with many novel distributed ideas"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurateConfig(min_chars=32, min_quality=0.0, jaccard_threshold=0.5)
+    funnel = curate_audit(docs, config=cfg)
+    rows = sorted(funnel.collect(), key=lambda r: r.stage_idx)
+    assert [r.stage for r in rows] == ["quality", "exact_dup", "near_dup"]
+    # telescoping: rows_in of stage k == rows_out of stage k-1, from count(docs)
+    assert rows[0].rows_in == docs.count() == 5
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.rows_in == prev.rows_out
+    assert all(r.dropped == r.rows_in - r.rows_out for r in rows)
+    by = {r.stage: r for r in rows}
+    assert by["quality"].dropped == 1      # doc 4
+    assert by["exact_dup"].dropped == 1    # doc 2
+    assert by["near_dup"].dropped == 1     # doc 3
+    # final funnel row matches what a plain curate run returns
+    assert rows[-1].rows_out == curate(docs, config=cfg).count() == 2
+
+
+def test_curate_audit_optional_stages_in_order(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate_audit
+
+    en = ("the house and the water were there and it was a good day for all "
+          "of them to walk with that one friend they have")
+    docs = spark.createDataFrame(
+        [
+            (1, en),
+            (2, "das haus und das wasser sind hier und es war ein guter tag "
+                "für sie mit dem einen freund den sie haben"),
+            (3, en + " entirely different tail so it is not a near duplicate "
+                "of the first document in any shingle window sense"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurateConfig(min_chars=10, min_quality=0.0, allowed_langs=("en",),
+                       jaccard_threshold=0.9)
+    funnel = curate_audit(docs, config=cfg)
+    rows = sorted(funnel.collect(), key=lambda r: r.stage_idx)
+    assert [r.stage for r in rows] == ["quality", "language", "exact_dup", "near_dup"]
+    by = {r.stage: r for r in rows}
+    assert by["language"].dropped == 1     # the German doc
+    assert rows[-1].rows_out == 2
+
+
+def test_curate_traced_run_matches_untraced(spark):
+    # tracing is observability only: the traced run keeps exactly the
+    # same documents as the default (_trace=None) run, and the trace's
+    # final boundary IS the returned frame
+    docs = _boilerplate_clique(spark, n=10)
+    cfg = CurateConfig(min_chars=32, min_quality=0.0, jaccard_threshold=0.5)
+    plain = {r.doc_id for r in curate(docs, config=cfg).collect()}
+    trace: list = []
+    traced = curate(docs, config=cfg, _trace=trace)
+    assert {r.doc_id for r in traced.collect()} == plain
+    assert trace and trace[-1][0] == "near_dup"
+    assert {r.doc_id for r in trace[-1][1].collect()} == plain
+
+
+def test_cli_curate_audit_flag(spark, tmp_path, capsys):
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    base = ("a long enough document with plenty of distinct words describing "
+            "columnar shuffle strategies and adaptive execution at scale")
+    src = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [(1, base), (2, base), (3, "x")], "doc_id long, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "kept.parquet")
+    main(["curate", "--in", src, "--out", out, "--min-chars", "10",
+          "--min-quality", "0.0", "--audit"])
+    printed = capsys.readouterr().out
+    assert "audit 1 quality: 3 -> 2 (-1)" in printed
+    assert "audit 2 exact_dup: 2 -> 1 (-1)" in printed
+    assert "audit 3 near_dup: 1 -> 1 (-0)" in printed
+    import os
+    assert not os.path.exists(out)  # --audit reports, never writes
