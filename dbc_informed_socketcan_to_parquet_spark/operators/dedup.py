@@ -1479,3 +1479,41 @@ def pair_recall(
             round_to,
         ).alias("precision"),
     )
+
+
+# -- corpus version diff ------------------------------------------------------
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff between two corpus versions — the release manifest a
+    versioned training dataset publishes ("what changed since v1?").
+
+    Returns ``(id_col, status)`` with status ∈ ``added`` (id only in
+    ``new``), ``removed`` (only in ``old``), ``changed`` (both, content
+    hash differs); ``unchanged`` rows are omitted unless
+    ``include_unchanged`` (at corpus scale they are the overwhelming
+    mass and rarely wanted row-by-row — aggregate them from the
+    complement instead).
+
+    Scale: each side projects to ``(id, md5(text))`` before the
+    full-outer join, so only 16-byte digests shuffle — the text columns
+    never leave their scans.  One shuffle per side on the id, the same
+    co-partitioning a bucketed-by-id corpus layout makes free.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_oh"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_nh"))
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = o.join(n, id_col, "full_outer").select(F.col(id_col), status.alias("status"))
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

@@ -257,6 +257,35 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
     return df.withColumn(out_col or text_col, c)
 
 
+def pii_report(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII inventory — what :func:`scrub_pii` WOULD rewrite,
+    counted before anyone mutates the text (the compliance report a
+    curation run publishes to decide whether scrubbing suffices or the
+    document must drop).
+
+    Returns ``(id_col, n_emails, n_phones, n_ips, n_pii)``.  Counting
+    follows scrub's sequential-masking order exactly: emails are counted
+    on the raw text and masked before the phone pattern runs (so an
+    email's digit run can never double-count as a phone), phones are
+    masked before IPs.  Pure ``regexp_count``/``regexp_replace``
+    projection — JVM-side, codegen'd, no shuffle, and the patterns stay
+    in the RE2-compatible subset so a DuckDB oracle mirrors the chain.
+    """
+    t = F.col(text_col)
+    counts = []
+    for pat, tag in _PII_PATTERNS:
+        counts.append(F.regexp_count(t, F.lit(pat)).cast("int"))
+        t = F.regexp_replace(t, pat, tag)
+    n_emails, n_phones, n_ips = counts
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        (n_emails + n_phones + n_ips).alias("n_pii"),
+    )
+
+
 # -- n-gram LM quality scoring (CCNet-style) ---------------------------------
 
 #: token split used by the LM — lowercase alnum/apostrophe runs.  Kept as a

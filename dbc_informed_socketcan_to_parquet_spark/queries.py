@@ -4636,3 +4636,116 @@ def q_curate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.5, seed=42, scrub=False, hash_fn="md5",
     )
     return curate_audit(docs, config=cfg)
+
+
+# ---------------------------------------------------------------------------
+# round 9: corpus version diff (operators/dedup.corpus_diff)
+# ---------------------------------------------------------------------------
+
+@extra_query(
+    "corpus_diff",
+    oracle="""
+    WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+    n AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+          FROM documents WHERE doc_id % 3 != 0),
+    j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h != n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, status FROM j WHERE status != 'unchanged'
+    """,
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff (dedup.corpus_diff, r9): documents with even
+    ids play version 1, ids not divisible by 3 play version 2 (with the
+    text of every 7th doc edited) — added / removed / changed rows fall
+    out of one digest-only full-outer join.  Scale: each side projects
+    to (id, md5) before joining, so the text never shuffles; unchanged
+    mass is filtered out by default."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import corpus_diff
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+# ---------------------------------------------------------------------------
+# round 9: per-document PII inventory (operators/textops.pii_report)
+# ---------------------------------------------------------------------------
+
+from dbc_informed_socketcan_to_parquet_spark.operators.textops import _PII_PATTERNS  # noqa: E402
+
+_PII_EMAIL, _PII_PHONE, _PII_IP = (p for p, _ in _PII_PATTERNS)
+
+
+@extra_query(
+    "pii_report",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text
+                    || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +155501234' || CAST(doc_id AS VARCHAR)
+                    || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM pii
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1, '{_PII_PHONE}')) AS n_phones,
+             regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(n_phones AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(t2, '{_PII_IP}')) AS INT) AS n_ips,
+           CAST(n_emails + n_phones
+                + len(regexp_extract_all(t2, '{_PII_IP}')) AS INT) AS n_pii
+    FROM s2
+    """,
+)
+def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII inventory (textops.pii_report, r9): email / phone
+    / IPv4 match counts under scrub_pii's exact sequential-masking order
+    (emails masked before the phone pattern runs, phones before IPs) —
+    the pre-scrub compliance report.  One codegen regexp projection, no
+    shuffle; the patterns are module constants shared with scrub_pii and
+    rendered verbatim into the oracle, so the two engines can never
+    drift on what counts as PII.  The fixture corpus carries no natural
+    PII, so every 5th document gets a deterministic synthetic contact
+    line (email + phone + IPv4 derived from its id) appended by BOTH
+    engines before counting — the same synthesis pattern warc_extract
+    uses."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import pii_report
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +155501234"), F.col("doc_id").cast("string"),
+                F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_report(docs)

@@ -1660,3 +1660,79 @@ def test_report_cli(spark, tmp_path, capsys):
     assert "n_docs" in printed and "dup_ratio" in printed
     rep = {r["lang"]: r for r in spark.read.parquet(out).collect()}
     assert rep[None]["n_docs"] == 500 and len(rep) == 6
+
+
+def test_corpus_diff_statuses(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "charlie")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo EDITED"), (4, "delta")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    # unchanged rows appear only on request
+    full = {r.doc_id: r.status for r in
+            corpus_diff(old, new, include_unchanged=True).collect()}
+    assert full == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_never_shuffles_text(spark):
+    """Scale guard: only (id, digest) reaches the full-outer join — the
+    text column must be pruned before any Exchange."""
+    import io
+    import contextlib
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import corpus_diff
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan_df = corpus_diff(docs, docs.withColumn("text", docs.text))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "text" not in line, f"text column shuffled: {line}"
+
+
+def test_pii_report_counts_and_masking_order(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import pii_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.org and c.d+e@f.co.uk, call +1 (555) 010-1234, "
+                "server 10.0.0.7 and 192.168.1.1"),
+            # the email's all-digit local part must NOT double-count as a
+            # phone once the email is masked (scrub's sequential order)
+            (2, "reach +12345678901@example.com please"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_report(docs).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips, got[1].n_pii) == (2, 1, 2, 5)
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips, got[2].n_pii) == (1, 0, 0, 1)
+    assert got[3].n_pii == 0
+
+
+def test_pii_report_agrees_with_scrub(spark):
+    """n_pii == 0 exactly when scrub_pii leaves the text unchanged."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        pii_report,
+        scrub_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "clean text only"), (2, "dirty: x@y.zz"), (3, "ip 8.8.8.8 here")],
+        "doc_id long, text string",
+    )
+    rep = pii_report(docs)
+    scrubbed = scrub_pii(docs, out_col="clean")
+    joined = docs.join(scrubbed.select("doc_id", "clean"), "doc_id").join(rep, "doc_id")
+    for r in joined.collect():
+        assert (r.n_pii == 0) == (r.text == r.clean), r
