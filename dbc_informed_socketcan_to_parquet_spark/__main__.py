@@ -258,6 +258,10 @@ def build_stream_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--warc", action="store_true",
                    help="landing dir holds *.warc[.gz] crawl segments instead of "
                         "JSONL; implies HTML extraction (sources/warc stream reader)")
+    p.add_argument("--audit", action="store_true",
+                   help="observe per-gate drop counts (CollectMetrics on the one "
+                        "streaming plan) and print the funnel after an "
+                        "--available-now drain")
     return p
 
 
@@ -288,6 +292,7 @@ def run_stream_curate(argv: list[str]) -> None:
         extract_html=args.extract_html, html_min_words=args.html_min_words,
         html_max_link_density=args.html_max_link_density,
         input_format="warc" if args.warc else "jsonl",
+        observe_funnel=args.audit,
     )
     # C2 graceful shutdown, same contract as the decode stream: SIGINT
     # stops cleanly; committed micro-batches stay durable via checkpoint
@@ -298,6 +303,14 @@ def run_stream_curate(argv: list[str]) -> None:
         for q in queries:
             q.stop()
     if args.available_now:
+        if args.audit:
+            from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+                streaming_funnel,
+            )
+
+            for i, row in enumerate(streaming_funnel(queries[0]), start=1):
+                print(f"audit {i} {row['stage']}: "
+                      f"{row['rows_in']} -> {row['rows_out']} (-{row['dropped']})")
         n = spark.read.parquet(args.output_dir).count()
         print(f"stream-curate drained: {n} documents landed")
 

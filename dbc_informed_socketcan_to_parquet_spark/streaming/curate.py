@@ -52,6 +52,42 @@ _STAT_NAMES = (
     "punct_ratio", "digit_ratio", "stopword_ratio", "quality",
 )
 
+#: observe() metric names in pipeline order — the streaming analog of
+#: curate_audit's stage list (only stages that actually run emit)
+_FUNNEL_ORDER = (
+    "funnel_input", "funnel_quality", "funnel_perplexity",
+    "funnel_classifier", "funnel_language", "funnel_exact_dedup",
+)
+
+
+def streaming_funnel(query) -> list[dict]:
+    """Aggregate a stream-curate query's per-batch ``observe`` metrics
+    into the same drop funnel :func:`operators.curate.curate_audit`
+    reports for batch runs: ordered ``{stage, rows_in, rows_out,
+    dropped}`` dicts, summed across every micro-batch in
+    ``query.recentProgress``.
+
+    The counts are Spark ``CollectMetrics`` side-outputs of the one
+    streaming plan — zero extra passes, zero extra state; the engine
+    accumulates them while the data flows.  Pass the main-lane query
+    after a drain (or read periodically on a live stream for
+    rates-per-stage)."""
+    totals: dict[str, int] = {}
+    for progress in query.recentProgress:
+        for name, row in (progress.get("observedMetrics") or {}).items():
+            if name in _FUNNEL_ORDER:
+                totals[name] = totals.get(name, 0) + int(row["rows"])
+    seen = [n for n in _FUNNEL_ORDER if n in totals]
+    out = []
+    for prev, cur in zip(seen, seen[1:]):
+        out.append({
+            "stage": cur.removeprefix("funnel_"),
+            "rows_in": totals[prev],
+            "rows_out": totals[cur],
+            "dropped": totals[prev] - totals[cur],
+        })
+    return out
+
 
 def streaming_curate_frame(
     docs: DataFrame,
@@ -71,12 +107,18 @@ def streaming_curate_frame(
     min_clf_prob: float | None = None,
     lang_model_path: str | None = None,
     allowed_langs: tuple[str, ...] = (),
+    observe_funnel: bool = False,
 ) -> DataFrame:
     """The transformation core (source- and sink-agnostic): normalize →
     quality gate → watermarked exact dedup, as one streaming-safe plan.
     Exposed separately so tests and custom pipelines can compose it with
     any source/sink; :func:`run_streaming_curate` adds the JSONL source,
     quarantine lane, and parquet sink.
+
+    ``observe_funnel`` lands a named ``observe`` (CollectMetrics) at
+    every drop-capable gate boundary; :func:`streaming_funnel` folds the
+    per-batch metrics into the batch-audit-shaped drop report.  The
+    metrics ride the existing plan — no second pass, no state.
 
     If ``time_col`` is absent it is added as the processing-time ingest
     stamp (JSONL corpora rarely carry event time; dedup-horizon
@@ -88,9 +130,15 @@ def streaming_curate_frame(
         normalize_text,
     )
 
+    def _obs(stage: str, df: DataFrame) -> DataFrame:
+        if not observe_funnel:
+            return df
+        return df.observe(stage, F.count(F.lit(1)).alias("rows"))
+
     out = docs
     if time_col not in out.columns:
         out = out.withColumn(time_col, F.current_timestamp())
+    out = _obs("funnel_input", out)
     if extract_html:
         # HTML front door (r9): rewrite raw HTML to rendered text before
         # normalize/stats.  Stateless codegen projection — streaming-safe
@@ -111,10 +159,10 @@ def streaming_curate_frame(
         n = gate_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         out = out.repartition(n)
     stats = dict(zip(_STAT_NAMES, _doc_stat_cols(F.col(text_col))))
-    out = out.filter(
+    out = _obs("funnel_quality", out.filter(
         (stats["n_chars"] >= F.lit(min_chars))
         & (stats["quality"] >= F.lit(min_quality))
-    )
+    ))
     # persisted-model gates (r6): the batch scorers' explode→groupBy is a
     # streaming aggregation, so the stream scores ROW-LOCALLY against the
     # driver-loaded model dicts (broadcast-sized by construction) —
@@ -128,9 +176,11 @@ def streaming_curate_frame(
             lm_score_rowlocal,
         )
 
-        out = lm_score_rowlocal(out, lm_path, text_col=text_col).filter(
+        out = _obs("funnel_perplexity", lm_score_rowlocal(
+            out, lm_path, text_col=text_col
+        ).filter(
             F.col("lm_perplexity") <= max_perplexity
-        ).drop("lm_n_bigrams", "lm_avg_logp", "lm_perplexity")
+        ).drop("lm_n_bigrams", "lm_avg_logp", "lm_perplexity"))
     if min_clf_prob is not None:
         if classifier_path is None:
             raise ValueError("min_clf_prob set but classifier_path not provided")
@@ -138,9 +188,11 @@ def streaming_curate_frame(
             classifier_score_rowlocal,
         )
 
-        out = classifier_score_rowlocal(out, classifier_path, text_col=text_col).filter(
+        out = _obs("funnel_classifier", classifier_score_rowlocal(
+            out, classifier_path, text_col=text_col
+        ).filter(
             F.col("clf_prob") >= min_clf_prob
-        ).drop("clf_n_features", "clf_margin", "clf_prob")
+        ).drop("clf_n_features", "clf_margin", "clf_prob"))
     if allowed_langs:
         if lang_model_path is None:
             raise ValueError("allowed_langs set but lang_model_path not provided "
@@ -149,12 +201,14 @@ def streaming_curate_frame(
             lang_id_rowlocal,
         )
 
-        out = lang_id_rowlocal(out, lang_model_path, text_col=text_col).filter(
+        out = _obs("funnel_language", lang_id_rowlocal(
+            out, lang_model_path, text_col=text_col
+        ).filter(
             F.col("lang_pred").isin(list(allowed_langs))
-        ).drop("lang_pred", "lang_score")
-    return streaming_exact_dedup(
+        ).drop("lang_pred", "lang_score"))
+    return _obs("funnel_exact_dedup", streaming_exact_dedup(
         out, text_col=text_col, time_col=time_col, watermark=watermark
-    )
+    ))
 
 
 def run_streaming_curate(
@@ -180,6 +234,7 @@ def run_streaming_curate(
     html_min_words: int = 3,
     html_max_link_density: float = 0.5,
     input_format: str = "jsonl",
+    observe_funnel: bool = False,
 ):
     """Start the full streaming curate pipeline; returns the list of
     live ``StreamingQuery`` handles (main lane first, then quarantine
@@ -226,6 +281,7 @@ def run_streaming_curate(
         lang_model_path=lang_model_path, allowed_langs=allowed_langs,
         extract_html=extract_html, html_min_words=html_min_words,
         html_max_link_density=html_max_link_density,
+        observe_funnel=observe_funnel,
     )
 
     def _start(df, fmt, path, ckpt):

@@ -234,3 +234,60 @@ def test_streaming_curate_with_trained_lang_gate(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="lang_model_path"):
         streaming_curate_frame(corpus, allowed_langs=("en",))
+
+
+def test_streaming_funnel_observed_metrics(spark, tmp_path):
+    """observe()-based drop funnel: per-gate CollectMetrics on the ONE
+    streaming plan reconstruct the same audit shape as batch
+    curate_audit, with zero extra passes."""
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        run_streaming_curate,
+        streaming_funnel,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(land, "b0.jsonl", [
+        _doc(1, GOOD_A),
+        _doc(2, GOOD_A),          # exact dup -> dedup stage
+        _doc(3, "too short"),     # -> quality stage
+        _doc(4, GOOD_B),
+    ])
+    queries = run_streaming_curate(
+        spark, str(land), out, ckpt, min_chars=32, min_quality=0.0,
+        watermark="1 hour", available_now=True, observe_funnel=True,
+    )
+    for q in queries:
+        q.awaitTermination()
+    funnel = streaming_funnel(queries[0])
+    assert [f["stage"] for f in funnel] == ["quality", "exact_dedup"]
+    by = {f["stage"]: f for f in funnel}
+    assert by["quality"]["rows_in"] == 4
+    assert by["quality"]["dropped"] == 1
+    assert by["exact_dedup"]["dropped"] == 1
+    assert by["exact_dedup"]["rows_out"] == 2
+    assert spark.read.parquet(out).count() == 2
+    # telescoping invariant
+    for prev, cur in zip(funnel, funnel[1:]):
+        assert cur["rows_in"] == prev["rows_out"]
+
+
+def test_streaming_funnel_off_by_default(spark, tmp_path):
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        run_streaming_curate,
+        streaming_funnel,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    _write_batch(land, "b0.jsonl", [_doc(1, GOOD_A)])
+    queries = run_streaming_curate(
+        spark, str(land), str(tmp_path / "o"), str(tmp_path / "c"),
+        min_quality=0.0, watermark="1 hour", available_now=True,
+    )
+    for q in queries:
+        q.awaitTermination()
+    assert streaming_funnel(queries[0]) == []
