@@ -18,7 +18,8 @@ Shape::
       "report":  {"group_col": "lang", "out": "report.parquet"},
       "split":   {"fractions": {"train": 0.98, "val": 0.01, "test": 0.01},
                   "leakage_safe": true},
-      "export":  {"out": "shards/", "max_tokens": 4096, "num_shards": 64}
+      "export":  {"out": "shards/", "max_tokens": 4096, "num_shards": 64},
+      "audit":   true
     }
 
 ``ingest`` + ``out`` are required; ``curate``/``report``/``split``/
@@ -29,7 +30,11 @@ unknown keys fail fast BEFORE any compute.  With ``leakage_safe`` the
 split keys on the near-dup cluster representative (members of a dup
 cluster land in the same split); splits are written as a ``split``
 column on the curated output.  ``export`` defaults ``token_col`` to a
-whitespace token count added on the fly.
+whitespace token count added on the fly.  ``audit`` (true, or
+``{"out": "funnel.parquet"}``) records the per-stage drop funnel in the
+summary: the counts read the SAME stage boundaries the main run
+materializes (curate's trace checkpoints), so auditing a recipe costs
+one count per stage, never a second pipeline pass.
 """
 
 from __future__ import annotations
@@ -52,7 +57,7 @@ def validate_recipe(recipe: dict) -> None:
     """Fail fast — a typo'd knob must die before hour one of the run."""
     from dbc_informed_socketcan_to_parquet_spark.operators.curate import CurateConfig
 
-    known_top = {"ingest", "curate", "out", "report", "split", "export"}
+    known_top = {"ingest", "curate", "out", "report", "split", "export", "audit"}
     unknown = set(recipe) - known_top
     if unknown:
         raise ValueError(f"unknown recipe sections: {sorted(unknown)}")
@@ -75,6 +80,11 @@ def validate_recipe(recipe: dict) -> None:
         for req in ("out", "max_tokens"):
             if req not in recipe["export"]:
                 raise ValueError(f"export requires {req!r}")
+    audit = recipe.get("audit")
+    if audit not in (None, True, False) and not isinstance(audit, dict):
+        raise ValueError("audit must be true/false or {\"out\": path}")
+    if isinstance(audit, dict) and set(audit) - {"out"}:
+        raise ValueError(f"unknown audit keys: {sorted(set(audit) - {'out'})}")
 
 
 def _ingest(spark: SparkSession, ing: dict) -> tuple[DataFrame, dict]:
@@ -130,6 +140,8 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
     # a WARC ingest hands over raw HTML — extraction defaults on there
     if recipe["ingest"].get("format") == "warc":
         cur.setdefault("html_extract", True)
+    audit = recipe.get("audit")
+    trace: list | None = [] if audit else None
     kept = curate(
         docs,
         config=CurateConfig(**cur),
@@ -139,6 +151,7 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         lm_corpus=(
             spark.read.parquet(lm_corpus_path) if lm_corpus_path else None
         ),
+        _trace=trace,
     )
 
     if "split" in recipe:
@@ -166,6 +179,25 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
     kept.write.mode("overwrite").parquet(recipe["out"])
     kept = spark.read.parquet(recipe["out"])  # re-read: one compute pass
     summary["curate"] = {"n_docs": kept.count(), "out": recipe["out"]}
+    if audit:
+        # the output write above materialized every traced boundary
+        # (lazy localCheckpoints), so these counts read cached state
+        funnel = []
+        prev = summary["ingest"]["n_docs"]
+        for i, (stage, df) in enumerate(trace, start=1):
+            n = df.count()
+            funnel.append({"stage_idx": i, "stage": stage,
+                           "rows_in": prev, "rows_out": n,
+                           "dropped": prev - n})
+            prev = n
+        summary["audit"] = funnel
+        if isinstance(audit, dict) and audit.get("out"):
+            spark.createDataFrame(
+                [(f["stage_idx"], f["stage"], f["rows_in"], f["rows_out"],
+                  f["dropped"]) for f in funnel],
+                "stage_idx INT, stage STRING, rows_in BIGINT, "
+                "rows_out BIGINT, dropped BIGINT",
+            ).write.mode("overwrite").parquet(audit["out"])
     if "split" in recipe:
         summary["split"] = {
             r["split"]: r["n"]

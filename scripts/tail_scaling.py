@@ -74,6 +74,10 @@ TAIL = [
     "extra:ppl_partition",
     "extra:near_dedup_against",
     "extra:corpus_report",
+    # r9 second session: observability + hygiene ops
+    "extra:curate_audit",
+    "extra:corpus_diff",
+    "extra:pii_report",
 ]
 
 

@@ -88,3 +88,35 @@ def test_recipe_warc_cli(spark, tmp_path):
     main(["run-recipe", str(recipe_path)])
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0]["text"] == prose
+
+
+def test_recipe_audit_funnel(spark, tmp_path):
+    """audit: true records the per-stage drop funnel in the summary and
+    (dict form) lands it as parquet; the funnel telescopes from the
+    ingest count to the curated count."""
+    recipe = {
+        "ingest": {"format": "parquet",
+                   "path": "/root/testdata/sf0.001/documents.parquet"},
+        "curate": {"min_quality": 0.0, "min_chars": 1,
+                   "jaccard_threshold": 0.5},
+        "out": str(tmp_path / "curated.parquet"),
+        "audit": {"out": str(tmp_path / "funnel.parquet")},
+    }
+    summary = run_recipe(spark, recipe)
+    funnel = summary["audit"]
+    assert [f["stage"] for f in funnel] == ["quality", "exact_dup", "near_dup"]
+    assert funnel[0]["rows_in"] == summary["ingest"]["n_docs"] == 500
+    for prev, cur in zip(funnel, funnel[1:]):
+        assert cur["rows_in"] == prev["rows_out"]
+    assert funnel[-1]["rows_out"] == summary["curate"]["n_docs"]
+    landed = {r.stage: r.dropped for r in
+              spark.read.parquet(str(tmp_path / "funnel.parquet")).collect()}
+    assert landed == {f["stage"]: f["dropped"] for f in funnel}
+
+
+def test_validate_recipe_audit_keys():
+    with pytest.raises(ValueError, match="audit must be"):
+        validate_recipe({"ingest": {"path": "p"}, "out": "x", "audit": "yes"})
+    with pytest.raises(ValueError, match="unknown audit keys"):
+        validate_recipe({"ingest": {"path": "p"}, "out": "x",
+                         "audit": {"out": "f", "mode": "x"}})
