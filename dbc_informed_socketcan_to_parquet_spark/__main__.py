@@ -452,10 +452,92 @@ def F_asc_nulls_first(col):
     return F.col(col).asc_nulls_first()
 
 
+def build_diff_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark diff")
+    p.add_argument("--old", required=True, help="previous corpus version (parquet)")
+    p.add_argument("--new", required=True, help="current corpus version (parquet)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--out", dest="output_path", default=None,
+                   help="also write the row-level (id, status) diff as parquet")
+    return p
+
+
+def run_diff(argv: list[str]) -> None:
+    """Corpus version diff: prints added/removed/changed counts and
+    optionally lands the row-level manifest."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import corpus_diff
+
+    args = build_diff_parser().parse_args(argv)
+    spark = get_spark("diff-cli")
+    d = corpus_diff(
+        spark.read.parquet(args.old), spark.read.parquet(args.new),
+        id_col=args.id_col, text_col=args.text_col,
+    ).persist()
+    try:
+        counts = {r.status: r.n for r in
+                  d.groupBy("status").agg(F.count("*").alias("n")).collect()}
+        for status in ("added", "removed", "changed"):
+            print(f"{status}: {counts.get(status, 0)}")
+        if args.output_path:
+            d.write.mode("overwrite").parquet(args.output_path)
+            print(f"wrote diff to {args.output_path}")
+    finally:
+        d.unpersist()
+
+
+def build_pii_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark pii-report")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="documents parquet to inventory")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--out", dest="output_path", default=None,
+                   help="also write the per-document counts as parquet")
+    return p
+
+
+def run_pii_report(argv: list[str]) -> None:
+    """PII inventory: prints corpus totals (emails/phones/IPs and docs
+    affected) and optionally lands the per-document counts."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import pii_report
+
+    args = build_pii_parser().parse_args(argv)
+    spark = get_spark("pii-cli")
+    rep = pii_report(
+        spark.read.parquet(args.input_path),
+        id_col=args.id_col, text_col=args.text_col,
+    ).persist()
+    try:
+        t = rep.agg(
+            F.sum("n_emails").alias("emails"), F.sum("n_phones").alias("phones"),
+            F.sum("n_ips").alias("ips"),
+            F.count(F.when(F.col("n_pii") > 0, 1)).alias("docs_affected"),
+            F.count("*").alias("docs"),
+        ).collect()[0]
+        print(f"emails: {t.emails}  phones: {t.phones}  ips: {t.ips}  "
+              f"docs affected: {t.docs_affected}/{t.docs}")
+        if args.output_path:
+            rep.write.mode("overwrite").parquet(args.output_path)
+            print(f"wrote pii report to {args.output_path}")
+    finally:
+        rep.unpersist()
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
 
     argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "diff":
+        run_diff(argv[1:])
+        return
+    if argv and argv[0] == "pii-report":
+        run_pii_report(argv[1:])
+        return
     if argv and argv[0] == "run-recipe":
         from dbc_informed_socketcan_to_parquet_spark.plans.recipe import (
             load_recipe,

@@ -1736,3 +1736,28 @@ def test_pii_report_agrees_with_scrub(spark):
     joined = docs.join(scrubbed.select("doc_id", "clean"), "doc_id").join(rep, "doc_id")
     for r in joined.collect():
         assert (r.n_pii == 0) == (r.text == r.clean), r
+
+
+def test_cli_diff_and_pii_report(spark, tmp_path, capsys):
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    old = str(tmp_path / "v1.parquet")
+    new = str(tmp_path / "v2.parquet")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo")], "doc_id long, text string"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo EDITED"), (3, "mail x@y.zz now")],
+        "doc_id long, text string",
+    ).write.parquet(new)
+
+    out = str(tmp_path / "diff.parquet")
+    main(["diff", "--old", old, "--new", new, "--out", out])
+    printed = capsys.readouterr().out
+    assert "added: 1" in printed and "removed: 0" in printed and "changed: 1" in printed
+    assert {(r.doc_id, r.status) for r in spark.read.parquet(out).collect()} == \
+        {(2, "changed"), (3, "added")}
+
+    main(["pii-report", "--in", new])
+    printed = capsys.readouterr().out
+    assert "emails: 1" in printed and "docs affected: 1/3" in printed
