@@ -93,6 +93,9 @@ def build_curate_parser() -> argparse.ArgumentParser:
                    help="boilerplate gate: keep lines with at least this many words")
     p.add_argument("--html-max-link-density", type=float, default=0.5,
                    help="boilerplate gate: drop lines with more anchor text than this fraction")
+    p.add_argument("--max-pii", type=int, default=None,
+                   help="drop docs with more than this many email/phone/IP hits "
+                        "(counted pre-scrub — contact-scrape pages)")
     p.add_argument("--audit", action="store_true",
                    help="print the per-stage drop funnel (stage, rows_in, rows_out, "
                         "dropped) instead of writing the curated output")
@@ -149,6 +152,7 @@ def run_curate(argv: list[str]) -> None:
         html_extract=args.extract_html,
         html_min_words=args.html_min_words,
         html_max_link_density=args.html_max_link_density,
+        max_pii=args.max_pii,
     )
     if args.url_col is None and (args.block_domain or args.url_dedup or args.max_per_domain):
         parser.error("--block-domain/--url-dedup/--max-per-domain require --url-col")

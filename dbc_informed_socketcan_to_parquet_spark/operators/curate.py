@@ -146,6 +146,12 @@ class CurateConfig:
     # after the absolute max_perplexity gate and reuses its scores —
     # setting both gates costs ONE scoring pass.  Empty tuple = off.
     keep_ppl_tiers: tuple[str, ...] = ()
+    # PII density gate (r9, textops.pii_report): drop docs with MORE
+    # than this many email/phone/IP hits — contact-scrape and directory
+    # pages that scrubbing would reduce to tag soup.  Counts run on the
+    # PRE-scrub text (scrub replaces the matches, so the gate must see
+    # them first).  None = off.
+    max_pii: int | None = None
 
 
 def curate(
@@ -229,6 +235,17 @@ def curate(
             min_words=config.html_min_words,
             max_link_density=config.html_max_link_density,
         )
+
+    if config.max_pii is not None:
+        # PII density gate: must see the PRE-scrub text (scrub replaces
+        # the matches).  Row-local regexp-count projection + semi-join
+        # on ids — the same gate shape as quality/language.
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import pii_report
+
+        ok = pii_report(docs, id_col, text_col).filter(
+            F.col("n_pii") <= config.max_pii
+        ).select(id_col)
+        docs = _mark("pii", docs.join(ok, id_col, "left_semi"))
 
     # Fan out between the scrub and the stats battery: a few-file corpus
     # scans as file-count partitions, so without the exchange the text

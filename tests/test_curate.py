@@ -600,3 +600,25 @@ def test_cli_curate_audit_flag(spark, tmp_path, capsys):
     assert "audit 3 near_dup: 1 -> 1 (-0)" in printed
     import os
     assert not os.path.exists(out)  # --audit reports, never writes
+
+
+def test_curate_max_pii_gate(spark):
+    """max_pii drops contact-scrape pages BEFORE scrub rewrites the
+    matches; the audit funnel reports the stage."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate_audit
+
+    clean = ("a perfectly ordinary document with enough words to pass the "
+             "quality gate and the length threshold without any trouble")
+    scrape = ("contact a@x.io b@x.io c@x.io or call +15550101234 and "
+              "+15550105678 or visit 10.0.0.1 today for the full directory")
+    docs = spark.createDataFrame(
+        [(1, clean), (2, scrape)], "doc_id long, text string"
+    )
+    cfg = CurateConfig(min_chars=10, min_quality=0.0, max_pii=3)
+    kept = curate(docs, config=cfg)
+    assert [r.doc_id for r in kept.collect()] == [1]
+    # without the gate the scrape survives (tags replace the PII)
+    no_gate = curate(docs, config=CurateConfig(min_chars=10, min_quality=0.0))
+    assert {r.doc_id for r in no_gate.collect()} == {1, 2}
+    funnel = {r.stage: r.dropped for r in curate_audit(docs, config=cfg).collect()}
+    assert funnel["pii"] == 1
