@@ -262,6 +262,9 @@ def build_stream_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--warc", action="store_true",
                    help="landing dir holds *.warc[.gz] crawl segments instead of "
                         "JSONL; implies HTML extraction (sources/warc stream reader)")
+    p.add_argument("--max-pii", type=int, default=None,
+                   help="drop docs with more than this many email/phone/IP hits "
+                        "(row-local pre-scrub count)")
     p.add_argument("--audit", action="store_true",
                    help="observe per-gate drop counts (CollectMetrics on the one "
                         "streaming plan) and print the funnel after an "
@@ -296,7 +299,7 @@ def run_stream_curate(argv: list[str]) -> None:
         extract_html=args.extract_html, html_min_words=args.html_min_words,
         html_max_link_density=args.html_max_link_density,
         input_format="warc" if args.warc else "jsonl",
-        observe_funnel=args.audit,
+        max_pii=args.max_pii, observe_funnel=args.audit,
     )
     # C2 graceful shutdown, same contract as the decode stream: SIGINT
     # stops cleanly; committed micro-batches stay durable via checkpoint

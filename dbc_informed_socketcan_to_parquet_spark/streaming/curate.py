@@ -55,7 +55,7 @@ _STAT_NAMES = (
 #: observe() metric names in pipeline order — the streaming analog of
 #: curate_audit's stage list (only stages that actually run emit)
 _FUNNEL_ORDER = (
-    "funnel_input", "funnel_quality", "funnel_perplexity",
+    "funnel_input", "funnel_pii", "funnel_quality", "funnel_perplexity",
     "funnel_classifier", "funnel_language", "funnel_exact_dedup",
 )
 
@@ -107,6 +107,7 @@ def streaming_curate_frame(
     min_clf_prob: float | None = None,
     lang_model_path: str | None = None,
     allowed_langs: tuple[str, ...] = (),
+    max_pii: int | None = None,
     observe_funnel: bool = False,
 ) -> DataFrame:
     """The transformation core (source- and sink-agnostic): normalize →
@@ -158,6 +159,21 @@ def streaming_curate_frame(
         spark = out.sparkSession
         n = gate_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         out = out.repartition(n)
+    if max_pii is not None:
+        # PII density gate (r9): row-local regexp-count filter on the
+        # pre-scrub text — stateless, append-safe, the streaming twin of
+        # CurateConfig.max_pii.  Counting follows scrub's sequential
+        # masking order (same chain as textops.pii_report).
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            _PII_PATTERNS,
+        )
+
+        t = F.col(text_col)
+        total = F.lit(0)
+        for pat, tag in _PII_PATTERNS:
+            total = total + F.regexp_count(t, F.lit(pat))
+            t = F.regexp_replace(t, pat, tag)
+        out = _obs("funnel_pii", out.filter(total <= F.lit(max_pii)))
     stats = dict(zip(_STAT_NAMES, _doc_stat_cols(F.col(text_col))))
     out = _obs("funnel_quality", out.filter(
         (stats["n_chars"] >= F.lit(min_chars))
@@ -234,6 +250,7 @@ def run_streaming_curate(
     html_min_words: int = 3,
     html_max_link_density: float = 0.5,
     input_format: str = "jsonl",
+    max_pii: int | None = None,
     observe_funnel: bool = False,
 ):
     """Start the full streaming curate pipeline; returns the list of
@@ -281,7 +298,7 @@ def run_streaming_curate(
         lang_model_path=lang_model_path, allowed_langs=allowed_langs,
         extract_html=extract_html, html_min_words=html_min_words,
         html_max_link_density=html_max_link_density,
-        observe_funnel=observe_funnel,
+        max_pii=max_pii, observe_funnel=observe_funnel,
     )
 
     def _start(df, fmt, path, ckpt):

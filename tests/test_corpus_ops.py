@@ -1761,3 +1761,40 @@ def test_cli_diff_and_pii_report(spark, tmp_path, capsys):
     main(["pii-report", "--in", new])
     printed = capsys.readouterr().out
     assert "emails: 1" in printed and "docs affected: 1/3" in printed
+
+
+def test_corpus_diff_set_algebra_property(spark):
+    """Property: for random version pairs, corpus_diff statuses must equal
+    the set-algebra ground truth computed driver-side."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        ids = list(range(30))
+        old_rows = [(i, f"text {i} body {rng.randint(0, 3)}") for i in ids
+                    if rng.random() < 0.8]
+        old_map = dict(old_rows)
+        new_rows = []
+        for i in ids:
+            if rng.random() < 0.8:
+                if i in old_map and rng.random() < 0.5:
+                    new_rows.append((i, old_map[i]))          # unchanged
+                else:
+                    new_rows.append((i, f"text {i} v2 {trial}"))
+        new_map = dict(new_rows)
+        expected = {}
+        for i in set(old_map) | set(new_map):
+            if i not in old_map:
+                expected[i] = "added"
+            elif i not in new_map:
+                expected[i] = "removed"
+            elif old_map[i] != new_map[i]:
+                expected[i] = "changed"
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import corpus_diff
+
+        old = spark.createDataFrame(old_rows or [(999, "x")], "doc_id long, text string")
+        new = spark.createDataFrame(new_rows or [(999, "x")], "doc_id long, text string")
+        if not old_rows or not new_rows:
+            continue
+        got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+        assert got == expected, f"trial {trial}"
