@@ -173,7 +173,10 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  # WARC ingest, CCNet partition, incremental near dedup
                  "extract_text", "classifier_train",
                  "warc_extract", "ppl_partition", "near_dedup_against",
-                 "corpus_report"):
+                 "corpus_report",
+                 # r9 second session: version diff + PII inventory
+                 # (curate_audit's trend is implied by curate_e2e above)
+                 "corpus_diff", "pii_report"):
         fn = EXTRA_QUERIES[name]
         samples = []
         for _ in range(2):
