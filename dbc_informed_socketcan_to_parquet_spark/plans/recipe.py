@@ -30,7 +30,9 @@ unknown keys fail fast BEFORE any compute.  With ``leakage_safe`` the
 split keys on the near-dup cluster representative (members of a dup
 cluster land in the same split); splits are written as a ``split``
 column on the curated output.  ``export`` defaults ``token_col`` to a
-whitespace token count added on the fly.  ``audit`` (true, or
+whitespace token count added on the fly (or a real-tokenizer count when
+``bpe_path`` names a persisted BPE vocab — the ``export --bpe-path``
+hand-off).  ``audit`` (true, or
 ``{"out": "funnel.parquet"}``) records the per-stage drop funnel in the
 summary: the counts read the SAME stage boundaries the main run
 materializes (curate's trace checkpoints), so auditing a recipe costs
@@ -228,7 +230,20 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         ex = recipe["export"]
         token_col = ex.get("token_col")
         docs_ex = kept
-        if token_col is None:
+        if token_col is None and ex.get("bpe_path"):
+            # real-tokenizer budgets (same hand-off as `export --bpe-path`):
+            # count with the persisted BPE vocab instead of whitespace
+            from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+                bpe_load,
+                bpe_token_count,
+            )
+
+            token_col = "n_tokens"
+            docs_ex = bpe_token_count(
+                docs_ex, bpe_load(spark, ex["bpe_path"]),
+                text_col="text", out_col=token_col,
+            )
+        elif token_col is None:
             from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
 
             token_col = "n_tokens"

@@ -120,3 +120,43 @@ def test_validate_recipe_audit_keys():
     with pytest.raises(ValueError, match="unknown audit keys"):
         validate_recipe({"ingest": {"path": "p"}, "out": "x",
                          "audit": {"out": "f", "mode": "x"}})
+
+
+def test_recipe_export_bpe_path(spark, tmp_path):
+    """export.bpe_path budgets shards with the persisted real tokenizer
+    (the `export --bpe-path` hand-off) instead of whitespace counts."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+        bpe_train,
+        bpe_write,
+    )
+
+    src = str(tmp_path / "docs.parquet")
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliett kilo lima mike november oscar papa").split()
+    spark.createDataFrame(
+        [(i, f"distinct essay {i} mentioning {words[i % 16]} and "
+             f"{words[(i * 7 + 3) % 16]} twice {words[(i * 5 + 1) % 16]} then "
+             "a shared tail of vocabulary the tokenizer learns merges from")
+         for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    model = str(tmp_path / "bpe")
+    merges, stats = bpe_train(spark.read.parquet(src), num_merges=20)
+    bpe_write(spark, merges, model, stats)
+
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": str(tmp_path / "curated.parquet"),
+        "export": {"out": str(tmp_path / "shards"), "max_tokens": 512,
+                   "num_shards": 4, "bpe_path": model},
+    }
+    summary = run_recipe(spark, recipe)
+    assert summary["export"]["n_shards"] == 4
+    manifest = json.loads((tmp_path / "shards" / "_manifest.json").read_text())
+    assert manifest["total_docs"] == summary["curate"]["n_docs"] > 1
+    # BPE counts are sub-word: strictly more tokens than whitespace words
+    from pyspark.sql import functions as F
+    ws = (spark.read.parquet(recipe["out"])
+          .agg(F.sum(F.size(F.split("text", r"\s+")))).collect()[0][0])
+    assert manifest["total_tokens"] > ws
