@@ -1376,3 +1376,60 @@ def ann_tune(
         )
         .drop("_cheapest", "_best_r", "_best_p")
     )
+
+
+# -- embedding version drift ---------------------------------------------------
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row drift report between two versions of an embedding table —
+    the vector-side twin of ``dedup.corpus_diff`` (re-embedding with a
+    new model, or a corpus shift, moves the centroid and the norm
+    distribution long before any downstream eval notices).
+
+    Output: ``(n_old, n_new, centroid_cos, avg_norm_old, avg_norm_new)``
+    — the cosine between the two per-dimension mean vectors and each
+    side's mean L2 norm.
+
+    Scale: per-dimension means come from ONE posexplode + groupBy(dim)
+    per side — map-side partial aggregation reduces every partition to
+    ``dim`` partial sums, so the shuffle is O(partitions × dim), never
+    O(rows); the two dim-row tables then reduce to scalars.  The 1-row
+    frames combine via broadcast crossJoins (the repo invariant: every
+    crossJoin carries a broadcast hint).
+    """
+    def _dim_means(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("dim").agg(F.avg("v").alias(alias))
+        )
+
+    def _norm_stats(df: DataFrame, n_alias: str, norm_alias: str) -> DataFrame:
+        norm = F.sqrt(F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ))
+        return df.agg(
+            F.count("*").alias(n_alias),
+            F.round(F.avg(norm), round_to).alias(norm_alias),
+        )
+
+    means = _dim_means(old, "m_old").join(_dim_means(new, "m_new"), "dim")
+    cos = means.agg(
+        F.round(
+            F.sum(F.col("m_old") * F.col("m_new"))
+            / (F.sqrt(F.sum(F.col("m_old") * F.col("m_old")))
+               * F.sqrt(F.sum(F.col("m_new") * F.col("m_new")))),
+            round_to,
+        ).alias("centroid_cos")
+    )
+    return (
+        _norm_stats(old, "n_old", "avg_norm_old")
+        .crossJoin(F.broadcast(_norm_stats(new, "n_new", "avg_norm_new")))
+        .crossJoin(F.broadcast(cos))
+        .select("n_old", "n_new", "centroid_cos", "avg_norm_old", "avg_norm_new")
+    )

@@ -4749,3 +4749,60 @@ def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return pii_report(docs)
+
+
+# ---------------------------------------------------------------------------
+# round 9: embedding version drift (operators/similarity.embedding_drift)
+# ---------------------------------------------------------------------------
+
+_DRIFT_NORM = "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+
+
+@extra_query(
+    "embedding_drift",
+    oracle=f"""
+    WITH om AS (
+      SELECT dim, avg(v) AS m FROM (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings WHERE vec_id % 2 = 0
+      ) GROUP BY dim
+    ),
+    nm AS (
+      SELECT dim, avg(v) AS m FROM (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings WHERE vec_id % 2 = 1
+      ) GROUP BY dim
+    ),
+    cosrow AS (
+      SELECT round(sum(om.m * nm.m)
+                   / (sqrt(sum(om.m * om.m)) * sqrt(sum(nm.m * nm.m))), 6)
+             AS centroid_cos
+      FROM om JOIN nm USING (dim)
+    ),
+    ostat AS (SELECT count(*) AS n_old, round(avg({_DRIFT_NORM}), 6) AS avg_norm_old
+              FROM embeddings WHERE vec_id % 2 = 0),
+    nstat AS (SELECT count(*) AS n_new, round(avg({_DRIFT_NORM}), 6) AS avg_norm_new
+              FROM embeddings WHERE vec_id % 2 = 1)
+    SELECT n_old, n_new, centroid_cos, avg_norm_old, avg_norm_new
+    FROM ostat, nstat, cosrow
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding version drift (similarity.embedding_drift, r9): even
+    vec_ids play the old embedding table, odd the re-embedded version —
+    one row reporting the centroid cosine between the two per-dimension
+    mean vectors and each side's mean L2 norm.  Per-dim means are one
+    posexplode + groupBy(dim) per side (map-side combine: the shuffle is
+    O(partitions × dim), never O(rows)); the 1-row frames combine via
+    broadcast crossJoins."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )

@@ -1798,3 +1798,28 @@ def test_corpus_diff_set_algebra_property(spark):
             continue
         got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
         assert got == expected, f"trial {trial}"
+
+
+def test_embedding_drift_identity_and_shift(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    # identical versions: centroid cosine exactly 1, norms equal
+    same = embedding_drift(base, base).collect()[0]
+    assert same.n_old == same.n_new == 30
+    assert same.centroid_cos == 1.0
+    assert same.avg_norm_old == same.avg_norm_new
+    # scaled + shifted version: norms move, centroid direction differs
+    from pyspark.sql import functions as F
+    shifted = base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(2.0) + F.lit(1.0)).alias("embedding"),
+    )
+    drift = embedding_drift(base, shifted).collect()[0]
+    assert drift.avg_norm_new > drift.avg_norm_old
+    assert drift.centroid_cos < 1.0
