@@ -504,7 +504,10 @@ def test_registry_entry_never_plans_cartesian(spark, name):
     the registry's 3-candidate sweep with headroom."""
     plan = plan_of(_ALL_REGISTRY[name](spark, SF))
     assert "CartesianProduct" not in plan, name
-    cap = {"extra:ann_recall": 4, "extra:ann_tune": 64}.get(name, 2)
+    # embedding_drift reduces THREE 1-row frames (old stats, new stats,
+    # centroid cosine) — two broadcast crossJoins by construction
+    cap = {"extra:ann_recall": 4, "extra:ann_tune": 64,
+           "extra:embedding_drift": 4}.get(name, 2)
     assert plan.count("BroadcastNestedLoopJoin") <= cap, name
 
 
