@@ -1517,3 +1517,34 @@ def corpus_diff(
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def keep_canonical_by(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the BEST-scoring member of each duplicate cluster (ties →
+    min id); documents in no cluster pass through untouched.  The
+    production alternative to :func:`keep_canonical`'s min-id survivor:
+    when near-dups differ (boilerplate variants, re-crawls after a site
+    cleanup), a curation run wants the highest-quality copy, not the
+    one with the smallest id.
+
+    Scale: only CLUSTERED rows (the small side — near-dup membership,
+    not the corpus) enter the per-cluster window; the unclustered mass
+    is a broadcast-anti-join pass-through and never sorts.
+    """
+    c = clusters.withColumnRenamed("doc_id", id_col)
+    clustered = docs.join(c, on=id_col, how="inner")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    winners = (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "cluster_id")
+    )
+    untouched = docs.join(c.select(id_col), on=id_col, how="left_anti")
+    return untouched.unionByName(winners)

@@ -4806,3 +4806,46 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: best-member near-dup survivor (operators/dedup.keep_canonical_by)
+# ---------------------------------------------------------------------------
+
+@extra_query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_STAR_CC_CTES},
+    clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+      SELECT d.doc_id, c.cluster_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn
+      FROM documents d JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
+    UNION ALL
+    SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars
+    FROM documents d JOIN ranked r USING (doc_id) WHERE r.rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-member near-dup survivor (dedup.keep_canonical_by, r9): the
+    same star-CC clusters as dedup_star_clusters, but each cluster keeps
+    its LONGEST member (ties → min id) instead of the min-id one — the
+    production survivor rule when re-crawls improve pages.  Only
+    clustered rows enter the per-cluster window; the unclustered mass is
+    an anti-join pass-through and never sorts."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        keep_canonical_by,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("int").alias("n_chars")
+    )
+    clusters = minhash_star_clusters(
+        docs, "doc_id", "text", num_perms=16, shingle_n=5, num_bands=_MH_BANDS,
+        threshold=0.5, seed=42,
+    )
+    return keep_canonical_by(docs, clusters, "n_chars").select("doc_id", "n_chars")

@@ -1823,3 +1823,29 @@ def test_embedding_drift_identity_and_shift(spark):
     drift = embedding_drift(base, shifted).collect()[0]
     assert drift.avg_norm_new > drift.avg_norm_old
     assert drift.centroid_cos < 1.0
+
+
+def test_keep_canonical_by_best_scorer_survives(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        keep_canonical,
+        keep_canonical_by,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short", 5), (2, "a much longer variant", 21),
+         (3, "mid variant", 11), (9, "unclustered", 11)],
+        "doc_id long, text string, n_chars int",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    best = {r.doc_id for r in keep_canonical_by(docs, clusters, "n_chars").collect()}
+    assert best == {2, 9}            # longest member wins, unclustered passes
+    minid = {r.doc_id for r in keep_canonical(docs, clusters).collect()}
+    assert minid == {1, 9}           # the classic rule keeps the min id
+    # tie: equal scores fall back to min id
+    tied = spark.createDataFrame(
+        [(4, "aaaa", 4), (5, "bbbb", 4)], "doc_id long, text string, n_chars int"
+    )
+    tclust = spark.createDataFrame([(4, 4), (5, 4)], "doc_id long, cluster_id long")
+    assert {r.doc_id for r in keep_canonical_by(tied, tclust, "n_chars").collect()} == {4}
