@@ -96,6 +96,9 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-pii", type=int, default=None,
                    help="drop docs with more than this many email/phone/IP hits "
                         "(counted pre-scrub — contact-scrape pages)")
+    p.add_argument("--survivor", choices=("min_id", "quality"), default="min_id",
+                   help="near-dup survivor rule: deterministic min id, or each "
+                        "cluster's highest-quality member")
     p.add_argument("--audit", action="store_true",
                    help="print the per-stage drop funnel (stage, rows_in, rows_out, "
                         "dropped) instead of writing the curated output")
@@ -153,6 +156,7 @@ def run_curate(argv: list[str]) -> None:
         html_min_words=args.html_min_words,
         html_max_link_density=args.html_max_link_density,
         max_pii=args.max_pii,
+        survivor=args.survivor,
     )
     if args.url_col is None and (args.block_domain or args.url_dedup or args.max_per_domain):
         parser.error("--block-domain/--url-dedup/--max-per-domain require --url-col")

@@ -152,6 +152,12 @@ class CurateConfig:
     # PRE-scrub text (scrub replaces the matches, so the gate must see
     # them first).  None = off.
     max_pii: int | None = None
+    # near-dup survivor rule (r9): "min_id" (the classic deterministic
+    # pick) or "quality" — keep each cluster's highest-quality member
+    # (dedup.keep_canonical_by over the SAME stats the quality gate
+    # already materialized; ties → min id).  The right rule when
+    # re-crawls improve pages.
+    survivor: str = "min_id"
 
 
 def curate(
@@ -456,6 +462,20 @@ def curate(
         num_bands=config.minhash_bands, threshold=config.jaccard_threshold,
         seed=config.seed, hash_fn=_HASH_FNS[config.hash_fn],
     )
+    if config.survivor == "quality":
+        # best-member survivor: rank cluster members by the SAME quality
+        # score the gate already materialized (stats is checkpointed —
+        # no recompute), ties → min id.  Clustered rows only enter the
+        # window; the unclustered mass never sorts.
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+            keep_canonical_by,
+        )
+
+        scored = out.join(stats.select(id_col, "quality"), id_col)
+        kept = keep_canonical_by(scored, clusters, "quality", id_col)
+        return _mark("near_dup", kept.drop("quality"))
+    if config.survivor != "min_id":
+        raise ValueError(f"unknown survivor rule: {config.survivor!r}")
     return _mark("near_dup", keep_canonical(out, clusters, id_col))
 
 

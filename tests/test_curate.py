@@ -622,3 +622,32 @@ def test_curate_max_pii_gate(spark):
     assert {r.doc_id for r in no_gate.collect()} == {1, 2}
     funnel = {r.stage: r.dropped for r in curate_audit(docs, config=cfg).collect()}
     assert funnel["pii"] == 1
+
+
+def test_curate_survivor_quality_keeps_best_member(spark):
+    """survivor='quality' keeps each near-dup cluster's highest-quality
+    member instead of the min id (r9, dedup.keep_canonical_by)."""
+    base = (
+        "this shared boilerplate body is very nearly identical across the "
+        "copies except for the trailing portion which differs a little "
+        "between the two versions of the page %s"
+    )
+    docs = spark.createDataFrame(
+        [
+            # doc 1: digit-heavy tail lowers quality; doc 2 is cleaner
+            (1, base % "0123456789 0123456789 0123456789"),
+            (2, base % "with a clean and readable final sentence for all"),
+            (9, "an entirely unrelated standalone essay about alpine botany "
+                "and the seasonal migration of pollinators across meadows"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg_best = CurateConfig(min_chars=10, min_quality=0.0,
+                            jaccard_threshold=0.5, survivor="quality")
+    best = {r.doc_id for r in curate(docs, config=cfg_best).collect()}
+    assert best == {2, 9}
+    cfg_min = CurateConfig(min_chars=10, min_quality=0.0, jaccard_threshold=0.5)
+    assert {r.doc_id for r in curate(docs, config=cfg_min).collect()} == {1, 9}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown survivor"):
+        curate(docs, config=CurateConfig(survivor="newest"))
