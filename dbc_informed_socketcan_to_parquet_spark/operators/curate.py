@@ -526,4 +526,46 @@ def curate_audit(
     )
 
 
+def curate_dropped(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    config: CurateConfig = CurateConfig(),
+    classifier_weights: DataFrame | None = None,
+    lm_corpus: DataFrame | None = None,
+    against_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Row-level drop lineage — the per-document complement of
+    :func:`curate_audit`: one ``(id_col, dropped_at)`` row for every
+    document the pipeline dropped, labeled with the stage that dropped
+    it.  Survivors don't appear.  This answers the support question a
+    funnel can't: "why is doc X missing from the release?"
+
+    Scale: same traced run as the audit (each boundary computes once
+    behind its lazy checkpoint); each stage contributes one id-only
+    anti-join between consecutive boundaries — narrow (id) columns, no
+    text shuffled.  The union is linear in DROPPED rows, not corpus
+    size.
+    """
+    trace: list[tuple[str, DataFrame]] = []
+    curate(
+        docs, id_col, text_col, config,
+        classifier_weights=classifier_weights, lm_corpus=lm_corpus,
+        against_corpus=against_corpus, _trace=trace,
+    )
+    prev = docs.select(id_col)
+    pieces = []
+    for stage, df in trace:
+        cur = df.select(id_col)
+        pieces.append(
+            prev.join(cur, id_col, "left_anti")
+            .withColumn("dropped_at", F.lit(stage))
+        )
+        prev = cur
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _HASH_FNS = {"md5": md5_long, "xxhash": xxhash60}

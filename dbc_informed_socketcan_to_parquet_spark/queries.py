@@ -4849,3 +4849,56 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5, seed=42,
     )
     return keep_canonical_by(docs, clusters, "n_chars").select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# round 9: row-level drop lineage (operators/curate.curate_dropped)
+# ---------------------------------------------------------------------------
+
+@extra_query(
+    "curate_dropped",
+    oracle=f"""
+    WITH RECURSIVE
+    quality AS (SELECT doc_id, text FROM documents WHERE length(text) >= 32),
+    exact_docs AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    {_AUDIT_CC},
+    clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    kept AS (
+      SELECT d.doc_id FROM exact_docs d LEFT JOIN clusters c USING (doc_id)
+      WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+    )
+    SELECT doc_id, 'quality' AS dropped_at FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM quality)
+    UNION ALL
+    SELECT doc_id, 'exact_dup' FROM quality
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact_docs)
+    UNION ALL
+    SELECT doc_id, 'near_dup' FROM exact_docs
+    WHERE doc_id NOT IN (SELECT doc_id FROM kept)
+    """,
+)
+def q_curate_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level drop lineage (curate.curate_dropped, r9): one
+    (doc_id, dropped_at) row per dropped document — the per-doc
+    complement of curate_audit's funnel, same traced single run, id-only
+    anti-joins between consecutive stage boundaries.  The oracle replays
+    the identical chain and labels each loss set."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        CurateConfig,
+        curate_dropped,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = CurateConfig(
+        min_chars=32, min_quality=0.0,
+        max_dup_line_ratio=1.0, max_top_bigram_ratio=1.0,
+        minhash_perms=16, minhash_bands=_MH_BANDS, shingle_n=5,
+        jaccard_threshold=0.5, seed=42, scrub=False, hash_fn="md5",
+    )
+    return curate_dropped(docs, config=cfg)

@@ -74,10 +74,12 @@ TAIL = [
     "extra:ppl_partition",
     "extra:near_dedup_against",
     "extra:corpus_report",
-    # r9 second session: observability + hygiene ops
+    # r9 second session: observability + hygiene + versioning ops
     "extra:curate_audit",
     "extra:corpus_diff",
     "extra:pii_report",
+    "extra:embedding_drift",
+    "extra:dedup_keep_best",
 ]
 
 

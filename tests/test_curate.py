@@ -651,3 +651,35 @@ def test_curate_survivor_quality_keeps_best_member(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown survivor"):
         curate(docs, config=CurateConfig(survivor="newest"))
+
+
+def test_curate_dropped_lineage_matches_funnel(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        curate_audit,
+        curate_dropped,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the quiet green field while the sun is high in the clear blue sky"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                        # exact dup
+            (3, base.replace("dog", "cat")),  # near dup
+            (4, "x"),                         # quality
+            (5, "a thoroughly different essay on distributed shuffle "
+                "strategies and adaptive query execution at terabyte scale"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurateConfig(min_chars=32, min_quality=0.0, jaccard_threshold=0.5)
+    lineage = {r.doc_id: r.dropped_at for r in curate_dropped(docs, config=cfg).collect()}
+    assert lineage == {4: "quality", 2: "exact_dup", 3: "near_dup"}
+    # per-stage cardinalities agree with the funnel
+    funnel = {r.stage: r.dropped for r in curate_audit(docs, config=cfg).collect()}
+    from collections import Counter
+    assert funnel == dict(Counter(lineage.values()))
+    # survivors never appear
+    assert not {1, 5} & set(lineage)
