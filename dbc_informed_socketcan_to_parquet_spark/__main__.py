@@ -102,6 +102,9 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--audit", action="store_true",
                    help="print the per-stage drop funnel (stage, rows_in, rows_out, "
                         "dropped) instead of writing the curated output")
+    p.add_argument("--dropped-out", default=None,
+                   help="with --audit: also write the row-level (id, dropped_at) "
+                        "lineage parquet — which stage dropped each document")
     return p
 
 
@@ -165,15 +168,34 @@ def run_curate(argv: list[str]) -> None:
     lm_corpus = spark.read.parquet(args.lm_corpus) if args.lm_corpus else None
     against = spark.read.parquet(args.against) if args.against else None
     if args.audit:
-        from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate_audit
+        # ONE traced run feeds both reports: the funnel counts and the
+        # row-level lineage read the same lazily-checkpointed boundaries
+        from pyspark.sql import functions as F
+        from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate
 
-        funnel = curate_audit(
-            docs, args.id_col, args.text_col, cfg,
-            lm_corpus=lm_corpus, against_corpus=against,
-        )
-        for r in sorted(funnel.collect(), key=lambda r: r.stage_idx):
-            print(f"audit {r.stage_idx} {r.stage}: "
-                  f"{r.rows_in} -> {r.rows_out} (-{r.dropped})")
+        trace: list = []
+        curate(docs, args.id_col, args.text_col, cfg,
+               lm_corpus=lm_corpus, against_corpus=against, _trace=trace)
+        prev_n = docs.count()
+        prev_ids = docs.select(args.id_col)
+        pieces = []
+        for i, (stage, df) in enumerate(trace, start=1):
+            n = df.count()
+            print(f"audit {i} {stage}: {prev_n} -> {n} (-{prev_n - n})")
+            if args.dropped_out:
+                cur_ids = df.select(args.id_col)
+                pieces.append(
+                    prev_ids.join(cur_ids, args.id_col, "left_anti")
+                    .withColumn("dropped_at", F.lit(stage))
+                )
+                prev_ids = cur_ids
+            prev_n = n
+        if args.dropped_out:
+            lineage = pieces[0]
+            for piece in pieces[1:]:
+                lineage = lineage.unionByName(piece)
+            lineage.write.mode("overwrite").parquet(args.dropped_out)
+            print(f"wrote drop lineage to {args.dropped_out}")
         return
     # persist across write + count: one pipeline execution, and the count
     # never re-reads the output (an empty JSONL dir has no schema to infer)

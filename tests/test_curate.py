@@ -683,3 +683,21 @@ def test_curate_dropped_lineage_matches_funnel(spark):
     assert funnel == dict(Counter(lineage.values()))
     # survivors never appear
     assert not {1, 5} & set(lineage)
+
+
+def test_cli_curate_audit_dropped_out(spark, tmp_path, capsys):
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    base = ("a long enough document with plenty of distinct words describing "
+            "columnar shuffle strategies and adaptive execution at scale")
+    src = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [(1, base), (2, base), (3, "x")], "doc_id long, text string"
+    ).write.parquet(src)
+    lineage = str(tmp_path / "lineage.parquet")
+    main(["curate", "--in", src, "--out", str(tmp_path / "k.parquet"),
+          "--min-chars", "10", "--min-quality", "0.0",
+          "--audit", "--dropped-out", lineage])
+    assert "wrote drop lineage" in capsys.readouterr().out
+    got = {(r.doc_id, r.dropped_at) for r in spark.read.parquet(lineage).collect()}
+    assert got == {(3, "quality"), (2, "exact_dup")}
