@@ -71,7 +71,13 @@ def streaming_funnel(query) -> list[dict]:
     streaming plan — zero extra passes, zero extra state; the engine
     accumulates them while the data flows.  Pass the main-lane query
     after a drain (or read periodically on a live stream for
-    rates-per-stage)."""
+    rates-per-stage).
+
+    Note ``recentProgress`` is a bounded window (default ~100
+    micro-batches, ``spark.sql.streaming.numRecentProgressUpdates``) —
+    complete totals over a long-lived stream need periodic reads (or a
+    StreamingQueryListener feeding a metrics store); a drain fits in one
+    window."""
     totals: dict[str, int] = {}
     for progress in query.recentProgress:
         for name, row in (progress.get("observedMetrics") or {}).items():
