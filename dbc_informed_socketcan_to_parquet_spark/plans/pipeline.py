@@ -111,3 +111,42 @@ class DecodePipeline:
         if cfg.output_path:
             write_parquet(out, cfg.output_path, mode="overwrite")
         return out
+
+
+def decode_audit(
+    lines: DataFrame,
+    spec: DbcSpec,
+    value_col: str = "value",
+) -> DataFrame:
+    """Drop funnel for the decode chain's SILENT loss points — malformed
+    candump lines and unknown CAN ids, both of which the reference
+    discards without a trace (fileInput.cpp:16-31 skips parse failures;
+    decoder.cpp:77-79 skips ids missing from the DBC).  At fleet scale
+    "how many frames did we lose, and where" is the first operational
+    question a capture pipeline gets; this is the decode twin of
+    ``operators/curate.curate_audit``.
+
+    Returns ``(stage_idx, stage, rows_in, rows_out, dropped)`` for the
+    two drop-capable stages (``parse``, ``known_id``).  Each boundary is
+    a lazy localCheckpoint, so the chain computes once across the two
+    counts; the funnel itself is a driver-built 2-row frame.
+    """
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.candump import (
+        parse_candump_lines,
+    )
+
+    n_lines = lines.count()
+    frames = parse_candump_lines(lines, value_col, keep_malformed=False)
+    frames = frames.localCheckpoint(eager=False)
+    n_parsed = frames.count()
+    known = DecodeCompiler(spec).known_id_filter(frames)
+    n_known = known.count()
+    return lines.sparkSession.createDataFrame(
+        [
+            (1, "parse", n_lines, n_parsed, n_lines - n_parsed),
+            (2, "known_id", n_parsed, n_known, n_parsed - n_known),
+        ],
+        "stage_idx INT, stage STRING, rows_in BIGINT, rows_out BIGINT, dropped BIGINT",
+    )

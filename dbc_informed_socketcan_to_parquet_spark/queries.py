@@ -4902,3 +4902,46 @@ def q_curate_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.5, seed=42, scrub=False, hash_fn="md5",
     )
     return curate_dropped(docs, config=cfg)
+
+
+# ---------------------------------------------------------------------------
+# round 9: decode drop funnel (plans/pipeline.decode_audit)
+# ---------------------------------------------------------------------------
+
+@extra_query(
+    "decode_audit",
+    oracle="""
+    WITH t AS (SELECT count(*) AS n FROM events),
+    m AS (SELECT count(*) AS n FROM events WHERE event_id % 11 = 0),
+    u AS (SELECT count(*) AS n FROM events
+          WHERE event_id % 11 != 0 AND event_id % 7 = 0)
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS stage_idx, 'parse' AS stage,
+             t.n AS rows_in, t.n - m.n AS rows_out, m.n AS dropped
+      FROM t, m
+      UNION ALL
+      SELECT CAST(2 AS INT), 'known_id', t.n - m.n, t.n - m.n - u.n, u.n
+      FROM t, m, u
+    )
+    """,
+)
+def q_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode drop funnel (plans/pipeline.decode_audit, r9): the
+    reference SILENTLY discards malformed candump lines
+    (fileInput.cpp:16-31) and unknown CAN ids (decoder.cpp:77-79); this
+    entry counts both loss points.  Every 11th synthetic line is
+    corrupted ('#' → '!', failing the parse regex) and every 7th
+    surviving frame carries an id the DBC doesn't know (0x1FF vs the
+    synth DBC's 0x100-0x102); the oracle computes the funnel in closed
+    form from the same residues."""
+    from dbc_informed_socketcan_to_parquet_spark.plans.pipeline import decode_audit
+
+    lines = _synth_lines(spark, sf_dir).withColumn(
+        "value",
+        F.when(F.col("event_id") % 11 == 0,
+               F.regexp_replace(F.col("value"), "#", "!"))
+        .when(F.col("event_id") % 7 == 0,
+              F.regexp_replace(F.col("value"), " 10[0-2]#", " 1FF#"))
+        .otherwise(F.col("value")),
+    ).select("value")
+    return decode_audit(lines, _SYNTH_DBC)

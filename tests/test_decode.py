@@ -162,3 +162,28 @@ def test_val_enum_rendering(spark):
     )
     got = [r.label for r in df.select(comp.enum_expr(mux_a, mux_msg).alias("label")).collect()]
     assert got == ["ON", "9"]
+
+
+def test_decode_audit_funnel(spark, tiny_spec):
+    """decode_audit counts the chain's silent loss points: malformed
+    lines at parse, unknown CAN ids at the DBC filter — the losses the
+    reference discards without a trace (fileInput.cpp:16-31,
+    decoder.cpp:77-79)."""
+    from dbc_informed_socketcan_to_parquet_spark.plans.pipeline import decode_audit
+
+    lines = spark.createDataFrame(
+        [
+            (le_line(1.0, 0x100, 0x0123),),     # known id -> decodes
+            (le_line(1.1, 0x101, 0x0456),),     # known id -> decodes
+            (le_line(1.2, 0x7FF, 0x0789),),     # unknown id -> dropped
+            ("this is not a candump line",),     # malformed -> dropped
+            ("(1.3) vcan0 100!DEADBEEF",),       # bad separator -> dropped
+        ],
+        "value string",
+    )
+    funnel = {r.stage: r for r in decode_audit(lines, tiny_spec).collect()}
+    assert funnel["parse"].rows_in == 5
+    assert funnel["parse"].dropped == 2
+    assert funnel["known_id"].rows_in == funnel["parse"].rows_out == 3
+    assert funnel["known_id"].dropped == 1
+    assert funnel["known_id"].rows_out == 2
