@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--live-decode", action="append", default=[], metavar="SIGNAL")
     p.add_argument("--no-adjust-timestamp", action="store_true")
     p.add_argument("--first-wins", action="store_true", help="v2 first-write-wins bucket semantics")
+    p.add_argument("--audit", action="store_true",
+                   help="print the decode drop funnel (malformed lines, unknown "
+                        "CAN ids) instead of writing output — the losses the "
+                        "chain otherwise drops silently")
     return p
 
 
@@ -616,6 +620,17 @@ def main(argv: list[str] | None = None) -> None:
         agg="first" if args.first_wins else "last",
     )
     spark = get_spark("dbc-decode-cli")
+    if args.audit:
+        from dbc_informed_socketcan_to_parquet_spark.dbc.parser import parse_dbc
+        from dbc_informed_socketcan_to_parquet_spark.plans.pipeline import decode_audit
+
+        if args.fmt != "file" or not args.input_path:
+            raise SystemExit("--audit needs --file and --if <candump log>")
+        funnel = decode_audit(spark.read.text(args.input_path), parse_dbc(args.dbc))
+        for r in sorted(funnel.collect(), key=lambda r: r.stage_idx):
+            print(f"audit {r.stage_idx} {r.stage}: "
+                  f"{r.rows_in} -> {r.rows_out} (-{r.dropped})")
+        return
     if args.socket_name:
         from dbc_informed_socketcan_to_parquet_spark.streaming.pipeline import run_stream
 

@@ -305,3 +305,22 @@ def test_cli_stream_curate_drain(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(["stream-curate", "--in", str(land), "--out", out,
               "--checkpoint", ckpt, "--max-perplexity", "5"])
+
+
+def test_cli_decode_audit_flag(spark, tmp_path, capsys):
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+    from tests.conftest import TINY_DBC_TEXT
+
+    dbc = tmp_path / "tiny.dbc"
+    dbc.write_text(TINY_DBC_TEXT)
+    log = tmp_path / "cap.log"
+    log.write_text("\n".join([
+        le_line(1.0, 0x100, 0x0123),
+        le_line(1.1, 0x101, 0x0456),
+        le_line(1.2, 0x7FF, 0x0789),        # unknown id
+        "garbage line",                      # malformed
+    ]) + "\n")
+    main([str(dbc), "--if", str(log), "--file", "--audit"])
+    printed = capsys.readouterr().out
+    assert "audit 1 parse: 4 -> 3 (-1)" in printed
+    assert "audit 2 known_id: 3 -> 2 (-1)" in printed
