@@ -80,6 +80,8 @@ TAIL = [
     "extra:pii_report",
     "extra:embedding_drift",
     "extra:dedup_keep_best",
+    "extra:curate_dropped",
+    "extra:decode_audit",
 ]
 
 
