@@ -57,13 +57,28 @@ def normalize_time(frames: DataFrame, mode: str = "min", time_col: str = "ts") -
     raise ValueError(f"unknown normalize mode {mode!r}")
 
 
-def stream_candump_dir(spark: SparkSession, directory: str) -> DataFrame:
-    """Streaming flavor of S1: watch a directory for candump log files."""
+def stream_candump_dir(
+    spark: SparkSession, directory: str, observe_funnel: bool = False
+) -> DataFrame:
+    """Streaming flavor of S1: watch a directory for candump log files.
+
+    ``observe_funnel`` lands CollectMetrics on the raw lines and the
+    parsed frames (``funnel_lines`` / ``funnel_parse``) so the silent
+    malformed-line loss is countable per micro-batch
+    (streaming/pipeline.decode_stream_funnel)."""
     lines = spark.readStream.format("text").load(directory)
-    return parse_candump_lines(lines)
+    if observe_funnel:
+        lines = lines.observe("funnel_lines", F.count(F.lit(1)).alias("rows"))
+    frames = parse_candump_lines(lines)
+    if observe_funnel:
+        frames = frames.observe("funnel_parse", F.count(F.lit(1)).alias("rows"))
+    return frames
 
 
-def stream_candump_socket(spark: SparkSession, host: str = "localhost", port: int = 9000) -> DataFrame:
+def stream_candump_socket(
+    spark: SparkSession, host: str = "localhost", port: int = 9000,
+    observe_funnel: bool = False,
+) -> DataFrame:
     """S3 as a stream: candump lines over a TCP socket (the ``nc`` path).
 
     Event time comes from the line's own epoch field when present; a
@@ -77,4 +92,9 @@ def stream_candump_socket(spark: SparkSession, host: str = "localhost", port: in
         .option("port", port)
         .load()
     )
-    return parse_candump_lines(lines).withColumn("proc_time", F.current_timestamp())
+    if observe_funnel:
+        lines = lines.observe("funnel_lines", F.count(F.lit(1)).alias("rows"))
+    frames = parse_candump_lines(lines).withColumn("proc_time", F.current_timestamp())
+    if observe_funnel:
+        frames = frames.observe("funnel_parse", F.count(F.lit(1)).alias("rows"))
+    return frames

@@ -60,7 +60,7 @@ _FUNNEL_ORDER = (
 )
 
 
-def streaming_funnel(query) -> list[dict]:
+def streaming_funnel(query, order: tuple = _FUNNEL_ORDER) -> list[dict]:
     """Aggregate a stream-curate query's per-batch ``observe`` metrics
     into the same drop funnel :func:`operators.curate.curate_audit`
     reports for batch runs: ordered ``{stage, rows_in, rows_out,
@@ -81,9 +81,9 @@ def streaming_funnel(query) -> list[dict]:
     totals: dict[str, int] = {}
     for progress in query.recentProgress:
         for name, row in (progress.get("observedMetrics") or {}).items():
-            if name in _FUNNEL_ORDER:
+            if name in order:
                 totals[name] = totals.get(name, 0) + int(row["rows"])
-    seen = [n for n in _FUNNEL_ORDER if n in totals]
+    seen = [n for n in order if n in totals]
     out = []
     for prev, cur in zip(seen, seen[1:]):
         out.append({

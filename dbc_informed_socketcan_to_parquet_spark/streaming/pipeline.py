@@ -31,6 +31,26 @@ from dbc_informed_socketcan_to_parquet_spark.sinks import stream_console_sink, s
 from dbc_informed_socketcan_to_parquet_spark.sources.candump import stream_candump_dir, stream_candump_socket
 
 
+#: observe() metric names for the decode lane, pipeline order —
+#: raw lines, parse survivors, known-id survivors
+DECODE_FUNNEL_ORDER = ("funnel_lines", "funnel_parse", "funnel_known_id")
+
+
+def decode_stream_funnel(query) -> list[dict]:
+    """Drop funnel for a live decode stream started with
+    ``observe_funnel=True`` — the streaming twin of
+    ``plans/pipeline.decode_audit``: per-micro-batch CollectMetrics on
+    the one plan count the malformed-line and unknown-id losses the
+    reference discards silently.  Same folding (and the same bounded
+    ``recentProgress`` window caveat) as
+    ``streaming/curate.streaming_funnel``."""
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        streaming_funnel,
+    )
+
+    return streaming_funnel(query, order=DECODE_FUNNEL_ORDER)
+
+
 def streaming_decode(frames: DataFrame, compiler: DecodeCompiler) -> DataFrame:
     """Wide decode on a streaming frames DF, with an event-time column."""
     wide = compiler.decode_wide(frames, time_col="Time_ms")
@@ -76,17 +96,28 @@ def run_stream(
     port: int = 9000,
     checkpoint: str = "/tmp/dbc_stream_ckpt",
     directory: str | None = None,
+    observe_funnel: bool = False,
 ):
-    """Wire source → decode → window → sinks for the live CLI path."""
+    """Wire source → decode → window → sinks for the live CLI path.
+
+    ``observe_funnel`` adds the decode drop-funnel CollectMetrics
+    (lines → parse → known_id); read them from the returned queries with
+    :func:`decode_stream_funnel`."""
     from dbc_informed_socketcan_to_parquet_spark.dbc.parser import parse_dbc
 
     spec = parse_dbc(cfg.dbc_path)
     compiler = DecodeCompiler(spec)
     frames = (
-        stream_candump_dir(spark, directory)
+        stream_candump_dir(spark, directory, observe_funnel=observe_funnel)
         if directory
-        else stream_candump_socket(spark, host, port)
+        else stream_candump_socket(spark, host, port, observe_funnel=observe_funnel)
     )
+    if observe_funnel:
+        # the known-id filter inside decode_wide is idempotent over this
+        # explicit pass — the observe needs its own boundary
+        frames = compiler.known_id_filter(frames).observe(
+            "funnel_known_id", F.count(F.lit(1)).alias("rows")
+        )
     wide = streaming_decode(frames, compiler)
     sig_cols = [s.column_name for _, s in spec.all_signals()]
     out = streaming_bucket_downsample(wide, cfg.cache_ms or 1.0, sig_cols)

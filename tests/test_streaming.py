@@ -96,3 +96,42 @@ def test_stream_downsample_cross_batch_determinism(spark, tiny_spec, tmp_path, r
     # the event-time-latest frame (raw 200 → 0.0) wins in BOTH arrival orders
     assert rows[0].Time_ms == 1700000000500.0
     assert rows[0].EngSpeed == 0.0
+
+
+def test_decode_stream_funnel(spark, tiny_spec, tmp_path):
+    """Streaming decode drop funnel: per-batch observe metrics count the
+    malformed-line and unknown-id losses (streaming twin of
+    plans/pipeline.decode_audit)."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.dbc.compiler import DecodeCompiler
+    from dbc_informed_socketcan_to_parquet_spark.sources.candump import (
+        stream_candump_dir,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.streaming.pipeline import (
+        decode_stream_funnel,
+    )
+    from tests.conftest import le_line
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "cap.log").write_text("\n".join([
+        le_line(1.0, 0x100, 0x0123),
+        le_line(1.1, 0x101, 0x0456),
+        le_line(1.2, 0x7FF, 0x0789),   # unknown id
+        "garbage",                      # malformed
+    ]) + "\n")
+    frames = stream_candump_dir(spark, str(land), observe_funnel=True)
+    frames = DecodeCompiler(tiny_spec).known_id_filter(frames).observe(
+        "funnel_known_id", F.count(F.lit(1)).alias("rows")
+    )
+    q = (frames.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    funnel = {f["stage"]: f for f in decode_stream_funnel(q)}
+    assert funnel["parse"]["rows_in"] == 4
+    assert funnel["parse"]["dropped"] == 1
+    assert funnel["known_id"]["dropped"] == 1
+    assert funnel["known_id"]["rows_out"] == 2
