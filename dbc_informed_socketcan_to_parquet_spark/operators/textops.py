@@ -1279,3 +1279,52 @@ def normalize_text(
     c = F.regexp_replace(c, r" ?\n ?", "\n")          # no space hugging newlines
     c = F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")   # trim document ends
     return df.withColumn(out_col or text_col, c)
+
+
+def compression_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the Gopher-family
+    repetition signal the n-gram rules can't see: templated or looping
+    text compresses far below natural prose (ratio = compressed/raw;
+    natural English ≈ 0.3–0.6, pathological repetition → 0.05, random
+    bytes → 1.0).  Deterministic (zlib with a fixed level is a pure
+    function of the bytes), so the gate is reproducible across runs and
+    clusters.
+
+    Output: ``(id_col, raw_bytes, zlib_bytes, compression_ratio)``.
+
+    Scale: Arrow-batched ``mapInPandas`` (zlib is stdlib C — the kernel
+    is memcpy+deflate per batch, no model, no state), embarrassingly
+    parallel, no shuffle.  This is the documented slow-path tier: no
+    JVM zlib expression exists, and the per-row work is real
+    compression, not expressible algebra.
+    """
+    import pandas as pd
+    import zlib
+
+    out_schema = (
+        f"{id_col} long, raw_bytes int, zlib_bytes int, compression_ratio double"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").astype(str)
+            enc = [t.encode("utf-8") for t in raw]
+            raw_n = [len(b) for b in enc]
+            zl_n = [len(zlib.compress(b, level)) for b in enc]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "raw_bytes": raw_n,
+                "zlib_bytes": zl_n,
+                "compression_ratio": [
+                    round(z / r, 6) if r else 0.0 for z, r in zip(zl_n, raw_n)
+                ],
+            })
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(kernel, out_schema)

@@ -4945,3 +4945,23 @@ def q_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value")),
     ).select("value")
     return decode_audit(lines, _SYNTH_DBC)
+
+
+# ---------------------------------------------------------------------------
+# round 9: zlib compression-ratio quality signal (textops.compression_stats)
+# ---------------------------------------------------------------------------
+
+@extra_query("compression_ratio", oracle=None)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (textops.compression_stats,
+    r9): the Gopher-family repetition detector the n-gram rules miss —
+    templated/looping text compresses far below natural prose.
+    Rows-only lane: no SQL engine exposes deflate, so the value
+    semantics are pinned in pytest against direct ``zlib.compress`` of
+    the same bytes (deterministic by construction — fixed level, pure
+    function of the text)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        compression_stats,
+    )
+
+    return compression_stats(_read(spark, sf_dir, "documents"))

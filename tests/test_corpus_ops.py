@@ -1849,3 +1849,30 @@ def test_keep_canonical_by_best_scorer_survives(spark):
     )
     tclust = spark.createDataFrame([(4, 4), (5, 4)], "doc_id long, cluster_id long")
     assert {r.doc_id for r in keep_canonical_by(tied, tclust, "n_chars").collect()} == {4}
+
+
+def test_compression_stats_pins_zlib_and_separates_repetition(spark):
+    import zlib
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        compression_stats,
+    )
+
+    prose = ("the migration of alpine pollinators follows snowmelt up the "
+             "valley sides each spring with remarkable annual consistency")
+    junk = "buy now " * 40
+    docs = spark.createDataFrame(
+        [(1, prose), (2, junk), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in compression_stats(docs).collect()}
+    # exact parity with direct zlib of the same bytes
+    for i, txt in ((1, prose), (2, junk)):
+        b = txt.encode()
+        assert got[i].raw_bytes == len(b)
+        assert got[i].zlib_bytes == len(zlib.compress(b, 6))
+        assert got[i].compression_ratio == round(len(zlib.compress(b, 6)) / len(b), 6)
+    # the signal: repetitive junk compresses far below prose
+    assert got[2].compression_ratio < 0.15 < 0.4 < got[1].compression_ratio
+    # empty / NULL text: defined, no crash
+    assert got[3].compression_ratio == 0.0 and got[4].compression_ratio == 0.0

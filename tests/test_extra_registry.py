@@ -25,7 +25,9 @@ def test_extra_registry_shape():
     assert set(EXTRA_ORACLES) <= set(EXTRA_QUERIES)
     # rows-only extras (no DuckDB-replayable values) are a closed list —
     # each must name its dedicated pytest gate in a comment at its @extra_query
-    assert set(EXTRA_QUERIES) - set(EXTRA_ORACLES) == {"approx_distinct", "bpe_token_count"}
+    assert set(EXTRA_QUERIES) - set(EXTRA_ORACLES) == {
+        "approx_distinct", "bpe_token_count", "compression_ratio",
+    }
     assert not set(EXTRA_QUERIES) & set(QUERIES)
     # the parametrized oracle test below shrinks silently if entries are
     # dropped — pin the floor so a lost registration fails loudly
