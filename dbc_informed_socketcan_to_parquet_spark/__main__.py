@@ -100,6 +100,9 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-pii", type=int, default=None,
                    help="drop docs with more than this many email/phone/IP hits "
                         "(counted pre-scrub — contact-scrape pages)")
+    p.add_argument("--min-compression-ratio", type=float, default=None,
+                   help="drop docs whose zlib compression ratio falls below this "
+                        "floor (templated/looping text; prose is ~0.3-0.6)")
     p.add_argument("--survivor", choices=("min_id", "quality"), default="min_id",
                    help="near-dup survivor rule: deterministic min id, or each "
                         "cluster's highest-quality member")
@@ -163,6 +166,7 @@ def run_curate(argv: list[str]) -> None:
         html_min_words=args.html_min_words,
         html_max_link_density=args.html_max_link_density,
         max_pii=args.max_pii,
+        min_compression_ratio=args.min_compression_ratio,
         survivor=args.survivor,
     )
     if args.url_col is None and (args.block_domain or args.url_dedup or args.max_per_domain):

@@ -152,6 +152,11 @@ class CurateConfig:
     # PRE-scrub text (scrub replaces the matches, so the gate must see
     # them first).  None = off.
     max_pii: int | None = None
+    # zlib repetition gate (r9, textops.compression_stats): drop docs
+    # whose compression ratio falls BELOW this floor — templated/looping
+    # text the n-gram repetition rules miss (natural prose ≈ 0.3–0.6,
+    # pathological repetition → 0.05).  None = off.
+    min_compression_ratio: float | None = None
     # near-dup survivor rule (r9): "min_id" (the classic deterministic
     # pick) or "quality" — keep each cluster's highest-quality member
     # (dedup.keep_canonical_by over the SAME stats the quality gate
@@ -343,6 +348,21 @@ def curate(
             F.col("predicted_lang").isin(list(config.allowed_langs))
         ).select(id_col)
         out = _mark("language", out.join(lang_ids, id_col, "left_semi"))
+
+    if config.min_compression_ratio is not None:
+        # zlib repetition gate: Arrow kernel over (id, text) only, then
+        # the standard semi-join-on-ids shape.  Runs after the cheap
+        # expression gates (quality/language) so the kernel sees the
+        # smallest possible input.
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            compression_stats,
+        )
+
+        zs = compression_stats(out, id_col, text_col)
+        z_ids = zs.filter(
+            F.col("compression_ratio") >= config.min_compression_ratio
+        ).select(id_col)
+        out = _mark("compression", out.join(z_ids, id_col, "left_semi"))
 
     if config.gopher:
         # named-rule battery gate — same materialization barrier as the

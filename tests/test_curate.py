@@ -701,3 +701,23 @@ def test_cli_curate_audit_dropped_out(spark, tmp_path, capsys):
     assert "wrote drop lineage" in capsys.readouterr().out
     got = {(r.doc_id, r.dropped_at) for r in spark.read.parquet(lineage).collect()}
     assert got == {(3, "quality"), (2, "exact_dup")}
+
+
+def test_curate_compression_gate(spark):
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate_audit
+
+    prose = ("the migration of alpine pollinators follows snowmelt up the "
+             "valley sides each spring with remarkable annual consistency")
+    junk = "buy now " * 40
+    docs = spark.createDataFrame([(1, prose), (2, junk)],
+                                 "doc_id long, text string")
+    cfg = CurateConfig(min_chars=10, min_quality=0.0,
+                       max_dup_line_ratio=1.0, max_top_bigram_ratio=1.0,
+                       min_compression_ratio=0.2)
+    assert [r.doc_id for r in curate(docs, config=cfg).collect()] == [1]
+    funnel = {r.stage: r.dropped for r in curate_audit(docs, config=cfg).collect()}
+    assert funnel["compression"] == 1
+    # gate off: both survive (ratio caps relaxed so repetition rules pass)
+    off = CurateConfig(min_chars=10, min_quality=0.0,
+                       max_dup_line_ratio=1.0, max_top_bigram_ratio=1.0)
+    assert {r.doc_id for r in curate(docs, config=off).collect()} == {1, 2}
