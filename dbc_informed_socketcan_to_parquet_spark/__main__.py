@@ -299,6 +299,9 @@ def build_stream_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-pii", type=int, default=None,
                    help="drop docs with more than this many email/phone/IP hits "
                         "(row-local pre-scrub count)")
+    p.add_argument("--min-compression-ratio", type=float, default=None,
+                   help="drop docs whose zlib ratio falls below this floor "
+                        "(row-local repetition gate)")
     p.add_argument("--audit", action="store_true",
                    help="observe per-gate drop counts (CollectMetrics on the one "
                         "streaming plan) and print the funnel after an "
@@ -333,7 +336,9 @@ def run_stream_curate(argv: list[str]) -> None:
         extract_html=args.extract_html, html_min_words=args.html_min_words,
         html_max_link_density=args.html_max_link_density,
         input_format="warc" if args.warc else "jsonl",
-        max_pii=args.max_pii, observe_funnel=args.audit,
+        max_pii=args.max_pii,
+        min_compression_ratio=args.min_compression_ratio,
+        observe_funnel=args.audit,
     )
     # C2 graceful shutdown, same contract as the decode stream: SIGINT
     # stops cleanly; committed micro-batches stay durable via checkpoint

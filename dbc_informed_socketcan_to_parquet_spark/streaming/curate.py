@@ -55,8 +55,9 @@ _STAT_NAMES = (
 #: observe() metric names in pipeline order — the streaming analog of
 #: curate_audit's stage list (only stages that actually run emit)
 _FUNNEL_ORDER = (
-    "funnel_input", "funnel_pii", "funnel_quality", "funnel_perplexity",
-    "funnel_classifier", "funnel_language", "funnel_exact_dedup",
+    "funnel_input", "funnel_pii", "funnel_quality", "funnel_compression",
+    "funnel_perplexity", "funnel_classifier", "funnel_language",
+    "funnel_exact_dedup",
 )
 
 
@@ -114,6 +115,7 @@ def streaming_curate_frame(
     lang_model_path: str | None = None,
     allowed_langs: tuple[str, ...] = (),
     max_pii: int | None = None,
+    min_compression_ratio: float | None = None,
     observe_funnel: bool = False,
 ) -> DataFrame:
     """The transformation core (source- and sink-agnostic): normalize →
@@ -185,6 +187,33 @@ def streaming_curate_frame(
         (stats["n_chars"] >= F.lit(min_chars))
         & (stats["quality"] >= F.lit(min_quality))
     ))
+    if min_compression_ratio is not None:
+        # zlib repetition gate (r9): stateless Arrow kernel filter — the
+        # streaming twin of CurateConfig.min_compression_ratio.  The
+        # kernel projects (row_key, ratio); a stream-safe filter needs
+        # the ratio ON the row, so compute it as a pandas-kernel column
+        # via mapInPandas preserving the full row.
+        import zlib as _zlib
+
+        _schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in out.schema.fields
+        ) + ", _zratio double"
+
+        def _zkernel(batches, _tc=text_col):
+            for pdf in batches:
+                raw = pdf[_tc].fillna("").astype(str)
+                ratios = []
+                for t in raw:
+                    b = t.encode("utf-8")
+                    ratios.append(len(_zlib.compress(b, 6)) / len(b) if b else 0.0)
+                o = pdf.copy()
+                o["_zratio"] = ratios
+                yield o
+
+        out = out.mapInPandas(_zkernel, _schema)
+        out = _obs("funnel_compression", out.filter(
+            F.col("_zratio") >= F.lit(min_compression_ratio)
+        )).drop("_zratio")
     # persisted-model gates (r6): the batch scorers' explode→groupBy is a
     # streaming aggregation, so the stream scores ROW-LOCALLY against the
     # driver-loaded model dicts (broadcast-sized by construction) —
@@ -257,6 +286,7 @@ def run_streaming_curate(
     html_max_link_density: float = 0.5,
     input_format: str = "jsonl",
     max_pii: int | None = None,
+    min_compression_ratio: float | None = None,
     observe_funnel: bool = False,
 ):
     """Start the full streaming curate pipeline; returns the list of
@@ -304,7 +334,8 @@ def run_streaming_curate(
         lang_model_path=lang_model_path, allowed_langs=allowed_langs,
         extract_html=extract_html, html_min_words=html_min_words,
         html_max_link_density=html_max_link_density,
-        max_pii=max_pii, observe_funnel=observe_funnel,
+        max_pii=max_pii, min_compression_ratio=min_compression_ratio,
+        observe_funnel=observe_funnel,
     )
 
     def _start(df, fmt, path, ckpt):

@@ -315,3 +315,25 @@ def test_streaming_max_pii_gate_and_funnel(spark, tmp_path):
     funnel = {f["stage"]: f for f in streaming_funnel(queries[0])}
     assert funnel["pii"]["dropped"] == 1
     assert funnel["pii"]["rows_in"] == 2
+
+
+def test_streaming_compression_gate(spark, tmp_path):
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        run_streaming_curate,
+        streaming_funnel,
+    )
+
+    junk = "buy now " * 40
+    land = tmp_path / "land"
+    land.mkdir()
+    _write_batch(land, "b0.jsonl", [_doc(1, GOOD_A), _doc(2, junk)])
+    queries = run_streaming_curate(
+        spark, str(land), str(tmp_path / "o"), str(tmp_path / "c"),
+        min_quality=0.0, watermark="1 hour", available_now=True,
+        min_compression_ratio=0.2, observe_funnel=True,
+    )
+    for q in queries:
+        q.awaitTermination()
+    assert [r.doc_id for r in spark.read.parquet(str(tmp_path / "o")).collect()] == [1]
+    funnel = {f["stage"]: f for f in streaming_funnel(queries[0])}
+    assert funnel["compression"]["dropped"] == 1
