@@ -18,6 +18,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dbc_informed_socketcan_to_parquet_spark.queries import QUERIES  # noqa: E402
 from dbc_informed_socketcan_to_parquet_spark.session import get_spark  # noqa: E402
 
+#: Host-noise instrumentation (r10, VERDICT r9 item 1).  Three rounds
+#: (r3, r8, r9) recorded 1.5-2x inflation concentrated in the md5-bound
+#: family while same-round quiet-host runs sat in the 12-15 s band —
+#: i.e. the committed artifact kept recording background load, not code.
+#: Every timed pass now records the 1-minute loadavg; a pass that starts
+#: while the host is oversubscribed beyond our own local[N] threads
+#: (loadavg > N * 1.5) is discarded and re-run (bounded retries), and the
+#: historically noise-sensitive md5 family runs min-of-5 instead of 3.
+_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+_LOAD_LIMIT = _CPUS * 1.5
+#: md5/regex-bound queries that absorbed every prior noise event.
+_NOISY = {"simhash_signatures", "minhash_lsh_pairs", "text_stats",
+          "simhash_signatures_fast", "minhash_lsh_pairs_fast"}
+#: accumulated per-pass loadavg samples + count of load-gated retries,
+#: summarized into the artifact's "load" field.
+_LOAD_SAMPLES: list[float] = []
+_LOAD_RETRIES = [0]
+
+
+def _min_of(spark, mk, reps: int, max_retries: int = 2) -> float:
+    """min over ``reps`` cold passes of ``mk()``; a pass whose start-time
+    1-min loadavg exceeds ``_LOAD_LIMIT`` is discarded and re-run (at most
+    ``max_retries`` discards per query, so a persistently loaded host
+    still terminates and the contention shows up in the "load" field)."""
+    samples: list[float] = []
+    retries = 0
+    while len(samples) < reps:
+        spark.catalog.clearCache()
+        load1 = os.getloadavg()[0]
+        _LOAD_SAMPLES.append(load1)
+        if load1 > _LOAD_LIMIT and retries < max_retries:
+            retries += 1
+            _LOAD_RETRIES[0] += 1
+            time.sleep(3.0)
+            continue
+        t0 = time.perf_counter()
+        mk().write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
+
+
+def _load_summary(start_1m: float) -> dict:
+    return {
+        "cpus": _CPUS,
+        "limit_1m": round(_LOAD_LIMIT, 1),
+        "start_1m": round(start_1m, 2),
+        "pass_max_1m": round(max(_LOAD_SAMPLES), 2) if _LOAD_SAMPLES else None,
+        "pass_mean_1m": round(sum(_LOAD_SAMPLES) / len(_LOAD_SAMPLES), 2)
+        if _LOAD_SAMPLES else None,
+        "gated_retries": _LOAD_RETRIES[0],
+    }
+
+
 #: The performance-representative subset: the decode spine, the heavy
 #: relational shapes, and the corpus operators (one per family).
 HEADLINE = [
@@ -44,6 +97,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    start_load = os.getloadavg()[0]
     spark = get_spark("bench")
     # Warm the JVM outside the timed region: file listing, codegen, and the
     # md5/regex/conv intrinsics the text queries lean on — bench measures
@@ -52,24 +106,19 @@ def main() -> None:
     for warm in ("bitfield_decode", "simhash_signatures"):
         QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # min of 3 passes per query (r6; was 2): this host shows ±2× run-to-run
-    # noise, and minhash_lsh_pairs see-sawed three rounds inside the noise
-    # band at min-of-2 while its fast path was strictly improving — one
-    # more draw collapses that (VERDICT r5 item 8).  A single bad draw
-    # (GC pause, page-cache miss) should not be recorded as a regression —
-    # min measures steady-state capability.  Cache is cleared between
-    # passes so operators that .cache() intermediates (minhash_lsh_pairs'
-    # signature table) are still measured cold.
+    # min of 3 passes per query (r6; was 2), min of 5 for the md5-bound
+    # _NOISY family (r10): this host shows ±2× run-to-run noise, and a
+    # single bad draw (GC pause, page-cache miss, co-tenant burst) should
+    # not be recorded as a regression — min measures steady-state
+    # capability.  Passes started under external load are discarded and
+    # re-run (see _min_of).  Cache is cleared between passes so operators
+    # that .cache() intermediates (minhash_lsh_pairs' signature table)
+    # are still measured cold.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        samples = []
-        for _ in range(3):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
+        reps = 5 if name in _NOISY else 3
+        timings[name] = _min_of(spark, lambda: fn(spark, sf_dir), reps)
 
     fast = _fast_path_timings(spark, sf_dir)
     corpus = _corpus_addition_timings(spark, sf_dir)
@@ -79,10 +128,14 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        # r6 methodology: headline + fast-path entries are min-of-3 cold
-        # passes (cache cleared between); corpus additions min-of-2;
-        # decode throughput is median-of-5 after a JIT warm pass
-        "methodology": "headline=min3-cold, fast_path=min3-cold, corpus=min2-cold, decode=median5-warm",
+        # r10 methodology: headline + fast-path entries are min-of-3 cold
+        # passes (min-of-5 for the md5-bound noise-sensitive family);
+        # corpus additions min-of-2; decode throughput is median-of-5
+        # after a JIT warm pass; every pass records loadavg and passes
+        # started under external load (>1.5x our local[N]) are re-run
+        "methodology": ("headline=min3-cold (md5-family min5), fast_path=min3-cold, "
+                        "corpus=min2-cold, decode=median5-warm, load-gated-retry"),
+        "load": _load_summary(start_load),
         "queries": timings,
         "sf": sf,
         "decode_frames_per_sec": fps,
@@ -142,15 +195,10 @@ def _fast_path_timings(spark, sf_dir: str) -> dict[str, float]:
         "curate_e2e": _curate_run(docs),
     }
     for name, mk in runs.items():
-        samples = []
-        # 3 reps: at sf0.1 the hash is a minor cost post-fan-out, so the
-        # md5-vs-xxhash delta is within host noise at min-of-2
-        for _ in range(3):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            mk().write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        out[name] = round(min(samples), 3)
+        # 3 reps (5 for the noise-sensitive family): at sf0.1 the hash is
+        # a minor cost post-fan-out, so the md5-vs-xxhash delta is within
+        # host noise at min-of-2
+        out[name] = _min_of(spark, mk, 5 if name in _NOISY else 3)
     return out
 
 
@@ -178,13 +226,7 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  # (curate_audit's trend is implied by curate_e2e above)
                  "corpus_diff", "pii_report"):
         fn = EXTRA_QUERIES[name]
-        samples = []
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        out[name] = round(min(samples), 3)
+        out[name] = _min_of(spark, lambda: fn(spark, sf_dir), 2)
     return out
 
 
