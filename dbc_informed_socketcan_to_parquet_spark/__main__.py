@@ -176,32 +176,25 @@ def run_curate(argv: list[str]) -> None:
     lm_corpus = spark.read.parquet(args.lm_corpus) if args.lm_corpus else None
     against = spark.read.parquet(args.against) if args.against else None
     if args.audit:
-        # ONE traced run feeds both reports: the funnel counts and the
-        # row-level lineage read the same lazily-checkpointed boundaries
-        from pyspark.sql import functions as F
-        from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate
+        # ONE traced run feeds both reports via the operators' own
+        # trace-folding helpers (curate.audit_rows_from_trace /
+        # dropped_from_trace) — the CLI only formats/writes, so the
+        # telescoping logic has a single home.  The funnel counts run
+        # first and materialize each lazy checkpoint; the lineage
+        # anti-joins then reuse them.
+        from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+            audit_rows_from_trace,
+            curate,
+            dropped_from_trace,
+        )
 
         trace: list = []
         curate(docs, args.id_col, args.text_col, cfg,
                lm_corpus=lm_corpus, against_corpus=against, _trace=trace)
-        prev_n = docs.count()
-        prev_ids = docs.select(args.id_col)
-        pieces = []
-        for i, (stage, df) in enumerate(trace, start=1):
-            n = df.count()
-            print(f"audit {i} {stage}: {prev_n} -> {n} (-{prev_n - n})")
-            if args.dropped_out:
-                cur_ids = df.select(args.id_col)
-                pieces.append(
-                    prev_ids.join(cur_ids, args.id_col, "left_anti")
-                    .withColumn("dropped_at", F.lit(stage))
-                )
-                prev_ids = cur_ids
-            prev_n = n
+        for i, stage, n_in, n_out, dropped in audit_rows_from_trace(docs, trace):
+            print(f"audit {i} {stage}: {n_in} -> {n_out} (-{dropped})")
         if args.dropped_out:
-            lineage = pieces[0]
-            for piece in pieces[1:]:
-                lineage = lineage.unionByName(piece)
+            lineage = dropped_from_trace(docs, args.id_col, trace)
             lineage.write.mode("overwrite").parquet(args.dropped_out)
             print(f"wrote drop lineage to {args.dropped_out}")
         return
@@ -324,6 +317,16 @@ def run_stream_curate(argv: list[str]) -> None:
         parser.error("--lang needs --lang-model (the streaming gate scores row-locally "
                      "against a trained model, not the heuristic)")
     spark = get_spark("stream-curate-cli")
+    listener = None
+    if args.audit:
+        # listener-bus accumulation: complete funnel totals even when the
+        # drain exceeds recentProgress's ~100-update retention window
+        from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+            _make_funnel_listener,
+        )
+
+        listener = _make_funnel_listener()
+        spark.streams.addListener(listener)
     queries = run_streaming_curate(
         spark, args.input_dir, args.output_dir, args.checkpoint,
         min_chars=args.min_chars, min_quality=args.min_quality,
@@ -350,13 +353,22 @@ def run_stream_curate(argv: list[str]) -> None:
             q.stop()
     if args.available_now:
         if args.audit:
-            from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
-                streaming_funnel,
-            )
+            # listener totals cover every micro-batch of the drain; the
+            # listener bus delivers progress events asynchronously, so
+            # give it a beat to flush the final batch before reading
+            import time as _time
 
-            for i, row in enumerate(streaming_funnel(queries[0]), start=1):
+            prev = None
+            for _ in range(50):
+                snap = dict(listener.totals)
+                if snap and snap == prev:
+                    break
+                prev = snap
+                _time.sleep(0.1)
+            for i, row in enumerate(listener.funnel(), start=1):
                 print(f"audit {i} {row['stage']}: "
                       f"{row['rows_in']} -> {row['rows_out']} (-{row['dropped']})")
+            spark.streams.removeListener(listener)
         n = spark.read.parquet(args.output_dir).count()
         print(f"stream-curate drained: {n} documents landed")
 

@@ -253,8 +253,12 @@ def curate(
         # on ids — the same gate shape as quality/language.
         from dbc_informed_socketcan_to_parquet_spark.operators.textops import pii_report
 
+        # NULL text counts as zero PII (regexp_count(NULL) is NULL, which
+        # would silently drop the doc here and mislabel it 'pii' in the
+        # audit funnel); null-text docs fall through to the quality gate
+        # that is meant to catch them.
         ok = pii_report(docs, id_col, text_col).filter(
-            F.col("n_pii") <= config.max_pii
+            F.coalesce(F.col("n_pii"), F.lit(0)) <= config.max_pii
         ).select(id_col)
         docs = _mark("pii", docs.join(ok, id_col, "left_semi"))
 
@@ -534,16 +538,49 @@ def curate_audit(
         classifier_weights=classifier_weights, lm_corpus=lm_corpus,
         against_corpus=against_corpus, _trace=trace,
     )
+    return docs.sparkSession.createDataFrame(
+        audit_rows_from_trace(docs, trace),
+        "stage_idx INT, stage STRING, rows_in BIGINT, rows_out BIGINT, dropped BIGINT",
+    )
+
+
+def audit_rows_from_trace(
+    docs: DataFrame, trace: list[tuple[str, DataFrame]]
+) -> list[tuple[int, str, int, int, int]]:
+    """Fold one traced :func:`curate` run into the telescoping funnel rows
+    ``(stage_idx, stage, rows_in, rows_out, dropped)``.  Shared by
+    :func:`curate_audit` and the CLI's ``--audit`` branch so the two
+    cannot drift; counting the boundaries in pipeline order materializes
+    each lazy checkpoint exactly once."""
     rows = []
     prev = docs.count()
     for i, (stage, df) in enumerate(trace, start=1):
         n = df.count()
         rows.append((i, stage, prev, n, prev - n))
         prev = n
-    return docs.sparkSession.createDataFrame(
-        rows,
-        "stage_idx INT, stage STRING, rows_in BIGINT, rows_out BIGINT, dropped BIGINT",
-    )
+    return rows
+
+
+def dropped_from_trace(
+    docs: DataFrame, id_col: str, trace: list[tuple[str, DataFrame]]
+) -> DataFrame:
+    """Fold one traced :func:`curate` run into the row-level drop lineage
+    ``(id_col, dropped_at)``.  Shared by :func:`curate_dropped` and the
+    CLI's ``--dropped-out`` branch; each stage contributes one id-only
+    anti-join between consecutive boundaries (no text shuffled)."""
+    prev = docs.select(id_col)
+    pieces = []
+    for stage, df in trace:
+        cur = df.select(id_col)
+        pieces.append(
+            prev.join(cur, id_col, "left_anti")
+            .withColumn("dropped_at", F.lit(stage))
+        )
+        prev = cur
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def curate_dropped(
@@ -573,19 +610,7 @@ def curate_dropped(
         classifier_weights=classifier_weights, lm_corpus=lm_corpus,
         against_corpus=against_corpus, _trace=trace,
     )
-    prev = docs.select(id_col)
-    pieces = []
-    for stage, df in trace:
-        cur = df.select(id_col)
-        pieces.append(
-            prev.join(cur, id_col, "left_anti")
-            .withColumn("dropped_at", F.lit(stage))
-        )
-        prev = cur
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+    return dropped_from_trace(docs, id_col, trace)
 
 
 _HASH_FNS = {"md5": md5_long, "xxhash": xxhash60}

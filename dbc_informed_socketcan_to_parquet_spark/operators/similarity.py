@@ -1433,3 +1433,111 @@ def embedding_drift(
         .crossJoin(F.broadcast(cos))
         .select("n_old", "n_new", "centroid_cos", "avg_norm_old", "avg_norm_new")
     )
+
+
+# -- eval-set contamination in embedding space -------------------------------
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    threshold: float = 0.9,
+    mode: str = "exact",
+    num_clusters: int = 16,
+    n_iters: int = 2,
+    nprobe: int = 4,
+    dim: int | None = None,
+    sample_mod: int = 1,
+    round_to: int | None = None,
+    assign_kernel: str = "expr",
+) -> DataFrame:
+    """Eval-set contamination in EMBEDDING space: corpus docs whose cosine
+    similarity against ANY evaluation document is ≥ ``threshold`` — the
+    semantic complement of the shingle-based checks
+    (``dedup.contamination_check`` counts verbatim overlap,
+    ``dedup.fuzzy_contamination`` catches edit-level paraphrase); this one
+    catches the rewordings and translations that share no n-grams with the
+    benchmark but embed next to it.
+
+    Output: ``(id_col, eval_id, cosine)`` — one row per contaminated
+    corpus doc with its best-matching eval doc (max cosine, ties broken
+    toward the smallest eval id, the ``fuzzy_contamination`` report
+    shape), so a decontamination pass is one broadcast anti-join on
+    ``id_col``.
+
+    ``mode``:
+
+    - ``"exact"`` — every corpus vector meets every eval vector through a
+      broadcast nested-loop join.  The eval set is benchmark-sized (10³–
+      10⁵ rows) so it always broadcasts; cost is one corpus scan ×
+      |eval| fused cosine expressions, zero shuffles, and recall is 1.0
+      by construction.  This is the certification mode.
+    - ``"ivf"`` — the 100 TB mode: the corpus is assigned ONCE to a
+      coarse deterministic-Lloyd's quantizer (the same hash-checked
+      machinery as :func:`ivf_ann_topk`); each eval doc probes its
+      ``nprobe`` nearest clusters and cosine only runs inside probed
+      clusters — per-eval-doc cost is nprobe/num_clusters of the corpus.
+      Standard multi-probe recall trade: a contaminated doc whose
+      cluster none of its eval neighbors probe is missed; raise
+      ``nprobe`` (or rerun flagged-clean shards in exact mode) to
+      close it.  In production the assignment is the persisted
+      cluster-partitioned IVF index (:func:`ivf_index_write`) and the
+      probe set prunes partitions at file listing.
+
+    Both modes share scoring/report code, so threshold and tie-break
+    semantics are identical; ``round_to`` rounds the cosine before the
+    threshold compare (pass 6 for cross-engine oracle runs).
+    """
+    eval_id = eval_id_col or id_col
+    if mode not in ("exact", "ivf"):
+        raise ValueError(f"mode must be 'exact' or 'ivf', got {mode!r}")
+
+    c = fan_out(corpus).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    e = eval_df.select(
+        F.col(eval_id).alias("_eid"),
+        F.col(vec_col).cast("array<double>").alias("_ev"),
+    )
+    if mode == "ivf":
+        dim, centers = _ivf_train(
+            corpus, dim, num_clusters, n_iters, id_col, vec_col,
+            sample_mod, assign_kernel,
+        )
+        if assign_kernel == "pandas":
+            c = _nearest_pandas(c, centers, "_cv", "_cluster")
+            e = _nearest_pandas(e, centers, "_ev", "_probes", n=nprobe)
+            e = e.select("_eid", "_ev", F.explode("_probes").alias("_cluster"))
+        else:
+            c = c.withColumn("_cluster", _nearest_label("_cv", centers))
+            e = e.select(
+                "_eid", "_ev",
+                F.explode(_nearest_labels("_ev", centers, nprobe)).alias("_cluster"),
+            )
+        scored = c.join(F.broadcast(e), "_cluster")
+    else:
+        scored = c.join(F.broadcast(e))
+
+    sim = cosine(F.col("_cv"), F.col("_ev"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    hits = scored.select(
+        F.col(id_col), F.col("_eid"), sim.alias("_cos")
+    ).filter(F.col("_cos") >= F.lit(threshold))
+    if mode == "ivf" and nprobe > 1:
+        # the same (corpus, eval) pair can meet in several probed
+        # clusters with identical cosine; collapse before the best-match
+        # aggregation so multiplicity never affects the max
+        hits = hits.dropDuplicates([id_col, "_eid"])
+    # max cosine per corpus doc, ties toward the smallest eval id — one
+    # struct-max aggregation (the fuzzy_contamination report contract)
+    best = hits.groupBy(id_col).agg(
+        F.max(F.struct(F.col("_cos"), (-F.col("_eid")).alias("_neg"))).alias("_m")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("_m._neg")).alias("eval_id"),
+        F.col("_m._cos").alias("cosine"),
+    )

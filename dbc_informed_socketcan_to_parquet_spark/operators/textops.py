@@ -1306,8 +1306,11 @@ def compression_stats(
     import pandas as pd
     import zlib
 
+    # derive the id field's type from the actual schema (string/int ids
+    # via curate --id-col must round-trip Arrow; streaming _zkernel shape)
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, raw_bytes int, zlib_bytes int, compression_ratio double"
+        f"`{id_col}` {id_type}, raw_bytes int, zlib_bytes int, compression_ratio double"
     )
 
     def kernel(batches):

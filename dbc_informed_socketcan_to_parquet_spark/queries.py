@@ -1993,6 +1993,60 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(exact, approx)
 
 
+def _semantic_contamination_oracle_sql(dim: int = 64, nplanes: int = 4,
+                                       n_iters: int = 2, nprobe: int = 4,
+                                       thr: float = 0.4, n_eval: int = 20) -> str:
+    """Full IVF-probe replay of embedding-space eval contamination:
+    deterministic-Lloyd's k-means (shared CTE chain) → eval probes its
+    nprobe nearest clusters → cosine ≥ thr inside probed clusters only →
+    best eval match per corpus doc (max cosine, ties to smallest eval id)."""
+    parts = _ivf_corpus_assign_ctes(dim, nplanes, n_iters)
+    final = f"centers{n_iters}"
+    parts.append(f"""probe AS (
+      SELECT vec_id AS eid, v AS ev, b AS cluster
+      FROM ({_ivf_assign_sql(f'(SELECT * FROM vecs WHERE vec_id < {n_eval})', final, f'rn <= {nprobe}')})
+    )""")
+    cos = ("round(list_dot_product(ca.v, p.ev) / "
+           "(sqrt(list_dot_product(ca.v, ca.v)) * sqrt(list_dot_product(p.ev, p.ev))), 6)")
+    parts.append(f"""hits AS (
+      SELECT DISTINCT ca.vec_id, p.eid, {cos} AS cos
+      FROM corpus_assign ca JOIN probe p ON ca.b = p.cluster
+      WHERE {cos} >= {thr}
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, eval_id, cosine FROM (
+      SELECT vec_id, eid AS eval_id, cos AS cosine,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eid) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """
+
+
+@extra_query("semantic_contamination", oracle=_semantic_contamination_oracle_sql())
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set contamination (r10): corpus vectors whose
+    cosine against ANY of the 20 eval vectors is ≥ 0.4, found through the
+    IVF probe path (k-means blocks + nprobe=4 eval probes — the 100 TB
+    shape where cosine only runs inside probed clusters), reported as the
+    best eval match per doc (the fuzzy_contamination report contract).
+    Oracle replays k-means + probe + thresholded cosine + the best-match
+    ranking end-to-end.  The exact certification mode (broadcast
+    nested-loop, recall 1.0) is pytest-pinned as a superset."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    eval_df = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    return semantic_contamination(
+        emb, eval_df, id_col="vec_id", vec_col="embedding",
+        threshold=0.4, mode="ivf", num_clusters=16, n_iters=2, nprobe=4,
+        dim=64, round_to=6,
+    )
+
+
 def _semantic_dedup_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
                                thr: float = 0.25, nprobe: int = 2) -> str:
     parts = _ivf_corpus_assign_ctes(dim, nplanes, n_iters)

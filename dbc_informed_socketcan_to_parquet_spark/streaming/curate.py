@@ -76,14 +76,40 @@ def streaming_funnel(query, order: tuple = _FUNNEL_ORDER) -> list[dict]:
 
     Note ``recentProgress`` is a bounded window (default ~100
     micro-batches, ``spark.sql.streaming.numRecentProgressUpdates``) —
-    complete totals over a long-lived stream need periodic reads (or a
-    StreamingQueryListener feeding a metrics store); a drain fits in one
-    window."""
+    complete totals over a long drain or a long-lived stream should use
+    :class:`FunnelListener` instead (the CLI does); this function WARNS
+    when the window is full because the totals may then under-report."""
+    import warnings
+
+    progresses = query.recentProgress
+    try:
+        from pyspark.sql import SparkSession
+
+        cap = int(
+            SparkSession.getActiveSession().conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates", "100")
+        )
+    except Exception:
+        cap = 100
+    if len(progresses) >= cap:
+        warnings.warn(
+            f"streaming_funnel: recentProgress holds {len(progresses)} updates "
+            f"(the retention cap) — earlier micro-batches have been evicted and "
+            f"the funnel totals under-report; use FunnelListener for complete "
+            f"totals over long drains",
+            stacklevel=2,
+        )
     totals: dict[str, int] = {}
-    for progress in query.recentProgress:
+    for progress in progresses:
         for name, row in (progress.get("observedMetrics") or {}).items():
             if name in order:
                 totals[name] = totals.get(name, 0) + int(row["rows"])
+    return funnel_from_totals(totals, order)
+
+
+def funnel_from_totals(totals: dict, order: tuple = _FUNNEL_ORDER) -> list[dict]:
+    """Fold accumulated per-metric row totals into the ordered funnel
+    shape (shared by :func:`streaming_funnel` and :class:`FunnelListener`)."""
     seen = [n for n in order if n in totals]
     out = []
     for prev, cur in zip(seen, seen[1:]):
@@ -94,6 +120,45 @@ def streaming_funnel(query, order: tuple = _FUNNEL_ORDER) -> list[dict]:
             "dropped": totals[prev] - totals[cur],
         })
     return out
+
+
+def _make_funnel_listener(order: tuple = _FUNNEL_ORDER):
+    """A ``StreamingQueryListener`` that accumulates the observe() funnel
+    metrics across EVERY micro-batch via the listener bus — unlike
+    ``query.recentProgress`` it has no retention window, so an
+    arbitrarily large ``--available-now`` drain reports complete
+    ``rows_in``/``rows_out``.  Register with ``spark.streams
+    .addListener(listener)`` BEFORE starting the query; read
+    ``listener.funnel()`` after the drain.
+
+    Built by a factory (not a module-level class) so importing this
+    module never requires the streaming listener machinery."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class FunnelListener(StreamingQueryListener):
+        def __init__(self):
+            self.totals: dict[str, int] = {}
+            self._order = order
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            metrics = event.progress.observedMetrics or {}
+            for name, row in metrics.items():
+                if name in self._order:
+                    self.totals[name] = self.totals.get(name, 0) + int(row["rows"])
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+        def funnel(self) -> list[dict]:
+            return funnel_from_totals(self.totals, self._order)
+
+    return FunnelListener()
 
 
 def streaming_curate_frame(
@@ -176,7 +241,9 @@ def streaming_curate_frame(
             _PII_PATTERNS,
         )
 
-        t = F.col(text_col)
+        # coalesce NULL text to '' so null-text docs count zero PII and
+        # fall through to the quality gate (batch curate gate parity)
+        t = F.coalesce(F.col(text_col), F.lit(""))
         total = F.lit(0)
         for pat, tag in _PII_PATTERNS:
             total = total + F.regexp_count(t, F.lit(pat))

@@ -1876,3 +1876,84 @@ def test_compression_stats_pins_zlib_and_separates_repetition(spark):
     assert got[2].compression_ratio < 0.15 < 0.4 < got[1].compression_ratio
     # empty / NULL text: defined, no crash
     assert got[3].compression_ratio == 0.0 and got[4].compression_ratio == 0.0
+
+
+def test_compression_stats_string_id_col(spark):
+    """the output schema derives the id field's type from the input (r10
+    ADVICE fix): string / int32 ids via curate --id-col must round-trip
+    Arrow instead of failing on a hardcoded `long`."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        compression_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [("u-1", "some ordinary text " * 5), ("u-2", "x" * 40)],
+        "uid string, text string",
+    )
+    got = {r.uid: r for r in compression_stats(docs, id_col="uid").collect()}
+    assert set(got) == {"u-1", "u-2"}
+    assert got["u-2"].compression_ratio < got["u-1"].compression_ratio
+    ints = spark.createDataFrame([(7, "hello world " * 4)], "k int, text string")
+    row = compression_stats(ints, id_col="k").collect()[0]
+    assert row.k == 7 and row.raw_bytes == 48
+
+
+def test_semantic_contamination_planted_paraphrase(spark):
+    """Planted paraphrase-by-embedding: a corpus doc whose vector is a
+    small perturbation of an eval doc's (a reworded benchmark question —
+    no shared n-grams, near-identical embedding) must be flagged with
+    that eval doc as best match; unrelated docs must not.  The IVF probe
+    path must find the same planted hit (same cluster by construction),
+    and its hit set is always a subset of exact mode's."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    def unit(seed, dim=8):
+        # deterministic pseudo-random unit vector per seed
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    ev_vec = unit(1)
+    paraphrase = [x + (0.01 if i == 0 else -0.01) for i, x in enumerate(ev_vec)]
+    corpus = spark.createDataFrame(
+        [(100, paraphrase)] + [(200 + s, unit(s)) for s in range(2, 8)],
+        "doc_id long, embedding array<double>",
+    )
+    eval_df = spark.createDataFrame(
+        [(1, ev_vec)], "doc_id long, embedding array<double>"
+    )
+    exact = semantic_contamination(
+        corpus, eval_df, threshold=0.95, round_to=6
+    ).collect()
+    assert [(r.doc_id, r.eval_id) for r in exact] == [(100, 1)]
+    assert exact[0].cosine > 0.99
+    # none of the unrelated vectors leak in at a loose threshold either
+    loose = semantic_contamination(corpus, eval_df, threshold=0.9, round_to=6)
+    assert {r.doc_id for r in loose.collect()} == {100}
+
+    ivf = semantic_contamination(
+        corpus, eval_df, threshold=0.95, mode="ivf",
+        num_clusters=2, n_iters=1, nprobe=1, dim=8, round_to=6,
+    ).collect()
+    assert [(r.doc_id, r.eval_id) for r in ivf] == [(100, 1)]
+
+
+def test_semantic_contamination_best_match_tiebreak(spark):
+    """Max cosine wins; at equal (rounded) cosine the smallest eval id
+    wins — the fuzzy_contamination report contract."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    corpus = spark.createDataFrame([(9, v)], "doc_id long, embedding array<double>")
+    eval_df = spark.createDataFrame(
+        [(5, v), (3, v), (7, [0.9, 0.1, 0.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    got = semantic_contamination(corpus, eval_df, threshold=0.5, round_to=6).collect()
+    assert [(r.doc_id, r.eval_id, r.cosine) for r in got] == [(9, 3, 1.0)]

@@ -721,3 +721,24 @@ def test_curate_compression_gate(spark):
     off = CurateConfig(min_chars=10, min_quality=0.0,
                        max_dup_line_ratio=1.0, max_top_bigram_ratio=1.0)
     assert {r.doc_id for r in curate(docs, config=off).collect()} == {1, 2}
+
+
+def test_curate_null_text_falls_through_pii_gate(spark):
+    """NULL-text docs count zero PII (r10 ADVICE fix): the PII gate must
+    not swallow them — they fall through to the quality gate, and the
+    drop lineage labels them 'quality', not 'pii'."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        curate_dropped,
+    )
+
+    clean = ("a perfectly ordinary document with enough words to pass the "
+             "quality gate and the length threshold without any trouble")
+    docs = spark.createDataFrame(
+        [(1, clean), (2, None)], "doc_id long, text string"
+    )
+    cfg = CurateConfig(min_chars=10, min_quality=0.0, max_pii=100)
+    kept = curate(docs, config=cfg)
+    assert [r.doc_id for r in kept.collect()] == [1]
+    lineage = {r.doc_id: r.dropped_at
+               for r in curate_dropped(docs, config=cfg).collect()}
+    assert lineage == {2: "quality"}

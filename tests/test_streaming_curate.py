@@ -337,3 +337,46 @@ def test_streaming_compression_gate(spark, tmp_path):
     assert [r.doc_id for r in spark.read.parquet(str(tmp_path / "o")).collect()] == [1]
     funnel = {f["stage"]: f for f in streaming_funnel(queries[0])}
     assert funnel["compression"]["dropped"] == 1
+
+
+def test_funnel_listener_accumulates_without_window_cap(spark, tmp_path):
+    """FunnelListener (r10): listener-bus accumulation of the observe()
+    funnel metrics — same totals as recentProgress on a short drain, but
+    with no ~100-update retention window."""
+    import time
+
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        _make_funnel_listener,
+        run_streaming_curate,
+        streaming_funnel,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    _write_batch(land, "b0.jsonl", [
+        _doc(1, GOOD_A), _doc(2, GOOD_A), _doc(3, "too short"), _doc(4, GOOD_B),
+    ])
+    listener = _make_funnel_listener()
+    spark.streams.addListener(listener)
+    try:
+        queries = run_streaming_curate(
+            spark, str(land), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            min_chars=32, min_quality=0.0, watermark="1 hour",
+            available_now=True, observe_funnel=True,
+        )
+        for q in queries:
+            q.awaitTermination()
+        # the listener bus is async — wait for the totals to settle
+        prev = None
+        for _ in range(50):
+            snap = dict(listener.totals)
+            if snap and snap == prev:
+                break
+            prev = snap
+            time.sleep(0.1)
+        assert listener.funnel() == streaming_funnel(queries[0])
+        by = {f["stage"]: f for f in listener.funnel()}
+        assert by["quality"]["rows_in"] == 4
+        assert by["exact_dedup"]["rows_out"] == 2
+    finally:
+        spark.streams.removeListener(listener)
