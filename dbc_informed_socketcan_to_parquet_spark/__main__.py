@@ -106,6 +106,10 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--survivor", choices=("min_id", "quality"), default="min_id",
                    help="near-dup survivor rule: deterministic min id, or each "
                         "cluster's highest-quality member")
+    p.add_argument("--stage-dir", default=None,
+                   help="resumable staged execution: materialize every stage "
+                        "boundary to this dir; a re-run after a failure loads "
+                        "completed stages instead of recomputing them")
     p.add_argument("--audit", action="store_true",
                    help="print the per-stage drop funnel (stage, rows_in, rows_out, "
                         "dropped) instead of writing the curated output")
@@ -190,7 +194,8 @@ def run_curate(argv: list[str]) -> None:
 
         trace: list = []
         curate(docs, args.id_col, args.text_col, cfg,
-               lm_corpus=lm_corpus, against_corpus=against, _trace=trace)
+               lm_corpus=lm_corpus, against_corpus=against,
+               stage_dir=args.stage_dir, _trace=trace)
         for i, stage, n_in, n_out, dropped in audit_rows_from_trace(docs, trace):
             print(f"audit {i} {stage}: {n_in} -> {n_out} (-{dropped})")
         if args.dropped_out:
@@ -203,6 +208,7 @@ def run_curate(argv: list[str]) -> None:
     kept = curate(
         docs, args.id_col, args.text_col, cfg,
         lm_corpus=lm_corpus, against_corpus=against,
+        stage_dir=args.stage_dir,
     ).persist()
     try:
         if args.jsonl:

@@ -165,6 +165,42 @@ class CurateConfig:
     survivor: str = "min_id"
 
 
+def _stage_complete(path: str) -> bool:
+    """A stage boundary is complete iff its parquet dir carries the
+    ``_SUCCESS`` marker Spark writes after the LAST task commits — a
+    killed run leaves no marker, so partial output is never resumed
+    from.  Local-path check here (the test environment); at cluster
+    scale the identical marker lands on the object store and the check
+    is one LIST call."""
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _check_stage_manifest(stage_dir: str, fingerprint: str) -> None:
+    """Refuse to resume into a stage dir written under a DIFFERENT
+    pipeline configuration — mixed-config boundaries would silently
+    splice two different pipelines.  The manifest is one tiny JSON
+    written before the first boundary."""
+    import json
+    import os
+
+    mpath = os.path.join(stage_dir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prior = json.load(f)
+        if prior.get("fingerprint") != fingerprint:
+            raise ValueError(
+                f"stage_dir {stage_dir!r} was written by a different curate "
+                f"configuration — resume would splice incompatible pipelines; "
+                f"use a fresh stage_dir (or delete this one)"
+            )
+    else:
+        os.makedirs(stage_dir, exist_ok=True)
+        with open(mpath, "w") as f:
+            json.dump({"fingerprint": fingerprint}, f)
+
+
 def curate(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -173,6 +209,7 @@ def curate(
     classifier_weights: DataFrame | None = None,
     lm_corpus: DataFrame | None = None,
     against_corpus: DataFrame | None = None,
+    stage_dir: str | None = None,
     _trace: list | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the kept documents with
@@ -200,13 +237,50 @@ def curate(
     not duplicate.  Runs as the Bloom-gated exact check
     (``dedup.dedup_against_corpus``: definitely-new rows skip the join
     entirely) right after the batch's own exact dedup, so a daily batch
-    curates against years of history without shuffling the history."""
+    curates against years of history without shuffling the history.
 
-    def _mark(stage: str, df: DataFrame) -> DataFrame:
-        if _trace is None:
-            return df
-        df = df.localCheckpoint(eager=False)
-        _trace.append((stage, df))
+    ``stage_dir`` (r10): RESUMABLE staged execution — every drop-capable
+    stage boundary (the same boundaries ``_trace`` checkpoints)
+    materializes to ``{stage_dir}/{NN}_{stage}`` parquet and execution
+    continues from the read-back, so a run that dies at stage 7 of a
+    100 TB curate resumes from stage 6's output instead of redoing
+    stages 1–6.  Completed boundaries (``_SUCCESS`` marker present) are
+    loaded, and — because every stage is built behind a thunk — their
+    construction-time driver work (Bloom builds, CC edge collects,
+    percentile fits) is skipped too.  A ``manifest.json`` fingerprint
+    of (config, id_col, text_col) refuses resume under a different
+    pipeline configuration; the INPUT is not fingerprinted — resume
+    assumes the same ``docs`` (at cluster scale: the same immutable
+    input table).  This is the programmatic form of the stage-boundary
+    table writes the module docstring prescribes."""
+    if stage_dir is not None:
+        import hashlib
+
+        _check_stage_manifest(stage_dir, hashlib.sha256(
+            repr((config, id_col, text_col)).encode()
+        ).hexdigest())
+
+    _stage_no = [0]
+
+    def _mark(stage: str, build) -> DataFrame:
+        """Close a drop-capable stage boundary.  ``build`` is a thunk (or
+        a ready DataFrame) so that when ``stage_dir`` already holds this
+        boundary, neither the stage's plan nor its construction-time
+        driver work runs — the boundary is simply loaded."""
+        _stage_no[0] += 1
+        if stage_dir is not None:
+            path = f"{stage_dir}/{_stage_no[0]:02d}_{stage}"
+            if _stage_complete(path):
+                df = docs.sparkSession.read.parquet(path)
+            else:
+                df = build() if callable(build) else build
+                df.write.mode("overwrite").parquet(path)
+                df = docs.sparkSession.read.parquet(path)
+        else:
+            df = build() if callable(build) else build
+        if _trace is not None:
+            df = df.localCheckpoint(eager=False)
+            _trace.append((stage, df))
         return df
 
     if config.url_col is not None:
@@ -321,7 +395,18 @@ def curate(
     # stats table is one short row per doc; at cluster scale the analog
     # is writing it to a table — the stage boundary the module docstring
     # prescribes.
-    stats = doc_quality_stats(out, id_col, text_col).localCheckpoint(eager=False)
+    stats = doc_quality_stats(out, id_col, text_col)
+    if stage_dir is not None:
+        # staged runs persist the stats table itself (it is both the
+        # quality gate's input and the survivor="quality" ranking key, so
+        # a resume past the quality boundary must not recompute the text
+        # battery); the parquet round-trip doubles as the barrier below
+        aux = f"{stage_dir}/aux_quality_stats"
+        if not _stage_complete(aux):
+            stats.write.mode("overwrite").parquet(aux)
+        stats = docs.sparkSession.read.parquet(aux)
+    else:
+        stats = stats.localCheckpoint(eager=False)
     good_ids = stats.filter(
         (F.col("n_chars") >= config.min_chars)
         & (F.col("quality") >= config.min_quality)
@@ -420,25 +505,29 @@ def curate(
             perplexity_buckets,
         )
 
-        if config.lm_path is not None:
-            lm_scored = lm_score_from(
-                out, config.lm_path, id_col=id_col, text_col=text_col
-            )
-        else:
-            lm_scored = lm_score(out, corpus=lm_corpus, id_col=id_col, text_col=text_col)
-        keep = lm_scored
-        if config.max_perplexity is not None:
-            keep = keep.filter(F.col("perplexity") <= config.max_perplexity)
-        if config.keep_ppl_tiers:
-            bad = set(config.keep_ppl_tiers) - {"head", "middle", "tail"}
-            if bad:
-                raise ValueError(f"unknown ppl tiers: {sorted(bad)}")
-            keep = perplexity_buckets(keep, n_buckets=3, id_col=id_col).filter(
-                F.col("ppl_tier").isin(*config.keep_ppl_tiers)
-            )
-        out = _mark("perplexity", out.join(keep.select(id_col), id_col, "left_semi"))
+        bad = set(config.keep_ppl_tiers) - {"head", "middle", "tail"}
+        if bad:
+            raise ValueError(f"unknown ppl tiers: {sorted(bad)}")
 
-    out = _mark("exact_dup", exact_dedup(out, id_col, text_col))
+        def _build_perplexity(out=out):
+            if config.lm_path is not None:
+                lm_scored = lm_score_from(
+                    out, config.lm_path, id_col=id_col, text_col=text_col
+                )
+            else:
+                lm_scored = lm_score(out, corpus=lm_corpus, id_col=id_col, text_col=text_col)
+            keep = lm_scored
+            if config.max_perplexity is not None:
+                keep = keep.filter(F.col("perplexity") <= config.max_perplexity)
+            if config.keep_ppl_tiers:
+                keep = perplexity_buckets(keep, n_buckets=3, id_col=id_col).filter(
+                    F.col("ppl_tier").isin(*config.keep_ppl_tiers)
+                )
+            return out.join(keep.select(id_col), id_col, "left_semi")
+
+        out = _mark("perplexity", _build_perplexity)
+
+    out = _mark("exact_dup", lambda out=out: exact_dedup(out, id_col, text_col))
 
     if against_corpus is not None:
         # incremental mode: drop batch rows whose content already exists
@@ -447,7 +536,7 @@ def curate(
             dedup_against_corpus,
         )
 
-        out = _mark("against_exact", dedup_against_corpus(
+        out = _mark("against_exact", lambda out=out: dedup_against_corpus(
             out, against_corpus, id_col=id_col, text_col=text_col
         ))
     if config.against_sigs_path is not None:
@@ -462,45 +551,54 @@ def curate(
             near_dedup_against_corpus,
         )
 
-        store_sigs, meta = minhash_read(out.sparkSession, config.against_sigs_path)
-        out = _mark("against_near", near_dedup_against_corpus(
-            out, corpus_sigs=store_sigs, id_col=id_col, text_col=text_col,
-            num_perms=meta["num_perms"], shingle_n=meta["shingle_n"],
-            seed=meta["seed"],
-            num_bands=config.minhash_bands,
-            rows_per_band=meta["num_perms"] // config.minhash_bands,
-            verify_threshold=config.jaccard_threshold,
-            # the STORE pins the signature family — mixing hash families
-            # across batch and history would compare unrelated minima
-            hash_fn=_HASH_FNS[meta.get("hash_name", "md5")],
-        ))
+        def _build_against_near(out=out):
+            store_sigs, meta = minhash_read(out.sparkSession, config.against_sigs_path)
+            return near_dedup_against_corpus(
+                out, corpus_sigs=store_sigs, id_col=id_col, text_col=text_col,
+                num_perms=meta["num_perms"], shingle_n=meta["shingle_n"],
+                seed=meta["seed"],
+                num_bands=config.minhash_bands,
+                rows_per_band=meta["num_perms"] // config.minhash_bands,
+                verify_threshold=config.jaccard_threshold,
+                # the STORE pins the signature family — mixing hash families
+                # across batch and history would compare unrelated minima
+                hash_fn=_HASH_FNS[meta.get("hash_name", "md5")],
+            )
+
+        out = _mark("against_near", _build_against_near)
+
+    if config.survivor not in ("min_id", "quality"):
+        raise ValueError(f"unknown survivor rule: {config.survivor!r}")
 
     # O(bucket) star-edge clustering — identical connected components to
     # the all-pairs graph (pytest-pinned in tests/test_dedup.py), output
     # linear in corpus size instead of quadratic per boilerplate bucket.
     # jaccard_threshold maps to member-vs-representative estimated-
-    # Jaccard verification on the star edges.
-    clusters = minhash_star_clusters(
-        out, id_col, text_col,
-        num_perms=config.minhash_perms, shingle_n=config.shingle_n,
-        num_bands=config.minhash_bands, threshold=config.jaccard_threshold,
-        seed=config.seed, hash_fn=_HASH_FNS[config.hash_fn],
-    )
-    if config.survivor == "quality":
-        # best-member survivor: rank cluster members by the SAME quality
-        # score the gate already materialized (stats is checkpointed —
-        # no recompute), ties → min id.  Clustered rows only enter the
-        # window; the unclustered mass never sorts.
-        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
-            keep_canonical_by,
+    # Jaccard verification on the star edges.  Built behind the _mark
+    # thunk so a resumed run whose near_dup boundary is already on disk
+    # skips the CC edge collection entirely.
+    def _build_near_dup(out=out):
+        clusters = minhash_star_clusters(
+            out, id_col, text_col,
+            num_perms=config.minhash_perms, shingle_n=config.shingle_n,
+            num_bands=config.minhash_bands, threshold=config.jaccard_threshold,
+            seed=config.seed, hash_fn=_HASH_FNS[config.hash_fn],
         )
+        if config.survivor == "quality":
+            # best-member survivor: rank cluster members by the SAME
+            # quality score the gate already materialized (stats is
+            # checkpointed — no recompute), ties → min id.  Clustered
+            # rows only enter the window; the unclustered mass never
+            # sorts.
+            from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+                keep_canonical_by,
+            )
 
-        scored = out.join(stats.select(id_col, "quality"), id_col)
-        kept = keep_canonical_by(scored, clusters, "quality", id_col)
-        return _mark("near_dup", kept.drop("quality"))
-    if config.survivor != "min_id":
-        raise ValueError(f"unknown survivor rule: {config.survivor!r}")
-    return _mark("near_dup", keep_canonical(out, clusters, id_col))
+            scored = out.join(stats.select(id_col, "quality"), id_col)
+            return keep_canonical_by(scored, clusters, "quality", id_col).drop("quality")
+        return keep_canonical(out, clusters, id_col)
+
+    return _mark("near_dup", _build_near_dup)
 
 
 def curate_audit(

