@@ -37,6 +37,27 @@ hand-off).  ``audit`` (true, or
 summary: the counts read the SAME stage boundaries the main run
 materializes (curate's trace checkpoints), so auditing a recipe costs
 one count per stage, never a second pipeline pass.
+
+Streaming lane (r10) — ``"mode": "streaming"`` swaps the chain for the
+streaming curate drain (landing dir → quarantine → gates → watermarked
+dedup → parquet), same fail-fast validation discipline::
+
+    {
+      "mode":       "streaming",
+      "ingest":     {"format": "jsonl" | "warc", "path": "landing/",
+                     "quarantine": "quar/"},
+      "curate":     {"min_quality": 0.5, "watermark": "1 hour", ...},
+      "out":        "curated/",
+      "checkpoint": "ckpt/",
+      "audit":      true
+    }
+
+``checkpoint`` is required (drains resume exactly across runs — dedup
+state included); ``curate`` keys are the streaming gate surface (a
+batch-only stage like ``paragraph_dedup`` fails validation); the drain
+runs ``availableNow`` so the recipe terminates with a summary, and
+``audit`` populates the same funnel shape as batch from the observe()
+metrics accumulated on the listener bus.
 """
 
 from __future__ import annotations
@@ -55,11 +76,64 @@ def load_recipe(path: str) -> dict:
     return recipe
 
 
+#: streaming-mode curate knobs = the keyword surface of
+#: streaming.curate.run_streaming_curate's gates (NOT CurateConfig: the
+#: streaming lane is the stateless-gate + watermarked-dedup subset, and a
+#: recipe naming a batch-only stage must die at validation, not at hour
+#: one of the drain)
+_STREAM_CURATE_KEYS = frozenset({
+    "min_chars", "min_quality", "watermark", "max_files_per_trigger",
+    "lm_path", "max_perplexity", "classifier_path", "min_clf_prob",
+    "lang_model_path", "allowed_langs", "extract_html", "html_min_words",
+    "html_max_link_density", "max_pii", "min_compression_ratio",
+})
+
+
+def _validate_streaming_recipe(recipe: dict) -> None:
+    known_top = {"mode", "ingest", "curate", "out", "checkpoint", "audit"}
+    unknown = set(recipe) - known_top
+    if unknown:
+        raise ValueError(f"unknown streaming recipe sections: {sorted(unknown)} "
+                         f"(report/split/export are batch-mode stages)")
+    for req in ("ingest", "out", "checkpoint"):
+        if req not in recipe:
+            raise ValueError(f"streaming recipe requires a {req!r} section")
+    ing = recipe["ingest"]
+    if ing.get("format", "jsonl") not in ("jsonl", "warc"):
+        raise ValueError(
+            f"streaming ingest format must be jsonl or warc, got {ing.get('format')!r}")
+    if "path" not in ing:
+        raise ValueError("ingest requires a path (the landing dir)")
+    cur = recipe.get("curate", {})
+    unknown = set(cur) - _STREAM_CURATE_KEYS
+    if unknown:
+        raise ValueError(f"unknown streaming curate keys: {sorted(unknown)}")
+    if cur.get("max_perplexity") is not None and not cur.get("lm_path"):
+        raise ValueError("streaming max_perplexity needs lm_path (a persisted LM "
+                         "— the streaming gate scores row-locally)")
+    if cur.get("min_clf_prob") is not None and not cur.get("classifier_path"):
+        raise ValueError("streaming min_clf_prob needs classifier_path")
+    if cur.get("allowed_langs") and not cur.get("lang_model_path"):
+        raise ValueError("streaming allowed_langs needs lang_model_path (the "
+                         "trained model — no heuristic in the streaming lane)")
+    audit = recipe.get("audit")
+    if audit not in (None, True, False) and not isinstance(audit, dict):
+        raise ValueError("audit must be true/false or {\"out\": path}")
+    if isinstance(audit, dict) and set(audit) - {"out"}:
+        raise ValueError(f"unknown audit keys: {sorted(set(audit) - {'out'})}")
+
+
 def validate_recipe(recipe: dict) -> None:
     """Fail fast — a typo'd knob must die before hour one of the run."""
     from dbc_informed_socketcan_to_parquet_spark.operators.curate import CurateConfig
 
-    known_top = {"ingest", "curate", "out", "report", "split", "export", "audit"}
+    mode = recipe.get("mode", "batch")
+    if mode not in ("batch", "streaming"):
+        raise ValueError(f"unknown recipe mode: {mode!r}")
+    if mode == "streaming":
+        _validate_streaming_recipe(recipe)
+        return
+    known_top = {"mode", "ingest", "curate", "out", "report", "split", "export", "audit"}
     unknown = set(recipe) - known_top
     if unknown:
         raise ValueError(f"unknown recipe sections: {sorted(unknown)}")
@@ -124,6 +198,75 @@ def _ingest(spark: SparkSession, ing: dict) -> tuple[DataFrame, dict]:
     return docs, {}
 
 
+def _run_streaming_recipe(spark: SparkSession, recipe: dict) -> dict:
+    """The streaming lane (``"mode": "streaming"``): the recipe pins a
+    landing-dir drain — ``run_streaming_curate`` with the stateless gate
+    chain, drained with ``availableNow`` so the run terminates and
+    returns a summary like the batch lane (a CONTINUOUS deployment keeps
+    the same recipe and re-runs it per catch-up window; the checkpoint
+    carries dedup state across drains).  ``audit`` populates the same
+    funnel shape as batch — accumulated by the listener bus
+    (:func:`streaming.curate._make_funnel_listener`), so the totals are
+    complete even past ``recentProgress``'s retention window."""
+    import time
+
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        _make_funnel_listener,
+        run_streaming_curate,
+    )
+
+    ing = recipe["ingest"]
+    audit = recipe.get("audit")
+    listener = _make_funnel_listener() if audit else None
+    if listener is not None:
+        spark.streams.addListener(listener)
+    try:
+        cur = dict(recipe.get("curate", {}))
+        if "allowed_langs" in cur:
+            cur["allowed_langs"] = tuple(cur["allowed_langs"])
+        queries = run_streaming_curate(
+            spark, ing["path"], recipe["out"], recipe["checkpoint"],
+            quarantine_dir=ing.get("quarantine"),
+            available_now=True,
+            input_format=ing.get("format", "jsonl"),
+            observe_funnel=bool(audit),
+            **cur,
+        )
+        for q in queries:
+            q.awaitTermination()
+        summary: dict = {"mode": "streaming"}
+        summary["curate"] = {
+            "n_docs": spark.read.parquet(recipe["out"]).count(),
+            "out": recipe["out"],
+        }
+        if audit:
+            # the listener bus delivers progress asynchronously — wait
+            # for the totals to settle before folding the funnel
+            prev = None
+            for _ in range(50):
+                snap = dict(listener.totals)
+                if snap and snap == prev:
+                    break
+                prev = snap
+                time.sleep(0.1)
+            funnel = [
+                {"stage_idx": i, **row}
+                for i, row in enumerate(listener.funnel(), start=1)
+            ]
+            summary["audit"] = funnel
+            if isinstance(audit, dict) and audit.get("out"):
+                spark.createDataFrame(
+                    [(f["stage_idx"], f["stage"], f["rows_in"], f["rows_out"],
+                      f["dropped"]) for f in funnel],
+                    "stage_idx INT, stage STRING, rows_in BIGINT, "
+                    "rows_out BIGINT, dropped BIGINT",
+                ).write.mode("overwrite").parquet(audit["out"])
+        return summary
+    finally:
+        if listener is not None:
+            spark.streams.removeListener(listener)
+
+
 def run_recipe(spark: SparkSession, recipe: dict) -> dict:
     """Execute a validated recipe; returns a per-stage summary dict."""
     from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
@@ -132,6 +275,8 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
     )
 
     validate_recipe(recipe)
+    if recipe.get("mode", "batch") == "streaming":
+        return _run_streaming_recipe(spark, recipe)
     summary: dict = {}
     docs, info = _ingest(spark, recipe["ingest"])
     summary["ingest"] = {"n_docs": docs.count(), **info}

@@ -160,3 +160,85 @@ def test_recipe_export_bpe_path(spark, tmp_path):
     ws = (spark.read.parquet(recipe["out"])
           .agg(F.sum(F.size(F.split("text", r"\s+")))).collect()[0][0])
     assert manifest["total_tokens"] > ws
+
+
+def test_validate_streaming_recipe_fails_fast():
+    import pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.plans.recipe import validate_recipe
+
+    base = {"mode": "streaming",
+            "ingest": {"format": "jsonl", "path": "land/"},
+            "out": "o/", "checkpoint": "c/"}
+    validate_recipe(base)  # minimal streaming recipe is valid
+    with pytest.raises(ValueError, match="requires a 'checkpoint'"):
+        validate_recipe({k: v for k, v in base.items() if k != "checkpoint"})
+    with pytest.raises(ValueError, match="batch-mode stages"):
+        validate_recipe({**base, "export": {"out": "s/", "max_tokens": 512}})
+    with pytest.raises(ValueError, match="unknown streaming curate keys"):
+        validate_recipe({**base, "curate": {"paragraph_dedup": True}})
+    with pytest.raises(ValueError, match="needs lm_path"):
+        validate_recipe({**base, "curate": {"max_perplexity": 500.0}})
+    with pytest.raises(ValueError, match="must be jsonl or warc"):
+        validate_recipe({**base, "ingest": {"format": "parquet", "path": "x"}})
+    with pytest.raises(ValueError, match="unknown recipe mode"):
+        validate_recipe({**base, "mode": "micro-batch"})
+
+
+def test_streaming_recipe_drains_with_audit(spark, tmp_path):
+    """Streaming recipe e2e (r10): one JSON pins the landing-dir drain —
+    quarantine split, quality gate, watermarked exact dedup — and the
+    audit section arrives populated from the observe() metrics (listener
+    bus), same funnel shape as the batch lane."""
+    import json
+
+    from dbc_informed_socketcan_to_parquet_spark.plans.recipe import run_recipe
+
+    land = tmp_path / "land"
+    land.mkdir()
+    good_a = ("a clear and well formed english paragraph about everyday "
+              "cooking with enough distinct words to pass the quality rules")
+    good_b = ("an entirely different essay describing distributed query "
+              "engines and the shuffle strategies they use at terabyte scale")
+    rows = [
+        {"doc_id": 1, "text": good_a, "lang": "en", "source": "w", "n_chars": len(good_a)},
+        {"doc_id": 2, "text": good_a, "lang": "en", "source": "w", "n_chars": len(good_a)},
+        {"doc_id": 3, "text": "too short", "lang": "en", "source": "w", "n_chars": 9},
+        {"doc_id": 4, "text": good_b, "lang": "en", "source": "w", "n_chars": len(good_b)},
+    ]
+    with open(land / "b0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("{not json\n")  # -> quarantine lane
+
+    recipe = {
+        "mode": "streaming",
+        "ingest": {"format": "jsonl", "path": str(land),
+                   "quarantine": str(tmp_path / "quar")},
+        "curate": {"min_chars": 32, "min_quality": 0.0, "watermark": "1 hour"},
+        "out": str(tmp_path / "curated"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "audit": {"out": str(tmp_path / "funnel.parquet")},
+    }
+    summary = run_recipe(spark, recipe)
+    assert summary["mode"] == "streaming"
+    assert summary["curate"]["n_docs"] == 2          # dup + short dropped
+    by = {f["stage"]: f for f in summary["audit"]}
+    assert by["quality"]["rows_in"] == 4
+    assert by["quality"]["dropped"] == 1
+    assert by["exact_dedup"]["dropped"] == 1
+    # funnel parquet artifact matches the summary
+    written = {r.stage: r.dropped
+               for r in spark.read.parquet(str(tmp_path / "funnel.parquet")).collect()}
+    assert written == {f["stage"]: f["dropped"] for f in summary["audit"]}
+    # the quarantine lane caught the corrupt line
+    import glob
+
+    quar_lines = []
+    for p in glob.glob(str(tmp_path / "quar" / "*")):
+        if not p.endswith((".crc", "_spark_metadata")):
+            try:
+                quar_lines += open(p).read().splitlines()
+            except (IsADirectoryError, UnicodeDecodeError):
+                pass
+    assert any("not json" in ln for ln in quar_lines)
