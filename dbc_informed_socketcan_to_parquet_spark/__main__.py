@@ -488,6 +488,16 @@ def build_report_parser() -> argparse.ArgumentParser:
                    help="HLL cardinality + approx percentiles (the 100 TB mode)")
     p.add_argument("--out", dest="output_path", default=None,
                    help="also write the report as parquet")
+    p.add_argument("--fertility", action="store_true",
+                   help="also print the per-language tokenizer fertility "
+                        "report (tokens/word, tokens/char — the temperature_mix "
+                        "budget numbers); BPE-ish regex units unless "
+                        "--fertility-bpe names a trained model")
+    p.add_argument("--fertility-bpe", default=None,
+                   help="persisted BPE model dir (bpe_write): fertility in "
+                        "trained-tokenizer units (implies --fertility)")
+    p.add_argument("--lang-col", default="lang",
+                   help="language column for the fertility report")
     return p
 
 
@@ -498,8 +508,9 @@ def run_report(argv: list[str]) -> None:
 
     args = build_report_parser().parse_args(argv)
     spark = get_spark("report-cli")
+    docs = spark.read.parquet(args.input_path)
     rep = corpus_report(
-        spark.read.parquet(args.input_path), text_col=args.text_col,
+        docs, text_col=args.text_col,
         group_col=args.group_col, approx=args.approx,
     )
     if args.group_col:
@@ -508,6 +519,20 @@ def run_report(argv: list[str]) -> None:
     if args.output_path:
         rep.write.mode("overwrite").parquet(args.output_path)
         print(f"wrote report to {args.output_path}")
+    if args.fertility or args.fertility_bpe:
+        from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+            bpe_load,
+            tokenizer_fertility,
+        )
+
+        merges = bpe_load(spark, args.fertility_bpe) if args.fertility_bpe else None
+        fert = tokenizer_fertility(
+            docs, merges=merges, lang_col=args.lang_col, text_col=args.text_col,
+        ).orderBy(F_asc_nulls_first("lang"))
+        fert.show(truncate=False)
+        if args.output_path:
+            fert.write.mode("overwrite").parquet(f"{args.output_path}_fertility")
+            print(f"wrote fertility report to {args.output_path}_fertility")
 
 
 def F_asc_nulls_first(col):

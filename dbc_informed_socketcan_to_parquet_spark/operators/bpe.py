@@ -281,3 +281,76 @@ def bpe_vocab(
     merged_tokens = [a + b for a, b in merges]
     base -= set(merged_tokens)
     return sorted(base) + merged_tokens
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-language tokenizer FERTILITY report — tokens/word and
+    tokens/char under a given tokenizer: the number a data-mix owner
+    reads before setting ``temperature_mix`` weights (a language whose
+    fertility is 3× English's eats 3× the token budget per word, so
+    mixing by document count silently under-trains it).
+
+    Output: ``(lang, n_docs, n_tokens, n_words, n_chars,
+    tokens_per_word, tokens_per_char)`` — one row per language (NULL
+    lang groups as ``'unknown'``); ratios are corpus-level
+    (sum/sum, not per-doc means), rounded to ``round_to``; a language
+    with zero words/chars reports NULL ratios rather than a fake 0.
+
+    Token source, in precedence order:
+
+    - ``token_count_col`` — a precomputed per-doc count column (e.g.
+      ``bpe_token_count`` output persisted by an earlier run): the
+      production shape, where encoding happened once at export time.
+    - ``merges`` — a trained merge list (``bpe_load``): counts in true
+      trained-BPE units via the Arrow-batched encode kernel.
+    - neither — the deterministic BPE-ish regex proxy
+      (``functions.text.bpe_ish_count``): same order of magnitude,
+      fully SQL-replayable (the oracle-paired registry lane).
+
+    Scale: the token source is a narrow per-row projection (regex) or
+    the memoized Arrow kernel (BPE) — no shuffle; the report itself is
+    ONE partial-aggregated groupBy on a language key whose cardinality
+    is ~dozens, so the exchange carries one short row per (task, lang).
+    """
+    from dbc_informed_socketcan_to_parquet_spark.functions.text import (
+        bpe_ish_count,
+        tokens,
+    )
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if token_count_col is not None:
+        work = df
+        n_tok = F.coalesce(F.col(token_count_col), F.lit(0)).cast("long")
+    elif merges is not None:
+        work = bpe_token_count(df, merges, text_col, out_col="_n_bpe")
+        n_tok = F.col("_n_bpe")
+    else:
+        work = df
+        n_tok = bpe_ish_count(t).cast("long")
+
+    grouped = work.groupBy(
+        F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+        F.sum(F.size(tokens(t)).cast("long")).alias("n_words"),
+        F.sum(F.length(t).cast("long")).alias("n_chars"),
+    )
+    return grouped.select(
+        "lang", "n_docs", "n_tokens", "n_words", "n_chars",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_tokens") / F.col("n_words"), round_to),
+        ).alias("tokens_per_word"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(F.col("n_tokens") / F.col("n_chars"), round_to),
+        ).alias("tokens_per_char"),
+    )

@@ -3891,6 +3891,50 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @extra_query(
+    "tokenizer_fertility",
+    oracle=r"""
+    WITH base AS (
+      SELECT coalesce(lang, 'unknown') AS lang,
+             coalesce(text, '') AS t
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(string_split_regex(trim(t), '\s+'), x -> x != '')) AS BIGINT) AS n_w,
+             CAST(length(t) AS BIGINT) AS n_c
+      FROM base
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_w) AS BIGINT) AS n_words,
+           CAST(sum(n_c) AS BIGINT) AS n_chars,
+           CASE WHEN sum(n_w) > 0
+                THEN round(CAST(sum(n_tok) AS DOUBLE) / sum(n_w), 6) END AS tokens_per_word,
+           CASE WHEN sum(n_c) > 0
+                THEN round(CAST(sum(n_tok) AS DOUBLE) / sum(n_c), 6) END AS tokens_per_char
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (operators/bpe.tokenizer_fertility,
+    r10): tokens/word and tokens/char — the budget number a data-mix
+    owner reads before setting temperature_mix weights.  This registry
+    lane counts with the deterministic BPE-ish regex proxy so the whole
+    report (counts + rollup + ratio arithmetic) replays in SQL; the
+    trained-BPE lane (merges= / token_count_col=) shares the identical
+    aggregation and is value-pinned in tests/test_bpe.py (encode itself
+    is rows-only by the bpe_token_count doctrine above)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(_read(spark, sf_dir, "documents"))
+
+
+@extra_query(
     "domain_stats",
     oracle=f"""
     WITH u AS ({_URL_CTE}),

@@ -197,3 +197,73 @@ def test_export_cli_with_bpe_path(spark, tmp_path, capsys):
     import json
     m = json.load(open(f"{out}/_manifest.json"))
     assert m["total_docs"] == 30 and m["total_tokens"] > 0
+
+
+def test_tokenizer_fertility_bpe_lane_pins_direct_encode(spark, tmp_path):
+    """The trained-BPE fertility lane (r10): per-language sums must equal
+    a direct driver-side replay of the same merges (the rows-only value
+    pin for the lane the SQL oracle can't reach), and higher-fertility
+    languages must rank above lower ones."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+        bpe_encode,
+        bpe_load,
+        bpe_train,
+        bpe_write,
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with the hat", "en"),
+            (2, "the bat and the rat ate the fat cat", "en"),
+            (3, "zqx vwk jqz pfx", "xx"),   # no learnable merges -> chars
+            (4, "the cat and the mat", None),  # NULL lang -> 'unknown'
+        ],
+        "doc_id long, text string, lang string",
+    )
+    merges, stats = bpe_train(docs, num_merges=30)
+    model = str(tmp_path / "bpe")
+    bpe_write(spark, merges, model, stats)
+
+    fert = {r.lang: r for r in tokenizer_fertility(
+        docs, merges=bpe_load(spark, model)).collect()}
+    assert set(fert) == {"en", "xx", "unknown"}
+
+    # driver-side ground truth: encode the same docs with the same merges
+    enc = {r.doc_id: len(r.toks) for r in
+           bpe_encode(docs, merges, out_col="toks")
+           .select("doc_id", "toks").collect()}
+    assert fert["en"].n_tokens == enc[1] + enc[2]
+    assert fert["xx"].n_tokens == enc[3]
+    assert fert["unknown"].n_tokens == enc[4]
+    assert fert["en"].n_docs == 2 and fert["en"].n_words == 18
+
+    # the signal: the merge-less language is strictly more fertile
+    assert fert["xx"].tokens_per_word > fert["en"].tokens_per_word
+    assert fert["xx"].tokens_per_char > fert["en"].tokens_per_char
+
+    # precomputed-count lane agrees with the merges lane
+    from dbc_informed_socketcan_to_parquet_spark.operators.bpe import bpe_token_count
+
+    counted = bpe_token_count(docs, merges)
+    fert2 = {r.lang: r for r in tokenizer_fertility(
+        counted, token_count_col="n_bpe_tokens").collect()}
+    assert {k: v.n_tokens for k, v in fert2.items()} == {
+        k: v.n_tokens for k, v in fert.items()}
+
+
+def test_report_cli_fertility(spark, tmp_path, capsys):
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import run_report
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "hello world of tokens", "en"), (2, "plain words here", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    out = str(tmp_path / "rep.parquet")
+    run_report(["--in", src, "--group-col", "lang", "--fertility", "--out", out])
+    printed = capsys.readouterr().out
+    assert "tokens_per_word" in printed
+    assert "wrote fertility report" in printed
+    fert = spark.read.parquet(f"{out}_fertility").collect()
+    assert [r.lang for r in fert] == ["en"] and fert[0].n_words == 7
