@@ -509,7 +509,7 @@ def q_legacy_rename_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return renamed.unionAll(synth)
 
 
-@query(
+@extra_query(  # demoted r10: rotated out of the driver-checked 50
     "running_counters",
     oracle="""
     SELECT event_type,
@@ -986,7 +986,7 @@ def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(  # demoted r10: rotated out of the driver-checked 50
     "json_extract",
     oracle="""
     SELECT event_id,
@@ -1705,7 +1705,7 @@ def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(  # demoted r10: rotated out of the driver-checked 50
     "value_render",
     oracle=f"""
     WITH s AS ({_SYNTH_SQL})
@@ -4235,7 +4235,7 @@ def _extract_text_oracle() -> str:
     )
 
 
-@extra_query("extract_text", oracle=_extract_text_oracle())
+@query("extract_text", oracle=_extract_text_oracle())  # promoted r10
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (operators/htmlops.extract_text, r9): the
     crawl pipeline's first stage — comment/script/style strip, block
@@ -4582,7 +4582,7 @@ _NDA_EST = " + ".join(
 )
 
 
-@extra_query(
+@query(  # promoted r10: rotated into the driver-checked 50
     "near_dedup_against",
     oracle=f"""
     WITH sigs AS ({_MH_SIG_SQL}),
@@ -4632,7 +4632,7 @@ def q_near_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 9: corpus health report (operators/textops.corpus_report)
 # ---------------------------------------------------------------------------
 
-@extra_query(
+@query(  # promoted r10: rotated into the driver-checked 50
     "corpus_report",
     oracle="""
     SELECT lang,
