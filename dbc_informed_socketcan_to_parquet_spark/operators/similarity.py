@@ -1541,3 +1541,72 @@ def semantic_contamination(
         (-F.col("_m._neg")).alias("eval_id"),
         F.col("_m._cos").alias("cosine"),
     )
+
+
+def semantic_contamination_indexed(
+    spark,
+    index_path: str,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """:func:`semantic_contamination` against a PERSISTED IVF index
+    (:func:`ivf_index_write`) — the production 100 TB shape: the corpus
+    was assigned and cluster-partitioned ONCE at index-build time, so a
+    contamination sweep against a new benchmark release touches only the
+    eval set's probed partitions (pruned at file listing, like
+    :func:`ivf_index_topk`) and never re-embeds, re-assigns, or
+    re-scans the rest of the corpus.
+
+    Same output contract as ``semantic_contamination``:
+    ``(id_col, eval_id, cosine)``, best eval match per contaminated
+    corpus doc.  At ``nprobe == num_clusters`` the probe set covers the
+    whole index and the result equals exact mode (pytest-pinned); below
+    that, the standard multi-probe recall trade applies.
+    """
+    eval_id = eval_id_col or id_col
+    model = spark.read.parquet(f"{index_path}/model").collect()
+    centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
+
+    e = eval_df.select(
+        F.col(eval_id).alias("_eid"),
+        F.col(vec_col).cast("array<double>").alias("_ev"),
+    )
+    e = e.select(
+        "_eid", "_ev",
+        F.explode(_nearest_labels("_ev", centers, nprobe)).alias("ivf_cluster"),
+    )
+    # materialize the probe table once (it feeds the driver-side probe
+    # collect AND the broadcast join — the ivf_index_topk pattern), then
+    # prune the index scan to the probed partitions at file listing
+    e = e.localCheckpoint(eager=False)
+    probed = sorted({r["ivf_cluster"] for r in e.select("ivf_cluster").distinct().collect()})
+    data = spark.read.parquet(f"{index_path}/data").filter(
+        F.col("ivf_cluster").isin(probed)
+    )
+    c = data.select(
+        "ivf_cluster", F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    sim = cosine(F.col("_cv"), F.col("_ev"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    hits = (
+        c.join(F.broadcast(e), "ivf_cluster")
+        .select(F.col(id_col), F.col("_eid"), sim.alias("_cos"))
+        .filter(F.col("_cos") >= F.lit(threshold))
+    )
+    if nprobe > 1:
+        hits = hits.dropDuplicates([id_col, "_eid"])
+    best = hits.groupBy(id_col).agg(
+        F.max(F.struct(F.col("_cos"), (-F.col("_eid")).alias("_neg"))).alias("_m")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("_m._neg")).alias("eval_id"),
+        F.col("_m._cos").alias("cosine"),
+    )

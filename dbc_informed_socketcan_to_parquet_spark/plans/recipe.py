@@ -152,6 +152,14 @@ def validate_recipe(recipe: dict) -> None:
         raise ValueError(f"unknown curate keys: {sorted(unknown)}")
     if "split" in recipe and "fractions" not in recipe["split"]:
         raise ValueError("split requires fractions")
+    fert = recipe.get("report", {}).get("fertility")
+    if fert not in (None, True, False) and not isinstance(fert, dict):
+        raise ValueError("report.fertility must be true/false or "
+                         "{\"bpe_path\": ..., \"out\": ..., \"lang_col\": ...}")
+    if isinstance(fert, dict) and set(fert) - {"bpe_path", "out", "lang_col"}:
+        raise ValueError(
+            f"unknown report.fertility keys: "
+            f"{sorted(set(fert) - {'bpe_path', 'out', 'lang_col'})}")
     if "export" in recipe:
         for req in ("out", "max_tokens"):
             if req not in recipe["export"]:
@@ -366,6 +374,30 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         summary["report"] = {
             "rows": rep.count(), "out": recipe["report"].get("out"),
         }
+        fert_spec = recipe["report"].get("fertility")
+        if fert_spec:
+            # per-language tokenizer fertility (r10): the temperature_mix
+            # budget numbers ride the same report stage; trained-BPE
+            # units when bpe_path names a persisted model, else the
+            # SQL-replayable regex proxy
+            from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+                bpe_load,
+                tokenizer_fertility,
+            )
+
+            opts = fert_spec if isinstance(fert_spec, dict) else {}
+            merges = (
+                bpe_load(spark, opts["bpe_path"]) if opts.get("bpe_path") else None
+            )
+            fert = tokenizer_fertility(
+                kept, merges=merges, lang_col=opts.get("lang_col", "lang"),
+            )
+            if opts.get("out"):
+                fert.write.mode("overwrite").parquet(opts["out"])
+            summary["report"]["fertility"] = {
+                "rows": fert.count(), "out": opts.get("out"),
+                "units": "bpe" if merges is not None else "bpe_ish_regex",
+            }
 
     if "export" in recipe:
         from dbc_informed_socketcan_to_parquet_spark.storage import (

@@ -68,12 +68,12 @@ TAIL = [
     "extra:bm25_search",
     "extra:knn_classify",
     "extra:ann_tune",
-    "extra:extract_text",
+    "extract_text",  # promoted to driver registry r10
     # r9 late additions: crawl ingest, CCNet partition, incremental near dedup
     "extra:warc_extract",
     "extra:ppl_partition",
-    "extra:near_dedup_against",
-    "extra:corpus_report",
+    "near_dedup_against",  # promoted to driver registry r10
+    "corpus_report",      # promoted to driver registry r10
     # r9 second session: observability + hygiene + versioning ops
     "extra:curate_audit",
     "extra:corpus_diff",
@@ -82,6 +82,9 @@ TAIL = [
     "extra:dedup_keep_best",
     "extra:curate_dropped",
     "extra:decode_audit",
+    # r10 additions: embedding-space contamination + tokenizer fertility
+    "extra:semantic_contamination",
+    "extra:tokenizer_fertility",
 ]
 
 

@@ -1957,3 +1957,48 @@ def test_semantic_contamination_best_match_tiebreak(spark):
     )
     got = semantic_contamination(corpus, eval_df, threshold=0.5, round_to=6).collect()
     assert [(r.doc_id, r.eval_id, r.cosine) for r in got] == [(9, 3, 1.0)]
+
+
+def test_semantic_contamination_indexed_matches_exact_at_full_probe(spark, tmp_path):
+    """Persisted-index contamination (r10): at nprobe == num_clusters the
+    probe set covers the whole index, so the result equals exact mode;
+    at nprobe=1 the hit set is a subset (the multi-probe trade)."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+        semantic_contamination,
+        semantic_contamination_indexed,
+    )
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    corpus = spark.createDataFrame(
+        [(100 + s, unit(s)) for s in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    eval_df = spark.createDataFrame(
+        [(1, unit(3)), (2, unit(17))], "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "ivf")
+    ivf_index_write(corpus, idx, dim=8, num_clusters=4, n_iters=2)
+
+    exact = semantic_contamination(
+        corpus, eval_df, id_col="vec_id", threshold=0.9, round_to=6
+    )
+    exact_set = {(r.vec_id, r.eval_id, r.cosine) for r in exact.collect()}
+    assert exact_set  # the planted identical vectors hit
+
+    full = semantic_contamination_indexed(
+        spark, idx, eval_df, threshold=0.9, nprobe=4, id_col="vec_id", round_to=6
+    )
+    assert {(r.vec_id, r.eval_id, r.cosine) for r in full.collect()} == exact_set
+
+    narrow = semantic_contamination_indexed(
+        spark, idx, eval_df, threshold=0.9, nprobe=1, id_col="vec_id", round_to=6
+    )
+    assert {(r.vec_id, r.eval_id, r.cosine)
+            for r in narrow.collect()} <= exact_set

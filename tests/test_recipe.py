@@ -242,3 +242,34 @@ def test_streaming_recipe_drains_with_audit(spark, tmp_path):
             except (IsADirectoryError, UnicodeDecodeError):
                 pass
     assert any("not json" in ln for ln in quar_lines)
+
+
+def test_recipe_report_fertility(spark, tmp_path):
+    from dbc_informed_socketcan_to_parquet_spark.plans.recipe import (
+        run_recipe,
+        validate_recipe,
+    )
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "hello world of many plain tokens here", "en"),
+         (2, "ein ganz anderer text mit anderen worten", "de")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    fert_out = str(tmp_path / "fert.parquet")
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": str(tmp_path / "curated.parquet"),
+        "report": {"group_col": "lang", "fertility": {"out": fert_out}},
+    }
+    summary = run_recipe(spark, recipe)
+    assert summary["report"]["fertility"]["rows"] == 2
+    assert summary["report"]["fertility"]["units"] == "bpe_ish_regex"
+    got = {r.lang: r.n_words for r in spark.read.parquet(fert_out).collect()}
+    assert got == {"en": 7, "de": 7}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown report.fertility keys"):
+        validate_recipe({**recipe, "report": {"fertility": {"model": "x"}}})
