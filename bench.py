@@ -203,8 +203,10 @@ def _fast_path_timings(spark, sf_dir: str) -> dict[str, float]:
 
 
 def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
-    """The round-5 corpus operators (oracle registry entries), min of 2
-    cold passes each — same protocol as the headline set."""
+    """The round-5+ corpus operators (oracle registry entries), min of 2
+    cold passes each — same protocol as the headline set.  Names resolve
+    from EITHER registry (r10 rotated extract_text / near_dedup_against /
+    corpus_report into the driver 50; their bench trend continues here)."""
     from dbc_informed_socketcan_to_parquet_spark.queries import EXTRA_QUERIES
 
     out: dict[str, float] = {}
@@ -224,8 +226,11 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  "corpus_report",
                  # r9 second session: version diff + PII inventory
                  # (curate_audit's trend is implied by curate_e2e above)
-                 "corpus_diff", "pii_report"):
-        fn = EXTRA_QUERIES[name]
+                 "corpus_diff", "pii_report",
+                 # r10 additions: embedding-space contamination (IVF probe
+                 # lane) + per-language tokenizer fertility
+                 "semantic_contamination", "tokenizer_fertility"):
+        fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         out[name] = _min_of(spark, lambda: fn(spark, sf_dir), 2)
     return out
 
