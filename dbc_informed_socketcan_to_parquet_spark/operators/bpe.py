@@ -315,10 +315,18 @@ def tokenizer_fertility(
       fully SQL-replayable (the oracle-paired registry lane).
 
     Scale: the token source is a narrow per-row projection (regex) or
-    the memoized Arrow kernel (BPE) — no shuffle; the report itself is
-    ONE partial-aggregated groupBy on a language key whose cardinality
-    is ~dozens, so the exchange carries one short row per (task, lang).
+    the memoized Arrow kernel (BPE) — the report itself is ONE
+    partial-aggregated groupBy on a language key whose cardinality is
+    ~dozens, so the exchange carries one short row per (task, lang).
+    The input is fanned out first (functions/partitioning): a few-file
+    corpus scans at file-split width, which left the regex pass running
+    ~3-wide on 32 cores (measured r10: 12.2× on the ×100 decade before
+    the guard); at real scale the scan is already wide and the guard is
+    a no-op.
     """
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import (
+        fan_out,
+    )
     from dbc_informed_socketcan_to_parquet_spark.functions.text import (
         bpe_ish_count,
         tokens,
@@ -326,13 +334,14 @@ def tokenizer_fertility(
 
     t = F.coalesce(F.col(text_col), F.lit(""))
     if token_count_col is not None:
+        # precomputed counts: no per-row text work, scan width is fine
         work = df
         n_tok = F.coalesce(F.col(token_count_col), F.lit(0)).cast("long")
     elif merges is not None:
-        work = bpe_token_count(df, merges, text_col, out_col="_n_bpe")
+        work = bpe_token_count(fan_out(df), merges, text_col, out_col="_n_bpe")
         n_tok = F.col("_n_bpe")
     else:
-        work = df
+        work = fan_out(df)
         n_tok = bpe_ish_count(t).cast("long")
 
     grouped = work.groupBy(
