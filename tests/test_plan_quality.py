@@ -530,3 +530,41 @@ def test_every_crossjoin_in_source_is_broadcast_hinted():
                 if not rest.startswith(("F.broadcast(", "broadcast(")):
                     offenders.append(f"{py.relative_to(pkg.parent)}:{i}: {line.strip()}")
     assert not offenders, "unhinted crossJoin call sites:\n" + "\n".join(offenders)
+
+
+def test_semantic_contamination_ivf_plan(spark):
+    """IVF contamination: the eval probe table BROADCASTS (the corpus
+    never shuffles for the join) and the only Exchange is the bounded
+    best-match aggregation over the hit sliver."""
+    df = EXTRA_QUERIES["semantic_contamination"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # hits groupBy (+ the probe-side dropDuplicates) — never a corpus-keyed
+    # repartition beyond the standard fan-out guard
+    assert n_exchanges(plan) <= 3
+
+
+def test_semantic_contamination_exact_is_broadcast_nlj(spark):
+    """Exact mode is the deliberate broadcast nested-loop (benchmark-sized
+    eval side) — never a CartesianProduct."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ev = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    plan = plan_of(semantic_contamination(emb, ev, id_col="vec_id", threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_tokenizer_fertility_single_agg_exchange(spark):
+    """Fertility: one partial-aggregated groupBy on the language key —
+    exactly one shuffle past the fan-out width guard, no join, no window."""
+    df = EXTRA_QUERIES["tokenizer_fertility"](spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan and "Join" not in plan
+    # fan_out repartition + the lang groupBy
+    assert n_exchanges(plan) <= 2
+    assert "partial_count" in plan or "HashAggregate" in plan
