@@ -578,6 +578,17 @@ def curate(
     # thunk so a resumed run whose near_dup boundary is already on disk
     # skips the CC edge collection entirely.
     def _build_near_dup(out=out):
+        # materialization barrier: the near-dup stage consumes its input
+        # TWICE (once for the MinHash signature/banding pass, once as the
+        # survivor join's probe side — three times under survivor=
+        # "quality"), so without this the whole upstream gate chain
+        # re-executes per consumer.  Measured r10 at sf1: plain curate
+        # 40.5 s -> 27.5 s cold / 15.2 s warm with the barrier (matching
+        # the staged run, whose parquet boundary provides it for free;
+        # BASELINE.md).  At cluster
+        # scale this is the stage-boundary table write the module
+        # docstring prescribes.
+        out = out.localCheckpoint(eager=False)
         clusters = minhash_star_clusters(
             out, id_col, text_col,
             num_perms=config.minhash_perms, shingle_n=config.shingle_n,
