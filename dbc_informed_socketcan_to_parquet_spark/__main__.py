@@ -301,6 +301,15 @@ def build_stream_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-compression-ratio", type=float, default=None,
                    help="drop docs whose zlib ratio falls below this floor "
                         "(row-local repetition gate)")
+    p.add_argument("--against", default=None,
+                   help="historical corpus parquet: drop arriving docs whose "
+                        "content already exists there (stream-static digest join)")
+    p.add_argument("--against-sigs", default=None,
+                   help="persisted MinHash signature store (dedup.minhash_write, "
+                        "md5 family): drop arriving docs that NEAR-duplicate "
+                        "history (per-band rep verify at --jaccard)")
+    p.add_argument("--jaccard", type=float, default=0.5,
+                   help="--against-sigs verify threshold")
     p.add_argument("--audit", action="store_true",
                    help="observe per-gate drop counts (CollectMetrics on the one "
                         "streaming plan) and print the funnel after an "
@@ -347,6 +356,8 @@ def run_stream_curate(argv: list[str]) -> None:
         input_format="warc" if args.warc else "jsonl",
         max_pii=args.max_pii,
         min_compression_ratio=args.min_compression_ratio,
+        against_path=args.against, against_sigs_path=args.against_sigs,
+        against_jaccard=args.jaccard,
         observe_funnel=args.audit,
     )
     # C2 graceful shutdown, same contract as the decode stream: SIGINT

@@ -57,7 +57,7 @@ _STAT_NAMES = (
 _FUNNEL_ORDER = (
     "funnel_input", "funnel_pii", "funnel_quality", "funnel_compression",
     "funnel_perplexity", "funnel_classifier", "funnel_language",
-    "funnel_exact_dedup",
+    "funnel_exact_dedup", "funnel_against_exact", "funnel_against_near",
 )
 
 
@@ -181,6 +181,10 @@ def streaming_curate_frame(
     allowed_langs: tuple[str, ...] = (),
     max_pii: int | None = None,
     min_compression_ratio: float | None = None,
+    against_corpus: DataFrame | None = None,
+    against_sigs_path: str | None = None,
+    against_num_bands: int = 4,
+    against_jaccard: float = 0.5,
     observe_funnel: bool = False,
 ) -> DataFrame:
     """The transformation core (source- and sink-agnostic): normalize →
@@ -324,9 +328,44 @@ def streaming_curate_frame(
         ).filter(
             F.col("lang_pred").isin(list(allowed_langs))
         ).drop("lang_pred", "lang_score"))
-    return _obs("funnel_exact_dedup", streaming_exact_dedup(
+    out = _obs("funnel_exact_dedup", streaming_exact_dedup(
         out, text_col=text_col, time_col=time_col, watermark=watermark
     ))
+    if against_corpus is not None:
+        # incremental EXACT vs history (r10): stream-static digest join —
+        # the streaming twin of curate --against (batch order preserved:
+        # own exact dedup first, history second)
+        from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import (
+            streaming_dedup_against,
+        )
+
+        out = _obs("funnel_against_exact", streaming_dedup_against(
+            out, against_corpus, text_col=text_col
+        ))
+    if against_sigs_path is not None:
+        # incremental NEAR vs history (r10): row-local signature +
+        # per-band stream-static rep joins — the streaming twin of
+        # curate --against-sigs (representative-verify tier contract)
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+            minhash_read,
+        )
+        from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import (
+            streaming_near_dedup_against,
+        )
+
+        store_sigs, meta = minhash_read(out.sparkSession, against_sigs_path)
+        if meta.get("hash_name", "md5") != "md5":
+            raise ValueError(
+                "streaming --against-sigs needs an md5-family signature store "
+                "(the row-local signer is md5-pinned); re-sign history with "
+                "minhash_signatures(hash_fn=md5_long)")
+        out = _obs("funnel_against_near", streaming_near_dedup_against(
+            out, store_sigs,
+            num_perms=meta["num_perms"], shingle_n=meta["shingle_n"],
+            seed=meta["seed"], num_bands=against_num_bands,
+            threshold=against_jaccard, text_col=text_col,
+        ))
+    return out
 
 
 def run_streaming_curate(
@@ -354,6 +393,10 @@ def run_streaming_curate(
     input_format: str = "jsonl",
     max_pii: int | None = None,
     min_compression_ratio: float | None = None,
+    against_path: str | None = None,
+    against_sigs_path: str | None = None,
+    against_num_bands: int = 4,
+    against_jaccard: float = 0.5,
     observe_funnel: bool = False,
 ):
     """Start the full streaming curate pipeline; returns the list of
@@ -402,6 +445,11 @@ def run_streaming_curate(
         extract_html=extract_html, html_min_words=html_min_words,
         html_max_link_density=html_max_link_density,
         max_pii=max_pii, min_compression_ratio=min_compression_ratio,
+        against_corpus=(
+            spark.read.parquet(against_path) if against_path else None
+        ),
+        against_sigs_path=against_sigs_path,
+        against_num_bands=against_num_bands, against_jaccard=against_jaccard,
         observe_funnel=observe_funnel,
     )
 

@@ -225,3 +225,119 @@ def streaming_near_dup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def streaming_dedup_against(
+    docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop stream records whose content already exists in a STATIC
+    historical corpus — the streaming twin of
+    ``operators/dedup.dedup_against_corpus``.
+
+    Shape: the history projects to a distinct content-digest table
+    (static side, computed once per micro-batch plan from the immutable
+    snapshot) and the stream joins it by digest.  Stream-static LEFT
+    ANTI is not in Spark's supported stream-static join set, so the gate
+    is the equivalent left_outer + null-probe filter — stateless,
+    append-safe, no watermark required.  At 100 TB the static side is
+    the persisted, hash-bucketed corpus-digest table (the same artifact
+    the batch Bloom verify reads), so each micro-batch pays a digest
+    join, never a history scan."""
+    hashes = (
+        corpus.select(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_ch"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    probed = docs.withColumn(
+        "_ch", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    ).join(hashes, "_ch", "left_outer")
+    return probed.filter(F.col("_hit").isNull()).drop("_ch", "_hit")
+
+
+def streaming_near_dedup_against(
+    docs: DataFrame,
+    store_sigs: DataFrame,
+    num_perms: int,
+    shingle_n: int,
+    seed: int,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 4096,
+) -> DataFrame:
+    """Drop stream records that NEAR-duplicate the historical corpus via
+    its persisted MinHash signature store (``operators/dedup
+    .minhash_write``) — the streaming twin of
+    ``near_dedup_against_corpus``, fully STATELESS: the stream side
+    signs row-locally (``_rowlocal_minhash``, pytest-pinned equal to the
+    batch signatures), and history arrives as one static
+    REPRESENTATIVE-per-bucket table.
+
+    Semantics (the ``streaming_near_dup`` two-tier contract): a record
+    drops iff one of its ``num_bands`` band hashes collides with a
+    history bucket AND its estimated Jaccard against that bucket's
+    representative (min-id member, deterministic) is ≥ ``threshold``.
+    Verifying against the representative rather than every member is
+    the streaming tier's documented trade — the batch
+    ``curate --against-sigs`` pass over the landed table remains
+    authoritative, and the tiers share signature family and banding by
+    construction.
+
+    Scale: per band one stream-static equality join against the
+    pre-aggregated (band, bh) → rep table — ``num_bands`` joins total
+    (bands are columns here, not exploded rows, so no per-doc regroup
+    and no stream aggregation); the verify is a row-local
+    ``zip_with``/``aggregate`` over two ``num_perms``-long arrays.  The
+    store never shuffles per record — each micro-batch joins against the
+    static rep table (bucket it by ``bh`` in production).
+
+    The store must carry the md5 signature family (``minhash_write``
+    default): the row-local signer is md5-pinned, and mixing hash
+    families would compare unrelated minima.
+    """
+    rows_per_band = num_perms // num_bands
+    # static: one deterministic representative signature per (band, bh)
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import _band_table
+
+    store_bands = _band_table(store_sigs, "doc_id", num_bands, rows_per_band)
+    reps = (
+        store_bands.join(store_sigs.select("doc_id", "sig"), "doc_id")
+        .groupBy("band", "bh")
+        .agg(F.min(F.struct(F.col("doc_id"), F.col("sig"))).alias("_rep"))
+        .select("band", "bh", F.col("_rep.sig").alias("_rep_sig"))
+    )
+
+    sig = _rowlocal_minhash(F.col(text_col), num_perms, shingle_n, seed, max_chars)
+    # records too short to shingle have no signature and pass unflagged
+    # (the batch operator's contract); guard with a null signature
+    out = docs.withColumn(
+        "_sig",
+        F.when(F.length(F.col(text_col)) >= shingle_n, sig),
+    )
+    est_cols = []
+    for b in range(num_bands):
+        bh_b = F.md5(F.concat_ws(",", *[
+            F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)
+        ]))
+        rep_b = (
+            reps.filter(F.col("band") == b)
+            .select(F.col("bh").alias(f"_bh{b}"), F.col("_rep_sig").alias(f"_rep{b}"))
+        )
+        out = out.withColumn(f"_bh{b}", bh_b).join(rep_b, f"_bh{b}", "left_outer")
+        est_cols.append(
+            F.when(
+                F.col(f"_rep{b}").isNotNull(),
+                F.aggregate(
+                    F.zip_with(F.col("_sig"), F.col(f"_rep{b}"),
+                               lambda x, y: (x == y).cast("int")),
+                    F.lit(0), lambda acc, x: acc + x,
+                ) / F.lit(float(num_perms)),
+            ).otherwise(F.lit(0.0))
+        )
+    keep = F.greatest(*est_cols) < F.lit(threshold) if len(est_cols) > 1 \
+        else est_cols[0] < F.lit(threshold)
+    drop_cols = ["_sig"] + [c for b in range(num_bands) for c in (f"_bh{b}", f"_rep{b}")]
+    return out.filter(F.col("_sig").isNull() | keep).drop(*drop_cols)

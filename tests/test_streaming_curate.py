@@ -380,3 +380,93 @@ def test_funnel_listener_accumulates_without_window_cap(spark, tmp_path):
         assert by["exact_dedup"]["rows_out"] == 2
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_against_history_gates(spark, tmp_path):
+    """Incremental vs-history gates on the stream (r10): arriving docs
+    that exact-duplicate the historical corpus drop at against_exact
+    (stream-static digest join); docs that NEAR-duplicate history drop
+    at against_near (row-local signature + per-band rep verify against
+    the persisted store); clean docs land.  Both stages report in the
+    funnel."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_write,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        run_streaming_curate,
+        streaming_funnel,
+    )
+
+    hist_a = GOOD_A
+    hist_b = GOOD_B
+    hist = spark.createDataFrame(
+        [(100, hist_a), (101, hist_b)], "doc_id long, text string"
+    )
+    hist_path = str(tmp_path / "history.parquet")
+    hist.write.parquet(hist_path)
+    sig_store = str(tmp_path / "sigs")
+    minhash_write(
+        minhash_signatures(hist, "doc_id", "text", num_perms=16, shingle_n=5),
+        sig_store, num_perms=16, shingle_n=5,
+    )
+
+    near_b = hist_b.replace("terabyte", "petabyte")   # near-dup of history
+    clean = ("completely novel prose about alpine meadows and the slow "
+             "migration of pollinators up the valley sides every spring")
+    land = tmp_path / "land"
+    land.mkdir()
+    _write_batch(land, "b0.jsonl", [
+        _doc(1, hist_a),        # exact dup of history -> against_exact
+        _doc(2, near_b),        # near dup of history  -> against_near
+        _doc(3, clean),
+    ])
+    queries = run_streaming_curate(
+        spark, str(land), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        min_chars=32, min_quality=0.0, watermark="1 hour",
+        available_now=True, observe_funnel=True,
+        against_path=hist_path, against_sigs_path=sig_store,
+        against_num_bands=4, against_jaccard=0.5,
+    )
+    for q in queries:
+        q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert [r.doc_id for r in got.collect()] == [3]
+    funnel = {f["stage"]: f for f in streaming_funnel(queries[0])}
+    assert funnel["against_exact"]["dropped"] == 1
+    assert funnel["against_near"]["dropped"] == 1
+    assert funnel["against_near"]["rows_out"] == 1
+
+
+def test_streaming_near_against_matches_batch_operator(spark, tmp_path):
+    """The streaming rep-verify tier agrees with the batch
+    near_dedup_against_corpus on singleton-bucket stores (where
+    representative == only member, the semantics coincide)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        minhash_signatures,
+        near_dedup_against_corpus,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import (
+        streaming_near_dedup_against,
+    )
+
+    hist = spark.createDataFrame(
+        [(100, GOOD_A), (101, GOOD_B)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(hist, "doc_id", "text", num_perms=16, shingle_n=5)
+    batch = spark.createDataFrame(
+        [(1, GOOD_A.replace("cooking", "baking")),
+         (2, "entirely unrelated text about suspension bridges and cables "
+             "spanning the long river gorge in heavy morning fog")],
+        "doc_id long, text string",
+    )
+    expected = near_dedup_against_corpus(
+        batch, corpus_sigs=sigs, num_perms=16, shingle_n=5,
+        num_bands=4, rows_per_band=4, verify_threshold=0.5,
+    )
+    got = streaming_near_dedup_against(
+        batch, sigs, num_perms=16, shingle_n=5, seed=42,
+        num_bands=4, threshold=0.5,
+    )
+    assert sorted(r.doc_id for r in got.collect()) == \
+        sorted(r.doc_id for r in expected.collect())
