@@ -106,6 +106,17 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--survivor", choices=("min_id", "quality"), default="min_id",
                    help="near-dup survivor rule: deterministic min id, or each "
                         "cluster's highest-quality member")
+    p.add_argument("--embeddings", default=None,
+                   help="doc-embedding parquet (id + vector column) for the "
+                        "embedding-space decontamination gate")
+    p.add_argument("--eval-embeddings", default=None,
+                   help="eval-set embedding parquet (same schema)")
+    p.add_argument("--decon-cosine", type=float, default=None,
+                   help="drop docs whose embedding reaches this cosine against "
+                        "any eval embedding (needs --embeddings + --eval-embeddings)")
+    p.add_argument("--decon-mode", choices=("exact", "ivf"), default="exact")
+    p.add_argument("--embeddings-id-col", default=None,
+                   help="embedding tables' id column when it differs from --id-col")
     p.add_argument("--stage-dir", default=None,
                    help="resumable staged execution: materialize every stage "
                         "boundary to this dir; a re-run after a failure loads "
@@ -172,6 +183,9 @@ def run_curate(argv: list[str]) -> None:
         max_pii=args.max_pii,
         min_compression_ratio=args.min_compression_ratio,
         survivor=args.survivor,
+        decon_cosine=args.decon_cosine,
+        decon_mode=args.decon_mode,
+        decon_id_col=args.embeddings_id_col,
     )
     if args.url_col is None and (args.block_domain or args.url_dedup or args.max_per_domain):
         parser.error("--block-domain/--url-dedup/--max-per-domain require --url-col")
@@ -179,6 +193,10 @@ def run_curate(argv: list[str]) -> None:
         parser.error("--lang-model has no effect without --lang (the languages to keep)")
     lm_corpus = spark.read.parquet(args.lm_corpus) if args.lm_corpus else None
     against = spark.read.parquet(args.against) if args.against else None
+    if args.decon_cosine is not None and not (args.embeddings and args.eval_embeddings):
+        parser.error("--decon-cosine needs --embeddings and --eval-embeddings")
+    doc_emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+    eval_emb = spark.read.parquet(args.eval_embeddings) if args.eval_embeddings else None
     if args.audit:
         # ONE traced run feeds both reports via the operators' own
         # trace-folding helpers (curate.audit_rows_from_trace /
@@ -195,6 +213,7 @@ def run_curate(argv: list[str]) -> None:
         trace: list = []
         curate(docs, args.id_col, args.text_col, cfg,
                lm_corpus=lm_corpus, against_corpus=against,
+               doc_embeddings=doc_emb, eval_embeddings=eval_emb,
                stage_dir=args.stage_dir, _trace=trace)
         for i, stage, n_in, n_out, dropped in audit_rows_from_trace(docs, trace):
             print(f"audit {i} {stage}: {n_in} -> {n_out} (-{dropped})")
@@ -208,6 +227,7 @@ def run_curate(argv: list[str]) -> None:
     kept = curate(
         docs, args.id_col, args.text_col, cfg,
         lm_corpus=lm_corpus, against_corpus=against,
+        doc_embeddings=doc_emb, eval_embeddings=eval_emb,
         stage_dir=args.stage_dir,
     ).persist()
     try:

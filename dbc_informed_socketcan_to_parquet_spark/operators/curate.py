@@ -163,6 +163,19 @@ class CurateConfig:
     # already materialized; ties → min id).  The right rule when
     # re-crawls improve pages.
     survivor: str = "min_id"
+    # embedding-space eval decontamination (r10, similarity.
+    # semantic_contamination): drop docs whose embedding's cosine
+    # against ANY eval-set embedding reaches this threshold — the
+    # paraphrase/translation leakage the shingle gates can't see.
+    # Needs curate(doc_embeddings=, eval_embeddings=).  None = off.
+    decon_cosine: float | None = None
+    # "exact" = broadcast certification mode (recall 1.0, the default —
+    # eval sets are benchmark-sized); "ivf" = probe mode for corpora
+    # where even one broadcast-NLJ corpus pass is too hot
+    decon_mode: str = "exact"
+    # id column of the embedding tables when it differs from the doc
+    # table's id_col (e.g. vec_id); None = same name
+    decon_id_col: str | None = None
 
 
 def _stage_complete(path: str) -> bool:
@@ -209,6 +222,8 @@ def curate(
     classifier_weights: DataFrame | None = None,
     lm_corpus: DataFrame | None = None,
     against_corpus: DataFrame | None = None,
+    doc_embeddings: DataFrame | None = None,
+    eval_embeddings: DataFrame | None = None,
     stage_dir: str | None = None,
     _trace: list | None = None,
 ) -> DataFrame:
@@ -527,6 +542,37 @@ def curate(
 
         out = _mark("perplexity", _build_perplexity)
 
+    if config.decon_cosine is not None:
+        # embedding-space eval decontamination: contaminated ids come
+        # from semantic_contamination over the doc-embedding table (one
+        # row per contaminated doc), then the standard id anti-join —
+        # text never joins embeddings, and the eval side broadcasts in
+        # both modes.  Runs after the text gates (they shrink nothing
+        # here — the embedding table is keyed by id) and before dedup so
+        # leaked docs never seed a cluster representative.
+        if doc_embeddings is None or eval_embeddings is None:
+            raise ValueError(
+                "decon_cosine set but doc_embeddings/eval_embeddings not "
+                "provided (the embedding tables the gate scores over)")
+
+        def _build_decon(out=out):
+            from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+                semantic_contamination,
+            )
+
+            emb_id = config.decon_id_col or id_col
+            d_emb = (doc_embeddings.withColumnRenamed(emb_id, id_col)
+                     if emb_id != id_col else doc_embeddings)
+            e_emb = (eval_embeddings.withColumnRenamed(emb_id, id_col)
+                     if emb_id != id_col else eval_embeddings)
+            hits = semantic_contamination(
+                d_emb, e_emb, id_col=id_col,
+                threshold=config.decon_cosine, mode=config.decon_mode,
+            ).select(id_col)
+            return out.join(hits, id_col, "left_anti")
+
+        out = _mark("decontaminate", _build_decon)
+
     out = _mark("exact_dup", lambda out=out: exact_dedup(out, id_col, text_col))
 
     if against_corpus is not None:
@@ -620,6 +666,8 @@ def curate_audit(
     classifier_weights: DataFrame | None = None,
     lm_corpus: DataFrame | None = None,
     against_corpus: DataFrame | None = None,
+    doc_embeddings: DataFrame | None = None,
+    eval_embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Per-stage drop funnel for a :func:`curate` run — the "where did my
     corpus go" report every production curation batch ships with.
@@ -645,7 +693,9 @@ def curate_audit(
     curate(
         docs, id_col, text_col, config,
         classifier_weights=classifier_weights, lm_corpus=lm_corpus,
-        against_corpus=against_corpus, _trace=trace,
+        against_corpus=against_corpus,
+        doc_embeddings=doc_embeddings, eval_embeddings=eval_embeddings,
+        _trace=trace,
     )
     return docs.sparkSession.createDataFrame(
         audit_rows_from_trace(docs, trace),
@@ -700,6 +750,8 @@ def curate_dropped(
     classifier_weights: DataFrame | None = None,
     lm_corpus: DataFrame | None = None,
     against_corpus: DataFrame | None = None,
+    doc_embeddings: DataFrame | None = None,
+    eval_embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Row-level drop lineage — the per-document complement of
     :func:`curate_audit`: one ``(id_col, dropped_at)`` row for every
@@ -717,7 +769,9 @@ def curate_dropped(
     curate(
         docs, id_col, text_col, config,
         classifier_weights=classifier_weights, lm_corpus=lm_corpus,
-        against_corpus=against_corpus, _trace=trace,
+        against_corpus=against_corpus,
+        doc_embeddings=doc_embeddings, eval_embeddings=eval_embeddings,
+        _trace=trace,
     )
     return dropped_from_trace(docs, id_col, trace)
 

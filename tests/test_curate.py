@@ -826,3 +826,44 @@ def test_curate_stage_dir_config_mismatch_refuses(spark, tmp_path):
     with pytest.raises(ValueError, match="different curate configuration"):
         curate(docs, config=CurateConfig(min_chars=64, min_quality=0.3),
                stage_dir=stage_dir)
+
+
+def test_curate_decontamination_gate(spark):
+    """Embedding-space decontamination in curate (r10): a doc whose
+    embedding near-matches an eval-set embedding (a paraphrased
+    benchmark question — no shared shingles) drops at the
+    'decontaminate' stage; the funnel and lineage report it."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        curate_audit,
+        curate_dropped,
+    )
+
+    import pytest
+
+    a = ("the quick brown fox jumps over the lazy dog and keeps running "
+         "through the quiet green field while the sun is high in the sky")
+    b = ("an entirely different essay describing distributed query engines "
+         "and the shuffle strategies they use for terabyte scale joins")
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    doc_emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    eval_emb = spark.createDataFrame(
+        [(900, [0.99, 0.1, 0.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    cfg = CurateConfig(min_chars=32, min_quality=0.0, decon_cosine=0.9)
+    kept = curate(docs, config=cfg,
+                  doc_embeddings=doc_emb, eval_embeddings=eval_emb)
+    assert [r.doc_id for r in kept.collect()] == [2]
+    funnel = {r.stage: r.dropped for r in curate_audit(
+        docs, config=cfg,
+        doc_embeddings=doc_emb, eval_embeddings=eval_emb).collect()}
+    assert funnel["decontaminate"] == 1
+    lineage = {r.doc_id: r.dropped_at for r in curate_dropped(
+        docs, config=cfg,
+        doc_embeddings=doc_emb, eval_embeddings=eval_emb).collect()}
+    assert lineage == {1: "decontaminate"}
+    # fail fast without the embedding tables
+    with pytest.raises(ValueError, match="doc_embeddings"):
+        curate(docs, config=cfg)
