@@ -867,3 +867,27 @@ def test_curate_decontamination_gate(spark):
     # fail fast without the embedding tables
     with pytest.raises(ValueError, match="doc_embeddings"):
         curate(docs, config=cfg)
+
+
+def test_curate_stage_dir_partial_write_is_overwritten(spark, tmp_path):
+    """A boundary dir WITHOUT the _SUCCESS marker (a run killed mid-write)
+    is not resumed from — the stage recomputes and overwrites it."""
+    import os
+
+    docs = _staged_fixture_docs(spark)
+    cfg = CurateConfig(min_chars=32, min_quality=0.3, jaccard_threshold=0.5)
+    stage_dir = str(tmp_path / "stages")
+    truth = sorted(map(tuple, curate(docs, config=cfg).collect()))
+    curate(docs, config=cfg, stage_dir=stage_dir)
+    # simulate a mid-write kill on the exact_dup boundary: drop _SUCCESS
+    # and corrupt the contents
+    target = next(d for d in os.listdir(stage_dir) if d.endswith("exact_dup"))
+    tdir = os.path.join(stage_dir, target)
+    os.remove(os.path.join(tdir, "_SUCCESS"))
+    for f in os.listdir(tdir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(tdir, f), "wb") as fh:
+                fh.write(b"garbage")
+    kept = curate(docs, config=cfg, stage_dir=stage_dir)
+    assert sorted(map(tuple, kept.collect())) == truth
+    assert os.path.exists(os.path.join(tdir, "_SUCCESS"))

@@ -470,3 +470,43 @@ def test_streaming_near_against_matches_batch_operator(spark, tmp_path):
     )
     assert sorted(r.doc_id for r in got.collect()) == \
         sorted(r.doc_id for r in expected.collect())
+
+
+def test_streaming_against_gates_add_no_state(spark, tmp_path):
+    """The vs-history gates must stay STATELESS: with both enabled, the
+    drained query's progress reports exactly the one stateful operator
+    the watermarked exact dedup owns — the stream-static joins and the
+    row-local signature add none."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_write,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        run_streaming_curate,
+    )
+
+    hist = spark.createDataFrame([(100, GOOD_A)], "doc_id long, text string")
+    hist_path = str(tmp_path / "history.parquet")
+    hist.write.parquet(hist_path)
+    sig_store = str(tmp_path / "sigs")
+    minhash_write(
+        minhash_signatures(hist, "doc_id", "text", num_perms=16, shingle_n=5),
+        sig_store, num_perms=16, shingle_n=5,
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+    _write_batch(land, "b0.jsonl", [_doc(1, GOOD_B)])
+    queries = run_streaming_curate(
+        spark, str(land), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        min_chars=32, min_quality=0.0, watermark="1 hour",
+        available_now=True,
+        against_path=hist_path, against_sigs_path=sig_store,
+    )
+    for q in queries:
+        q.awaitTermination()
+    ops = [p["stateOperators"] for p in queries[0].recentProgress
+           if p.get("stateOperators")]
+    flat = [o for batch in ops for o in batch]
+    assert flat, "expected the dedup state operator to report"
+    names = {o.get("operatorName") for o in flat}
+    assert names == {"dedupeWithinWatermark"}, names
