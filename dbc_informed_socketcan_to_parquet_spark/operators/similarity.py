@@ -1437,6 +1437,31 @@ def embedding_drift(
 
 # -- eval-set contamination in embedding space -------------------------------
 
+def _best_eval_match(hits: DataFrame, id_col: str) -> DataFrame:
+    """Best eval match per corpus doc from a ``(id_col, _eid, _cos)`` hits
+    table: max cosine, ties toward the smallest eval id (the
+    ``fuzzy_contamination`` report contract).  A ``row_number`` window
+    rather than a struct-max so the tie-break holds for ANY orderable id
+    type — the previous ``max(struct(_cos, -_eid))`` form cast string ids
+    to double and crashed mid-run (CAST_INVALID_INPUT) on non-numeric
+    eval ids.  The window hash-partitions on ``id_col``, the same shuffle
+    key the struct-max aggregation used, and ``hits`` is already
+    threshold-filtered so the sorted partitions are contamination-sized,
+    not corpus-sized."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col("_eid").asc()
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_eid").alias("eval_id"),
+            F.col("_cos").alias("cosine"),
+        )
+    )
+
+
 def semantic_contamination(
     corpus: DataFrame,
     eval_df: DataFrame,
@@ -1531,16 +1556,7 @@ def semantic_contamination(
         # clusters with identical cosine; collapse before the best-match
         # aggregation so multiplicity never affects the max
         hits = hits.dropDuplicates([id_col, "_eid"])
-    # max cosine per corpus doc, ties toward the smallest eval id — one
-    # struct-max aggregation (the fuzzy_contamination report contract)
-    best = hits.groupBy(id_col).agg(
-        F.max(F.struct(F.col("_cos"), (-F.col("_eid")).alias("_neg"))).alias("_m")
-    )
-    return best.select(
-        F.col(id_col),
-        (-F.col("_m._neg")).alias("eval_id"),
-        F.col("_m._cos").alias("cosine"),
-    )
+    return _best_eval_match(hits, id_col)
 
 
 def semantic_contamination_indexed(
@@ -1602,11 +1618,4 @@ def semantic_contamination_indexed(
     )
     if nprobe > 1:
         hits = hits.dropDuplicates([id_col, "_eid"])
-    best = hits.groupBy(id_col).agg(
-        F.max(F.struct(F.col("_cos"), (-F.col("_eid")).alias("_neg"))).alias("_m")
-    )
-    return best.select(
-        F.col(id_col),
-        (-F.col("_m._neg")).alias("eval_id"),
-        F.col("_m._cos").alias("cosine"),
-    )
+    return _best_eval_match(hits, id_col)

@@ -2036,12 +2036,13 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking end-to-end.  The exact certification mode (broadcast
     nested-loop, recall 1.0) is pytest-pinned as a superset.
 
-    k pinned to 8 for the oracle replay: the expr assignment embeds
-    k·dim literal nodes and k=16 showed 20–67 s of NON-DETERMINISTIC
-    codegen-compile cost per cold plan at this dim (measured r10; k=8 is
-    a stable ~5 s).  Production at real k uses assign_kernel="pandas"
-    (no literal trees) or the persisted index
-    (semantic_contamination_indexed)."""
+    This registry lane exercises assign_kernel="pandas" (r11): the
+    numpy-matmul Arrow kernel, value-identical to the expr kernel by the
+    parity pin in test_corpus_ops.py.  The expr kernel embeds k·dim
+    literal expression nodes and its codegen compile was the slowest,
+    least deterministic entry in BENCH_r10 (10.3 s at k=8; 20–67 s at
+    k=16) — that lane remains available for literal-only plans but the
+    driver-visible path is the scale kernel, same as production."""
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
         semantic_contamination,
     )
@@ -2051,7 +2052,7 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_contamination(
         emb, eval_df, id_col="vec_id", vec_col="embedding",
         threshold=0.4, mode="ivf", num_clusters=8, n_iters=2, nprobe=4,
-        dim=64, round_to=6,
+        dim=64, round_to=6, assign_kernel="pandas",
     )
 
 

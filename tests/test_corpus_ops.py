@@ -1959,6 +1959,48 @@ def test_semantic_contamination_best_match_tiebreak(spark):
     assert [(r.doc_id, r.eval_id, r.cosine) for r in got] == [(9, 3, 1.0)]
 
 
+def test_semantic_contamination_string_ids(spark, tmp_path):
+    """String doc/eval ids must work end-to-end (r11, ADVICE): the old
+    struct-max tie-break negated the eval id (numeric-only) and crashed
+    with CAST_INVALID_INPUT on string ids; the row_number ranking holds
+    the same contract — max cosine, ties to the smallest (lexicographic)
+    eval id — for any orderable id type.  Covers exact mode, IVF mode,
+    and the persisted-index variant."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+        semantic_contamination,
+        semantic_contamination_indexed,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [("doc-a", v), ("doc-b", [0.0, 1.0, 0.0, 0.0])],
+        "doc_id string, embedding array<double>",
+    )
+    eval_df = spark.createDataFrame(
+        [("ev-z", v), ("ev-b", v), ("ev-q", [0.9, 0.1, 0.0, 0.0])],
+        "doc_id string, embedding array<double>",
+    )
+    got = semantic_contamination(
+        corpus, eval_df, threshold=0.5, round_to=6
+    ).collect()
+    assert [(r.doc_id, r.eval_id, r.cosine) for r in got] == [("doc-a", "ev-b", 1.0)]
+
+    ivf = semantic_contamination(
+        corpus, eval_df, threshold=0.5, mode="ivf",
+        num_clusters=2, n_iters=1, nprobe=2, dim=4, round_to=6,
+    ).collect()
+    assert [(r.doc_id, r.eval_id, r.cosine) for r in ivf] == [("doc-a", "ev-b", 1.0)]
+
+    idx = str(tmp_path / "ivf_str")
+    ivf_index_write(corpus, idx, id_col="doc_id", dim=4, num_clusters=2, n_iters=1)
+    indexed = semantic_contamination_indexed(
+        spark, idx, eval_df, threshold=0.5, nprobe=2, id_col="doc_id", round_to=6
+    ).collect()
+    assert [(r.doc_id, r.eval_id, r.cosine)
+            for r in indexed] == [("doc-a", "ev-b", 1.0)]
+
+
 def test_semantic_contamination_indexed_matches_exact_at_full_probe(spark, tmp_path):
     """Persisted-index contamination (r10): at nprobe == num_clusters the
     probe set covers the whole index, so the result equals exact mode;
