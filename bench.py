@@ -29,12 +29,21 @@ from dbc_informed_socketcan_to_parquet_spark.session import get_spark  # noqa: E
 _CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
 _LOAD_LIMIT = _CPUS * 1.5
 #: md5/regex-bound queries that absorbed every prior noise event.
+#: r11 adds minhash_star_edges_fast: BENCH_r10's only fast-path
+#: regressions (1.25-1.30x) sat exactly on the entries outside the
+#: min-of-5 family, so the whole shingle/hash-bound fast path now gets
+#: the same 5-rep treatment.
 _NOISY = {"simhash_signatures", "minhash_lsh_pairs", "text_stats",
-          "simhash_signatures_fast", "minhash_lsh_pairs_fast"}
+          "simhash_signatures_fast", "minhash_lsh_pairs_fast",
+          "minhash_star_edges_fast"}
 #: accumulated per-pass loadavg samples + count of load-gated retries,
 #: summarized into the artifact's "load" field.
 _LOAD_SAMPLES: list[float] = []
 _LOAD_RETRIES = [0]
+#: decode-throughput passes record their own loadavg stream (r11) so the
+#: fps figure carries its own contention evidence in the artifact.
+_DECODE_LOAD_SAMPLES: list[float] = []
+_DECODE_LOAD_RETRIES = [0]
 
 
 def _min_of(spark, mk, reps: int, max_retries: int = 2) -> float:
@@ -133,12 +142,22 @@ def main() -> None:
         # corpus additions min-of-2; decode throughput is median-of-5
         # after a JIT warm pass; every pass records loadavg and passes
         # started under external load (>1.5x our local[N]) are re-run
-        "methodology": ("headline=min3-cold (md5-family min5), fast_path=min3-cold, "
-                        "corpus=min2-cold, decode=median5-warm, load-gated-retry"),
+        "methodology": ("headline=min3-cold (md5-family min5), "
+                        "fast_path=min3-cold (hash-bound min5), "
+                        "corpus=min2-cold, decode=median5-warm, "
+                        "load-gated-retry on every timed pass incl. decode"),
         "load": _load_summary(start_load),
         "queries": timings,
         "sf": sf,
         "decode_frames_per_sec": fps,
+        "decode_load": {
+            "pass_max_1m": round(max(_DECODE_LOAD_SAMPLES), 2)
+            if _DECODE_LOAD_SAMPLES else None,
+            "pass_mean_1m": round(
+                sum(_DECODE_LOAD_SAMPLES) / len(_DECODE_LOAD_SAMPLES), 2)
+            if _DECODE_LOAD_SAMPLES else None,
+            "gated_retries": _DECODE_LOAD_RETRIES[0],
+        },
         # xxhash64 production path for the hash-bound corpus operators —
         # same plans as the md5 (oracle-parity) headline entries above,
         # reported separately so `value` stays comparable across rounds
@@ -274,9 +293,20 @@ def _decode_throughput(spark, n_frames: int = 1_000_000) -> int:
 
         run()  # JIT warm pass — steady-state throughput is the figure of merit
         # median of 5 timed passes: this host shows ±2× run-to-run noise,
-        # and recorded medians-of-3 still swung 177k-423k f/s across rounds
+        # and recorded medians-of-3 still swung 177k-423k f/s across rounds.
+        # r11: decode passes are load-gated like _min_of (the r10 fps drop
+        # 239k->162k landed in the one section without gating) and the
+        # decode section reports its own load field.
         samples = []
-        for _ in range(5):
+        retries = 0
+        while len(samples) < 5:
+            load1 = os.getloadavg()[0]
+            _DECODE_LOAD_SAMPLES.append(load1)
+            if load1 > _LOAD_LIMIT and retries < 4:
+                retries += 1
+                _DECODE_LOAD_RETRIES[0] += 1
+                time.sleep(3.0)
+                continue
             t0 = time.perf_counter()
             run()
             samples.append(time.perf_counter() - t0)

@@ -396,9 +396,13 @@ def run_stream_curate(argv: list[str]) -> None:
             import time as _time
 
             prev = None
-            for _ in range(50):
+            for _i in range(50):
                 snap = dict(listener.totals)
-                if snap and snap == prev:
+                # break on ANY stable snapshot (r11, ADVICE): an empty
+                # landing dir legitimately observes no metrics, and the
+                # old `snap and` guard made it sleep the full 5 s before
+                # reporting an empty funnel
+                if prev is not None and snap == prev and (snap or _i >= 4):
                     break
                 prev = snap
                 _time.sleep(0.1)

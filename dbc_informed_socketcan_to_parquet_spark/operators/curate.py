@@ -263,16 +263,35 @@ def curate(
     loaded, and — because every stage is built behind a thunk — their
     construction-time driver work (Bloom builds, CC edge collects,
     percentile fits) is skipped too.  A ``manifest.json`` fingerprint
-    of (config, id_col, text_col) refuses resume under a different
-    pipeline configuration; the INPUT is not fingerprinted — resume
-    assumes the same ``docs`` (at cluster scale: the same immutable
-    input table).  This is the programmatic form of the stage-boundary
-    table writes the module docstring prescribes."""
+    of (config, id_col, text_col) PLUS the side-input identities (r11:
+    the backing file lists of ``against_corpus`` / ``lm_corpus`` /
+    ``doc_embeddings`` / ``eval_embeddings`` / ``classifier_weights``
+    via ``DataFrame.inputFiles()`` — a metadata-only call) refuses
+    resume under a different pipeline configuration OR after a side
+    input changed on disk (a new benchmark release, an updated history
+    table): stale decontaminate/against boundaries must recompute, not
+    silently reload.  A side input not backed by files (an in-memory
+    frame) contributes only a presence marker — callers of that shape
+    must also keep its CONTENT fixed across resumes.  The main ``docs``
+    input is still not fingerprinted — resume assumes the same
+    immutable input table.  This is the programmatic form of the
+    stage-boundary table writes the module docstring prescribes."""
     if stage_dir is not None:
         import hashlib
 
+        def _side_id(df: DataFrame | None) -> tuple | None:
+            if df is None:
+                return None
+            try:
+                return tuple(sorted(df.inputFiles()))
+            except Exception:
+                return ("<unlisted>",)
+
         _check_stage_manifest(stage_dir, hashlib.sha256(
-            repr((config, id_col, text_col)).encode()
+            repr((config, id_col, text_col,
+                  _side_id(against_corpus), _side_id(lm_corpus),
+                  _side_id(doc_embeddings), _side_id(eval_embeddings),
+                  _side_id(classifier_weights))).encode()
         ).hexdigest())
 
     _stage_no = [0]

@@ -24,9 +24,13 @@ Shape::
 
 ``ingest`` + ``out`` are required; ``curate``/``report``/``split``/
 ``export`` are each optional (omit = stage off).  ``curate`` keys are
-``CurateConfig`` fields plus ``against`` (historical corpus parquet for
-the exact incremental gate) and ``lm_corpus`` (LM training reference);
-unknown keys fail fast BEFORE any compute.  With ``leakage_safe`` the
+``CurateConfig`` fields plus the side-input paths ``against``
+(historical corpus parquet for the exact incremental gate),
+``lm_corpus`` (LM training reference), and — r11, for the
+embedding-space decontamination gate — ``embeddings`` /
+``eval_embeddings`` (doc- and eval-set embedding parquet; required
+together with ``decon_cosine``, rejected without it); unknown keys fail
+fast BEFORE any compute.  With ``leakage_safe`` the
 split keys on the near-dup cluster representative (members of a dup
 cluster land in the same split); splits are written as a ``split``
 column on the curated output.  ``export`` defaults ``token_col`` to a
@@ -148,10 +152,24 @@ def validate_recipe(recipe: dict) -> None:
     if "path" not in ing:
         raise ValueError("ingest requires a path")
     cfg_fields = {f.name for f in dataclasses.fields(CurateConfig)}
-    extra_keys = {"against", "lm_corpus"}
-    unknown = set(recipe.get("curate", {})) - cfg_fields - extra_keys
+    extra_keys = {"against", "lm_corpus", "embeddings", "eval_embeddings"}
+    cur = recipe.get("curate", {})
+    unknown = set(cur) - cfg_fields - extra_keys
     if unknown:
         raise ValueError(f"unknown curate keys: {sorted(unknown)}")
+    # embedding-space decontamination (r11): the gate needs BOTH side
+    # inputs, and side inputs without the gate are a dead key — either
+    # way the recipe is wrong and must die here, not at stage 7
+    if cur.get("decon_cosine") is not None:
+        missing = [k for k in ("embeddings", "eval_embeddings") if not cur.get(k)]
+        if missing:
+            raise ValueError(
+                f"curate.decon_cosine needs {missing} (parquet paths of the "
+                f"doc and eval embedding tables)")
+    elif cur.get("embeddings") or cur.get("eval_embeddings"):
+        raise ValueError(
+            "curate.embeddings/eval_embeddings are only read by the "
+            "decontamination gate — set decon_cosine or drop them")
     if "split" in recipe and "fractions" not in recipe["split"]:
         raise ValueError("split requires fractions")
     fert = recipe.get("report", {}).get("fertility")
@@ -253,9 +271,12 @@ def _run_streaming_recipe(spark: SparkSession, recipe: dict) -> dict:
             # the listener bus delivers progress asynchronously — wait
             # for the totals to settle before folding the funnel
             prev = None
-            for _ in range(50):
+            for _i in range(50):
                 snap = dict(listener.totals)
-                if snap and snap == prev:
+                # break on ANY stable snapshot (r11, ADVICE): an empty
+                # drain observes no metrics and must not sleep out the
+                # full settle window just to report an empty funnel
+                if prev is not None and snap == prev and (snap or _i >= 4):
                     break
                 prev = snap
                 time.sleep(0.1)
@@ -289,11 +310,26 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         return _run_streaming_recipe(spark, recipe)
     summary: dict = {}
     docs, info = _ingest(spark, recipe["ingest"])
+    # report.fertility groups on lang_col — a missing column must die
+    # HERE, on the ingest schema (which curate passes through), not as
+    # an AnalysisException after the full curate run has burned its
+    # hours (r11, ADVICE)
+    fert_spec = recipe.get("report", {}).get("fertility")
+    if fert_spec:
+        fert_lang = (fert_spec.get("lang_col", "lang")
+                     if isinstance(fert_spec, dict) else "lang")
+        if fert_lang not in docs.columns:
+            raise ValueError(
+                f"report.fertility groups on column {fert_lang!r}, which the "
+                f"ingest schema does not have (columns: {docs.columns}); set "
+                f"report.fertility.lang_col or fix the input")
     summary["ingest"] = {"n_docs": docs.count(), **info}
 
     cur = dict(recipe.get("curate", {}))
     against_path = cur.pop("against", None)
     lm_corpus_path = cur.pop("lm_corpus", None)
+    emb_path = cur.pop("embeddings", None)
+    eval_emb_path = cur.pop("eval_embeddings", None)
     # a WARC ingest hands over raw HTML — extraction defaults on there
     if recipe["ingest"].get("format") == "warc":
         cur.setdefault("html_extract", True)
@@ -307,6 +343,12 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         ),
         lm_corpus=(
             spark.read.parquet(lm_corpus_path) if lm_corpus_path else None
+        ),
+        doc_embeddings=(
+            spark.read.parquet(emb_path) if emb_path else None
+        ),
+        eval_embeddings=(
+            spark.read.parquet(eval_emb_path) if eval_emb_path else None
         ),
         _trace=trace,
     )

@@ -1688,7 +1688,10 @@ def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
+    # rotated to the EXTRA gate in r11 (with debounce) to free driver
+    # slots for semantic_contamination + tokenizer_fertility; still
+    # oracle-checked every pytest run via test_extra_registry.py
     "string_agg_ordered",
     oracle="""
     SELECT n_regionkey AS region,
@@ -1777,7 +1780,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
+    # rotated to the EXTRA gate in r11 (with string_agg_ordered) — see
+    # the rotation note on string_agg_ordered above
     "debounce",
     oracle=f"""
     WITH ordered AS (
@@ -2024,8 +2029,10 @@ def _semantic_contamination_oracle_sql(dim: int = 64, nplanes: int = 4,
     """
 
 
-@extra_query("semantic_contamination",
-             oracle=_semantic_contamination_oracle_sql(nplanes=3))
+@query("semantic_contamination",
+       # rotated INTO the driver 50 in r11 (r10 flagship; swapped with
+       # string_agg_ordered/debounce per the r10 rotation pattern)
+       oracle=_semantic_contamination_oracle_sql(nplanes=3))
 def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space eval-set contamination (r10): corpus vectors whose
     cosine against ANY of the 20 eval vectors is ≥ 0.4, found through the
@@ -3899,7 +3906,9 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
-@extra_query(
+@query(
+    # rotated INTO the driver 50 in r11 (r10 flagship) — see the note
+    # on semantic_contamination
     "tokenizer_fertility",
     oracle=r"""
     WITH base AS (

@@ -828,6 +828,48 @@ def test_curate_stage_dir_config_mismatch_refuses(spark, tmp_path):
                stage_dir=stage_dir)
 
 
+def test_curate_stage_dir_side_input_change_refuses(spark, tmp_path):
+    """The resume manifest fingerprints the SIDE INPUTS too (r11,
+    ADVICE): resuming a staged curate after the eval-embedding table
+    changed on disk (a new benchmark release) must be refused — a stale
+    decontaminate boundary silently reloaded would keep the old
+    contamination set."""
+    import pytest
+
+    a = ("the quick brown fox jumps over the lazy dog and keeps running "
+         "through the quiet green field while the sun is high in the sky")
+    docs = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "doc_id long, embedding array<double>"
+    ).write.parquet(emb)
+    ev1 = str(tmp_path / "eval_v1.parquet")
+    spark.createDataFrame(
+        [(900, [0.0, 0.0, 1.0, 0.0])], "doc_id long, embedding array<double>"
+    ).write.parquet(ev1)
+
+    cfg = CurateConfig(min_chars=32, min_quality=0.0, decon_cosine=0.9)
+    stage_dir = str(tmp_path / "stages")
+    curate(docs, config=cfg, stage_dir=stage_dir,
+           doc_embeddings=spark.read.parquet(emb),
+           eval_embeddings=spark.read.parquet(ev1))
+
+    # same config, same paths, same files -> resume accepted
+    curate(docs, config=cfg, stage_dir=stage_dir,
+           doc_embeddings=spark.read.parquet(emb),
+           eval_embeddings=spark.read.parquet(ev1))
+
+    # the benchmark ships a new release (extra file in the table) ->
+    # the fingerprint moves and resume is refused
+    spark.createDataFrame(
+        [(901, [1.0, 0.0, 0.0, 0.0])], "doc_id long, embedding array<double>"
+    ).write.mode("append").parquet(ev1)
+    with pytest.raises(ValueError, match="different curate configuration"):
+        curate(docs, config=cfg, stage_dir=stage_dir,
+               doc_embeddings=spark.read.parquet(emb),
+               eval_embeddings=spark.read.parquet(ev1))
+
+
 def test_curate_decontamination_gate(spark):
     """Embedding-space decontamination in curate (r10): a doc whose
     embedding near-matches an eval-set embedding (a paraphrased

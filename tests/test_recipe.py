@@ -273,3 +273,89 @@ def test_recipe_report_fertility(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown report.fertility keys"):
         validate_recipe({**recipe, "report": {"fertility": {"model": "x"}}})
+
+
+def test_recipe_fertility_lang_col_fails_fast(spark, tmp_path):
+    """report.fertility on a corpus without the lang column must die at
+    recipe start — on the ingest schema — not as an AnalysisException
+    after the full curate run (r11, ADVICE)."""
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "plain document with no language column at all")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": str(tmp_path / "curated.parquet"),
+        "report": {"fertility": True},
+    }
+    with pytest.raises(ValueError, match="fertility groups on column 'lang'"):
+        run_recipe(spark, recipe)
+    # nothing was written — the failure predates all compute
+    import os
+
+    assert not os.path.exists(recipe["out"])
+    # a custom lang_col that DOES exist passes the gate
+    recipe["report"] = {"fertility": {"lang_col": "doc_id"}}
+    # doc_id is not a language, but schema-wise the gate is satisfied
+    summary = run_recipe(spark, recipe)
+    assert summary["report"]["fertility"]["rows"] == 1
+
+
+def test_validate_recipe_decon_keys():
+    """Decontamination recipe surface (r11): decon_cosine without the
+    embedding side-inputs — or side-inputs without the gate — must die
+    at validation."""
+    base = {"ingest": {"path": "p"}, "out": "x"}
+    with pytest.raises(ValueError, match="decon_cosine needs"):
+        validate_recipe({**base, "curate": {"decon_cosine": 0.9}})
+    with pytest.raises(ValueError, match="decon_cosine needs.*eval_embeddings"):
+        validate_recipe({**base, "curate": {"decon_cosine": 0.9,
+                                            "embeddings": "e.parquet"}})
+    with pytest.raises(ValueError, match="only read by the"):
+        validate_recipe({**base, "curate": {"embeddings": "e.parquet",
+                                            "eval_embeddings": "v.parquet"}})
+    # the complete triple validates
+    validate_recipe({**base, "curate": {
+        "decon_cosine": 0.9, "embeddings": "e.parquet",
+        "eval_embeddings": "v.parquet"}})
+
+
+def test_recipe_decontamination_e2e(spark, tmp_path):
+    """The decontamination gate pinned FROM A RECIPE (r11, VERDICT item
+    2): a doc whose embedding near-matches an eval-set embedding (a
+    paraphrased benchmark question — no shared shingles) drops at the
+    'decontaminate' funnel stage of a recipe run; the clean doc
+    survives to the output."""
+    a = ("the quick brown fox jumps over the lazy dog and keeps running "
+         "through the quiet green field while the sun is high in the sky")
+    b = ("an entirely different essay describing distributed query engines "
+         "and the shuffle strategies they use for terabyte scale joins")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    ).write.parquet(src)
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    ).write.parquet(emb)
+    eval_emb = str(tmp_path / "eval_emb.parquet")
+    spark.createDataFrame(
+        [(900, [0.99, 0.1, 0.0, 0.0])], "doc_id long, embedding array<double>"
+    ).write.parquet(eval_emb)
+
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 32,
+                   "decon_cosine": 0.9, "embeddings": emb,
+                   "eval_embeddings": eval_emb},
+        "out": str(tmp_path / "curated.parquet"),
+        "audit": True,
+    }
+    summary = run_recipe(spark, recipe)
+    funnel = {f["stage"]: f["dropped"] for f in summary["audit"]}
+    assert funnel["decontaminate"] == 1
+    kept = spark.read.parquet(recipe["out"])
+    assert [r.doc_id for r in kept.collect()] == [2]
