@@ -1261,6 +1261,19 @@ def remove_hot_spans(
     (lowercased) content appears ≥ ``min_count`` times corpus-wide is cut
     from the document; the surviving tokens are re-joined in order.
 
+    This is EXACT, not approximate, for the Lee-et-al semantic "remove
+    every token inside a ≥ ``window_tokens``-token substring repeated
+    ≥ ``min_count`` times" (r11): the windows slide at STRIDE 1, and
+    (a) every ``w``-window of a repeated substring repeats with it, so
+    a length-L ≥ w repeat is covered end-to-end by repeated windows —
+    recall 1.0 at any alignment; (b) a repeated ``w``-window is itself
+    a ≥ w-token repeat — precision 1.0.  So the window-cover union
+    equals the suffix-array repeat cover without building one;
+    pinned against an independent brute-force all-substrings oracle in
+    tests/test_corpus_ops.py (test_remove_hot_spans_matches_exact_repeat_oracle
+    + a randomized sweep).  The suffix array buys the DETECTION of
+    longer-than-w maximal repeats in one pass, not better coverage.
+
     Two semantics:
 
     - ``keep_first=False`` (default, "scrub"): every occurrence of a hot

@@ -267,3 +267,58 @@ def test_report_cli_fertility(spark, tmp_path, capsys):
     assert "wrote fertility report" in printed
     fert = spark.read.parquet(f"{out}_fertility").collect()
     assert [r.lang for r in fert] == ["en"] and fert[0].n_words == 7
+
+
+def test_fertility_feeds_temperature_mix(spark):
+    """The fertility→mix capstone (r11, VERDICT item 8): per-language
+    fertility converts equal WORD budgets into unequal TOKEN budgets,
+    and temperature_mix's α-damping then keeps the low-fertility
+    language whole while downsampling the token-hungry one by exactly
+    sqrt(t_lo/t_hi) — the arithmetic a mix owner would do by hand,
+    pinned end-to-end through the composed operators (the registry
+    fertility_mix entry replays the same composition in DuckDB)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
+    from dbc_informed_socketcan_to_parquet_spark.operators.bpe import (
+        tokenizer_fertility,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    # equal word counts per doc (8 words); 'hi' text is punctuation-heavy
+    # so the BPE-ish proxy counts ~3 tokens per word, 'lo' exactly 1
+    lo_doc = "alpha beta gamma delta epsilon zeta eta theta"
+    hi_doc = "a-b! c-d! e-f! g-h! i-j! k-l! m-n! o-p!"
+    docs = spark.createDataFrame(
+        [(i, lo_doc, "lo") for i in range(40)]
+        + [(100 + i, hi_doc, "hi") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    fert = {r.lang: r for r in tokenizer_fertility(docs).collect()}
+    assert fert["lo"].tokens_per_word == 1.0
+    assert fert["hi"].tokens_per_word > 2.5  # punctuation-rich: ~3x
+
+    # the composition: word counts x fertility -> token budgets -> mix
+    fert_df = tokenizer_fertility(docs).select(
+        "lang", F.col("tokens_per_word").alias("_tpw"))
+    est = (
+        docs.select("doc_id", "lang",
+                    F.size(tokens(F.col("text"))).cast("long").alias("_n_w"))
+        .join(F.broadcast(fert_df), "lang")
+        .select("doc_id", "lang",
+                F.round(F.col("_n_w") * F.col("_tpw"), 0).cast("long")
+                .alias("est_tokens"))
+    )
+    mixed = temperature_mix(est, token_col="est_tokens", source_col="lang",
+                            alpha=0.5, id_col="doc_id", hash_fn="md5")
+    fracs = {r.lang: r.keep_frac for r in
+             mixed.select("lang", "keep_frac").distinct().collect()}
+    # lo anchors (smallest token total -> keep_frac 1.0); hi is damped to
+    # sqrt(t_lo/t_hi) by the alpha=0.5 algebra
+    assert fracs["lo"] == 1.0
+    expect_hi = math.sqrt((40 * 8 * 1.0) / (40 * round(8 * fert["hi"].tokens_per_word)))
+    assert abs(fracs["hi"] - expect_hi) < 1e-9

