@@ -65,7 +65,13 @@ def build_history(spark, sf_dir: str, work: str, overlap: bool) -> tuple[str, st
     lower = "abcdefghijklmnopqrstuvwxyz"
     upper = lower.upper()
     for i in range(N_COPIES):
-        shift = i if overlap else i + 1
+        # disjoint shifts live in 10..16: the sf1 fixture is ITSELF
+        # rotation-built from sf0.1 with shifts 0..9 (make_scaled_sf),
+        # so history shift h collides with batch copy j whenever
+        # h + j' = j (mod 26) for batch/history copy indices j, j' in
+        # 0..9 — only h in 10..16 keeps h+j' inside 10..25, disjoint
+        # from the batch's 0..9 band
+        shift = i if overlap else 10 + (i % 7)
         c = docs.select(
             (F.col("doc_id") + F.lit(i * KEY_OFFSET)).alias("doc_id"),
             (F.col("text") if shift % 26 == 0 else F.translate(
@@ -153,7 +159,13 @@ def main() -> None:
                                      "against_num_bands": 4}),
         ]
     for tag, gates in runs:
-        r = drain(spark, landing, work, tag, **gates)
+        # min of 2 fresh-checkpoint drains: the first drain after setup
+        # pays page-cache cold + codegen (measured 54.5s vs 13.2s for
+        # identical baseline drains) — min measures steady-state
+        r1 = drain(spark, landing, work, tag, **gates)
+        r2 = drain(spark, landing, work, tag, **gates)
+        r = min((r1, r2), key=lambda x: x["wall_sec"])
+        assert r1["n_out"] == r2["n_out"]
         r["n_in"] = n_in
         r["docs_per_sec"] = int(n_in / r["wall_sec"])
         print(json.dumps(r), flush=True)
