@@ -1368,6 +1368,100 @@ def remove_hot_spans(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+    min_count: int = 2,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """REPORT the maximal duplicated spans (r11) — the analysis
+    complement to :func:`remove_hot_spans`' removal: one row per maximal
+    run of tokens covered by ``window_tokens``-token sliding windows
+    whose (lowercased) content appears ≥ ``min_count`` times
+    corpus-wide.  This is what a suffix array's maximal-repeat
+    enumeration reports (Lee et al. §4), recovered from the same
+    stride-1 window machinery whose cover-exactness is pinned in
+    tests/test_corpus_ops.py: merging overlapping duplicated windows
+    per doc yields exactly the maximal ≥ w-token repeated regions.
+
+    Output: ``(id_col, span_start, span_end, span_tokens)`` — 1-based
+    inclusive token positions, ``span_tokens = span_end - span_start +
+    1`` ≥ ``window_tokens``; docs with no duplicated window produce no
+    rows.  Feed the spans to an allowlist review, or diff them across
+    corpus versions to watch boilerplate creep.
+
+    Scale: same spine as removal — window hashes explode off the token
+    array (narrow), ONE count aggregation (map-side partials), the hot
+    set broadcast-joins back, and the span merge is a per-doc
+    gaps-and-islands window over HOT starts only (rare by construction;
+    the shuffle key is ``id_col``, the rows are hot starts, never all
+    windows)."""
+    w = int(window_tokens)
+    if w < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    base = fan_out(df).select(
+        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n")
+    )
+    starts = F.sequence(F.lit(1), F.col("_n") - F.lit(w - 1))
+    wins = (
+        base.filter(F.col("_n") >= w)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        hash_fn(
+                            F.lower(F.array_join(F.slice(F.col("_tk"), i, w), " "))
+                        ).alias("wh"),
+                    ),
+                )
+            ).alias("_x"),
+        )
+        .select(F.col(id_col), F.col("_x.s").alias("_s"), F.col("_x.wh").alias("_wh"))
+    )
+    hot = (
+        wins.groupBy("_wh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= F.lit(min_count))
+        .select("_wh")
+    )
+    hot_starts = wins.join(F.broadcast(hot), "_wh").select(F.col(id_col), F.col("_s"))
+    # gaps-and-islands: a new island begins where this start lies beyond
+    # the furthest end covered so far (+1: adjacent coverage chains)
+    ordered = Window.partitionBy(id_col).orderBy("_s")
+    prev_max_end = F.max(F.col("_s") + F.lit(w - 1)).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hot_starts.withColumn(
+        "_new", (prev_max_end.isNull() | (F.col("_s") > prev_max_end + F.lit(1)))
+        .cast("int"),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy(id_col, "_isl")
+        .agg(
+            F.min("_s").cast("long").alias("span_start"),
+            (F.max("_s") + F.lit(w - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col(id_col), "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def fuzzy_contamination(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -2734,6 +2734,62 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_hot_spans(docs, window_tokens=20, min_count=3)
 
 
+@extra_query(
+    "duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t != '') AS tk
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS s, {md5_long_sql('w')} AS wh
+      FROM (
+        SELECT doc_id, i, lower(array_to_string(list_slice(tk, i, i + 19), ' ')) AS w
+        FROM toks, unnest(range(1, len(tk) - 18)) AS t(i)
+        WHERE len(tk) >= 20
+      )
+    ),
+    hot AS (
+      SELECT wh FROM (SELECT wh, count(*) AS c FROM wins GROUP BY 1) WHERE c >= 2
+    ),
+    hs AS (SELECT w.doc_id, w.s FROM wins w JOIN hot h USING (wh)),
+    flagged AS (
+      SELECT doc_id, s,
+             CASE WHEN max(s + 19) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR s > max(s + 19) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hs
+    ),
+    isl AS (
+      SELECT doc_id, s,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(s) + 19 AS BIGINT) AS span_end,
+           CAST(max(s) + 19 - min(s) + 1 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span REPORT (r11, operators/dedup
+    .duplicate_spans): the suffix-array maximal-repeat enumeration
+    recovered from the stride-1 window machinery — per doc, the merged
+    runs of tokens covered by 20-token windows repeated >= 2 times
+    corpus-wide, as 1-based inclusive (span_start, span_end,
+    span_tokens) rows.  Oracle replays window hashing, the hot-set
+    count, and the gaps-and-islands merge end-to-end."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, window_tokens=20, min_count=2)
+
+
 _DSIR_B = 1 << 12
 
 

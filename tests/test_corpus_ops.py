@@ -956,6 +956,52 @@ def test_remove_hot_spans_overlapping_windows_merge(spark):
         assert out[d].removed_tokens == 5
 
 
+def test_duplicate_spans_reports_maximal_repeats(spark):
+    """duplicate_spans (r11): maximal duplicated regions reported with
+    1-based inclusive token spans — unaligned cross-doc repeats merge
+    into ONE maximal span per doc; adjacent-but-distinct repeats chain;
+    docs without a duplicated window produce no rows."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    rep = "r1 r2 r3 r4 r5 r6"  # 6-token repeat, windows w=4 slide inside it
+    docs = spark.createDataFrame(
+        [(1, f"a1 a2 {rep} z1 z2"),          # repeat at tokens 3..8
+         (2, f"b1 {rep} c1 c2 {rep}"),       # twice in one doc: 2..7, 10..15
+         (3, "unique words only here today none repeated at all")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_spans(docs, window_tokens=4, min_count=2).collect()
+    )
+    assert got == [(1, 3, 8, 6), (2, 2, 7, 6), (2, 10, 15, 6)]
+
+
+def test_duplicate_spans_consistent_with_removal(spark):
+    """The spans duplicate_spans reports are exactly the tokens
+    remove_hot_spans cuts (same windows, same hot set): sum of
+    span_tokens per doc == removed_tokens per doc."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        duplicate_spans,
+        remove_hot_spans,
+    )
+
+    tmpl = "t1 t2 t3 t4 t5 t6 t7"
+    docs = spark.createDataFrame(
+        [(d, f"u{d}a u{d}b {tmpl} w{d}a {tmpl} w{d}b") for d in range(4)],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, window_tokens=5, min_count=3)
+    by_doc = {r.doc_id: r.total for r in spans.groupBy("doc_id")
+              .agg(F.sum("span_tokens").alias("total")).collect()}
+    removed = {r.doc_id: r.removed_tokens for r in remove_hot_spans(
+        docs, window_tokens=5, min_count=3).collect()}
+    for d in range(4):
+        assert by_doc.get(d, 0) == removed[d] > 0
+
+
 def _exact_repeat_cover(token_docs, w, min_count):
     """Independent brute-force oracle for Lee-et-al exact-substring
     dedup: the set of (doc, 1-based token position) covered by ANY
