@@ -1626,6 +1626,77 @@ def corpus_diff(
     return out
 
 
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """Pairwise CONTENT overlap between corpus sources (r11) — the
+    "which of my N ingest streams duplicate each other" report that
+    sets cross-source dedup priorities before any pairwise dedup run:
+    for every source pair, the number of distinct (lowercased) word
+    ``shingle_n``-grams they share and the shingle-level Jaccard.
+
+    Output: ``(source_a, source_b, n_a, n_b, n_shared, jaccard)`` with
+    ``source_a < source_b`` — one row per pair that shares at least one
+    shingle; ``n_a``/``n_b`` are each side's distinct-shingle counts.
+
+    Scale: the corpus projects to DISTINCT (source, shingle-hash) rows
+    — text never shuffles, and per-source shingle sets dedup map-side.
+    The pair counts come from ONE equality self-join on the shingle
+    hash (candidates only meet on a shared shingle, never a cartesian);
+    a shingle present in k sources fans out to k(k-1)/2 pair rows,
+    bounded by the SOURCE cardinality (dozens), not the corpus.  The
+    per-source sizes are a driver-sized table, broadcast twice.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    starts = F.sequence(F.lit(1), F.col("_n") - F.lit(shingle_n - 1))
+    sh = (
+        fan_out(df)
+        .select(F.col(group_col).alias("_src"), toks.alias("_tk"),
+                F.size(toks).alias("_n"))
+        .filter(F.col("_n") >= shingle_n)
+        .select(
+            "_src",
+            F.explode(
+                F.transform(starts, lambda i: F.array_join(
+                    F.slice(F.col("_tk"), i, shingle_n), " "))
+            ).alias("_g"),
+        )
+        .select("_src", hash_fn(F.col("_g")).alias("_gh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col("_src").alias("source_a"), "_gh")
+    b = sh.select(F.col("_src").alias("source_b"), "_gh")
+    pairs = (
+        a.join(b, "_gh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs
+        .join(F.broadcast(sizes.select(F.col("_src").alias("source_a"),
+                                       F.col("_sz").alias("n_a"))), "source_a")
+        .join(F.broadcast(sizes.select(F.col("_src").alias("source_b"),
+                                       F.col("_sz").alias("n_b"))), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("n_a").cast("long"), F.col("n_b").cast("long"),
+            F.col("n_shared").cast("long"),
+            F.round(F.col("n_shared")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6)
+            .alias("jaccard"),
+        )
+    )
+
+
 def keep_canonical_by(
     docs: DataFrame,
     clusters: DataFrame,

@@ -2735,6 +2735,50 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @extra_query(
+    "source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> t != '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, {md5_long_sql('g')} AS gh
+      FROM (
+        SELECT source, array_to_string(list_slice(tk, i, i + 2), ' ') AS g
+        FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)
+        WHERE len(tk) >= 3
+      )
+    ),
+    sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(sa.sz AS BIGINT) AS n_a,
+           CAST(sb.sz AS BIGINT) AS n_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           round(CAST(p.n_shared AS DOUBLE) / (sa.sz + sb.sz - p.n_shared), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source content overlap (r11, operators/dedup
+    .source_overlap): distinct shared word 3-grams + shingle-level
+    Jaccard per source pair — the cross-stream dedup priority report.
+    Oracle replays shingling, the distinct (source, hash) projection,
+    the equality self-join pair counts, and the Jaccard arithmetic."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import source_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_overlap(docs, group_col="source", shingle_n=3)
+
+
+@extra_query(
     "duplicate_spans",
     oracle=f"""
     WITH toks AS (

@@ -956,6 +956,30 @@ def test_remove_hot_spans_overlapping_windows_merge(spark):
         assert out[d].removed_tokens == 5
 
 
+def test_source_overlap_pairwise_jaccard(spark):
+    """source_overlap (r11): shared-distinct-shingle counts + Jaccard
+    per source pair, hand-computed on a planted corpus — a copied
+    passage shows up as a high-Jaccard pair, disjoint sources produce
+    no row at all."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        source_overlap,
+    )
+
+    shared = "w1 w2 w3 w4"          # 2 distinct 3-grams, in A and B
+    docs = spark.createDataFrame(
+        [(1, f"{shared} a5", "A"),   # A: shingles {123,234,345} -> 3
+         (2, f"{shared} b5", "B"),   # B: {123,234,34b} -> 3, shares 2 with A
+         (3, "x1 x2 x3 x4 x5", "C")],  # C: disjoint from both
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.source_a, r.source_b): r for r in
+            source_overlap(docs, shingle_n=3).collect()}
+    assert set(rows) == {("A", "B")}   # C overlaps nobody -> no rows
+    ab = rows[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_shared) == (3, 3, 2)
+    assert ab.jaccard == round(2 / (3 + 3 - 2), 6)
+
+
 def test_duplicate_spans_reports_maximal_repeats(spark):
     """duplicate_spans (r11): maximal duplicated regions reported with
     1-based inclusive token spans — unaligned cross-doc repeats merge
