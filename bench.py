@@ -249,8 +249,9 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  # r10 additions: embedding-space contamination (IVF probe
                  # lane) + per-language tokenizer fertility
                  "semantic_contamination", "tokenizer_fertility",
-                 # r11 addition: the fertility->mix composition
-                 "fertility_mix"):
+                 # r11 additions: fertility->mix composition, maximal
+                 # duplicated-span report, cross-source overlap matrix
+                 "fertility_mix", "duplicate_spans", "source_overlap"):
         fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         out[name] = _min_of(spark, lambda: fn(spark, sf_dir), 2)
     return out

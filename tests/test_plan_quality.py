@@ -536,7 +536,7 @@ def test_semantic_contamination_ivf_plan(spark):
     """IVF contamination: the eval probe table BROADCASTS (the corpus
     never shuffles for the join) and the only Exchange is the bounded
     best-match aggregation over the hit sliver."""
-    df = EXTRA_QUERIES["semantic_contamination"](spark, SF)
+    df = QUERIES["semantic_contamination"](spark, SF)  # driver 50 after the r11 rotation
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
@@ -562,7 +562,7 @@ def test_semantic_contamination_exact_is_broadcast_nlj(spark):
 def test_tokenizer_fertility_single_agg_exchange(spark):
     """Fertility: one partial-aggregated groupBy on the language key —
     exactly one shuffle past the fan-out width guard, no join, no window."""
-    df = EXTRA_QUERIES["tokenizer_fertility"](spark, SF)
+    df = QUERIES["tokenizer_fertility"](spark, SF)  # driver 50 after the r11 rotation
     plan = plan_of(df)
     assert "Window" not in plan and "Join" not in plan
     # fan_out repartition + the lang groupBy
