@@ -533,6 +533,20 @@ def build_report_parser() -> argparse.ArgumentParser:
                         "trained-tokenizer units (implies --fertility)")
     p.add_argument("--lang-col", default="lang",
                    help="language column for the fertility report")
+    p.add_argument("--overlap", action="store_true",
+                   help="also print the pairwise cross-source content "
+                        "overlap matrix (shared distinct word shingles + "
+                        "shingle-level Jaccard per --group-col pair) — the "
+                        "cross-stream dedup priority report")
+    p.add_argument("--overlap-shingle-n", type=int, default=3,
+                   help="word-shingle size for --overlap")
+    p.add_argument("--dup-spans", action="store_true",
+                   help="also print the maximal duplicated-span report "
+                        "(per-doc token spans covered by repeated "
+                        "--span-window-token windows)")
+    p.add_argument("--span-window-tokens", type=int, default=20)
+    p.add_argument("--span-min-count", type=int, default=2,
+                   help="a window is duplicated at this corpus-wide count")
     return p
 
 
@@ -568,12 +582,46 @@ def run_report(argv: list[str]) -> None:
         if args.output_path:
             fert.write.mode("overwrite").parquet(f"{args.output_path}_fertility")
             print(f"wrote fertility report to {args.output_path}_fertility")
+    if args.overlap:
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+            source_overlap,
+        )
+
+        group = args.group_col or "source"
+        ov = source_overlap(
+            docs, group_col=group, text_col=args.text_col,
+            shingle_n=args.overlap_shingle_n,
+        ).orderBy(F_desc("jaccard"), "source_a", "source_b")
+        ov.show(truncate=False)
+        if args.output_path:
+            ov.write.mode("overwrite").parquet(f"{args.output_path}_overlap")
+            print(f"wrote overlap report to {args.output_path}_overlap")
+    if args.dup_spans:
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+            duplicate_spans,
+        )
+
+        spans = duplicate_spans(
+            docs, text_col=args.text_col,
+            window_tokens=args.span_window_tokens,
+            min_count=args.span_min_count,
+        ).orderBy(F_desc("span_tokens"))
+        spans.show(truncate=False)
+        if args.output_path:
+            spans.write.mode("overwrite").parquet(f"{args.output_path}_spans")
+            print(f"wrote duplicated-span report to {args.output_path}_spans")
 
 
 def F_asc_nulls_first(col):
     from pyspark.sql import functions as F
 
     return F.col(col).asc_nulls_first()
+
+
+def F_desc(col):
+    from pyspark.sql import functions as F
+
+    return F.col(col).desc()
 
 
 def build_diff_parser() -> argparse.ArgumentParser:

@@ -180,6 +180,14 @@ def validate_recipe(recipe: dict) -> None:
         raise ValueError(
             f"unknown report.fertility keys: "
             f"{sorted(set(fert) - {'bpe_path', 'out', 'lang_col'})}")
+    for key, allowed in (("overlap", {"shingle_n", "group_col", "out"}),
+                         ("dup_spans", {"window_tokens", "min_count", "out"})):
+        spec = recipe.get("report", {}).get(key)
+        if spec not in (None, True, False) and not isinstance(spec, dict):
+            raise ValueError(f"report.{key} must be true/false or a dict")
+        if isinstance(spec, dict) and set(spec) - allowed:
+            raise ValueError(
+                f"unknown report.{key} keys: {sorted(set(spec) - allowed)}")
     if "export" in recipe:
         for req in ("out", "max_tokens"):
             if req not in recipe["export"]:
@@ -441,6 +449,44 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
             summary["report"]["fertility"] = {
                 "rows": fert.count(), "out": opts.get("out"),
                 "units": "bpe" if merges is not None else "bpe_ish_regex",
+            }
+        ov_spec = recipe["report"].get("overlap")
+        if ov_spec:
+            # cross-source content overlap matrix (r11) — which ingest
+            # streams duplicate each other, on the curated output
+            from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+                source_overlap,
+            )
+
+            opts = ov_spec if isinstance(ov_spec, dict) else {}
+            ov = source_overlap(
+                kept,
+                group_col=opts.get("group_col",
+                                   recipe["report"].get("group_col") or "source"),
+                shingle_n=int(opts.get("shingle_n", 3)),
+            )
+            if opts.get("out"):
+                ov.write.mode("overwrite").parquet(opts["out"])
+            summary["report"]["overlap"] = {
+                "rows": ov.count(), "out": opts.get("out"),
+            }
+        sp_spec = recipe["report"].get("dup_spans")
+        if sp_spec:
+            # maximal duplicated-span report (r11) on the curated output
+            from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+                duplicate_spans,
+            )
+
+            opts = sp_spec if isinstance(sp_spec, dict) else {}
+            spans = duplicate_spans(
+                kept,
+                window_tokens=int(opts.get("window_tokens", 20)),
+                min_count=int(opts.get("min_count", 2)),
+            )
+            if opts.get("out"):
+                spans.write.mode("overwrite").parquet(opts["out"])
+            summary["report"]["dup_spans"] = {
+                "rows": spans.count(), "out": opts.get("out"),
             }
 
     if "export" in recipe:

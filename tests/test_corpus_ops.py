@@ -980,6 +980,32 @@ def test_source_overlap_pairwise_jaccard(spark):
     assert ab.jaccard == round(2 / (3 + 3 - 2), 6)
 
 
+def test_report_cli_overlap_and_spans(spark, tmp_path, capsys):
+    """report --overlap / --dup-spans (r11): both reports print and land
+    as parquet siblings of --out."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import run_report
+
+    shared = "w1 w2 w3 w4 w5"
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, f"{shared} a6 a7", "A"), (2, f"{shared} b6 b7", "B"),
+         (3, "x1 x2 x3 x4 x5 x6 x7", "C")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    out = str(tmp_path / "rep.parquet")
+    run_report(["--in", src, "--group-col", "source",
+                "--overlap", "--overlap-shingle-n", "3",
+                "--dup-spans", "--span-window-tokens", "4", "--out", out])
+    printed = capsys.readouterr().out
+    assert "jaccard" in printed and "span_tokens" in printed
+    ov = {(r.source_a, r.source_b): r.n_shared for r in
+          spark.read.parquet(f"{out}_overlap").collect()}
+    assert ov == {("A", "B"): 3}     # 3 distinct 3-grams inside the 5 shared
+    spans = sorted((r.doc_id, r.span_start, r.span_end) for r in
+                   spark.read.parquet(f"{out}_spans").collect())
+    assert spans == [(1, 1, 5), (2, 1, 5)]
+
+
 def test_duplicate_spans_reports_maximal_repeats(spark):
     """duplicate_spans (r11): maximal duplicated regions reported with
     1-based inclusive token spans — unaligned cross-doc repeats merge

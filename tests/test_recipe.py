@@ -303,6 +303,39 @@ def test_recipe_fertility_lang_col_fails_fast(spark, tmp_path):
     assert summary["report"]["fertility"]["rows"] == 1
 
 
+def test_recipe_report_overlap_and_spans(spark, tmp_path):
+    """recipe report.overlap / report.dup_spans (r11): both land as
+    parquet and report their row counts in the summary; unknown subkeys
+    fail fast."""
+    shared = "s1 s2 s3 s4 s5"
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, f"{shared} a6 a7 a8 a9", "A"), (2, f"{shared} b6 b7 b8 b9", "B")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    ov_out = str(tmp_path / "ov.parquet")
+    sp_out = str(tmp_path / "sp.parquet")
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": str(tmp_path / "curated.parquet"),
+        "report": {"overlap": {"shingle_n": 3, "out": ov_out},
+                   "dup_spans": {"window_tokens": 4, "out": sp_out}},
+    }
+    summary = run_recipe(spark, recipe)
+    assert summary["report"]["overlap"]["rows"] == 1
+    assert summary["report"]["dup_spans"]["rows"] == 2
+    ov = spark.read.parquet(ov_out).collect()
+    assert [(r.source_a, r.source_b, r.n_shared) for r in ov] == [("A", "B", 3)]
+    assert {(r.doc_id, r.span_start, r.span_end)
+            for r in spark.read.parquet(sp_out).collect()} == {(1, 1, 5), (2, 1, 5)}
+
+    with pytest.raises(ValueError, match="unknown report.overlap keys"):
+        validate_recipe({**recipe, "report": {"overlap": {"n": 3}}})
+    with pytest.raises(ValueError, match="report.dup_spans must be"):
+        validate_recipe({**recipe, "report": {"dup_spans": "yes"}})
+
+
 def test_validate_recipe_decon_keys():
     """Decontamination recipe surface (r11): decon_cosine without the
     embedding side-inputs — or side-inputs without the gate — must die
