@@ -1462,6 +1462,109 @@ def duplicate_spans(
     )
 
 
+def remove_eval_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """SPAN-level decontamination (r11): cut from every corpus document
+    each token covered by a ``window_tokens``-token run that also
+    appears (lowercased) ANYWHERE in the evaluation corpus — the
+    surgical alternative to dropping whole docs
+    (``contamination_check`` / ``semantic_contamination`` +
+    ``curate --decon-cosine``): a 10k-token article quoting one leaked
+    benchmark question loses the quote, not the article.
+
+    Same exactness as :func:`remove_hot_spans` (the stride-1 cover
+    lemma pinned in tests/test_corpus_ops.py): every ≥ w-token
+    substring shared verbatim with the eval set is removed end-to-end
+    at any alignment, and nothing else is.
+
+    Output: ``(id_col, clean_text, n_tokens, kept_tokens,
+    removed_tokens)`` — one row per corpus doc (short/NULL docs pass
+    through untouched).
+
+    Scale: the eval side is benchmark-sized, so its distinct window
+    hashes BROADCAST; the corpus explodes windows off the token array
+    (narrow) and the contaminated starts come from one broadcast
+    semi-join — the corpus never shuffles, text never leaves its scan,
+    and per-doc masking is a row-local higher-order filter.
+    """
+    w = int(window_tokens)
+    if w < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    ev_toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    ev_starts = F.sequence(F.lit(1), F.col("_n") - F.lit(w - 1))
+    eval_hashes = (
+        eval_df.select(ev_toks.alias("_tk"), F.size(ev_toks).alias("_n"))
+        .filter(F.col("_n") >= w)
+        .select(F.explode(F.transform(
+            ev_starts,
+            lambda i: hash_fn(
+                F.lower(F.array_join(F.slice(F.col("_tk"), i, w), " "))
+            ),
+        )).alias("_wh"))
+        .distinct()
+    )
+    base = fan_out(corpus).select(
+        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n")
+    )
+    starts = F.sequence(F.lit(1), F.col("_n") - F.lit(w - 1))
+    wins = (
+        base.filter(F.col("_n") >= w)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        hash_fn(
+                            F.lower(F.array_join(F.slice(F.col("_tk"), i, w), " "))
+                        ).alias("wh"),
+                    ),
+                )
+            ).alias("_x"),
+        )
+        .select(F.col(id_col), F.col("_x.s").alias("_s"), F.col("_x.wh").alias("_wh"))
+    )
+    hot_wins = wins.join(F.broadcast(eval_hashes), "_wh").select(F.col(id_col), "_s")
+    spans = hot_wins.groupBy(id_col).agg(F.collect_set("_s").alias("_hs"))
+    indexed = F.transform(
+        F.col("_tk"), lambda t, i: F.struct((i + F.lit(1)).alias("i"), t.alias("t"))
+    )
+    kept = F.filter(
+        F.col("_ix"),
+        lambda x: ~F.exists(
+            F.col("_hs"), lambda s: (x["i"] >= s) & (x["i"] < s + F.lit(w))
+        ),
+    )
+    return (
+        base.join(spans, id_col, "left")
+        .withColumn("_hs", F.coalesce(F.col("_hs"), F.array().cast("array<int>")))
+        .withColumn("_ix", indexed)
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("clean_text"),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+        )
+        .withColumn(
+            "removed_tokens", (F.col("n_tokens") - F.col("kept_tokens")).cast("long")
+        )
+    )
+
+
 def fuzzy_contamination(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -2735,6 +2735,120 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @extra_query(
+    "remove_eval_spans",
+    oracle=f"""
+    WITH ev AS (
+      SELECT list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t != '') AS tk
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    eh AS (
+      SELECT DISTINCT {md5_long_sql('w')} AS wh
+      FROM (
+        SELECT lower(array_to_string(list_slice(tk, i, i + 19), ' ')) AS w
+        FROM ev, unnest(range(1, len(tk) - 18)) AS t(i)
+        WHERE len(tk) >= 20
+      )
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t != '') AS tk
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    wins AS (
+      SELECT doc_id, i, {md5_long_sql('w')} AS wh
+      FROM (
+        SELECT doc_id, i, lower(array_to_string(list_slice(tk, i, i + 19), ' ')) AS w
+        FROM toks, unnest(range(1, len(tk) - 18)) AS t(i)
+        WHERE len(tk) >= 20
+      )
+    ),
+    spans AS (SELECT w.doc_id, w.i AS s FROM wins w JOIN eh USING (wh)),
+    tok_idx AS (
+      SELECT doc_id, tk[CAST(i AS INT)] AS tok, i
+      FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT ti.doc_id, ti.tok, ti.i
+      FROM tok_idx ti
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = ti.doc_id AND ti.i BETWEEN s.s AND s.s + 19
+      )
+    )
+    SELECT t.doc_id,
+           coalesce(k.ct, '') AS clean_text,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(k.kc, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(t.tk) - coalesce(k.kc, 0) AS BIGINT) AS removed_tokens
+    FROM toks t
+    LEFT JOIN (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct, count(*) AS kc
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def q_remove_eval_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination (r11, operators/dedup
+    .remove_eval_spans): every token inside a 20-token run shared
+    verbatim with the eval slice (doc_id % 97 == 0 plays the benchmark)
+    is cut from the remaining corpus — the quote is removed, the doc
+    survives.  Eval window hashes broadcast; the corpus never shuffles.
+    Oracle replays eval hashing, the span semi-join, and the token
+    masking end-to-end."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        remove_eval_spans,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return remove_eval_spans(corpus, eval_df, window_tokens=20)
+
+
+@extra_query(
+    "chunk_documents",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t != '') AS tk
+      FROM documents
+    ),
+    nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) >= 1),
+    st AS (
+      SELECT doc_id, tk, n,
+             CAST(greatest(1, ceil((n - 8) / 24.0)) AS BIGINT) AS ns
+      FROM nz
+    ),
+    ch AS (
+      SELECT doc_id, k AS chunk_id, k * 24 + 1 AS chunk_start, tk, n
+      FROM st, unnest(range(0, ns)) AS t(k)
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(least(32, n - chunk_start + 1) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(tk, CAST(chunk_start AS INT),
+                                      CAST(chunk_start AS INT) + 31), ' ') AS text
+    FROM ch
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget chunking with overlap (r11, operators/textops
+    .chunk_documents; 32-token chunks, 8-token overlap → stride 24):
+    the context-length prep between curation and training/embedding.
+    One narrow projection (split → sequence of starts → posexplode →
+    slice) — no shuffle, no window; chunk identity is content-derived
+    so the output is partitioning-invariant.  Oracle replays the start
+    arithmetic and slicing."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+
+
+@extra_query(
     "source_overlap",
     oracle=f"""
     WITH toks AS (

@@ -956,6 +956,109 @@ def test_remove_hot_spans_overlapping_windows_merge(spark):
         assert out[d].removed_tokens == 5
 
 
+def test_remove_eval_spans_cuts_only_the_quote(spark):
+    """remove_eval_spans (r11): a corpus doc quoting a >=w-token eval
+    passage at an UNALIGNED offset loses exactly the quoted tokens; an
+    unrelated doc and a doc shorter than one window pass through."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        remove_eval_spans,
+    )
+
+    quote = "q1 q2 q3 q4 q5 q6"
+    eval_df = spark.createDataFrame(
+        [(900, f"e1 e2 {quote} e3")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, f"a1 a2 a3 {quote} z1 z2"),       # quote at 4..9
+         (2, "clean text with no overlap at all whatsoever today"),
+         (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_eval_spans(
+        corpus, eval_df, window_tokens=4).collect()}
+    assert got[1].clean_text == "a1 a2 a3 z1 z2"
+    assert (got[1].n_tokens, got[1].kept_tokens, got[1].removed_tokens) == (11, 5, 6)
+    assert got[2].removed_tokens == 0
+    assert got[3].clean_text == "tiny doc" and got[3].removed_tokens == 0
+
+
+def test_remove_eval_spans_case_folds_and_broadcasts(spark):
+    """Matching is case-folded (the eval hash set is lowercased on both
+    sides) and the eval side plans as a broadcast join."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        remove_eval_spans,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(9, "THE QUICK BROWN FOX JUMPS")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "intro the quick brown fox jumps outro")],
+        "doc_id long, text string")
+    out = remove_eval_spans(corpus, eval_df, window_tokens=5)
+    assert out.collect()[0].clean_text == "intro outro"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_chunk_documents_shapes(spark):
+    """chunk_documents (r11): hand-computed chunk boundaries — stride =
+    chunk - overlap, short tail emitted, sub-chunk doc yields one
+    chunk, empty doc yields none, and no pure-overlap tail chunk."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 11))),  # 10 tokens
+         (2, "a b c"),                                   # < one chunk
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_start, r.n_chunk_tokens, r.text)
+        for r in chunk_documents(docs, chunk_tokens=4, overlap_tokens=1).collect()
+    )
+    # doc 1: starts 1,4,7,10 — wait: stride 3, n=10, ceil((10-1)/3)=3 -> starts 1,4,7
+    assert got == [
+        (1, 0, 1, 4, "t1 t2 t3 t4"),
+        (1, 1, 4, 4, "t4 t5 t6 t7"),
+        (1, 2, 7, 4, "t7 t8 t9 t10"),
+        (2, 0, 1, 3, "a b c"),
+    ]
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Randomized reconstruction pin: dropping each chunk's
+    overlap-prefix (except chunk 0) and concatenating in chunk order
+    reproduces the original token stream exactly — no token lost or
+    duplicated at any (n, chunk, overlap) combination."""
+    import random
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    rng = random.Random(1111)
+    cases = []
+    for d in range(1, 13):
+        n = rng.randint(1, 40)
+        cases.append((d, " ".join(f"w{d}_{i}" for i in range(n))))
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    for c, o in [(5, 0), (5, 2), (8, 7), (3, 1)]:
+        rows = chunk_documents(docs, chunk_tokens=c, overlap_tokens=o).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for d, text in cases:
+            chunks = sorted(by_doc[d], key=lambda r: r.chunk_id)
+            rebuilt: list = []
+            for r in chunks:
+                toks = r.text.split(" ")
+                assert len(toks) == r.n_chunk_tokens
+                rebuilt.extend(toks if r.chunk_id == 0 else toks[o:])
+            assert rebuilt == text.split(" "), (d, c, o)
+
+
 def test_source_overlap_pairwise_jaccard(spark):
     """source_overlap (r11): shared-distinct-shingle counts + Jaccard
     per source pair, hand-computed on a planted corpus — a copied
