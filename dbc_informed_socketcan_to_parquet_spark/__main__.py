@@ -115,6 +115,12 @@ def build_curate_parser() -> argparse.ArgumentParser:
                    help="drop docs whose embedding reaches this cosine against "
                         "any eval embedding (needs --embeddings + --eval-embeddings)")
     p.add_argument("--decon-mode", choices=("exact", "ivf"), default="exact")
+    p.add_argument("--eval-corpus", default=None,
+                   help="eval-set TEXT parquet for the span-level verbatim "
+                        "decontamination scrub (--decon-spans)")
+    p.add_argument("--decon-spans", type=int, default=None, metavar="W",
+                   help="cut every token inside a W-token run shared verbatim "
+                        "with --eval-corpus (the doc survives minus the quote)")
     p.add_argument("--embeddings-id-col", default=None,
                    help="embedding tables' id column when it differs from --id-col")
     p.add_argument("--stage-dir", default=None,
@@ -186,6 +192,7 @@ def run_curate(argv: list[str]) -> None:
         decon_cosine=args.decon_cosine,
         decon_mode=args.decon_mode,
         decon_id_col=args.embeddings_id_col,
+        decon_span_window=args.decon_spans,
     )
     if args.url_col is None and (args.block_domain or args.url_dedup or args.max_per_domain):
         parser.error("--block-domain/--url-dedup/--max-per-domain require --url-col")
@@ -195,8 +202,11 @@ def run_curate(argv: list[str]) -> None:
     against = spark.read.parquet(args.against) if args.against else None
     if args.decon_cosine is not None and not (args.embeddings and args.eval_embeddings):
         parser.error("--decon-cosine needs --embeddings and --eval-embeddings")
+    if (args.decon_spans is None) != (args.eval_corpus is None):
+        parser.error("--decon-spans and --eval-corpus go together")
     doc_emb = spark.read.parquet(args.embeddings) if args.embeddings else None
     eval_emb = spark.read.parquet(args.eval_embeddings) if args.eval_embeddings else None
+    eval_corpus = spark.read.parquet(args.eval_corpus) if args.eval_corpus else None
     if args.audit:
         # ONE traced run feeds both reports via the operators' own
         # trace-folding helpers (curate.audit_rows_from_trace /
@@ -214,6 +224,7 @@ def run_curate(argv: list[str]) -> None:
         curate(docs, args.id_col, args.text_col, cfg,
                lm_corpus=lm_corpus, against_corpus=against,
                doc_embeddings=doc_emb, eval_embeddings=eval_emb,
+               eval_corpus=eval_corpus,
                stage_dir=args.stage_dir, _trace=trace)
         for i, stage, n_in, n_out, dropped in audit_rows_from_trace(docs, trace):
             print(f"audit {i} {stage}: {n_in} -> {n_out} (-{dropped})")
@@ -228,6 +239,7 @@ def run_curate(argv: list[str]) -> None:
         docs, args.id_col, args.text_col, cfg,
         lm_corpus=lm_corpus, against_corpus=against,
         doc_embeddings=doc_emb, eval_embeddings=eval_emb,
+        eval_corpus=eval_corpus,
         stage_dir=args.stage_dir,
     ).persist()
     try:

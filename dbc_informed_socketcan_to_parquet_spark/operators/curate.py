@@ -176,6 +176,15 @@ class CurateConfig:
     # id column of the embedding tables when it differs from the doc
     # table's id_col (e.g. vec_id); None = same name
     decon_id_col: str | None = None
+    # SPAN-level verbatim decontamination (r11, dedup.remove_eval_spans):
+    # cut every token inside a run of this many tokens shared verbatim
+    # with the eval corpus — the doc survives minus the quote.  Needs
+    # curate(eval_corpus=); runs as a REWRITE stage right after HTML
+    # extraction, before any gate reads the text (a doc scrubbed to
+    # nothing then fails min_chars like any other short doc).  None =
+    # off.  Completes the decon triad: shingle doc-drop
+    # (against/fuzzy), embedding doc-drop (decon_cosine), span scrub.
+    decon_span_window: int | None = None
 
 
 def _stage_complete(path: str) -> bool:
@@ -224,6 +233,7 @@ def curate(
     against_corpus: DataFrame | None = None,
     doc_embeddings: DataFrame | None = None,
     eval_embeddings: DataFrame | None = None,
+    eval_corpus: DataFrame | None = None,
     stage_dir: str | None = None,
     _trace: list | None = None,
 ) -> DataFrame:
@@ -291,7 +301,7 @@ def curate(
             repr((config, id_col, text_col,
                   _side_id(against_corpus), _side_id(lm_corpus),
                   _side_id(doc_embeddings), _side_id(eval_embeddings),
-                  _side_id(classifier_weights))).encode()
+                  _side_id(classifier_weights), _side_id(eval_corpus))).encode()
         ).hexdigest())
 
     _stage_no = [0]
@@ -353,6 +363,26 @@ def curate(
             docs, html_col=text_col, out_col=text_col,
             min_words=config.html_min_words,
             max_link_density=config.html_max_link_density,
+        )
+
+    if config.decon_span_window is not None:
+        # span-level verbatim decontamination (r11): a REWRITE stage like
+        # scrub/html-extract — the quote is cut, the doc survives, and
+        # every later gate (incl. min_chars on an emptied doc) judges the
+        # scrubbed text.  Eval window hashes broadcast; corpus never
+        # shuffles (dedup.remove_eval_spans keep_schema contract).
+        if eval_corpus is None:
+            raise ValueError(
+                "decon_span_window set but eval_corpus not provided — the "
+                "span scrub needs the eval corpus text")
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+            remove_eval_spans,
+        )
+
+        docs = remove_eval_spans(
+            docs, eval_corpus, id_col=id_col, text_col=text_col,
+            window_tokens=config.decon_span_window,
+            hash_fn=_HASH_FNS[config.hash_fn], keep_schema=True,
         )
 
     if config.max_pii is not None:
@@ -687,6 +717,7 @@ def curate_audit(
     against_corpus: DataFrame | None = None,
     doc_embeddings: DataFrame | None = None,
     eval_embeddings: DataFrame | None = None,
+    eval_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Per-stage drop funnel for a :func:`curate` run — the "where did my
     corpus go" report every production curation batch ships with.
@@ -714,6 +745,7 @@ def curate_audit(
         classifier_weights=classifier_weights, lm_corpus=lm_corpus,
         against_corpus=against_corpus,
         doc_embeddings=doc_embeddings, eval_embeddings=eval_embeddings,
+        eval_corpus=eval_corpus,
         _trace=trace,
     )
     return docs.sparkSession.createDataFrame(
@@ -771,6 +803,7 @@ def curate_dropped(
     against_corpus: DataFrame | None = None,
     doc_embeddings: DataFrame | None = None,
     eval_embeddings: DataFrame | None = None,
+    eval_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Row-level drop lineage — the per-document complement of
     :func:`curate_audit`: one ``(id_col, dropped_at)`` row for every
@@ -790,6 +823,7 @@ def curate_dropped(
         classifier_weights=classifier_weights, lm_corpus=lm_corpus,
         against_corpus=against_corpus,
         doc_embeddings=doc_embeddings, eval_embeddings=eval_embeddings,
+        eval_corpus=eval_corpus,
         _trace=trace,
     )
     return dropped_from_trace(docs, id_col, trace)

@@ -1469,6 +1469,7 @@ def remove_eval_spans(
     text_col: str = "text",
     window_tokens: int = 20,
     hash_fn=md5_long,
+    keep_schema: bool = False,
 ) -> DataFrame:
     """SPAN-level decontamination (r11): cut from every corpus document
     each token covered by a ``window_tokens``-token run that also
@@ -1485,7 +1486,12 @@ def remove_eval_spans(
 
     Output: ``(id_col, clean_text, n_tokens, kept_tokens,
     removed_tokens)`` — one row per corpus doc (short/NULL docs pass
-    through untouched).
+    through untouched).  With ``keep_schema=True`` the ORIGINAL schema
+    comes back with ``text_col`` rewritten in place (the curate
+    rewrite-stage shape, like scrub/html-extract); the contaminated
+    span table — contaminated docs only, small by the same assumption
+    the embedding decon gate makes — broadcasts back onto the corpus,
+    so the corpus still never shuffles.
 
     Scale: the eval side is benchmark-sized, so its distinct window
     hashes BROADCAST; the corpus explodes windows off the token array
@@ -1549,6 +1555,23 @@ def remove_eval_spans(
             F.col("_hs"), lambda s: (x["i"] >= s) & (x["i"] < s + F.lit(w))
         ),
     )
+    if keep_schema:
+        # rewrite shape: contaminated docs only carry a span list, so
+        # the span table broadcasts; untouched docs keep their text
+        # expression-free (no tokenize/re-join round trip)
+        cols = corpus.columns
+        return (
+            corpus.join(F.broadcast(spans), id_col, "left")
+            .withColumn("_tk", toks)
+            .withColumn("_ix", indexed)
+            .withColumn(
+                text_col,
+                F.when(F.col("_hs").isNull(), F.col(text_col)).otherwise(
+                    F.array_join(F.transform(kept, lambda x: x["t"]), " ")
+                ),
+            )
+            .select(*cols)
+        )
     return (
         base.join(spans, id_col, "left")
         .withColumn("_hs", F.coalesce(F.col("_hs"), F.array().cast("array<int>")))

@@ -152,7 +152,8 @@ def validate_recipe(recipe: dict) -> None:
     if "path" not in ing:
         raise ValueError("ingest requires a path")
     cfg_fields = {f.name for f in dataclasses.fields(CurateConfig)}
-    extra_keys = {"against", "lm_corpus", "embeddings", "eval_embeddings"}
+    extra_keys = {"against", "lm_corpus", "embeddings", "eval_embeddings",
+                  "eval_corpus"}
     cur = recipe.get("curate", {})
     unknown = set(cur) - cfg_fields - extra_keys
     if unknown:
@@ -170,6 +171,12 @@ def validate_recipe(recipe: dict) -> None:
         raise ValueError(
             "curate.embeddings/eval_embeddings are only read by the "
             "decontamination gate — set decon_cosine or drop them")
+    # span-level verbatim decontamination (r11): same pairing doctrine
+    if (cur.get("decon_span_window") is None) != (not cur.get("eval_corpus")):
+        raise ValueError(
+            "curate.decon_span_window and curate.eval_corpus go together "
+            "(the span scrub needs the eval corpus text, and the side "
+            "input is dead without the knob)")
     if "split" in recipe and "fractions" not in recipe["split"]:
         raise ValueError("split requires fractions")
     fert = recipe.get("report", {}).get("fertility")
@@ -338,6 +345,7 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
     lm_corpus_path = cur.pop("lm_corpus", None)
     emb_path = cur.pop("embeddings", None)
     eval_emb_path = cur.pop("eval_embeddings", None)
+    eval_corpus_path = cur.pop("eval_corpus", None)
     # a WARC ingest hands over raw HTML — extraction defaults on there
     if recipe["ingest"].get("format") == "warc":
         cur.setdefault("html_extract", True)
@@ -357,6 +365,9 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         ),
         eval_embeddings=(
             spark.read.parquet(eval_emb_path) if eval_emb_path else None
+        ),
+        eval_corpus=(
+            spark.read.parquet(eval_corpus_path) if eval_corpus_path else None
         ),
         _trace=trace,
     )

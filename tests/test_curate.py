@@ -828,6 +828,40 @@ def test_curate_stage_dir_config_mismatch_refuses(spark, tmp_path):
                stage_dir=stage_dir)
 
 
+def test_curate_decon_span_scrub(spark):
+    """Span-level verbatim decontamination inside curate (r11): the doc
+    quoting a benchmark passage SURVIVES minus the quote (a rewrite
+    stage, not a drop), later gates judge the scrubbed text (a doc that
+    was nothing but the quote fails min_chars), and the stage fails
+    fast without the eval corpus."""
+    import pytest
+
+    quote = ("which planet is closest to the sun answer mercury because "
+             "it orbits nearest among all the planets")
+    essay = ("a long and thoughtful essay about cooking techniques that "
+             f"quotes a benchmark question {quote} and then continues "
+             "with plenty of original prose about stews and braises")
+    eval_corpus = spark.createDataFrame(
+        [(900, f"benchmark item {quote} expected answer")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, essay), (2, quote), (3, "a perfectly clean unrelated document "
+                                     "with plenty of ordinary words here")],
+        "doc_id long, text string",
+    )
+    cfg = CurateConfig(min_chars=32, min_quality=0.0, decon_span_window=8)
+    kept = {r.doc_id: r.text for r in curate(
+        docs, config=cfg, eval_corpus=eval_corpus).collect()}
+    # doc 1 survives with the quote cut; doc 2 WAS the quote -> scrubbed
+    # empty -> dropped by min_chars; doc 3 untouched
+    assert set(kept) == {1, 3}
+    assert quote not in kept[1] and "stews and braises" in kept[1]
+    assert "original prose" in kept[1]
+    with pytest.raises(ValueError, match="eval_corpus"):
+        curate(docs, config=cfg)
+
+
 def test_curate_stage_dir_side_input_change_refuses(spark, tmp_path):
     """The resume manifest fingerprints the SIDE INPUTS too (r11,
     ADVICE): resuming a staged curate after the eval-embedding table

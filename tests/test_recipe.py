@@ -336,6 +336,35 @@ def test_recipe_report_overlap_and_spans(spark, tmp_path):
         validate_recipe({**recipe, "report": {"dup_spans": "yes"}})
 
 
+def test_recipe_decon_span_scrub(spark, tmp_path):
+    """recipe curate.decon_span_window + eval_corpus (r11): the quoted
+    span is cut from the recipe run's output; pairing is validated."""
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8"
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, f"intro words here {quote} outro words here again ok")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    ev = str(tmp_path / "eval.parquet")
+    spark.createDataFrame(
+        [(900, f"benchmark {quote} answer")], "doc_id long, text string"
+    ).write.parquet(ev)
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1,
+                   "decon_span_window": 4, "eval_corpus": ev},
+        "out": str(tmp_path / "curated.parquet"),
+    }
+    run_recipe(spark, recipe)
+    out = spark.read.parquet(recipe["out"]).collect()[0].text
+    assert "q1" not in out and "intro words here" in out
+
+    with pytest.raises(ValueError, match="go together"):
+        validate_recipe({**recipe, "curate": {"decon_span_window": 4}})
+    with pytest.raises(ValueError, match="go together"):
+        validate_recipe({**recipe, "curate": {"eval_corpus": ev}})
+
+
 def test_validate_recipe_decon_keys():
     """Decontamination recipe surface (r11): decon_cosine without the
     embedding side-inputs — or side-inputs without the gate — must die
