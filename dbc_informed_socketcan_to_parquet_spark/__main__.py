@@ -712,6 +712,42 @@ def run_pii_report(argv: list[str]) -> None:
         rep.unpersist()
 
 
+def build_chunk_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark chunk")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="curated documents parquet")
+    p.add_argument("--out", dest="output_path", required=True,
+                   help="chunked output parquet")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--chunk-tokens", type=int, default=512,
+                   help="token budget per chunk")
+    p.add_argument("--overlap-tokens", type=int, default=0,
+                   help="shared prefix between neighboring chunks")
+    return p
+
+
+def run_chunk(argv: list[str]) -> None:
+    """Context-length chunking (r11): curated docs → fixed-token-budget
+    chunk rows with optional overlap — the prep step between curation
+    and training/embedding."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import chunk_documents
+
+    args = build_chunk_parser().parse_args(argv)
+    spark = get_spark("chunk-cli")
+    docs = spark.read.parquet(args.input_path)
+    chunks = chunk_documents(
+        docs, id_col=args.id_col, text_col=args.text_col,
+        chunk_tokens=args.chunk_tokens, overlap_tokens=args.overlap_tokens,
+    ).persist()
+    try:
+        chunks.write.mode("overwrite").parquet(args.output_path)
+        n_docs, n_chunks = docs.count(), chunks.count()
+    finally:
+        chunks.unpersist()
+    print(f"chunked {n_docs} documents -> {n_chunks} chunks at {args.output_path}")
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
 
@@ -753,6 +789,9 @@ def main(argv: list[str] | None = None) -> None:
         return
     if argv and argv[0] == "export":
         run_export(argv[1:])
+        return
+    if argv and argv[0] == "chunk":
+        run_chunk(argv[1:])
         return
     args = build_parser().parse_args(argv)
     cfg = PipelineConfig(

@@ -2348,3 +2348,20 @@ def test_semantic_contamination_indexed_matches_exact_at_full_probe(spark, tmp_p
     )
     assert {(r.vec_id, r.eval_id, r.cosine)
             for r in narrow.collect()} <= exact_set
+
+
+def test_chunk_cli(spark, tmp_path, capsys):
+    """chunk subcommand (r11): curated docs -> chunk rows parquet."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "chunks.parquet")
+    main(["chunk", "--in", src, "--out", out,
+          "--chunk-tokens", "4", "--overlap-tokens", "1"])
+    assert "chunked 1 documents -> 3 chunks" in capsys.readouterr().out
+    rows = sorted((r.chunk_id, r.text) for r in spark.read.parquet(out).collect())
+    assert rows == [(0, "t0 t1 t2 t3"), (1, "t3 t4 t5 t6"), (2, "t6 t7 t8 t9")]
