@@ -251,7 +251,8 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  "semantic_contamination", "tokenizer_fertility",
                  # r11 additions: fertility->mix composition, maximal
                  # duplicated-span report, cross-source overlap matrix
-                 "fertility_mix", "duplicate_spans", "source_overlap"):
+                 "fertility_mix", "duplicate_spans", "source_overlap",
+                 "remove_eval_spans", "chunk_documents"):
         fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         out[name] = _min_of(spark, lambda: fn(spark, sf_dir), 2)
     return out
