@@ -139,7 +139,8 @@ def validate_recipe(recipe: dict) -> None:
     if mode == "streaming":
         _validate_streaming_recipe(recipe)
         return
-    known_top = {"mode", "ingest", "curate", "out", "report", "split", "export", "audit"}
+    known_top = {"mode", "ingest", "curate", "out", "report", "split", "export",
+                 "chunk", "audit"}
     unknown = set(recipe) - known_top
     if unknown:
         raise ValueError(f"unknown recipe sections: {sorted(unknown)}")
@@ -199,6 +200,14 @@ def validate_recipe(recipe: dict) -> None:
         for req in ("out", "max_tokens"):
             if req not in recipe["export"]:
                 raise ValueError(f"export requires {req!r}")
+    if "chunk" in recipe:
+        ch = recipe["chunk"]
+        if not isinstance(ch, dict) or "out" not in ch or "chunk_tokens" not in ch:
+            raise ValueError("chunk requires {'out': ..., 'chunk_tokens': ...}")
+        if set(ch) - {"out", "chunk_tokens", "overlap_tokens"}:
+            raise ValueError(
+                f"unknown chunk keys: "
+                f"{sorted(set(ch) - {'out', 'chunk_tokens', 'overlap_tokens'})}")
     audit = recipe.get("audit")
     if audit not in (None, True, False) and not isinstance(audit, dict):
         raise ValueError("audit must be true/false or {\"out\": path}")
@@ -499,6 +508,24 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
             summary["report"]["dup_spans"] = {
                 "rows": spans.count(), "out": opts.get("out"),
             }
+
+    if "chunk" in recipe:
+        # context-length chunking of the CURATED output (r11) — a
+        # separate artifact next to `out`; export below still packs the
+        # doc-granularity table (chunk consumers read chunk.out)
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            chunk_documents,
+        )
+
+        ch = recipe["chunk"]
+        chunks = chunk_documents(
+            kept, chunk_tokens=int(ch["chunk_tokens"]),
+            overlap_tokens=int(ch.get("overlap_tokens", 0)),
+        )
+        chunks.write.mode("overwrite").parquet(ch["out"])
+        summary["chunk"] = {
+            "n_chunks": spark.read.parquet(ch["out"]).count(), "out": ch["out"],
+        }
 
     if "export" in recipe:
         from dbc_informed_socketcan_to_parquet_spark.storage import (

@@ -421,3 +421,31 @@ def test_recipe_decontamination_e2e(spark, tmp_path):
     assert funnel["decontaminate"] == 1
     kept = spark.read.parquet(recipe["out"])
     assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_recipe_chunk_stage(spark, tmp_path):
+    """recipe chunk stage (r11): curated docs land as fixed-token chunk
+    rows in a separate artifact; validation requires out + chunk_tokens
+    and rejects unknown keys."""
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    ch_out = str(tmp_path / "chunks.parquet")
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": str(tmp_path / "curated.parquet"),
+        "chunk": {"out": ch_out, "chunk_tokens": 4, "overlap_tokens": 1},
+    }
+    summary = run_recipe(spark, recipe)
+    assert summary["chunk"]["n_chunks"] == 3
+    rows = sorted((r.chunk_id, r.text) for r in spark.read.parquet(ch_out).collect())
+    assert rows == [(0, "t0 t1 t2 t3"), (1, "t3 t4 t5 t6"), (2, "t6 t7 t8 t9")]
+
+    with pytest.raises(ValueError, match="chunk requires"):
+        validate_recipe({**recipe, "chunk": {"chunk_tokens": 4}})
+    with pytest.raises(ValueError, match="unknown chunk keys"):
+        validate_recipe({**recipe, "chunk": {"out": ch_out, "chunk_tokens": 4,
+                                             "stride": 2}})
