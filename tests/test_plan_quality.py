@@ -568,3 +568,42 @@ def test_tokenizer_fertility_single_agg_exchange(spark):
     # fan_out repartition + the lang groupBy
     assert n_exchanges(plan) <= 2
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_duplicate_spans_plan(spark):
+    """duplicate_spans: the hot window set BROADCASTS back onto the
+    window table (never a shuffle join), and the whole report costs two
+    hash exchanges — the hot count and the per-doc island window."""
+    df = EXTRA_QUERIES["duplicate_spans"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    # hot count + island window (the groupBy(id, isl) reuses the window's
+    # id partitioning) + the fan_out width guard on each of the two
+    # window-table consumers
+    assert n_exchanges(plan) <= 4
+
+
+def test_source_overlap_plan(spark):
+    """source_overlap: the per-source size tables broadcast; the pair
+    self-join is equality on the shingle hash (stats-driven broadcast at
+    small SF, shuffle join at corpus scale — either way never a
+    product), and the corpus text never reaches an Exchange (only
+    (source, 60-bit hash) rows shuffle)."""
+    df = EXTRA_QUERIES["source_overlap"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # no raw-text exchange: every hashpartitioning key set is over the
+    # projected hash/source/pair columns, never the text column
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1), m.group(0)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """chunk_documents: one narrow projection — past the fan-out width
+    guard there is NO exchange, no join, no window in the plan."""
+    df = EXTRA_QUERIES["chunk_documents"](spark, SF)
+    plan = plan_of(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert n_exchanges(plan) <= 1  # the fan_out repartition only
