@@ -728,17 +728,18 @@ def build_chunk_parser() -> argparse.ArgumentParser:
 
 
 def run_chunk(argv: list[str]) -> None:
-    """Context-length chunking (r11): curated docs → fixed-token-budget
-    chunk rows with optional overlap — the prep step between curation
-    and training/embedding."""
-    from dbc_informed_socketcan_to_parquet_spark.operators.textops import chunk_documents
+    """Context-length chunking CLI (r11): curated docs → fixed-token
+    chunk rows with optional overlap (operators/sampling
+    .chunk_documents, the r5 pure-column reshape) — the prep step
+    between curation and training/embedding."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import chunk_documents
 
     args = build_chunk_parser().parse_args(argv)
     spark = get_spark("chunk-cli")
     docs = spark.read.parquet(args.input_path)
     chunks = chunk_documents(
-        docs, id_col=args.id_col, text_col=args.text_col,
-        chunk_tokens=args.chunk_tokens, overlap_tokens=args.overlap_tokens,
+        docs, max_tokens=args.chunk_tokens, overlap=args.overlap_tokens,
+        id_col=args.id_col, text_col=args.text_col,
     ).persist()
     try:
         chunks.write.mode("overwrite").parquet(args.output_path)

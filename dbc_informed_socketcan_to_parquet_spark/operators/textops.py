@@ -1331,72 +1331,3 @@ def compression_stats(
     from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
 
     return fan_out(df.select(id_col, text_col)).mapInPandas(kernel, out_schema)
-
-
-def chunk_documents(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    chunk_tokens: int = 512,
-    overlap_tokens: int = 0,
-) -> DataFrame:
-    """Split documents into fixed-token-budget CHUNKS with optional
-    overlap (r11) — the context-length prep step between curation and
-    training/embedding: a tokenizer-budgeted model consumes
-    ``chunk_tokens``-sized pieces, and ``overlap_tokens`` of shared
-    prefix keeps boundary sentences visible to both neighbors (the RAG
-    chunking convention).
-
-    Output: ``(id_col, chunk_id, chunk_start, n_chunk_tokens, text)``
-    — ``chunk_id`` is 0-based per doc, ``chunk_start`` the 1-based
-    token position; chunks stride ``chunk_tokens - overlap_tokens``;
-    the final chunk may be short (the tail), and a doc shorter than
-    one chunk yields exactly one chunk.  Empty/NULL docs yield no
-    rows.  Deterministic under any partitioning — chunk identity is
-    content-derived, never zipWithIndex.
-
-    Scale: a single narrow projection — token split, a ``sequence`` of
-    starts, one ``posexplode``; no shuffle, no window, no join.  The
-    plan stays inside whole-stage codegen next to the parquet scan.
-    """
-    c, o = int(chunk_tokens), int(overlap_tokens)
-    if c < 1:
-        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
-    if not 0 <= o < c:
-        raise ValueError(
-            f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}")
-    stride = c - o
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
-    # last start: the largest 1 + k*stride that still begins a NEW chunk
-    # (start <= n - overlap, so a pure-overlap tail chunk never emits)
-    n_starts = F.greatest(
-        F.lit(1), F.ceil((F.col("_n") - F.lit(o)) / F.lit(stride)).cast("int")
-    )
-    starts = F.transform(
-        F.sequence(F.lit(0), n_starts - F.lit(1)),
-        lambda k: k * F.lit(stride) + F.lit(1),
-    )
-    return (
-        fan_out(df)
-        .select(F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n"))
-        .filter(F.col("_n") >= 1)
-        .select(
-            F.col(id_col),
-            F.posexplode(starts).alias("chunk_id", "chunk_start"),
-            F.col("_tk"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("chunk_id"),
-            F.col("chunk_start").cast("long"),
-            F.least(
-                F.lit(c), F.size(F.col("_tk")) - F.col("chunk_start") + F.lit(1)
-            ).cast("long").alias("n_chunk_tokens"),
-            F.array_join(
-                F.slice(F.col("_tk"), F.col("chunk_start"), c), " "
-            ).alias("text"),
-        )
-    )

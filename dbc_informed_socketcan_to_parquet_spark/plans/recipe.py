@@ -513,14 +513,14 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         # context-length chunking of the CURATED output (r11) — a
         # separate artifact next to `out`; export below still packs the
         # doc-granularity table (chunk consumers read chunk.out)
-        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
             chunk_documents,
         )
 
         ch = recipe["chunk"]
         chunks = chunk_documents(
-            kept, chunk_tokens=int(ch["chunk_tokens"]),
-            overlap_tokens=int(ch.get("overlap_tokens", 0)),
+            kept, max_tokens=int(ch["chunk_tokens"]),
+            overlap=int(ch.get("overlap_tokens", 0)),
         )
         chunks.write.mode("overwrite").parquet(ch["out"])
         summary["chunk"] = {

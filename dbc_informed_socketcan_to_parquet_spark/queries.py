@@ -2806,49 +2806,6 @@ def q_remove_eval_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @extra_query(
-    "chunk_documents",
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t != '') AS tk
-      FROM documents
-    ),
-    nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) >= 1),
-    st AS (
-      SELECT doc_id, tk, n,
-             CAST(greatest(1, ceil((n - 8) / 24.0)) AS BIGINT) AS ns
-      FROM nz
-    ),
-    ch AS (
-      SELECT doc_id, k AS chunk_id, k * 24 + 1 AS chunk_start, tk, n
-      FROM st, unnest(range(0, ns)) AS t(k)
-    )
-    SELECT doc_id,
-           CAST(chunk_id AS INT) AS chunk_id,
-           CAST(chunk_start AS BIGINT) AS chunk_start,
-           CAST(least(32, n - chunk_start + 1) AS BIGINT) AS n_chunk_tokens,
-           array_to_string(list_slice(tk, CAST(chunk_start AS INT),
-                                      CAST(chunk_start AS INT) + 31), ' ') AS text
-    FROM ch
-    """,
-)
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-token-budget chunking with overlap (r11, operators/textops
-    .chunk_documents; 32-token chunks, 8-token overlap → stride 24):
-    the context-length prep between curation and training/embedding.
-    One narrow projection (split → sequence of starts → posexplode →
-    slice) — no shuffle, no window; chunk identity is content-derived
-    so the output is partitioning-invariant.  Oracle replays the start
-    arithmetic and slicing."""
-    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
-        chunk_documents,
-    )
-
-    docs = _read(spark, sf_dir, "documents")
-    return chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
-
-
-@extra_query(
     "source_overlap",
     oracle=f"""
     WITH toks AS (

@@ -1000,41 +1000,15 @@ def test_remove_eval_spans_case_folds_and_broadcasts(spark):
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
 
 
-def test_chunk_documents_shapes(spark):
-    """chunk_documents (r11): hand-computed chunk boundaries — stride =
-    chunk - overlap, short tail emitted, sub-chunk doc yields one
-    chunk, empty doc yields none, and no pure-overlap tail chunk."""
-    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
-        chunk_documents,
-    )
-
-    docs = spark.createDataFrame(
-        [(1, " ".join(f"t{i}" for i in range(1, 11))),  # 10 tokens
-         (2, "a b c"),                                   # < one chunk
-         (3, ""), (4, None)],
-        "doc_id long, text string",
-    )
-    got = sorted(
-        (r.doc_id, r.chunk_id, r.chunk_start, r.n_chunk_tokens, r.text)
-        for r in chunk_documents(docs, chunk_tokens=4, overlap_tokens=1).collect()
-    )
-    # doc 1: starts 1,4,7,10 — wait: stride 3, n=10, ceil((10-1)/3)=3 -> starts 1,4,7
-    assert got == [
-        (1, 0, 1, 4, "t1 t2 t3 t4"),
-        (1, 1, 4, 4, "t4 t5 t6 t7"),
-        (1, 2, 7, 4, "t7 t8 t9 t10"),
-        (2, 0, 1, 3, "a b c"),
-    ]
-
-
 def test_chunk_documents_reconstruction_property(spark):
-    """Randomized reconstruction pin: dropping each chunk's
-    overlap-prefix (except chunk 0) and concatenating in chunk order
-    reproduces the original token stream exactly — no token lost or
-    duplicated at any (n, chunk, overlap) combination."""
+    """Randomized reconstruction pin for the r5 chunker (added r11):
+    dropping each chunk's overlap-prefix (except chunk 0) and
+    concatenating in chunk order reproduces the original token stream
+    exactly — no token lost or duplicated at any (n, chunk, overlap)
+    combination."""
     import random
 
-    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
         chunk_documents,
     )
 
@@ -1045,17 +1019,17 @@ def test_chunk_documents_reconstruction_property(spark):
         cases.append((d, " ".join(f"w{d}_{i}" for i in range(n))))
     docs = spark.createDataFrame(cases, "doc_id long, text string")
     for c, o in [(5, 0), (5, 2), (8, 7), (3, 1)]:
-        rows = chunk_documents(docs, chunk_tokens=c, overlap_tokens=o).collect()
+        rows = chunk_documents(docs, max_tokens=c, overlap=o).collect()
         by_doc: dict = {}
         for r in rows:
             by_doc.setdefault(r.doc_id, []).append(r)
         for d, text in cases:
-            chunks = sorted(by_doc[d], key=lambda r: r.chunk_id)
+            chunks = sorted(by_doc[d], key=lambda r: r.chunk_idx)
             rebuilt: list = []
             for r in chunks:
                 toks = r.text.split(" ")
-                assert len(toks) == r.n_chunk_tokens
-                rebuilt.extend(toks if r.chunk_id == 0 else toks[o:])
+                assert len(toks) == r.n_tokens
+                rebuilt.extend(toks if r.chunk_idx == 0 else toks[o:])
             assert rebuilt == text.split(" "), (d, c, o)
 
 
@@ -2363,5 +2337,5 @@ def test_chunk_cli(spark, tmp_path, capsys):
     main(["chunk", "--in", src, "--out", out,
           "--chunk-tokens", "4", "--overlap-tokens", "1"])
     assert "chunked 1 documents -> 3 chunks" in capsys.readouterr().out
-    rows = sorted((r.chunk_id, r.text) for r in spark.read.parquet(out).collect())
+    rows = sorted((r.chunk_idx, r.text) for r in spark.read.parquet(out).collect())
     assert rows == [(0, "t0 t1 t2 t3"), (1, "t3 t4 t5 t6"), (2, "t6 t7 t8 t9")]

@@ -601,9 +601,9 @@ def test_source_overlap_plan(spark):
 
 
 def test_chunk_documents_no_shuffle(spark):
-    """chunk_documents: one narrow projection — past the fan-out width
-    guard there is NO exchange, no join, no window in the plan."""
+    """chunk_documents (the r5 pure-column reshape): one narrow
+    projection — NO exchange, no join, no window in the plan."""
     df = EXTRA_QUERIES["chunk_documents"](spark, SF)
     plan = plan_of(df)
     assert "Join" not in plan and "Window" not in plan
-    assert n_exchanges(plan) <= 1  # the fan_out repartition only
+    assert n_exchanges(plan) == 0

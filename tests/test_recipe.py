@@ -441,7 +441,7 @@ def test_recipe_chunk_stage(spark, tmp_path):
     }
     summary = run_recipe(spark, recipe)
     assert summary["chunk"]["n_chunks"] == 3
-    rows = sorted((r.chunk_id, r.text) for r in spark.read.parquet(ch_out).collect())
+    rows = sorted((r.chunk_idx, r.text) for r in spark.read.parquet(ch_out).collect())
     assert rows == [(0, "t0 t1 t2 t3"), (1, "t3 t4 t5 t6"), (2, "t6 t7 t8 t9")]
 
     with pytest.raises(ValueError, match="chunk requires"):
