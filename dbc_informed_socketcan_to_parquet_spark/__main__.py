@@ -342,6 +342,13 @@ def build_stream_curate_parser() -> argparse.ArgumentParser:
                         "history (per-band rep verify at --jaccard)")
     p.add_argument("--jaccard", type=float, default=0.5,
                    help="--against-sigs verify threshold")
+    p.add_argument("--eval-corpus", default=None,
+                   help="eval-set TEXT parquet for the span-level verbatim "
+                        "decontamination scrub (--decon-spans); hash set built "
+                        "once, scrub is stateless row-local")
+    p.add_argument("--decon-spans", type=int, default=None, metavar="W",
+                   help="cut every token inside a W-token run shared verbatim "
+                        "with --eval-corpus from each arriving doc")
     p.add_argument("--audit", action="store_true",
                    help="observe per-gate drop counts (CollectMetrics on the one "
                         "streaming plan) and print the funnel after an "
@@ -363,6 +370,8 @@ def run_stream_curate(argv: list[str]) -> None:
     if args.lang and not args.lang_model:
         parser.error("--lang needs --lang-model (the streaming gate scores row-locally "
                      "against a trained model, not the heuristic)")
+    if (args.decon_spans is None) != (args.eval_corpus is None):
+        parser.error("--decon-spans and --eval-corpus go together")
     spark = get_spark("stream-curate-cli")
     listener = None
     if args.audit:
@@ -390,6 +399,7 @@ def run_stream_curate(argv: list[str]) -> None:
         min_compression_ratio=args.min_compression_ratio,
         against_path=args.against, against_sigs_path=args.against_sigs,
         against_jaccard=args.jaccard,
+        eval_corpus_path=args.eval_corpus, decon_span_window=args.decon_spans,
         observe_funnel=args.audit,
     )
     # C2 graceful shutdown, same contract as the decode stream: SIGINT

@@ -91,7 +91,7 @@ _STREAM_CURATE_KEYS = frozenset({
     "lang_model_path", "allowed_langs", "extract_html", "html_min_words",
     "html_max_link_density", "max_pii", "min_compression_ratio",
     "against_path", "against_sigs_path", "against_num_bands",
-    "against_jaccard",
+    "against_jaccard", "eval_corpus_path", "decon_span_window",
 })
 
 
@@ -122,6 +122,9 @@ def _validate_streaming_recipe(recipe: dict) -> None:
     if cur.get("allowed_langs") and not cur.get("lang_model_path"):
         raise ValueError("streaming allowed_langs needs lang_model_path (the "
                          "trained model — no heuristic in the streaming lane)")
+    if (cur.get("decon_span_window") is None) != (not cur.get("eval_corpus_path")):
+        raise ValueError("streaming decon_span_window and eval_corpus_path "
+                         "go together")
     audit = recipe.get("audit")
     if audit not in (None, True, False) and not isinstance(audit, dict):
         raise ValueError("audit must be true/false or {\"out\": path}")

@@ -185,6 +185,8 @@ def streaming_curate_frame(
     against_sigs_path: str | None = None,
     against_num_bands: int = 4,
     against_jaccard: float = 0.5,
+    eval_corpus: DataFrame | None = None,
+    decon_span_window: int | None = None,
     observe_funnel: bool = False,
 ) -> DataFrame:
     """The transformation core (source- and sink-agnostic): normalize →
@@ -228,6 +230,26 @@ def streaming_curate_frame(
         out = extract_text(
             out, html_col=text_col, out_col=text_col,
             min_words=html_min_words, max_link_density=html_max_link_density,
+        )
+    if decon_span_window is not None:
+        # span-level verbatim decontamination (r11): the streaming twin —
+        # the eval window-hash set is computed ONCE here (batch side,
+        # benchmark-sized) and rides the task closure; the scrub itself
+        # is a stateless row-local rewrite, same ordering as batch
+        # curate (after HTML extraction, before any gate reads text)
+        if eval_corpus is None:
+            raise ValueError(
+                "decon_span_window set but eval_corpus not provided")
+        from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import (
+            eval_span_hashes,
+            streaming_scrub_eval_spans,
+        )
+
+        out = streaming_scrub_eval_spans(
+            out,
+            eval_span_hashes(eval_corpus, text_col=text_col,
+                             window_tokens=decon_span_window),
+            window_tokens=decon_span_window, text_col=text_col,
         )
     if normalize:
         out = normalize_text(out, text_col)
@@ -397,6 +419,8 @@ def run_streaming_curate(
     against_sigs_path: str | None = None,
     against_num_bands: int = 4,
     against_jaccard: float = 0.5,
+    eval_corpus_path: str | None = None,
+    decon_span_window: int | None = None,
     observe_funnel: bool = False,
 ):
     """Start the full streaming curate pipeline; returns the list of
@@ -450,6 +474,10 @@ def run_streaming_curate(
         ),
         against_sigs_path=against_sigs_path,
         against_num_bands=against_num_bands, against_jaccard=against_jaccard,
+        eval_corpus=(
+            spark.read.parquet(eval_corpus_path) if eval_corpus_path else None
+        ),
+        decon_span_window=decon_span_window,
         observe_funnel=observe_funnel,
     )
 

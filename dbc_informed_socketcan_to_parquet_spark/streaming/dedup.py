@@ -341,3 +341,96 @@ def streaming_near_dedup_against(
         else est_cols[0] < F.lit(threshold)
     drop_cols = ["_sig"] + [c for b in range(num_bands) for c in (f"_bh{b}", f"_rep{b}")]
     return out.filter(F.col("_sig").isNull() | keep).drop(*drop_cols)
+
+
+# -- span-level verbatim decontamination, streaming twin ----------------------
+
+
+def eval_span_hashes(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    window_tokens: int = 20,
+) -> set[int]:
+    """Driver-collected window-hash set of the eval corpus — the static
+    side of :func:`streaming_scrub_eval_spans`.  Benchmark-sized by the
+    same contract the batch gate makes (``dedup.remove_eval_spans``
+    broadcasts the identical set); built with the SAME expressions as
+    the batch operator so the two tiers share one hash family."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+
+    w = int(window_tokens)
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    starts = F.sequence(F.lit(1), F.col("_n") - F.lit(w - 1))
+    rows = (
+        eval_df.select(toks.alias("_tk"), F.size(toks).alias("_n"))
+        .filter(F.col("_n") >= w)
+        .select(F.explode(F.transform(
+            starts,
+            lambda i: md5_long(
+                F.lower(F.array_join(F.slice(F.col("_tk"), i, w), " "))
+            ),
+        )).alias("_wh"))
+        .distinct()
+        .collect()
+    )
+    return {r["_wh"] for r in rows}
+
+
+def streaming_scrub_eval_spans(
+    docs: DataFrame,
+    eval_hashes: set[int],
+    window_tokens: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """STREAMING twin of ``dedup.remove_eval_spans`` (r11): rewrite each
+    arriving document with every token cut that sits inside a
+    ``window_tokens``-token run shared verbatim with the eval corpus.
+    Fully STATELESS and row-local — no aggregation, no watermark: the
+    eval hash set rides the task closure (the urlops big-blocklist
+    kernel pattern) and each row is masked independently, so the stage
+    composes with any gate chain and any trigger.
+
+    Parity with the batch operator (same \\s+ tokenization, same
+    lowercased-window md5_long family, same cover semantics) is
+    pytest-pinned; NULL text passes through untouched (the batch
+    keep_schema contract)."""
+    from pyspark.sql.functions import pandas_udf
+
+    w = int(window_tokens)
+    hashes = frozenset(eval_hashes)
+
+    def _scrub_fn(texts):
+        import hashlib
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, ASCII class
+
+        def one(text):
+            if text is None:
+                return None
+            toks = [t for t in ws.split(text) if t]
+            n = len(toks)
+            if n < w:
+                return text
+            covered = bytearray(n)
+            lowered = [t.lower() for t in toks]
+            for i in range(n - w + 1):
+                win = " ".join(lowered[i:i + w])
+                h = int(hashlib.md5(win.encode("utf-8")).hexdigest()[:15], 16)
+                if h in hashes:
+                    for j in range(i, i + w):
+                        covered[j] = 1
+            if not any(covered):
+                return text
+            return " ".join(t for t, c in zip(toks, covered) if not c)
+
+        return texts.map(one)
+
+    # legacy-style registration (no type hints): see _rowlocal_minhash —
+    # under `from __future__ import annotations` pyspark cannot resolve
+    # locally-imported pd.Series hints
+    _scrub = pandas_udf(_scrub_fn, "string")
+    return docs.withColumn(text_col, _scrub(F.col(text_col)))

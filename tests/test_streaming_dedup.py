@@ -189,3 +189,72 @@ def test_streaming_near_dup_ttl_eviction(spark, tmp_path):
     assert flagged.get(2) == {1}           # pre-eviction: rep is doc 1
     assert 3 not in flagged                # post-eviction: doc 3 founds fresh buckets...
     assert flagged.get(4) == {3}           # ...and becomes the new representative
+
+
+def test_streaming_scrub_eval_spans_parity_with_batch(spark):
+    """The streaming span scrub (r11) must reproduce the batch
+    remove_eval_spans keep_schema rewrite EXACTLY — same \\s+
+    tokenization, same lowercased-window md5_long family, same cover
+    union — including unaligned quotes, case-folded matches, tab/newline
+    whitespace, NULL text, and docs shorter than one window."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        remove_eval_spans,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import (
+        eval_span_hashes,
+        streaming_scrub_eval_spans,
+    )
+
+    quote = "q1 q2 q3 q4 q5 q6"
+    eval_df = spark.createDataFrame(
+        [(900, f"bench {quote} key")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, f"a1 a2 a3 {quote} z1"),
+         (2, f"b1\t{quote.upper()}\n b2  b3"),   # case + tab/newline ws
+         (3, "clean words with no overlap whatsoever"),
+         (4, "tiny"),
+         (5, None), (6, "")],
+        "doc_id long, text string",
+    )
+    w = 4
+    batch = {r.doc_id: r.text for r in remove_eval_spans(
+        docs, eval_df, window_tokens=w, keep_schema=True).collect()}
+    stream_twin = {r.doc_id: r.text for r in streaming_scrub_eval_spans(
+        docs, eval_span_hashes(eval_df, window_tokens=w), window_tokens=w,
+    ).collect()}
+    assert stream_twin == batch
+    assert "q1" not in (batch[1] or "") and batch[3].startswith("clean")
+
+
+def test_stream_curate_decon_spans_e2e(spark, tmp_path):
+    """stream-curate with the span scrub: an arriving doc quoting the
+    eval corpus lands scrubbed (quote gone, doc kept)."""
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        run_streaming_curate,
+    )
+
+    quote = " ".join(f"qq{i}" for i in range(8))
+    ev = str(tmp_path / "eval.parquet")
+    spark.createDataFrame(
+        [(900, f"benchmark {quote} answer")], "doc_id long, text string"
+    ).write.parquet(ev)
+    land = tmp_path / "land"
+    land.mkdir()
+    doc_text = (f"a long clean essay with plenty of ordinary words {quote} "
+                "and then a return to perfectly original prose for the rest")
+    _write_batch(land, "b0.json", [
+        {"doc_id": 1, "text": doc_text, "lang": "en", "source": "s",
+         "n_chars": len(doc_text)},
+    ])
+    out = str(tmp_path / "out")
+    queries = run_streaming_curate(
+        spark, str(land), out, str(tmp_path / "ckpt"),
+        min_chars=10, min_quality=0.0, available_now=True,
+        eval_corpus_path=ev, decon_span_window=4,
+    )
+    for q in queries:
+        q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert "qq0" not in rows[0].text and "original prose" in rows[0].text
