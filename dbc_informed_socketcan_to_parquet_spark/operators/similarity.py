@@ -1435,6 +1435,58 @@ def embedding_drift(
     )
 
 
+def ivf_cluster_stats(
+    corpus: DataFrame,
+    dim: int | None = None,
+    num_clusters: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    assign_kernel: str = "expr",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF index HEALTH report (r11): per-cluster population of the
+    coarse quantizer — the first thing an ANN operator checks before
+    trusting recall numbers, because a skewed quantizer silently turns
+    ``nprobe/num_clusters`` cost guarantees into full scans (one hot
+    cluster holds half the corpus) and starves recall everywhere else.
+
+    Output: ``(cluster, n_vecs, frac, imbalance)`` — one row per
+    NON-EMPTY cluster; ``frac = n/total``, ``imbalance = n·k/total``
+    (1.0 = perfectly balanced; the count an empty cluster would have
+    shows up as the others' imbalance > 1).
+
+    Scale: training is the shared deterministic-Lloyd's pass
+    (:func:`_ivf_train`); the report is ONE assignment projection +
+    ONE groupBy on the ≤k-cardinality label + a 1-row total broadcast —
+    no join against data, no second corpus scan.  Against a PERSISTED
+    index, skip this and aggregate ``{path}/data`` by its partition
+    column directly (a metadata-cheap scan of one column).
+    """
+    dim, centers = _ivf_train(
+        corpus, dim, num_clusters, n_iters, id_col, vec_col,
+        sample_mod, assign_kernel,
+    )
+    c = fan_out(corpus).select(F.col(vec_col).cast("array<double>").alias("_cv"))
+    if assign_kernel == "pandas":
+        c = _nearest_pandas(c, centers, "_cv", "cluster")
+    else:
+        c = c.withColumn("cluster", _nearest_label("_cv", centers))
+    counts = c.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    total = counts.agg(F.sum("n_vecs").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "cluster",
+            F.col("n_vecs").cast("long"),
+            F.round(F.col("n_vecs") / F.col("_total"), round_to).alias("frac"),
+            F.round(F.col("n_vecs") * F.lit(num_clusters) / F.col("_total"),
+                    round_to).alias("imbalance"),
+        )
+    )
+
+
 # -- eval-set contamination in embedding space -------------------------------
 
 def _best_eval_match(hits: DataFrame, id_col: str) -> DataFrame:

@@ -2063,6 +2063,45 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cluster_stats_oracle_sql(dim: int = 64, nplanes: int = 3,
+                                  n_iters: int = 2) -> str:
+    parts = _ivf_corpus_assign_ctes(dim, nplanes, n_iters)
+    k = 1 << nplanes
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    counts AS (
+      SELECT b AS cluster, count(*) AS n_vecs FROM corpus_assign GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_vecs) AS t FROM counts)
+    SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
+           round(CAST(n_vecs AS DOUBLE) / (SELECT t FROM tot), 6) AS frac,
+           round(CAST(n_vecs AS DOUBLE) * {k} / (SELECT t FROM tot), 6) AS imbalance
+    FROM counts
+    """
+
+
+@extra_query("ivf_cluster_stats",
+             oracle=_ivf_cluster_stats_oracle_sql(nplanes=3))
+def q_ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer health report (r11, operators/similarity
+    .ivf_cluster_stats): per-cluster population + imbalance factor — a
+    skewed quantizer silently turns nprobe/k cost guarantees into full
+    scans, so this is the check an ANN deployment runs after every
+    (re)train.  pandas assign kernel (parity-pinned; the expr lane's
+    k·dim literal-tree codegen cost is the documented
+    semantic_contamination lesson).  Oracle replays k-means, the
+    assignment, and the count/ratio arithmetic."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_cluster_stats,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_cluster_stats(
+        emb, dim=64, num_clusters=8, n_iters=2, assign_kernel="pandas",
+    )
+
+
 def _semantic_dedup_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
                                thr: float = 0.25, nprobe: int = 2) -> str:
     parts = _ivf_corpus_assign_ctes(dim, nplanes, n_iters)

@@ -2339,3 +2339,29 @@ def test_chunk_cli(spark, tmp_path, capsys):
     assert "chunked 1 documents -> 3 chunks" in capsys.readouterr().out
     rows = sorted((r.chunk_idx, r.text) for r in spark.read.parquet(out).collect())
     assert rows == [(0, "t0 t1 t2 t3"), (1, "t3 t4 t5 t6"), (2, "t6 t7 t8 t9")]
+
+
+def test_ivf_cluster_stats_flags_planted_skew(spark):
+    """ivf_cluster_stats (r11): a corpus where most vectors sit in one
+    tight ball (one hot cluster) reports imbalance >> 1 there; the frac
+    column sums to 1 over the emitted (non-empty) clusters."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_cluster_stats,
+    )
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    hot = unit(1)
+    rows = [(i, [x + 0.001 * (i % 7) for x in hot]) for i in range(30)]
+    rows += [(100 + s, unit(s)) for s in range(2, 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ivf_cluster_stats(emb, dim=8, num_clusters=4, n_iters=2).collect()
+    assert sum(r.n_vecs for r in got) == 36
+    assert abs(sum(r.frac for r in got) - 1.0) < 1e-6
+    top = max(got, key=lambda r: r.n_vecs)
+    assert top.n_vecs >= 30 and top.imbalance >= 3.0  # 30/36 * 4 = 3.33
