@@ -35,7 +35,13 @@ _LOAD_LIMIT = _CPUS * 1.5
 #: the same 5-rep treatment.
 _NOISY = {"simhash_signatures", "minhash_lsh_pairs", "text_stats",
           "simhash_signatures_fast", "minhash_lsh_pairs_fast",
-          "minhash_star_edges_fast"}
+          "minhash_star_edges_fast",
+          # r12 (VERDICT r11 item 3): the window-hash explode family is
+          # hash-bound the same way — remove_eval_spans recorded 1.397 s
+          # in the driver artifact and 4.455 s in the judge's otherwise
+          # FASTER quiet run, i.e. min-of-2 is not enough for these.
+          "exact_substring_dedup", "remove_eval_spans", "duplicate_spans",
+          "source_overlap", "fuzzy_contamination"}
 #: accumulated per-pass loadavg samples + count of load-gated retries,
 #: summarized into the artifact's "load" field.
 _LOAD_SAMPLES: list[float] = []
@@ -45,23 +51,69 @@ _LOAD_RETRIES = [0]
 _DECODE_LOAD_SAMPLES: list[float] = []
 _DECODE_LOAD_RETRIES = [0]
 
+#: Calibration probe (r12, VERDICT r11 item 1).  Loadavg cannot see
+#: co-tenant CPU steal or thermal throttling: BENCH_r11 recorded 24.264 s
+#: with gated_retries=0 and pass_mean_1m=5.18 while an identical rerun on
+#: a quiet host took 12.684 s — every query ran ~2x slow on a host whose
+#: loadavg looked idle.  Before each timed pass we now run a fixed
+#: deterministic single-thread spin loop and compare its wall time to a
+#: committed quiet-host reference cost; a pass whose probe ratio exceeds
+#: ``_PROBE_LIMIT`` is discarded and re-run like a load-gated pass.  If
+#: retries exhaust while the ratio is still high, the pass runs anyway and
+#: the artifact carries an explicit ``degraded_host: true`` flag instead
+#: of a silently inflated total.
+_PROBE_ITERS = 3_000_000
+_PROBE_REF = 0.315  # min of 6 quiet-host runs (loadavg 0.56), 2026-08-15
+_PROBE_LIMIT = 1.35  # quiet-host jitter is ~±10%; r11's bad host ran 1.7-2.9x
+_PROBE_SAMPLES: list[float] = []
+_PROBE_RETRIES = [0]
+_DEGRADED = [False]
 
-def _min_of(spark, mk, reps: int, max_retries: int = 2) -> float:
+
+def _probe_once() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for _ in range(_PROBE_ITERS):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
+def _probe_ratio() -> float:
+    """Probe wall time relative to the committed quiet-host cost.  A
+    single suspicious reading is confirmed with one immediate re-probe
+    (min of the two) so CPython timing jitter doesn't burn a retry."""
+    t = _probe_once()
+    if t / _PROBE_REF > _PROBE_LIMIT:
+        t = min(t, _probe_once())
+    ratio = t / _PROBE_REF
+    _PROBE_SAMPLES.append(round(ratio, 3))
+    return ratio
+
+
+def _min_of(spark, mk, reps: int, max_retries: int = 3) -> float:
     """min over ``reps`` cold passes of ``mk()``; a pass whose start-time
-    1-min loadavg exceeds ``_LOAD_LIMIT`` is discarded and re-run (at most
-    ``max_retries`` discards per query, so a persistently loaded host
-    still terminates and the contention shows up in the "load" field)."""
+    1-min loadavg exceeds ``_LOAD_LIMIT`` OR whose calibration-probe ratio
+    exceeds ``_PROBE_LIMIT`` is discarded and re-run (at most
+    ``max_retries`` discards per query, so a persistently degraded host
+    still terminates — with the contention recorded in the "load"/"probe"
+    fields and ``degraded_host`` set)."""
     samples: list[float] = []
     retries = 0
     while len(samples) < reps:
         spark.catalog.clearCache()
         load1 = os.getloadavg()[0]
         _LOAD_SAMPLES.append(load1)
-        if load1 > _LOAD_LIMIT and retries < max_retries:
+        ratio = _probe_ratio()
+        if (load1 > _LOAD_LIMIT or ratio > _PROBE_LIMIT) and retries < max_retries:
             retries += 1
-            _LOAD_RETRIES[0] += 1
+            if load1 > _LOAD_LIMIT:
+                _LOAD_RETRIES[0] += 1
+            if ratio > _PROBE_LIMIT:
+                _PROBE_RETRIES[0] += 1
             time.sleep(3.0)
             continue
+        if ratio > _PROBE_LIMIT:
+            _DEGRADED[0] = True
         t0 = time.perf_counter()
         mk().write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)
@@ -77,6 +129,20 @@ def _load_summary(start_1m: float) -> dict:
         "pass_mean_1m": round(sum(_LOAD_SAMPLES) / len(_LOAD_SAMPLES), 2)
         if _LOAD_SAMPLES else None,
         "gated_retries": _LOAD_RETRIES[0],
+    }
+
+
+def _probe_summary() -> dict:
+    return {
+        "ref_sec": _PROBE_REF,
+        "iters": _PROBE_ITERS,
+        "limit_ratio": _PROBE_LIMIT,
+        "pass_min_ratio": min(_PROBE_SAMPLES) if _PROBE_SAMPLES else None,
+        "pass_mean_ratio": round(sum(_PROBE_SAMPLES) / len(_PROBE_SAMPLES), 3)
+        if _PROBE_SAMPLES else None,
+        "pass_max_ratio": max(_PROBE_SAMPLES) if _PROBE_SAMPLES else None,
+        "gated_retries": _PROBE_RETRIES[0],
+        "degraded_host": _DEGRADED[0],
     }
 
 
@@ -142,11 +208,14 @@ def main() -> None:
         # corpus additions min-of-2; decode throughput is median-of-5
         # after a JIT warm pass; every pass records loadavg and passes
         # started under external load (>1.5x our local[N]) are re-run
-        "methodology": ("headline=min3-cold (md5-family min5), "
+        "methodology": ("headline=min3-cold (hash-bound min5), "
                         "fast_path=min3-cold (hash-bound min5), "
-                        "corpus=min2-cold, decode=median5-warm, "
-                        "load-gated-retry on every timed pass incl. decode"),
+                        "corpus=min2-cold (hash-bound min5), "
+                        "decode=median5-warm, load+probe-gated retry on "
+                        "every timed pass incl. decode; degraded_host set "
+                        "when probe stays >limit after retries"),
         "load": _load_summary(start_load),
+        "probe": _probe_summary(),
         "queries": timings,
         "sf": sf,
         "decode_frames_per_sec": fps,
@@ -254,7 +323,8 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  "fertility_mix", "duplicate_spans", "source_overlap",
                  "remove_eval_spans", "chunk_documents"):
         fn = EXTRA_QUERIES.get(name) or QUERIES[name]
-        out[name] = _min_of(spark, lambda: fn(spark, sf_dir), 2)
+        out[name] = _min_of(spark, lambda: fn(spark, sf_dir),
+                            5 if name in _NOISY else 2)
     return out
 
 
@@ -306,11 +376,14 @@ def _decode_throughput(spark, n_frames: int = 1_000_000) -> int:
         while len(samples) < 5:
             load1 = os.getloadavg()[0]
             _DECODE_LOAD_SAMPLES.append(load1)
-            if load1 > _LOAD_LIMIT and retries < 4:
+            ratio = _probe_ratio()
+            if (load1 > _LOAD_LIMIT or ratio > _PROBE_LIMIT) and retries < 4:
                 retries += 1
                 _DECODE_LOAD_RETRIES[0] += 1
                 time.sleep(3.0)
                 continue
+            if ratio > _PROBE_LIMIT:
+                _DEGRADED[0] = True
             t0 = time.perf_counter()
             run()
             samples.append(time.perf_counter() - t0)

@@ -418,13 +418,16 @@ def run_stream_curate(argv: list[str]) -> None:
             import time as _time
 
             prev = None
+            stable = 0
             for _i in range(50):
                 snap = dict(listener.totals)
-                # break on ANY stable snapshot (r11, ADVICE): an empty
-                # landing dir legitimately observes no metrics, and the
-                # old `snap and` guard made it sleep the full 5 s before
-                # reporting an empty funnel
-                if prev is not None and snap == prev and (snap or _i >= 4):
+                stable = stable + 1 if (prev is not None and snap == prev) else 0
+                # a NON-EMPTY stable snapshot is trusted immediately; an
+                # EMPTY one only after ~1.5 s of stability (r12, ADVICE
+                # r11: the bus can deliver the final progress event later
+                # than the old ~0.5 s early-exit, and a genuinely
+                # non-empty funnel must not be reported empty)
+                if stable >= (1 if snap else 15):
                     break
                 prev = snap
                 _time.sleep(0.1)
@@ -432,7 +435,13 @@ def run_stream_curate(argv: list[str]) -> None:
                 print(f"audit {i} {row['stage']}: "
                       f"{row['rows_in']} -> {row['rows_out']} (-{row['dropped']})")
             spark.streams.removeListener(listener)
-        n = spark.read.parquet(args.output_dir).count()
+        # an empty landing dir drains zero micro-batches, so the sink dir
+        # may not exist at all — report 0 instead of crashing on a
+        # schema-less read (r12, found driving the empty-drain flow)
+        try:
+            n = spark.read.parquet(args.output_dir).count()
+        except Exception:
+            n = 0
         print(f"stream-curate drained: {n} documents landed")
 
 

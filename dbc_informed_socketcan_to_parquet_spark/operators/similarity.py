@@ -472,6 +472,27 @@ def _nearest_pandas(
     return df.mapInPandas(kernel, schema)
 
 
+#: ``assign_kernel="auto"`` crossover (r12, VERDICT r11 item 4): the
+#: "expr" kernel renders the k×dim centroid matrix as a literal column
+#: tree, and above ~512 literals the Catalyst compile/codegen tax
+#: dominates (the r10 weak component: semantic_contamination at
+#: k·dim=1024 ran 10.3 s expr vs 3.4 s pandas at sf0.1).  Auto resolves
+#: to the Arrow-batched numpy kernel at or above this product and keeps
+#: the pure-codegen (DuckDB-replayable) expression path below it.
+_AUTO_KERNEL_KDIM = 512
+
+
+def _resolve_assign_kernel(kernel: str, num_clusters: int, dim: int) -> str:
+    """Resolve ``"auto"`` to a concrete kernel on the k·dim rule above;
+    validate explicit choices."""
+    if kernel == "auto":
+        return "pandas" if num_clusters * dim >= _AUTO_KERNEL_KDIM else "expr"
+    if kernel not in ("expr", "pandas"):
+        raise ValueError(
+            f"assign_kernel must be 'auto', 'expr' or 'pandas', got {kernel!r}")
+    return kernel
+
+
 def _ivf_train(
     corpus: DataFrame,
     dim: int | None,
@@ -481,22 +502,23 @@ def _ivf_train(
     vec_col: str,
     sample_mod: int,
     assign_kernel: str,
-) -> tuple[int, dict[int, list[float]]]:
+) -> tuple[int, dict[int, list[float]], str]:
     """Fit the deterministic-Lloyd's coarse quantizer; returns
-    (dim, {label: centroid}).  Shared by the inline :func:`ivf_ann_topk`
-    and the persisted-index :func:`ivf_index_write` paths."""
+    (dim, {label: centroid}, resolved_kernel) — the kernel comes back so
+    callers branch on the same auto decision.  Shared by the inline
+    :func:`ivf_ann_topk` and the persisted-index :func:`ivf_index_write`
+    paths."""
     from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
 
     nplanes = num_clusters.bit_length() - 1
     if (1 << nplanes) != num_clusters:
         raise ValueError(f"num_clusters must be a power of two, got {num_clusters}")
-    if assign_kernel not in ("expr", "pandas"):
-        raise ValueError(f"assign_kernel must be 'expr' or 'pandas', got {assign_kernel!r}")
     if dim is None:
         probe = corpus.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
         if not probe or probe[0]["_d"] is None or probe[0]["_d"] <= 0:
             raise ValueError(f"cannot derive dim: corpus is empty or {vec_col!r} is null — pass dim explicitly")
         dim = probe[0]["_d"]
+    assign_kernel = _resolve_assign_kernel(assign_kernel, num_clusters, dim)
 
     train = corpus
     if sample_mod > 1:
@@ -520,7 +542,7 @@ def _ivf_train(
             centers = means(reassigned, dim)
     finally:
         tv.unpersist()
-    return dim, centers
+    return dim, centers, assign_kernel
 
 
 def ivf_index_write(
@@ -532,7 +554,7 @@ def ivf_index_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_mod: int = 1,
-    assign_kernel: str = "expr",
+    assign_kernel: str = "auto",
 ) -> dict[int, list[float]]:
     """Materialize the IVF index as a CLUSTER-PARTITIONED table — the
     100 TB serving shape: the one-off batch job pays training + full
@@ -545,7 +567,7 @@ def ivf_index_write(
     column; ``{path}/model`` = the k×dim centroid table (driver-sized,
     stored through Spark so it lives on the same filesystem as the data
     — HDFS/S3/local alike).  Returns the centroid dict."""
-    dim, centers = _ivf_train(
+    dim, centers, assign_kernel = _ivf_train(
         corpus, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, assign_kernel
     )
     c = fan_out(corpus)
@@ -570,7 +592,7 @@ def ivf_index_append(
     path: str,
     new_vectors: DataFrame,
     vec_col: str = "embedding",
-    assign_kernel: str = "expr",
+    assign_kernel: str = "auto",
 ) -> None:
     """Grow a persisted IVF index incrementally: assign a new vector batch
     with the STORED centroids (no retrain) and append into the
@@ -583,6 +605,8 @@ def ivf_index_append(
     no change: partition pruning sees old and new files alike."""
     model = spark.read.parquet(f"{path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
+    assign_kernel = _resolve_assign_kernel(
+        assign_kernel, len(centers), len(next(iter(centers.values()))))
     c = fan_out(new_vectors)
     if assign_kernel == "pandas":
         c = c.withColumn("_cv", F.col(vec_col).cast("array<double>"))
@@ -654,7 +678,7 @@ def ivf_ann_topk(
     query_id_col: str = "query_id",
     sample_mod: int = 1,
     round_to: int | None = None,
-    assign_kernel: str = "expr",
+    assign_kernel: str = "auto",
 ) -> DataFrame:
     """IVF ANN: a coarse k-means quantizer partitions the corpus into
     ``num_clusters`` inverted lists; each query probes its ``nprobe``
@@ -685,9 +709,12 @@ def ivf_ann_topk(
     single-pass.
 
     ``assign_kernel`` picks the nearest-centroid implementation:
-    ``"expr"`` (default) renders the centroids as literal column
-    expressions — pure codegen, oracle-replayable, right for
-    k·dim ≲ 10⁴; ``"pandas"`` runs an Arrow-batched numpy matmul
+    ``"auto"`` (default, r12) resolves on the k·dim product — ``"expr"``
+    below :data:`_AUTO_KERNEL_KDIM` literals, ``"pandas"`` at or above
+    it (the Catalyst literal-tree compile tax made k·dim=1024 the r10
+    weak component, so the crossover sits low).  ``"expr"`` renders the
+    centroids as literal column expressions — pure codegen,
+    oracle-replayable; ``"pandas"`` runs an Arrow-batched numpy matmul
     (:func:`_nearest_pandas`) AND numpy partial-sum means
     (:func:`_centroid_means_pandas`) — the scale path for large k·dim
     where the expression tree would blow up Catalyst.  Same
@@ -698,7 +725,7 @@ def ivf_ann_topk(
     gap widens with k; at the d=64/k=16 fixture scale the two are
     equivalent and expr keeps DuckDB-replay determinism.
     """
-    dim, centers = _ivf_train(
+    dim, centers, assign_kernel = _ivf_train(
         corpus, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, assign_kernel
     )
     return _ivf_search(
@@ -718,12 +745,14 @@ def _ivf_search(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_to: int | None = None,
-    assign_kernel: str = "expr",
+    assign_kernel: str = "auto",
 ) -> DataFrame:
     """The probe + rerank phase of :func:`ivf_ann_topk`, factored out so
     a TRAINED model can be searched at several ``nprobe`` values without
     re-running Lloyd's per value (:func:`ann_tune`'s sweep — and the
     production shape, where the quantizer is fit once and reused)."""
+    assign_kernel = _resolve_assign_kernel(
+        assign_kernel, len(centers), len(next(iter(centers.values()))))
     c = fan_out(corpus).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
     if assign_kernel == "pandas":
@@ -1068,7 +1097,7 @@ def ivfpq_ann_topk(
     """
     import numpy as np
 
-    dim, centers = _ivf_train(
+    dim, centers, _ = _ivf_train(
         corpus, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, "pandas"
     )
     labels = sorted(centers)
@@ -1269,7 +1298,7 @@ def ann_tune(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_to: int = 6,
-    assign_kernel: str = "expr",
+    assign_kernel: str = "auto",
 ) -> DataFrame:
     """Recall-targeted ANN tuning (VERDICT r8 #5): sweep the index's
     recall knob — ``nprobe`` for ``index="ivf"``, ``num_tables`` for
@@ -1309,7 +1338,7 @@ def ann_tune(
         query_id_col=query_id_col, round_to=round_to,
     )
     if index == "ivf":
-        dim, centers = _ivf_train(
+        dim, centers, assign_kernel = _ivf_train(
             corpus, dim, num_clusters, n_iters, id_col, vec_col,
             sample_mod, assign_kernel,
         )
@@ -1443,7 +1472,7 @@ def ivf_cluster_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_mod: int = 1,
-    assign_kernel: str = "expr",
+    assign_kernel: str = "auto",
     round_to: int = 6,
 ) -> DataFrame:
     """IVF index HEALTH report (r11): per-cluster population of the
@@ -1464,7 +1493,7 @@ def ivf_cluster_stats(
     index, skip this and aggregate ``{path}/data`` by its partition
     column directly (a metadata-cheap scan of one column).
     """
-    dim, centers = _ivf_train(
+    dim, centers, assign_kernel = _ivf_train(
         corpus, dim, num_clusters, n_iters, id_col, vec_col,
         sample_mod, assign_kernel,
     )
@@ -1528,7 +1557,7 @@ def semantic_contamination(
     dim: int | None = None,
     sample_mod: int = 1,
     round_to: int | None = None,
-    assign_kernel: str = "expr",
+    assign_kernel: str = "auto",
 ) -> DataFrame:
     """Eval-set contamination in EMBEDDING space: corpus docs whose cosine
     similarity against ANY evaluation document is ≥ ``threshold`` — the
@@ -1579,7 +1608,7 @@ def semantic_contamination(
         F.col(vec_col).cast("array<double>").alias("_ev"),
     )
     if mode == "ivf":
-        dim, centers = _ivf_train(
+        dim, centers, assign_kernel = _ivf_train(
             corpus, dim, num_clusters, n_iters, id_col, vec_col,
             sample_mod, assign_kernel,
         )

@@ -298,12 +298,16 @@ def _run_streaming_recipe(spark: SparkSession, recipe: dict) -> dict:
             # the listener bus delivers progress asynchronously — wait
             # for the totals to settle before folding the funnel
             prev = None
+            stable = 0
             for _i in range(50):
                 snap = dict(listener.totals)
-                # break on ANY stable snapshot (r11, ADVICE): an empty
-                # drain observes no metrics and must not sleep out the
-                # full settle window just to report an empty funnel
-                if prev is not None and snap == prev and (snap or _i >= 4):
+                stable = stable + 1 if (prev is not None and snap == prev) else 0
+                # a NON-EMPTY stable snapshot is trusted immediately; an
+                # EMPTY one only after ~1.5 s of stability (r12, ADVICE
+                # r11: the bus can deliver the final progress event later
+                # than the old ~0.5 s early-exit, and a genuinely
+                # non-empty funnel must not be reported empty)
+                if stable >= (1 if snap else 15):
                     break
                 prev = snap
                 time.sleep(0.1)

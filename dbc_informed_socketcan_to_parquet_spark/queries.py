@@ -1936,7 +1936,12 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_ann_topk(emb, queries, dim=64, k=10, num_clusters=16, nprobe=4, round_to=6)
+    # assign_kernel pinned to the expression kernel: this is the
+    # DuckDB-replay lane, and the r12 'auto' default resolves k*dim=1024
+    # to the pandas kernel whose blocked numpy summation is not
+    # bit-identical to the SQL fold
+    return ivf_ann_topk(emb, queries, dim=64, k=10, num_clusters=16,
+                        nprobe=4, round_to=6, assign_kernel="expr")
 
 
 def _ann_recall_oracle_sql(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
@@ -1994,7 +1999,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     exact = cosine_topk(emb, queries, k=10, round_to=6)
-    approx = ivf_ann_topk(emb, queries, dim=64, k=10, num_clusters=16, nprobe=2, round_to=6)
+    approx = ivf_ann_topk(emb, queries, dim=64, k=10, num_clusters=16,
+                          nprobe=2, round_to=6, assign_kernel="expr")
     return ann_recall(exact, approx)
 
 
@@ -4655,6 +4661,7 @@ def q_ann_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_tune(
         emb, queries, dim=64, k=10, index="ivf", candidates=(1, 2, 4),
         target_recall=0.8, num_clusters=16, round_to=6,
+        assign_kernel="expr",  # oracle-replay lane (see similarity_ann_ivf)
     )
 
 

@@ -396,7 +396,17 @@ def streaming_scrub_eval_spans(
     Parity with the batch operator (same \\s+ tokenization, same
     lowercased-window md5_long family, same cover semantics) is
     pytest-pinned; NULL text passes through untouched (the batch
-    keep_schema contract)."""
+    keep_schema contract).
+
+    .. note:: the parity guarantee is ASCII-only (r12, ADVICE r11): the
+       batch side lowercases with Spark ``lower()`` (JVM case mapping)
+       while this kernel uses Python ``str.lower()`` (Unicode simple
+       case mapping) — on ASCII the two are identical byte-for-byte,
+       but non-ASCII text (e.g. dotted/dotless I under a Turkish-locale
+       JVM, or full-vs-simple case folds like ``'İ'``) can hash the same
+       window differently across the two tiers.  For a non-ASCII corpus
+       run the batch scrub, or pre-normalize case upstream in BOTH
+       tiers with one shared kernel."""
     from pyspark.sql.functions import pandas_udf
 
     w = int(window_tokens)

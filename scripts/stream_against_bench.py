@@ -6,10 +6,14 @@ landing dir through ``stream-curate`` with
   (b) the near vs-history gate    (``against_sigs_path`` -> streaming_near_dedup_against)
   (c) both gates together
 
-against a HISTORY 10x the batch: 500k docs = 10 key-shifted copies of
-sf1, copy 0 verbatim (so the whole batch is genuinely in history and
-both gates do full drop work) and copies 1-9 letter-rotated (new
-content, same compute shape — the make_scaled_sf.py cipher).  The
+against a HISTORY several times the batch: key-shifted copies of sf1
+— overlap mode: 10 copies, copy 0 verbatim (so the whole batch is
+genuinely in history and both gates do full drop work), copies 1-9
+letter-rotated; disjoint mode: 7 copies at shifts 10..16, one shift
+each (r12, ADVICE r11: only 7 shifts in 10..25 stay disjoint from the
+batch's 0..9 rotation band, and repeating shifts internally duplicated
+~30% of the old "10x" history, inflating signature-store buckets
+relative to a genuinely disjoint history).  The
 history parquet feeds the exact gate; its ``minhash_write`` signature
 store (num_perms=16, shingle_n=5, the curate defaults) feeds the near
 gate.
@@ -35,7 +39,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_COPIES = 10
+N_COPIES = 10          # overlap mode: shifts 0..9 (copy 0 verbatim)
+N_COPIES_DISJOINT = 7   # disjoint mode: shifts 10..16, each used ONCE
 KEY_OFFSET = 100_000_000
 
 
@@ -64,14 +69,17 @@ def build_history(spark, sf_dir: str, work: str, overlap: bool) -> tuple[str, st
     copies = []
     lower = "abcdefghijklmnopqrstuvwxyz"
     upper = lower.upper()
-    for i in range(N_COPIES):
+    for i in range(N_COPIES if overlap else N_COPIES_DISJOINT):
         # disjoint shifts live in 10..16: the sf1 fixture is ITSELF
         # rotation-built from sf0.1 with shifts 0..9 (make_scaled_sf),
         # so history shift h collides with batch copy j whenever
         # h + j' = j (mod 26) for batch/history copy indices j, j' in
         # 0..9 — only h in 10..16 keeps h+j' inside 10..25, disjoint
         # from the batch's 0..9 band
-        shift = i if overlap else 10 + (i % 7)
+        # one shift per copy: repeating a shift would internally
+        # duplicate history content (same text, shifted ids) and inflate
+        # signature-store buckets vs a genuinely disjoint history
+        shift = i if overlap else 10 + i
         c = docs.select(
             (F.col("doc_id") + F.lit(i * KEY_OFFSET)).alias("doc_id"),
             (F.col("text") if shift % 26 == 0 else F.translate(
@@ -145,7 +153,8 @@ def main() -> None:
     for overlap in (False, True):
         t0 = time.perf_counter()
         hist_path, store_path = build_history(spark, sf_dir, work, overlap)
-        print(f"# setup: history 10x (overlap={overlap}) in "
+        mult = N_COPIES if overlap else N_COPIES_DISJOINT
+        print(f"# setup: history {mult}x (overlap={overlap}) in "
               f"{time.perf_counter() - t0:.0f}s", flush=True)
         sfx = "overlap" if overlap else "disjoint"
         runs += [

@@ -266,9 +266,11 @@ def test_classifier_score_broadcasts_weights(spark):
 
 
 def test_remove_hot_spans_broadcasts_hot_set(spark):
-    """The hot-window set (templates only — rare by construction) must
-    broadcast back onto the window table, and span masking is row-local:
-    no cartesian, no pair table, no full-text shuffle."""
+    """The hot-window set at fixture scale measures tiny, so it must
+    broadcast back onto the window table (shuffle-hash only above the r12
+    measured-size gate — see test_hot_set_join_strategy_by_measured_size
+    for both strategies), and span masking is row-local: no cartesian, no
+    pair table, no full-text shuffle."""
     plan = plan_of(EXTRA_QUERIES["exact_substring_dedup"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
@@ -570,17 +572,48 @@ def test_tokenizer_fertility_single_agg_exchange(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
+def live_exchanges(df) -> int:
+    """Shuffle Exchanges that will actually RUN for this query: walks the
+    physical-plan tree text and skips every subtree under an
+    InMemoryRelation — the r12 measured-size gate persists + counts the
+    hot set, so its cached plan (already executed during the count job)
+    is displayed inside the final plan but never re-runs."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    count, skip_indent = 0, None
+
+    def indent_of(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-*(":
+            i += 1
+        return i
+
+    for line in plan.splitlines():
+        ind = indent_of(line)
+        if skip_indent is not None:
+            if ind > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = ind
+            continue
+        if re.search(r"\bExchange (hashpartitioning|RoundRobinPartitioning|SinglePartition|rangepartitioning)", line):
+            count += 1
+    return count
+
+
 def test_duplicate_spans_plan(spark):
-    """duplicate_spans: the hot window set BROADCASTS back onto the
-    window table (never a shuffle join), and the whole report costs two
-    hash exchanges — the hot count and the per-doc island window."""
+    """duplicate_spans: the hot window set joins back by its MEASURED
+    size (broadcast here — the sf fixture's hot set is tiny; shuffle-hash
+    at corpus scale, r12), reused from the gate's cache, and the live
+    query costs only the fan_out width guard + the per-doc island window
+    — the hot count's exchanges already ran inside the gate job."""
     df = EXTRA_QUERIES["duplicate_spans"](spark, SF)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
-    # hot count + island window (the groupBy(id, isl) reuses the window's
-    # id partitioning) + the fan_out width guard on each of the two
-    # window-table consumers
-    assert n_exchanges(plan) <= 4
+    # the measured-size gate's cached hot set feeds the broadcast — no
+    # recompute of the explode/count chain on the build side
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert live_exchanges(df) <= 3
 
 
 def test_source_overlap_plan(spark):
