@@ -688,7 +688,7 @@ def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(  # demoted r12: swapped for the r11 flagships (rotation pattern)
     "semi_anti_join",
     oracle="""
     SELECT c_mktsegment,
@@ -722,7 +722,7 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(  # demoted r12: swapped for the r11 flagships (rotation pattern)
     "set_operations",
     oracle="""
     SELECT c_custkey, 'both' AS tag FROM (
@@ -807,7 +807,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(  # demoted r12: swapped for the r11 flagships (rotation pattern)
     "scalar_functions",
     oracle="""
     SELECT o_orderkey,
@@ -1629,7 +1629,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
+@extra_query(  # demoted r12: swapped for the r11 flagships (rotation pattern)
     "outer_join",
     oracle="""
     SELECT c.c_custkey,
@@ -2779,7 +2779,7 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_hot_spans(docs, window_tokens=20, min_count=3)
 
 
-@extra_query(
+@query(  # promoted r12: r11 flagship rotated into the driver-checked 50
     "remove_eval_spans",
     oracle=f"""
     WITH ev AS (
@@ -2850,7 +2850,7 @@ def q_remove_eval_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_eval_spans(corpus, eval_df, window_tokens=20)
 
 
-@extra_query(
+@query(  # promoted r12: r11 flagship rotated into the driver-checked 50
     "source_overlap",
     oracle=f"""
     WITH toks AS (
@@ -2894,7 +2894,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(docs, group_col="source", shingle_n=3)
 
 
-@extra_query(
+@query(  # promoted r12: r11 flagship rotated into the driver-checked 50
     "duplicate_spans",
     oracle=f"""
     WITH toks AS (
@@ -4168,7 +4168,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_read(spark, sf_dir, "documents"))
 
 
-@extra_query(
+@query(  # promoted r12: r11 flagship rotated into the driver-checked 50
     "fertility_mix",
     oracle=rf"""
     WITH base AS (

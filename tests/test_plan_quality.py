@@ -607,7 +607,7 @@ def test_duplicate_spans_plan(spark):
     at corpus scale, r12), reused from the gate's cache, and the live
     query costs only the fan_out width guard + the per-doc island window
     — the hot count's exchanges already ran inside the gate job."""
-    df = EXTRA_QUERIES["duplicate_spans"](spark, SF)
+    df = QUERIES["duplicate_spans"](spark, SF)  # promoted r12
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
     # the measured-size gate's cached hot set feeds the broadcast — no
@@ -622,7 +622,7 @@ def test_source_overlap_plan(spark):
     small SF, shuffle join at corpus scale — either way never a
     product), and the corpus text never reaches an Exchange (only
     (source, 60-bit hash) rows shuffle)."""
-    df = EXTRA_QUERIES["source_overlap"](spark, SF)
+    df = QUERIES["source_overlap"](spark, SF)  # promoted r12
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
