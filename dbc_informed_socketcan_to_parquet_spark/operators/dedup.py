@@ -1667,6 +1667,7 @@ def fuzzy_contamination(
     threshold: float = 0.5,
     seed: int = 42,
     hash_fn=md5_long,
+    best_only: bool = True,
 ) -> DataFrame:
     """Cross-corpus NEAR-duplicate benchmark contamination: corpus docs
     whose MinHash-estimated Jaccard against ANY evaluation document is
@@ -1715,6 +1716,13 @@ def fuzzy_contamination(
     # max est per corpus doc, ties toward the smallest eval id — a single
     # struct-max aggregation (est slots are exact k/num_perms doubles, so
     # the equality semantics are reproducible cross-engine)
+    if not best_only:
+        # every (corpus, eval) pair over the threshold — the
+        # decon_report fan-in shape (r12); one row per flagged pair
+        return scored.select(
+            F.col(id_col), F.col("_eid").alias("eval_id"),
+            F.col("_est").alias("est_jaccard"),
+        )
     best = scored.groupBy(id_col).agg(
         F.max(F.struct(F.col("_est"), (-F.col("_eid")).alias("_neg"))).alias("_m")
     )
@@ -1938,3 +1946,210 @@ def keep_canonical_by(
     )
     untouched = docs.join(c.select(id_col), on=id_col, how="left_anti")
     return untouched.unionByName(winners)
+
+
+def lsh_band_tune(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = 16,
+    shingle_n: int = 5,
+    configs: tuple[tuple[int, int], ...] = ((2, 8), (4, 4), (8, 2)),
+    threshold: float = 0.5,
+    seed: int = 42,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """MinHash-LSH BANDING parameter sweep (r12) — the dedup analog of
+    ``similarity.ann_tune``: before committing a 100 TB near-dedup run
+    to one (bands, rows-per-band) choice, measure each candidate
+    banding's candidate volume, precision and recall against the
+    signature-estimated ground truth, next to the theoretical S-curve
+    collision probability ``1 - (1 - t^r)^b`` at the target threshold.
+
+    Ground truth needs no all-pairs scan: a pair with estimated Jaccard
+    ≥ threshold > 0 shares at least one permutation minimum, so it
+    collides in at least one band of the (num_perms bands × 1 row)
+    banding — the finest banding's candidate set is a COMPLETE superset
+    of every est ≥ t pair, and filtering it by the estimate yields the
+    exact truth set at band-join cost.
+
+    Output: one row per config — ``(num_bands, rows_per_band,
+    n_candidates, n_true, truth_total, precision, recall, s_curve)``;
+    ``precision = n_true / n_candidates`` (0 when no candidates),
+    ``recall = n_true / truth_total`` (1 when the truth set is empty).
+
+    Scale: the signature table is computed ONCE and persisted (one
+    corpus scan); each config costs one keyed band self-join over
+    signatures (never a cartesian), and every reported number is an
+    in-engine aggregate — nothing but the final per-config rows
+    (len(configs)) ever reaches the driver.
+    """
+    for b, r in configs:
+        if b * r > num_perms:
+            raise ValueError(
+                f"config ({b}, {r}) needs {b * r} perms, have {num_perms}")
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perms=num_perms, shingle_n=shingle_n,
+        seed=seed, hash_fn=hash_fn,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    matches = F.aggregate(
+        F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+
+    def _scored(cand: DataFrame) -> DataFrame:
+        sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
+        sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
+        return (
+            cand.join(sa, "id_a").join(sb, "id_b")
+            .select((matches / F.lit(float(num_perms))).alias("_est"))
+        )
+
+    truth_total = (
+        _scored(lsh_candidate_pairs(sigs, id_col, num_perms, 1))
+        .filter(F.col("_est") >= F.lit(threshold))
+        .agg(F.count(F.lit(1)).alias("truth_total"))
+    )
+
+    reports = []
+    for b, r in configs:
+        est = _scored(lsh_candidate_pairs(sigs, id_col, b, r))
+        per = est.agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count_if(F.col("_est") >= F.lit(threshold)).alias("n_true"),
+        ).select(
+            F.lit(b).alias("num_bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.col("n_candidates").cast("long"),
+            F.col("n_true").cast("long"),
+        )
+        reports.append(per)
+    out = reports[0]
+    for p in reports[1:]:
+        out = out.unionByName(p)
+    # the S-curve and the ratio arithmetic render identically in DuckDB
+    s_curve = F.round(
+        F.lit(1.0) - F.pow(
+            F.lit(1.0) - F.pow(F.lit(float(threshold)), F.col("rows_per_band")),
+            F.col("num_bands"),
+        ), 6,
+    )
+    return (
+        out.join(F.broadcast(truth_total))
+        .select(
+            "num_bands", "rows_per_band", "n_candidates", "n_true",
+            F.col("truth_total").cast("long"),
+            F.round(F.when(F.col("n_candidates") > 0,
+                           F.col("n_true") / F.col("n_candidates"))
+                    .otherwise(F.lit(0.0)), 6).alias("precision"),
+            F.round(F.when(F.col("truth_total") > 0,
+                           F.col("n_true") / F.col("truth_total"))
+                    .otherwise(F.lit(1.0)), 6).alias("recall"),
+            s_curve.alias("s_curve"),
+        )
+    )
+
+
+def decon_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = 16,
+    shingle_n: int = 5,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    window_tokens: int = 20,
+    seed: int = 42,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """Unified decontamination-triad OBSERVABILITY report (r12): one row
+    per eval document with how many corpus documents each mechanism
+    flags against it —
+
+    - ``n_exact``: byte-identical corpus copies (md5 text equality);
+    - ``n_near``: MinHash-estimated Jaccard ≥ ``threshold`` (the
+      ``fuzzy_contamination`` lane);
+    - ``n_span``: corpus docs sharing ≥ 1 verbatim ``window_tokens``-token
+      run (the ``remove_eval_spans`` lane's reach).
+
+    Run it BEFORE a curate to size the contamination problem per eval
+    benchmark row, and AFTER to verify the triad drove every count to
+    zero.
+
+    Output: ``(eval_id, n_exact, n_near, n_span)`` — every eval doc
+    appears, zeros included.
+
+    Scale: the eval side is benchmark-sized, so its hash/band/window
+    tables all BROADCAST; the corpus is scanned once per mechanism with
+    keyed joins only (band buckets, window hashes, content hashes) —
+    no all-pairs anywhere, and corpus text never shuffles.
+    """
+    ev_ids = eval_df.select(F.col(id_col).alias("eval_id"))
+
+    # exact: content-hash equi-join, eval side broadcast
+    c_hash = corpus.select(F.md5(F.col(text_col)).alias("_h"))
+    e_hash = eval_df.select(F.col(id_col).alias("eval_id"),
+                            F.md5(F.col(text_col)).alias("_h"))
+    exact = (
+        c_hash.join(F.broadcast(e_hash), "_h")
+        .groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+
+    # near: band-bucket candidates then signature-estimate filter
+    near = (
+        fuzzy_contamination(
+            corpus, eval_df, id_col=id_col, text_col=text_col,
+            num_perms=num_perms, shingle_n=shingle_n, num_bands=num_bands,
+            rows_per_band=num_perms // num_bands, threshold=threshold,
+            seed=seed, hash_fn=hash_fn, best_only=False,
+        )
+        .groupBy(F.col("eval_id")).agg(F.count(F.lit(1)).alias("n_near"))
+    )
+
+    # span: distinct corpus docs sharing >= 1 window hash with each eval
+    # doc (eval window->id table broadcast; corpus windows never shuffle)
+    w = int(window_tokens)
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    starts = F.sequence(F.lit(1), F.col("_n") - F.lit(w - 1))
+
+    def _wins(df_, keep_id):
+        return (
+            df_.select(F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n"))
+            .filter(F.col("_n") >= w)
+            .select(
+                F.col(id_col).alias(keep_id),
+                F.explode(F.transform(
+                    starts,
+                    lambda i: hash_fn(
+                        F.lower(F.array_join(F.slice(F.col("_tk"), i, w), " "))),
+                )).alias("_wh"),
+            )
+            .distinct()
+        )
+
+    span = (
+        _wins(fan_out(corpus), "_cid")
+        .join(F.broadcast(_wins(eval_df, "eval_id")), "_wh")
+        .select("eval_id", "_cid").distinct()
+        .groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_span"))
+    )
+
+    return (
+        ev_ids
+        .join(exact, "eval_id", "left")
+        .join(near, "eval_id", "left")
+        .join(span, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+            F.coalesce(F.col("n_span"), F.lit(0)).cast("long").alias("n_span"),
+        )
+    )

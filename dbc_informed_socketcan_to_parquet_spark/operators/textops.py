@@ -1331,3 +1331,68 @@ def compression_stats(
     from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
 
     return fan_out(df.select(id_col, text_col)).mapInPandas(kernel, out_schema)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_k: int = 1000,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language VOCABULARY coverage against the corpus's own top-K
+    word list (r12) — the "is my tokenizer/wordlist sized for every
+    language in the mix" report: languages whose running text is poorly
+    covered by the global high-frequency vocabulary are the ones that
+    will fragment under a frequency-trained tokenizer (the same signal
+    ``tokenizer_fertility`` measures post-BPE, available here WITHOUT a
+    trained model).
+
+    Vocabulary: the ``top_k`` (lowercased, whitespace) words by global
+    occurrence count, ties broken lexicographically — deterministic in
+    both engines.
+
+    Output: one row per language value —
+    ``(lang, n_tokens, n_covered, oov_rate, n_distinct, n_distinct_covered)``
+    where ``oov_rate = 1 - n_covered / n_tokens`` rounded to 6.
+
+    Scale: one token explode feeds BOTH aggregates; the global count is
+    map-side combined on a uniform word key; top-K selection is a
+    distributed TakeOrdered (never a global sort); the K-row vocabulary
+    broadcasts back onto the token stream; the per-language rollup keys
+    on language cardinality (dozens).  Corpus text never shuffles —
+    only (lang, word) projections do.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    words = fan_out(df).select(
+        F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang"),
+        F.explode(toks).alias("w"),
+    )
+    vocab = (
+        words.groupBy("w").agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("w"))
+        .limit(int(top_k))
+        .select("w", F.lit(1).alias("_in"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_in"), F.lit(0))).alias("n_covered"),
+            F.countDistinct("w").alias("n_distinct"),
+            F.countDistinct(F.when(F.col("_in").isNotNull(), F.col("w")))
+            .alias("n_distinct_covered"),
+        )
+        .select(
+            "lang",
+            F.col("n_tokens").cast("long"),
+            F.col("n_covered").cast("long"),
+            F.round(F.lit(1.0) - F.col("n_covered") / F.col("n_tokens"), 6)
+            .alias("oov_rate"),
+            F.col("n_distinct").cast("long"),
+            F.col("n_distinct_covered").cast("long"),
+        )
+    )

@@ -5378,3 +5378,214 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return compression_stats(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# round 12: LSH banding parameter sweep (dedup.lsh_band_tune)
+# ---------------------------------------------------------------------------
+
+def _mh_band_sql_cfg(rel: str, num_bands: int, rows_per_band: int) -> str:
+    """Band table over a signature relation for an ARBITRARY (b, r)."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws(',', {', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))})) AS bh "
+        f"FROM {rel}"
+        for b in range(num_bands)
+    )
+
+
+_TUNE_CONFIGS = ((2, 8), (4, 4), (8, 2))
+_TUNE_EQ = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(16))
+
+
+def _band_tune_oracle_sql(threshold: float = 0.5) -> str:
+    """Full replay of the sweep: one shared signature CTE, per-config
+    candidate/estimate CTEs, the (16 bands x 1 row) complete ground
+    truth, and the same precision/recall/S-curve arithmetic."""
+    parts = [f"sigs AS ({_MH_SIG_SQL})"]
+    parts.append(f"""truth AS (
+      SELECT count(*) AS truth_total FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ({_mh_band_sql_cfg('sigs', 16, 1)}) a
+        JOIN ({_mh_band_sql_cfg('sigs', 16, 1)}) b
+          ON a.band = b.band AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+      ) c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE ({_TUNE_EQ}) / 16.0 >= {threshold}
+    )""")
+    selects = []
+    for b, r in _TUNE_CONFIGS:
+        parts.append(f"""cfg_{b}_{r} AS (
+      SELECT count(*) AS n_candidates,
+             count(*) FILTER (WHERE ({_TUNE_EQ}) / 16.0 >= {threshold}) AS n_true
+      FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ({_mh_band_sql_cfg('sigs', b, r)}) a
+        JOIN ({_mh_band_sql_cfg('sigs', b, r)}) b
+          ON a.band = b.band AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+      ) c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+    )""")
+        selects.append(f"""SELECT {b} AS num_bands, {r} AS rows_per_band,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(truth_total AS BIGINT) AS truth_total,
+           round(CASE WHEN n_candidates > 0
+                      THEN n_true / CAST(n_candidates AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+           round(CASE WHEN truth_total > 0
+                      THEN n_true / CAST(truth_total AS DOUBLE) ELSE 1.0 END, 6) AS recall,
+           round(1.0 - pow(1.0 - pow({threshold}, {r}), {b}), 6) AS s_curve
+    FROM cfg_{b}_{r}, truth""")
+    return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@extra_query("lsh_band_tune", oracle=_band_tune_oracle_sql())
+def q_lsh_band_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding sweep (dedup.lsh_band_tune, r12): candidate
+    volume, precision and recall per (bands, rows) config at threshold
+    0.5, next to the theoretical S-curve — the pre-flight report that
+    sizes a 100 TB near-dedup banding.  Ground truth is the finest
+    (16x1) banding's candidates filtered by the estimate (complete: any
+    pair with est > 0 shares a permutation minimum), so the oracle
+    replays the whole sweep including both ratio columns."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import lsh_band_tune
+
+    return lsh_band_tune(
+        _read(spark, sf_dir, "documents"),
+        num_perms=16, shingle_n=5, configs=_TUNE_CONFIGS,
+        threshold=0.5, seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 12: unified decontamination-triad report (dedup.decon_report)
+# ---------------------------------------------------------------------------
+
+def _decon_report_oracle_sql(w: int = 20) -> str:
+    """All three mechanisms replayed over the doc_id %% 10 eval split:
+    md5 equality, the banded MinHash estimate, and the shared
+    window-hash reach."""
+    return f"""
+    WITH ev_ids AS (SELECT doc_id AS eval_id FROM documents WHERE doc_id % 10 = 0),
+    exact AS (
+      SELECT e.doc_id AS eval_id, count(*) AS n_exact
+      FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0) e
+      JOIN (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 != 0) c USING (h)
+      GROUP BY 1
+    ),
+    sc AS ({_mh_sig_sql_for('doc_id % 10 != 0')}),
+    se AS ({_mh_sig_sql_for('doc_id % 10 = 0')}),
+    bc AS ({_mh_band_sql_for('sc')}),
+    be AS ({_mh_band_sql_for('se')}),
+    near AS (
+      SELECT eid AS eval_id, count(*) AS n_near FROM (
+        SELECT DISTINCT c.doc_id AS cid, e.doc_id AS eid
+        FROM bc c JOIN be e ON c.band = e.band AND c.bh = e.bh
+      ) cand
+      JOIN sc sa ON sa.doc_id = cand.cid
+      JOIN se sb ON sb.doc_id = cand.eid
+      WHERE ({_FUZZY_EQ}) / 16.0 >= 0.5
+      GROUP BY 1
+    ),
+    ctoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t != '') AS tk
+      FROM documents WHERE doc_id % 10 != 0
+    ),
+    etoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t != '') AS tk
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    cwins AS (
+      SELECT DISTINCT doc_id AS cid, {md5_long_sql('w')} AS wh
+      FROM (
+        SELECT doc_id, lower(array_to_string(list_slice(tk, i, i + {w - 1}), ' ')) AS w
+        FROM ctoks, unnest(range(1, len(tk) - {w - 2})) AS t(i)
+        WHERE len(tk) >= {w}
+      )
+    ),
+    ewins AS (
+      SELECT DISTINCT doc_id AS eval_id, {md5_long_sql('w')} AS wh
+      FROM (
+        SELECT doc_id, lower(array_to_string(list_slice(tk, i, i + {w - 1}), ' ')) AS w
+        FROM etoks, unnest(range(1, len(tk) - {w - 2})) AS t(i)
+        WHERE len(tk) >= {w}
+      )
+    ),
+    span AS (
+      SELECT eval_id, count(*) AS n_span FROM (
+        SELECT DISTINCT e.eval_id, c.cid FROM cwins c JOIN ewins e USING (wh)
+      ) GROUP BY 1
+    )
+    SELECT v.eval_id,
+           CAST(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+           CAST(coalesce(s.n_span, 0) AS BIGINT) AS n_span
+    FROM ev_ids v
+    LEFT JOIN exact x USING (eval_id)
+    LEFT JOIN near n USING (eval_id)
+    LEFT JOIN span s USING (eval_id)
+    """
+
+
+@extra_query("decon_report", oracle=_decon_report_oracle_sql())
+def q_decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified decon-triad observability (dedup.decon_report, r12): per
+    eval doc (doc_id %% 10), how many corpus docs each mechanism flags —
+    exact md5 copies, MinHash near-dups at 0.5, and verbatim 20-token
+    span sharers.  Run before curate to size the contamination, after
+    to verify the triad drove every count to zero."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import decon_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return decon_report(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        num_perms=16, shingle_n=5, num_bands=_MH_BANDS,
+        threshold=0.5, window_tokens=20, seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 12: per-language vocabulary coverage (textops.vocab_coverage)
+# ---------------------------------------------------------------------------
+
+@extra_query(
+    "vocab_coverage",
+    oracle="""
+    WITH words AS (
+      SELECT coalesce(lang, 'unknown') AS lang, w
+      FROM (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                  t -> t != '')) AS w
+        FROM documents
+      )
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM words GROUP BY 1
+        ORDER BY c DESC, w ASC LIMIT 1000
+      )
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.w IS NOT NULL) AS BIGINT) AS n_covered,
+           round(1.0 - count(*) FILTER (WHERE v.w IS NOT NULL) / CAST(count(*) AS DOUBLE), 6) AS oov_rate,
+           CAST(count(DISTINCT words.w) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT CASE WHEN v.w IS NOT NULL THEN words.w END) AS BIGINT) AS n_distinct_covered
+    FROM words LEFT JOIN vocab v ON words.w = v.w
+    GROUP BY lang
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language coverage of the corpus's own top-1000 word list
+    (textops.vocab_coverage, r12): the pre-tokenizer fragmentation
+    signal — languages with high OOV against the global high-frequency
+    vocabulary fragment under a frequency-trained BPE.  One explode,
+    map-side-combined global count, distributed TakeOrdered top-K,
+    broadcast membership, language-cardinality rollup."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import vocab_coverage
+
+    return vocab_coverage(_read(spark, sf_dir, "documents"), top_k=1000)

@@ -2444,3 +2444,116 @@ def test_ivf_cluster_stats_flags_planted_skew(spark):
     assert abs(sum(r.frac for r in got) - 1.0) < 1e-6
     top = max(got, key=lambda r: r.n_vecs)
     assert top.n_vecs >= 30 and top.imbalance >= 3.0  # 30/36 * 4 = 3.33
+
+
+def test_vocab_coverage_semantics(spark):
+    """Coverage arithmetic on a hand-checkable fixture: top-2 vocabulary
+    {a, b} (count ties broken lexicographically), per-language token and
+    distinct-coverage counts."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import vocab_coverage
+
+    rows = [
+        (1, "en", "a a b c"),    # en: 4 toks, a/a/b covered -> 3
+        (2, "en", "a b"),        # en: +2, both covered
+        (3, "de", "c c b"),      # de: 3 toks, b covered -> 1
+        (4, None, "a x"),        # NULL lang -> 'unknown'; a covered
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # counts: a=4, b=3, c=3 -> top2 = {a, b} (b beats c lexicographically)
+    out = {r.lang: r for r in vocab_coverage(df, top_k=2).collect()}
+    assert set(out) == {"en", "de", "unknown"}
+    en = out["en"]
+    assert (en.n_tokens, en.n_covered) == (6, 5)
+    assert en.oov_rate == round(1 - 5 / 6, 6)
+    assert (en.n_distinct, en.n_distinct_covered) == (3, 2)
+    de = out["de"]
+    assert (de.n_tokens, de.n_covered, de.n_distinct, de.n_distinct_covered) == (3, 1, 2, 1)
+    unk = out["unknown"]
+    assert (unk.n_tokens, unk.n_covered) == (2, 1)
+
+
+def test_vocab_coverage_plan(spark):
+    """Top-K must be a distributed TakeOrdered (never a global sort) and
+    the vocabulary membership a broadcast join; no text column in any
+    exchange."""
+    import re as _re
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = vocab_coverage(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1), m.group(0)
+
+
+def test_decon_report_planted_contamination(spark):
+    """Each triad mechanism counts exactly its planted prey: an exact
+    copy, a near-dup (shared shingle mass over the 0.5 estimate), and a
+    span-sharer that is neither."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import decon_report
+
+    quote = " ".join(f"tok{i}" for i in range(25))          # >= 20-token run
+    eval_rows = [(100, f"question one {quote} end"),
+                 (200, "completely different benchmark row " + " ".join(
+                     f"q{i}" for i in range(30)))]
+    corpus_rows = [
+        (1, f"question one {quote} end"),                   # exact copy of 100
+        (2, f"prefix words here {quote} and a long unrelated tail"),  # span-sharer of 100
+        (3, "totally unrelated document about spark plans and shuffles"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    out = {r.eval_id: r for r in decon_report(corpus, ev).collect()}
+    assert set(out) == {100, 200}
+    assert out[100].n_exact == 1
+    assert out[100].n_span == 2          # the copy AND the quoting doc
+    assert out[100].n_near >= 1          # the exact copy estimates 1.0
+    assert (out[200].n_exact, out[200].n_near, out[200].n_span) == (0, 0, 0)
+
+    plan = decon_report(corpus, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_band_tune_against_bruteforce(spark):
+    """Sweep numbers verified against an independent brute-force pass
+    over the collected signatures: truth = all pairs with est >= t,
+    per-config candidates = pairs colliding in >= 1 band."""
+    import hashlib
+    from itertools import combinations
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        lsh_band_tune,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    configs, t, perms = ((2, 8), (4, 4), (8, 2)), 0.5, 16
+    got = {(r.num_bands, r.rows_per_band): r
+           for r in lsh_band_tune(docs, configs=configs, threshold=t,
+                                  num_perms=perms).collect()}
+
+    sigs = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(
+        docs, "doc_id", "text", num_perms=perms, shingle_n=5, seed=42).collect()}
+
+    def est(a, b):
+        return sum(x == y for x, y in zip(sigs[a], sigs[b])) / perms
+
+    def collides(a, b, nb, rpb):
+        return any(sigs[a][i * rpb:(i + 1) * rpb] == sigs[b][i * rpb:(i + 1) * rpb]
+                   for i in range(nb))
+
+    ids = sorted(sigs)
+    truth = {(a, b) for a, b in combinations(ids, 2) if est(a, b) >= t}
+    for nb, rpb in configs:
+        cand = {(a, b) for a, b in combinations(ids, 2) if collides(a, b, nb, rpb)}
+        r = got[(nb, rpb)]
+        assert r.n_candidates == len(cand)
+        assert r.n_true == len(cand & truth)
+        assert r.truth_total == len(truth)
+        assert r.s_curve == round(1 - (1 - t ** rpb) ** nb, 6)
+        if len(cand):
+            assert r.precision == round(len(cand & truth) / len(cand), 6)
+        exp_recall = round(len(cand & truth) / len(truth), 6) if truth else 1.0
+        assert r.recall == exp_recall
