@@ -578,6 +578,12 @@ def build_report_parser() -> argparse.ArgumentParser:
     p.add_argument("--span-window-tokens", type=int, default=20)
     p.add_argument("--span-min-count", type=int, default=2,
                    help="a window is duplicated at this corpus-wide count")
+    p.add_argument("--vocab-coverage", action="store_true",
+                   help="also print the per-language OOV rate against the "
+                        "corpus's own top-K word list (the pre-tokenizer "
+                        "fragmentation signal)")
+    p.add_argument("--vocab-top-k", type=int, default=1000,
+                   help="vocabulary size for --vocab-coverage")
     return p
 
 
@@ -641,6 +647,19 @@ def run_report(argv: list[str]) -> None:
         if args.output_path:
             spans.write.mode("overwrite").parquet(f"{args.output_path}_spans")
             print(f"wrote duplicated-span report to {args.output_path}_spans")
+    if args.vocab_coverage:
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            vocab_coverage,
+        )
+
+        cov = vocab_coverage(
+            docs, top_k=args.vocab_top_k,
+            lang_col=args.lang_col, text_col=args.text_col,
+        ).orderBy(F_asc_nulls_first("lang"))
+        cov.show(truncate=False)
+        if args.output_path:
+            cov.write.mode("overwrite").parquet(f"{args.output_path}_vocab")
+            print(f"wrote vocab-coverage report to {args.output_path}_vocab")
 
 
 def F_asc_nulls_first(col):
@@ -768,10 +787,107 @@ def run_chunk(argv: list[str]) -> None:
     print(f"chunked {n_docs} documents -> {n_chunks} chunks at {args.output_path}")
 
 
+def build_decon_report_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark decon-report")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="corpus parquet to audit")
+    p.add_argument("--eval", dest="eval_path", required=True,
+                   help="evaluation corpus parquet (id + text)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--jaccard", type=float, default=0.5,
+                   help="near-dup estimate threshold")
+    p.add_argument("--window-tokens", type=int, default=20,
+                   help="verbatim span window size")
+    p.add_argument("--out", dest="output_path", default=None,
+                   help="also write the per-eval-doc counts as parquet")
+    return p
+
+
+def run_decon_report(argv: list[str]) -> None:
+    """Unified decon-triad observability (r12): per eval doc, how many
+    corpus docs the exact / near / span mechanisms each flag — run it
+    before curate to size the contamination, after to verify zeros."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import decon_report
+
+    args = build_decon_report_parser().parse_args(argv)
+    spark = get_spark("decon-report-cli")
+    rep = decon_report(
+        spark.read.parquet(args.input_path),
+        spark.read.parquet(args.eval_path),
+        id_col=args.id_col, text_col=args.text_col,
+        threshold=args.jaccard, window_tokens=args.window_tokens,
+    ).persist()
+    try:
+        t = rep.agg(
+            F.count("*").alias("n_eval"),
+            F.count(F.when(F.col("n_exact") > 0, 1)).alias("hit_exact"),
+            F.count(F.when(F.col("n_near") > 0, 1)).alias("hit_near"),
+            F.count(F.when(F.col("n_span") > 0, 1)).alias("hit_span"),
+        ).collect()[0]
+        print(f"eval docs: {t.n_eval}  contaminated -- exact: {t.hit_exact}  "
+              f"near: {t.hit_near}  span: {t.hit_span}")
+        rep.orderBy(F.desc("n_span"), "eval_id").show(20, truncate=False)
+        if args.output_path:
+            rep.write.mode("overwrite").parquet(args.output_path)
+            print(f"wrote decon report to {args.output_path}")
+    finally:
+        rep.unpersist()
+
+
+def build_tune_lsh_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark tune-lsh")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="documents parquet to sweep over")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--num-perms", type=int, default=16)
+    p.add_argument("--shingle-n", type=int, default=5)
+    p.add_argument("--jaccard", type=float, default=0.5,
+                   help="target threshold the sweep scores against")
+    p.add_argument("--config", action="append", default=None,
+                   metavar="BANDSxROWS",
+                   help="banding to evaluate, e.g. 4x4 (repeatable; "
+                        "default sweeps 2x8, 4x4, 8x2)")
+    p.add_argument("--out", dest="output_path", default=None)
+    return p
+
+
+def run_tune_lsh(argv: list[str]) -> None:
+    """MinHash-LSH banding sweep (r12): candidate volume, precision and
+    recall per (bands, rows) config at the target threshold, next to the
+    theoretical S-curve — pick the banding BEFORE the 100 TB run."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import lsh_band_tune
+
+    args = build_tune_lsh_parser().parse_args(argv)
+    configs = tuple(
+        tuple(int(x) for x in c.lower().split("x")) for c in args.config
+    ) if args.config else ((2, 8), (4, 4), (8, 2))
+    spark = get_spark("tune-lsh-cli")
+    rep = lsh_band_tune(
+        spark.read.parquet(args.input_path),
+        id_col=args.id_col, text_col=args.text_col,
+        num_perms=args.num_perms, shingle_n=args.shingle_n,
+        configs=configs, threshold=args.jaccard,
+    )
+    rep.orderBy("num_bands").show(truncate=False)
+    if args.output_path:
+        rep.write.mode("overwrite").parquet(args.output_path)
+        print(f"wrote banding sweep to {args.output_path}")
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
 
     argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "decon-report":
+        run_decon_report(argv[1:])
+        return
+    if argv and argv[0] == "tune-lsh":
+        run_tune_lsh(argv[1:])
+        return
     if argv and argv[0] == "diff":
         run_diff(argv[1:])
         return

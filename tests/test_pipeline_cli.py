@@ -324,3 +324,49 @@ def test_cli_decode_audit_flag(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "audit 1 parse: 4 -> 3 (-1)" in printed
     assert "audit 2 known_id: 3 -> 2 (-1)" in printed
+
+
+def test_cli_tune_lsh_and_decon_report(spark, tmp_path):
+    """r12 CLI surfaces: tune-lsh sweeps bandings with custom --config,
+    decon-report prints the triad summary and lands per-eval counts."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "sweep.parquet")
+    main(["tune-lsh", "--in", src, "--config", "4x4", "--config", "8x2",
+          "--out", out])
+    rows = {(r.num_bands, r.rows_per_band): r
+            for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {(4, 4), (8, 2)}
+    assert all(r.truth_total == rows[(4, 4)].truth_total for r in rows.values())
+    assert rows[(8, 2)].recall >= rows[(4, 4)].recall  # more bands -> looser
+
+    # decon-report: eval drawn from the corpus itself -> every mechanism
+    # must flag every eval doc at least once (its own copy)
+    docs = spark.read.parquet(src)
+    ev = str(tmp_path / "eval.parquet")
+    docs.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text") \
+        .write.parquet(ev)
+    rep = str(tmp_path / "decon.parquet")
+    main(["decon-report", "--in", src, "--eval", ev, "--out", rep])
+    got = spark.read.parquet(rep)
+    assert got.filter(F.col("n_exact") == 0).count() == 0
+    # span reach needs >= window_tokens tokens — short eval docs have no
+    # windows by construction, every long one must hit its own copy
+    long_ids = [r.doc_id for r in spark.read.parquet(ev).filter(
+        F.size(F.split("text", r"\s+")) >= 20).collect()]
+    assert got.filter(F.col("eval_id").isin(long_ids)
+                      & (F.col("n_span") == 0)).count() == 0
+
+
+def test_cli_report_vocab_coverage(spark, tmp_path):
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "rep.parquet")
+    main(["report", "--in", src, "--group-col", "lang",
+          "--vocab-coverage", "--vocab-top-k", "10", "--out", out])
+    cov = spark.read.parquet(out + "_vocab")
+    assert set(cov.columns) == {"lang", "n_tokens", "n_covered", "oov_rate",
+                                "n_distinct", "n_distinct_covered"}
+    assert cov.filter(F.col("oov_rate") > 0).count() > 0  # top-10 of 31 words
