@@ -190,8 +190,14 @@ class CurateConfig:
     # AFTER this stage) then sees exactly the scrubbed docs as single
     # paragraphs.  Untouched docs keep their text verbatim.  If paragraph
     # granularity matters for contaminated docs, scrub in a separate pass
-    # after paragraph-level stages instead.
+    # after paragraph-level stages instead — or set
+    # decon_span_preserve_seps below.
     decon_span_window: int | None = None
+    # r12 (ADVICE r11): scrub positionally over \S+\s* pieces so every
+    # SURVIVING token keeps its original trailing whitespace — paragraph
+    # boundaries between kept tokens survive the scrub (batch lane only;
+    # the streaming twin always space-joins).
+    decon_span_preserve_seps: bool = False
 
 
 def _stage_complete(path: str) -> bool:
@@ -390,6 +396,7 @@ def curate(
             docs, eval_corpus, id_col=id_col, text_col=text_col,
             window_tokens=config.decon_span_window,
             hash_fn=_HASH_FNS[config.hash_fn], keep_schema=True,
+            preserve_separators=config.decon_span_preserve_seps,
         )
 
     if config.max_pii is not None:

@@ -1520,6 +1520,7 @@ def remove_eval_spans(
     hash_fn=md5_long,
     keep_schema: bool = False,
     span_broadcast_max_rows: int = HOT_SET_BROADCAST_MAX_ROWS,
+    preserve_separators: bool = False,
 ) -> DataFrame:
     """SPAN-level decontamination (r11): cut from every corpus document
     each token covered by a ``window_tokens``-token run that also
@@ -1554,8 +1555,11 @@ def remove_eval_spans(
        span scrub) degrades to whole-doc granularity for exactly the
        scrubbed docs.  UNTOUCHED docs keep their original text verbatim
        (no tokenize/re-join round trip).  If paragraph structure must
-       survive scrubbing, run paragraph-level stages before the span
-       scrub or treat ``clean_text`` as single-paragraph.
+       survive scrubbing, pass ``preserve_separators=True`` (r12,
+       keep_schema only): masking then runs positionally over
+       ``\S+\s*`` pieces, so every SURVIVING token keeps its original
+       trailing separator — paragraph ``\n\n`` between kept tokens
+       survives; only the removed tokens' separators go with them.
 
     Scale: the eval side is benchmark-sized, so its distinct window
     hashes BROADCAST; the corpus explodes windows off the token array
@@ -1627,6 +1631,39 @@ def remove_eval_spans(
         # trip)
         cols = corpus.columns
         spans, small = _measured_small(spans, span_broadcast_max_rows)
+        if preserve_separators:
+            # positional masking over `\S+\s*` pieces (r12, ADVICE r11):
+            # piece k's non-whitespace body IS token k of the \s+ split,
+            # so the span indexes line up — kept pieces concatenate with
+            # their ORIGINAL trailing separators (paragraph \n\n between
+            # surviving tokens survives the scrub); removed tokens drop
+            # theirs, and the tail is right-trimmed.
+            pieces = F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+\s*"), 0)
+            indexed_p = F.transform(
+                pieces,
+                lambda p, i: F.struct((i + F.lit(1)).alias("i"), p.alias("t")),
+            )
+            kept_p = F.filter(
+                F.col("_ixp"),
+                lambda x: ~F.exists(
+                    F.col("_hs"), lambda s: (x["i"] >= s) & (x["i"] < s + F.lit(w))
+                ),
+            )
+            return (
+                _keyed_join(corpus, spans, id_col, small, "left")
+                .withColumn("_ixp", indexed_p)
+                .withColumn(
+                    text_col,
+                    F.when(F.col("_hs").isNull(), F.col(text_col)).otherwise(
+                        F.regexp_replace(
+                            F.array_join(
+                                F.transform(kept_p, lambda x: x["t"]), ""),
+                            r"\s+$", "")
+                    ),
+                )
+                .select(*cols)
+            )
         return (
             _keyed_join(corpus, spans, id_col, small, "left")
             .withColumn("_tk", toks)

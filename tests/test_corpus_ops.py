@@ -2557,3 +2557,39 @@ def test_lsh_band_tune_against_bruteforce(spark):
             assert r.precision == round(len(cand & truth) / len(cand), 6)
         exp_recall = round(len(cand & truth) / len(truth), 6) if truth else 1.0
         assert r.recall == exp_recall
+
+
+def test_remove_eval_spans_preserve_separators(spark):
+    """preserve_separators=True (r12, ADVICE r11): surviving tokens keep
+    their ORIGINAL whitespace — a contaminated doc's paragraph boundary
+    survives the scrub; token-level removal is identical to the default
+    lane."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        remove_eval_spans,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    docs = [
+        # paragraph boundary BETWEEN surviving regions, quote in para 2
+        (1, f"keep one two\n\npara two {quote} tail words here"),
+        # untouched doc: whitespace must come back verbatim
+        (2, "clean\tdoc with\n\noriginal   spacing"),
+        (3, None),
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    ev = spark.createDataFrame([(9, quote)], "doc_id long, text string")
+
+    kw = dict(window_tokens=12, keep_schema=True)
+    plain = {r.doc_id: r.text for r in remove_eval_spans(corpus, ev, **kw).collect()}
+    kept = {r.doc_id: r.text
+            for r in remove_eval_spans(corpus, ev, preserve_separators=True,
+                                       **kw).collect()}
+
+    assert kept[1] == "keep one two\n\npara two tail words here"
+    assert plain[1] == "keep one two para two tail words here"  # collapsed
+    for d in (2, 3):
+        assert kept[d] == plain[d] == docs[d - 1][1]  # untouched verbatim
+    # same tokens removed either way — only the separators differ
+    import re
+    for d in (1, 2):
+        assert re.split(r"\s+", kept[d]) == re.split(r"\s+", plain[d])
