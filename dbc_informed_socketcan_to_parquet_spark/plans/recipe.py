@@ -192,7 +192,8 @@ def validate_recipe(recipe: dict) -> None:
             f"unknown report.fertility keys: "
             f"{sorted(set(fert) - {'bpe_path', 'out', 'lang_col'})}")
     for key, allowed in (("overlap", {"shingle_n", "group_col", "out"}),
-                         ("dup_spans", {"window_tokens", "min_count", "out"})):
+                         ("dup_spans", {"window_tokens", "min_count", "out"}),
+                         ("vocab_coverage", {"top_k", "lang_col", "out"})):
         spec = recipe.get("report", {}).get(key)
         if spec not in (None, True, False) and not isinstance(spec, dict):
             raise ValueError(f"report.{key} must be true/false or a dict")
@@ -514,6 +515,24 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
                 spans.write.mode("overwrite").parquet(opts["out"])
             summary["report"]["dup_spans"] = {
                 "rows": spans.count(), "out": opts.get("out"),
+            }
+        vc_spec = recipe["report"].get("vocab_coverage")
+        if vc_spec:
+            # per-language OOV vs the corpus's own top-K word list (r12)
+            from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+                vocab_coverage,
+            )
+
+            opts = vc_spec if isinstance(vc_spec, dict) else {}
+            cov = vocab_coverage(
+                kept,
+                top_k=int(opts.get("top_k", 1000)),
+                lang_col=opts.get("lang_col", "lang"),
+            )
+            if opts.get("out"):
+                cov.write.mode("overwrite").parquet(opts["out"])
+            summary["report"]["vocab_coverage"] = {
+                "rows": cov.count(), "out": opts.get("out"),
             }
 
     if "chunk" in recipe:

@@ -449,3 +449,36 @@ def test_recipe_chunk_stage(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown chunk keys"):
         validate_recipe({**recipe, "chunk": {"out": ch_out, "chunk_tokens": 4,
                                              "stride": 2}})
+
+
+def test_recipe_report_vocab_coverage(spark, tmp_path):
+    """recipe report.vocab_coverage (r12): lands the per-language OOV
+    table; unknown keys fail validation."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.plans.recipe import (
+        run_recipe,
+        validate_recipe,
+    )
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "en", "a a b c " * 20), (2, "de", "c c b x " * 20)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "kept.parquet")
+    vc_out = str(tmp_path / "vocab.parquet")
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": out,
+        "report": {"vocab_coverage": {"top_k": 2, "out": vc_out}},
+    }
+    summary = run_recipe(spark, recipe)
+    assert summary["report"]["vocab_coverage"]["rows"] == 2
+    cov = {r.lang: r for r in spark.read.parquet(vc_out).collect()}
+    assert set(cov) == {"en", "de"}
+
+    with _pytest.raises(ValueError, match="vocab_coverage"):
+        validate_recipe({**recipe,
+                         "report": {"vocab_coverage": {"bogus": 1}}})
