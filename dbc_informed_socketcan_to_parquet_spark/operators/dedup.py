@@ -1522,7 +1522,7 @@ def remove_eval_spans(
     span_broadcast_max_rows: int = HOT_SET_BROADCAST_MAX_ROWS,
     preserve_separators: bool = False,
 ) -> DataFrame:
-    """SPAN-level decontamination (r11): cut from every corpus document
+    r"""SPAN-level decontamination (r11): cut from every corpus document
     each token covered by a ``window_tokens``-token run that also
     appears (lowercased) ANYWHERE in the evaluation corpus — the
     surgical alternative to dropping whole docs
@@ -2188,5 +2188,83 @@ def decon_report(
             F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
             F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
             F.coalesce(F.col("n_span"), F.lit(0)).cast("long").alias("n_span"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus (r12) —
+    the data-selection signal dual to contamination: what fraction of a
+    document's distinct word n-grams has the reference corpus never
+    seen?  Low novelty flags boilerplate / re-crawls / model-generated
+    echoes of the reference; high novelty is the "new information"
+    score used to prioritize acquisition.
+
+    Output: one row per ``df`` document —
+    ``(doc_id, n_grams, n_novel, novelty)`` where ``n_grams`` counts
+    DISTINCT lowercased ``n``-token grams, ``n_novel`` counts those
+    absent from the reference, and ``novelty = n_novel / n_grams``
+    (rounded 6).  Documents shorter than ``n`` tokens have no grams and
+    score ``(0, 0, 1.0)`` — everything they say is "new".
+
+    Scale: both sides project to distinct 60-bit gram hashes (text
+    never shuffles); the membership probe is a keyed LEFT join on the
+    hash — the reference side is corpus-scale, so NO broadcast hint is
+    placed: AQE picks broadcast only when the reference's distinct-gram
+    projection measures small.  Shuffle volume is the distinct-gram
+    count, not the occurrence count.  The per-doc rollup keys on
+    ``id_col``.  Same window construction as ``remove_eval_spans`` —
+    stride-1 ``slice`` over the token array, md5-hashed for engine
+    parity.
+    """
+    w = int(n)
+
+    def _gram_hashes(src: DataFrame, out_id: str | None) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+        base = fan_out(src).select(
+            *([F.col(id_col).alias(out_id)] if out_id else []),
+            toks.alias("_tk"), F.size(toks).alias("_n"),
+        ).filter(F.col("_n") >= w)
+        starts = F.sequence(F.lit(1), F.col("_n") - F.lit(w - 1))
+        return base.select(
+            *([out_id] if out_id else []),
+            F.explode(F.transform(
+                starts,
+                lambda i: hash_fn(F.array_join(F.slice(F.col("_tk"), i, w), " ")),
+            )).alias("_gh"),
+        ).distinct()
+
+    ids = df.select(F.col(id_col))
+    ref = _gram_hashes(reference, None).select("_gh", F.lit(1).alias("_seen"))
+    scored = (
+        _gram_hashes(df, "_did")
+        .join(ref, "_gh", "left")
+        .groupBy("_did")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("_seen").isNull()).alias("n_novel"),
+        )
+    )
+    return (
+        ids.join(scored, ids[id_col] == scored["_did"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.when(F.col("n_grams") > 0,
+                       F.col("n_novel").cast("double") / F.col("n_grams"))
+                .otherwise(F.lit(1.0)), 6,
+            ).alias("novelty"),
         )
     )

@@ -233,6 +233,129 @@ def _repetition_cols(t: Column) -> list[Column]:
     ]
 
 
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The FULL published Gopher repetition battery (Rae et al. 2021,
+    Table A1) per document — the within-doc boilerplate signals that
+    :func:`repetition_stats` samples (dup lines, top bigram) completed
+    to the paper's table (r12):
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of non-blank
+      lines that repeat an earlier identical line, and the fraction of
+      line characters contributed by those repeat occurrences.
+    - ``dup_para_frac`` / ``dup_para_char_frac``: the same on blank-line
+      separated paragraphs (``\\n{2,}``).
+    - ``top_{n}gram_char_frac`` for n in ``top_ns``: characters covered
+      by the single most frequent word n-gram (count × gram length over
+      the space-joined token stream's length, clamped at 1 — the paper
+      marks chars overlap-aware; self-overlapping grams overcount).
+      Ties break to the lexicographically smallest gram in both engines.
+    - ``dup_{n}gram_frac`` for n in ``dup_ns``: fraction of n-gram
+      OCCURRENCES that repeat an earlier identical n-gram.  (The paper
+      marks duplicated characters overlap-aware; this count-based form
+      keeps the operator row-local and is the common reimplementation —
+      the thresholds just shift.)
+
+    Scale: every metric is ROW-LOCAL — one shuffle-free projection, no
+    explode, no groupBy, 15 columns in a single corpus scan.  The modal
+    n-gram comes from the same sorted-run fold as
+    :func:`repetition_stats`, extended to carry the argmax gram so its
+    character length is available (the mode of an array is the longest
+    run after sorting; strict ``>`` keeps the first = smallest gram on
+    ties).  On 100 TB the alternative explode+groupBy shape shuffles one
+    row per n-gram occurrence per n — ~6 000× the document count for
+    the nine n values here — where this form shuffles nothing.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(F.lower(t))
+    total_chars = F.length(F.array_join(toks, " "))
+
+    def _seg_cols(arr: Column, name: str) -> list[Column]:
+        n = F.size(arr)
+        nd = F.size(F.array_distinct(arr))
+        ch = F.aggregate(F.transform(arr, F.length), F.lit(0), lambda a, x: a + x)
+        chd = F.aggregate(
+            F.transform(F.array_distinct(arr), F.length), F.lit(0), lambda a, x: a + x
+        )
+        return [
+            F.round(
+                F.when(n > 0, (n - nd).cast("double") / n).otherwise(F.lit(0.0)), 6
+            ).alias(f"dup_{name}_frac"),
+            F.round(
+                F.when(ch > 0, (ch - chd).cast("double") / ch).otherwise(F.lit(0.0)), 6
+            ).alias(f"dup_{name}_char_frac"),
+        ]
+
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    paras = F.filter(F.split(t, r"\n{2,}"), lambda x: F.length(F.trim(x)) > 0)
+
+    def _grams(nn: int) -> Column:
+        # ascending index list filtered to the valid window starts —
+        # never sequence(1, k) directly: Spark's sequence DESCENDS when
+        # k < 1, fabricating grams on short docs
+        k = F.size(toks) - F.lit(nn - 1)
+        idx = F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda i: i <= k,
+        )
+        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, nn), " "))
+
+    def _top_char_frac(nn: int) -> Column:
+        srt = F.array_sort(_grams(nn))
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("bg"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            better = run > acc["best"]
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.when(better, run).otherwise(acc["best"]).alias("best"),
+                F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+            )
+
+        res = F.aggregate(
+            srt, init, step,
+            lambda acc: F.struct(acc["best"].alias("best"), acc["bg"].alias("bg")),
+        )
+        # count × gram length over doc length, clamped at 1: overlapping
+        # occurrences ("w w w…") overcount vs the paper's char-marking
+        frac = F.when(
+            (res["best"] > 0) & (total_chars > 0),
+            F.least(
+                F.lit(1.0),
+                (res["best"] * F.length(res["bg"])).cast("double") / total_chars,
+            ),
+        ).otherwise(F.lit(0.0))
+        return F.round(frac, 6).alias(f"top_{nn}gram_char_frac")
+
+    def _dup_gram_frac(nn: int) -> Column:
+        g = _grams(nn)
+        n = F.size(g)
+        frac = F.when(
+            n > 0, (n - F.size(F.array_distinct(g))).cast("double") / n
+        ).otherwise(F.lit(0.0))
+        return F.round(frac, 6).alias(f"dup_{nn}gram_frac")
+
+    return fan_out(df).select(
+        F.col(id_col),
+        *_seg_cols(lines, "line"),
+        *_seg_cols(paras, "para"),
+        *[_top_char_frac(nn) for nn in top_ns],
+        *[_dup_gram_frac(nn) for nn in dup_ns],
+    )
+
+
 # -- PII scrubbing -----------------------------------------------------------
 
 #: Conservative public patterns: emails, international-ish phone numbers,

@@ -5589,3 +5589,163 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbc_informed_socketcan_to_parquet_spark.operators.textops import vocab_coverage
 
     return vocab_coverage(_read(spark, sf_dir, "documents"), top_k=1000)
+
+
+# ---------------------------------------------------------------------------
+# round 12 session 2: full Gopher repetition battery (textops.gopher_repetition)
+# ---------------------------------------------------------------------------
+
+def _gopher_repetition_oracle_sql(
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> str:
+    """Row-local replay of the repetition battery: line/paragraph
+    duplicate fractions via list_distinct, dup n-gram fractions on the
+    in-row gram list, modal n-gram via count-desc/gram-asc row_number
+    (ties match the Spark sorted-run fold's first-max)."""
+    def gram_list(nn: int) -> str:
+        return (f"list_transform(range(1, len(tk) - {nn - 2}), "
+                f"i -> array_to_string(list_slice(tk, i, i + {nn - 1}), ' '))")
+
+    dup_cols = ",\n           ".join(
+        f"round(CASE WHEN len(g{nn}) > 0 THEN (len(g{nn}) - len(list_distinct(g{nn})))"
+        f" / CAST(len(g{nn}) AS DOUBLE) ELSE 0.0 END, 6) AS dup_{nn}gram_frac"
+        for nn in dup_ns
+    )
+    gram_defs = ",\n             ".join(
+        f"{gram_list(nn)} AS g{nn}" for nn in dup_ns
+    )
+    top_ctes = "".join(
+        f""",
+    u{nn} AS (
+      SELECT doc_id, unnest({gram_list(nn)}) AS g FROM tk_t
+    ),
+    t{nn} AS (
+      SELECT doc_id, cnt * length(g) AS chars FROM (
+        SELECT doc_id, g, count(*) AS cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, g ASC) AS rn
+        FROM u{nn} GROUP BY doc_id, g
+      ) WHERE rn = 1
+    )"""
+        for nn in top_ns
+    )
+    top_joins = "".join(f"\n    LEFT JOIN t{nn} ON t{nn}.doc_id = m.doc_id"
+                        for nn in top_ns)
+    top_cols = ",\n           ".join(
+        f"round(CASE WHEN coalesce(t{nn}.chars, 0) > 0 AND m.tch > 0"
+        f" THEN least(1.0, t{nn}.chars / CAST(m.tch AS DOUBLE)) ELSE 0.0 END, 6)"
+        f" AS top_{nn}gram_char_frac"
+        for nn in top_ns
+    )
+    seg = (
+        "round(CASE WHEN len({a}) > 0 THEN (len({a}) - len(list_distinct({a})))"
+        " / CAST(len({a}) AS DOUBLE) ELSE 0.0 END, 6) AS dup_{n}_frac,\n           "
+        "round(CASE WHEN coalesce(list_aggregate(list_transform({a}, x -> length(x)), 'sum'), 0) > 0"
+        " THEN (list_aggregate(list_transform({a}, x -> length(x)), 'sum')"
+        " - coalesce(list_aggregate(list_transform(list_distinct({a}), x -> length(x)), 'sum'), 0))"
+        " / CAST(list_aggregate(list_transform({a}, x -> length(x)), 'sum') AS DOUBLE)"
+        " ELSE 0.0 END, 6) AS dup_{n}_char_frac"
+    )
+    return f"""
+    WITH tk_t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                         t -> t != '') AS tk
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+                         x -> len(trim(x)) > 0) AS ls,
+             list_filter(string_split_regex(coalesce(text, ''), '\\n{{2,}}'),
+                         x -> len(trim(x)) > 0) AS ps,
+             length(array_to_string(tk, ' ')) AS tch,
+             {gram_defs}
+      FROM documents JOIN tk_t USING (doc_id)
+    ){top_ctes}
+    SELECT m.doc_id,
+           {seg.format(a='ls', n='line')},
+           {seg.format(a='ps', n='para')},
+           {top_cols},
+           {dup_cols}
+    FROM m{top_joins}
+    """
+
+
+@extra_query("gopher_repetition", oracle=_gopher_repetition_oracle_sql())
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition battery (textops.gopher_repetition, r12):
+    dup line/paragraph fractions (count + char weighted), top-{2,3,4}
+    n-gram character coverage, dup-{5..10} n-gram fractions — fifteen
+    columns, ONE shuffle-free row-local projection (the modal gram via
+    sorted-run fold, never an explode)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import gopher_repetition
+
+    return gopher_repetition(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# round 12 session 2: n-gram novelty vs a reference corpus (dedup.ngram_novelty)
+# ---------------------------------------------------------------------------
+
+def _ngram_novelty_oracle_sql(w: int = 8) -> str:
+    return f"""
+    WITH st AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                         t -> t != '') AS tk
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    rt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                         t -> t != '') AS tk
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    sg AS (
+      SELECT DISTINCT doc_id, {md5_long_sql('g')} AS gh FROM (
+        SELECT doc_id, array_to_string(list_slice(tk, i, i + {w - 1}), ' ') AS g
+        FROM st, unnest(range(1, len(tk) - {w - 2})) AS t(i)
+        WHERE len(tk) >= {w}
+      )
+    ),
+    rg AS (
+      SELECT DISTINCT {md5_long_sql('g')} AS gh FROM (
+        SELECT array_to_string(list_slice(tk, i, i + {w - 1}), ' ') AS g
+        FROM rt, unnest(range(1, len(tk) - {w - 2})) AS t(i)
+        WHERE len(tk) >= {w}
+      )
+    ),
+    scored AS (
+      SELECT sg.doc_id, count(*) AS n_grams,
+             count(*) FILTER (WHERE rg.gh IS NULL) AS n_novel
+      FROM sg LEFT JOIN rg ON sg.gh = rg.gh
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CASE WHEN coalesce(s.n_grams, 0) > 0
+                      THEN coalesce(s.n_novel, 0) / CAST(s.n_grams AS DOUBLE)
+                      ELSE 1.0 END, 6) AS novelty
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """
+
+
+@extra_query("ngram_novelty", oracle=_ngram_novelty_oracle_sql())
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 8-gram novelty of the odd-id half of ``documents``
+    against the even-id half as reference (dedup.ngram_novelty, r12):
+    distinct-gram-hash projections both sides, keyed LEFT membership
+    join (no broadcast hint — the reference is corpus-scale, AQE
+    decides), per-doc rollup."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import ngram_novelty
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        n=8,
+    )

@@ -2593,3 +2593,68 @@ def test_remove_eval_spans_preserve_separators(spark):
     import re
     for d in (1, 2):
         assert re.split(r"\s+", kept[d]) == re.split(r"\s+", plain[d])
+
+
+def test_gopher_repetition_pinned(spark):
+    """Hand-computed battery values (r12): line/para dup fractions,
+    char-weighted top n-grams (incl. the tie-break and the overlap
+    clamp), dup n-gram fractions, empty/null-doc zeros."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (0, "ab cd\nab cd\nef"),
+            (1, "p q\n\np q\n\nr"),
+            (2, " ".join(["w"] * 12)),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_repetition(docs).collect()}
+
+    # doc 0: 3 lines (1 repeat of "ab cd"), one paragraph, tokens
+    # [ab cd ab cd ef] -> "ab cd" x2 of 14 joined chars
+    assert got[0]["dup_line_frac"] == round(1 / 3, 6)
+    assert got[0]["dup_line_char_frac"] == round(5 / 12, 6)
+    assert got[0]["dup_para_frac"] == 0.0
+    assert got[0]["top_2gram_char_frac"] == round(10 / 14, 6)
+    # 3-gram tie (all count 1) -> lexicographically smallest "ab cd ab"
+    assert got[0]["top_3gram_char_frac"] == round(8 / 14, 6)
+    assert got[0]["top_4gram_char_frac"] == round(11 / 14, 6)
+    assert got[0]["dup_5gram_frac"] == 0.0 and got[0]["dup_10gram_frac"] == 0.0
+
+    # doc 1: blank-line paragraphs repeat like the lines do
+    assert got[1]["dup_para_frac"] == round(1 / 3, 6)
+    assert got[1]["dup_para_char_frac"] == round(3 / 7, 6)
+    assert got[1]["top_2gram_char_frac"] == round(6 / 9, 6)
+
+    # doc 2: "w" x12 — self-overlapping top bigram clamps at 1.0; 8
+    # 5-grams all identical -> 7/8 dup; 3 10-grams -> 2/3
+    assert got[2]["top_2gram_char_frac"] == 1.0
+    assert got[2]["dup_5gram_frac"] == 0.875
+    assert got[2]["dup_10gram_frac"] == round(2 / 3, 6)
+
+    # doc 3: null text -> all-zero row, present
+    assert all(v == 0.0 for k, v in got[3].items() if k != "doc_id")
+
+
+def test_ngram_novelty_pinned(spark):
+    """Known windows (r12): identical doc scores 0 novelty, a one-token
+    tail edit leaves only the prefix window seen, short docs score 1."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h i j"),
+            (11, "a b c d e f g h zz yy"),
+            (12, "hi there"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+           for r in ngram_novelty(docs, ref, n=8).collect()}
+    assert got[10] == (3, 0, 0.0)
+    assert got[11] == (3, 2, round(2 / 3, 6))
+    assert got[12] == (0, 0, 1.0)
