@@ -41,7 +41,9 @@ _NOISY = {"simhash_signatures", "minhash_lsh_pairs", "text_stats",
           # in the driver artifact and 4.455 s in the judge's otherwise
           # FASTER quiet run, i.e. min-of-2 is not enough for these.
           "exact_substring_dedup", "remove_eval_spans", "duplicate_spans",
-          "source_overlap", "fuzzy_contamination"}
+          "source_overlap", "fuzzy_contamination",
+          # r12 session 2: same window-hash explode shape
+          "ngram_novelty"}
 #: accumulated per-pass loadavg samples + count of load-gated retries,
 #: summarized into the artifact's "load" field.
 _LOAD_SAMPLES: list[float] = []
@@ -321,7 +323,11 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  # r11 additions: fertility->mix composition, maximal
                  # duplicated-span report, cross-source overlap matrix
                  "fertility_mix", "duplicate_spans", "source_overlap",
-                 "remove_eval_spans", "chunk_documents"):
+                 "remove_eval_spans", "chunk_documents",
+                 # r12 additions: LSH banding sweep, decon-triad report,
+                 # vocab coverage, Gopher repetition battery, n-gram novelty
+                 "lsh_band_tune", "decon_report", "vocab_coverage",
+                 "gopher_repetition", "ngram_novelty"):
         fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         out[name] = _min_of(spark, lambda: fn(spark, sf_dir),
                             5 if name in _NOISY else 2)

@@ -584,6 +584,15 @@ def build_report_parser() -> argparse.ArgumentParser:
                         "fragmentation signal)")
     p.add_argument("--vocab-top-k", type=int, default=1000,
                    help="vocabulary size for --vocab-coverage")
+    p.add_argument("--repetition", action="store_true",
+                   help="also print the per-doc Gopher repetition battery "
+                        "(dup line/paragraph fractions, top n-gram char "
+                        "coverage, dup n-gram fractions), worst docs first")
+    p.add_argument("--novelty-against", metavar="PATH",
+                   help="also score each doc's distinct word-n-gram novelty "
+                        "against a reference parquet corpus at PATH")
+    p.add_argument("--novelty-n", type=int, default=8,
+                   help="n-gram size for --novelty-against")
     return p
 
 
@@ -660,6 +669,35 @@ def run_report(argv: list[str]) -> None:
         if args.output_path:
             cov.write.mode("overwrite").parquet(f"{args.output_path}_vocab")
             print(f"wrote vocab-coverage report to {args.output_path}_vocab")
+    if args.repetition:
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            gopher_repetition,
+        )
+
+        rept = gopher_repetition(docs, text_col=args.text_col)
+        rept.orderBy(F_desc("dup_line_char_frac")).show(20)
+        if args.output_path:
+            rept.write.mode("overwrite").parquet(f"{args.output_path}_repetition")
+            print(f"wrote repetition report to {args.output_path}_repetition")
+    if args.novelty_against:
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+            ngram_novelty,
+        )
+
+        nov = ngram_novelty(
+            docs, spark.read.parquet(args.novelty_against),
+            text_col=args.text_col, n=args.novelty_n,
+        )
+        nov.orderBy(F_asc("novelty")).show(20)
+        if args.output_path:
+            nov.write.mode("overwrite").parquet(f"{args.output_path}_novelty")
+            print(f"wrote novelty report to {args.output_path}_novelty")
+
+
+def F_asc(col):
+    from pyspark.sql import functions as F
+
+    return F.col(col).asc()
 
 
 def F_asc_nulls_first(col):

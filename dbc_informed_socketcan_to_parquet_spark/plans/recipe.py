@@ -193,13 +193,19 @@ def validate_recipe(recipe: dict) -> None:
             f"{sorted(set(fert) - {'bpe_path', 'out', 'lang_col'})}")
     for key, allowed in (("overlap", {"shingle_n", "group_col", "out"}),
                          ("dup_spans", {"window_tokens", "min_count", "out"}),
-                         ("vocab_coverage", {"top_k", "lang_col", "out"})):
+                         ("vocab_coverage", {"top_k", "lang_col", "out"}),
+                         ("repetition", {"out"}),
+                         ("novelty", {"against", "n", "out"})):
         spec = recipe.get("report", {}).get(key)
         if spec not in (None, True, False) and not isinstance(spec, dict):
             raise ValueError(f"report.{key} must be true/false or a dict")
         if isinstance(spec, dict) and set(spec) - allowed:
             raise ValueError(
                 f"unknown report.{key} keys: {sorted(set(spec) - allowed)}")
+    nov = recipe.get("report", {}).get("novelty")
+    if nov and not (isinstance(nov, dict) and nov.get("against")):
+        raise ValueError("report.novelty requires {\"against\": <reference "
+                         "parquet path>} — novelty is relative to a corpus")
     if "export" in recipe:
         for req in ("out", "max_tokens"):
             if req not in recipe["export"]:
@@ -533,6 +539,37 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
                 cov.write.mode("overwrite").parquet(opts["out"])
             summary["report"]["vocab_coverage"] = {
                 "rows": cov.count(), "out": opts.get("out"),
+            }
+        rp_spec = recipe["report"].get("repetition")
+        if rp_spec:
+            # per-doc Gopher repetition battery over the CURATED docs (r12)
+            from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+                gopher_repetition,
+            )
+
+            opts = rp_spec if isinstance(rp_spec, dict) else {}
+            rept = gopher_repetition(kept)
+            if opts.get("out"):
+                rept.write.mode("overwrite").parquet(opts["out"])
+            summary["report"]["repetition"] = {
+                "rows": rept.count(), "out": opts.get("out"),
+            }
+        nv_spec = recipe["report"].get("novelty")
+        if nv_spec:
+            # distinct-n-gram novelty of the curated docs vs a reference
+            # corpus (r12) — validation guarantees `against` is present
+            from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+                ngram_novelty,
+            )
+
+            nov_df = ngram_novelty(
+                kept, spark.read.parquet(nv_spec["against"]),
+                n=int(nv_spec.get("n", 8)),
+            )
+            if nv_spec.get("out"):
+                nov_df.write.mode("overwrite").parquet(nv_spec["out"])
+            summary["report"]["novelty"] = {
+                "rows": nov_df.count(), "out": nv_spec.get("out"),
             }
 
     if "chunk" in recipe:

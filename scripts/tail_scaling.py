@@ -85,6 +85,19 @@ TAIL = [
     # r10 additions: embedding-space contamination + tokenizer fertility
     "extra:semantic_contamination",
     "extra:tokenizer_fertility",
+    # r12 additions: banding sweep, decon-triad report, vocab coverage,
+    # Gopher repetition battery, n-gram novelty (the r11 flagships
+    # remove_eval_spans/duplicate_spans/source_overlap/fertility_mix were
+    # rotated into the driver 50 in r12 — measure them by bare name)
+    "extra:lsh_band_tune",
+    "extra:decon_report",
+    "extra:vocab_coverage",
+    "extra:gopher_repetition",
+    "extra:ngram_novelty",
+    "source_overlap",
+    "duplicate_spans",
+    "remove_eval_spans",
+    "fertility_mix",
 ]
 
 

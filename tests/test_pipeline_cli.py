@@ -370,3 +370,31 @@ def test_cli_report_vocab_coverage(spark, tmp_path):
     assert set(cov.columns) == {"lang", "n_tokens", "n_covered", "oov_rate",
                                 "n_distinct", "n_distinct_covered"}
     assert cov.filter(F.col("oov_rate") > 0).count() > 0  # top-10 of 31 words
+
+
+def test_cli_report_repetition_and_novelty(spark, tmp_path):
+    """report --repetition + --novelty-against (r12): both land parquet
+    artifacts; repetition flags the boilerplate doc, novelty scores the
+    reference echo at 0."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(
+        [(1, "copy me\ncopy me\ncopy me\nnew line"),
+         (2, "ref alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(9, "ref alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    ).write.parquet(ref)
+    out = str(tmp_path / "rep.parquet")
+    main(["report", "--in", src, "--repetition",
+          "--novelty-against", ref, "--novelty-n", "8", "--out", out])
+
+    rept = {r.doc_id: r for r in spark.read.parquet(out + "_repetition").collect()}
+    assert rept[1].dup_line_frac == 0.5 and rept[2].dup_line_frac == 0.0
+    nov = {r.doc_id: r for r in spark.read.parquet(out + "_novelty").collect()}
+    assert nov[2].novelty == 0.0       # verbatim reference echo
+    assert nov[1].novelty == 1.0       # nothing shared with the reference

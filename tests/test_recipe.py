@@ -482,3 +482,46 @@ def test_recipe_report_vocab_coverage(spark, tmp_path):
     with _pytest.raises(ValueError, match="vocab_coverage"):
         validate_recipe({**recipe,
                          "report": {"vocab_coverage": {"bogus": 1}}})
+
+
+def test_recipe_report_repetition_and_novelty(spark, tmp_path):
+    """recipe report.repetition / report.novelty (r12): both sections
+    land artifacts over the CURATED docs; novelty without `against`
+    fails validation."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.plans.recipe import (
+        run_recipe,
+        validate_recipe,
+    )
+
+    src = str(tmp_path / "docs.parquet")
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(
+        [(1, "en", "same line\nsame line\n" + "the quick brown fox jumps over a lazy dog and then rests " * 4),
+         (2, "en", "fresh words only here " * 10)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(9, "fresh words only here " * 10)], "doc_id long, text string",
+    ).write.parquet(ref)
+    out = str(tmp_path / "kept.parquet")
+    rp_out = str(tmp_path / "repetition.parquet")
+    nv_out = str(tmp_path / "novelty.parquet")
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": out,
+        "report": {"repetition": {"out": rp_out},
+                   "novelty": {"against": ref, "n": 4, "out": nv_out}},
+    }
+    summary = run_recipe(spark, recipe)
+    assert summary["report"]["repetition"]["rows"] == 2
+    assert summary["report"]["novelty"]["rows"] == 2
+    nov = {r.doc_id: r.novelty for r in spark.read.parquet(nv_out).collect()}
+    assert nov[2] == 0.0 and nov[1] > 0.9
+
+    with _pytest.raises(ValueError, match="novelty"):
+        validate_recipe({**recipe, "report": {"novelty": True}})
+    with _pytest.raises(ValueError, match="repetition"):
+        validate_recipe({**recipe, "report": {"repetition": {"bogus": 1}}})
