@@ -121,6 +121,10 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--decon-spans", type=int, default=None, metavar="W",
                    help="cut every token inside a W-token run shared verbatim "
                         "with --eval-corpus (the doc survives minus the quote)")
+    p.add_argument("--preserve-separators", action="store_true",
+                   help="span scrub keeps each surviving token's original "
+                        "trailing whitespace (newlines/tabs), so paragraph-"
+                        "level stages downstream stay meaningful")
     p.add_argument("--embeddings-id-col", default=None,
                    help="embedding tables' id column when it differs from --id-col")
     p.add_argument("--stage-dir", default=None,
@@ -193,6 +197,7 @@ def run_curate(argv: list[str]) -> None:
         decon_mode=args.decon_mode,
         decon_id_col=args.embeddings_id_col,
         decon_span_window=args.decon_spans,
+        decon_span_preserve_seps=args.preserve_separators,
     )
     if args.url_col is None and (args.block_domain or args.url_dedup or args.max_per_domain):
         parser.error("--block-domain/--url-dedup/--max-per-domain require --url-col")

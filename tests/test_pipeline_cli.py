@@ -398,3 +398,34 @@ def test_cli_report_repetition_and_novelty(spark, tmp_path):
     nov = {r.doc_id: r for r in spark.read.parquet(out + "_novelty").collect()}
     assert nov[2].novelty == 0.0       # verbatim reference echo
     assert nov[1].novelty == 1.0       # nothing shared with the reference
+
+
+def test_cli_curate_preserve_separators(spark, tmp_path):
+    """--preserve-separators (r12): the CLI span scrub keeps surviving
+    tokens' original newlines, so paragraph structure survives for
+    downstream paragraph-level stages; without the flag the rewrite
+    joins with single spaces."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    quote = ("which planet is closest to the sun answer mercury because "
+             "it orbits nearest among all the planets")
+    doc = (f"paragraph one stays fully intact here\n\n{quote}\n\n"
+           "paragraph three also stays fully intact here")
+    src = str(tmp_path / "docs.parquet")
+    ev = str(tmp_path / "eval.parquet")
+    spark.createDataFrame([(1, doc)], "doc_id long, text string").write.parquet(src)
+    spark.createDataFrame([(9, quote)], "doc_id long, text string").write.parquet(ev)
+
+    out1 = str(tmp_path / "kept_flat.parquet")
+    main(["curate", "--in", src, "--out", out1, "--min-quality", "0.0",
+          "--min-chars", "1", "--eval-corpus", ev, "--decon-spans", "8"])
+    flat = spark.read.parquet(out1).collect()[0].text
+    assert quote not in flat and "\n\n" not in flat  # default: spaces
+
+    out2 = str(tmp_path / "kept_seps.parquet")
+    main(["curate", "--in", src, "--out", out2, "--min-quality", "0.0",
+          "--min-chars", "1", "--eval-corpus", ev, "--decon-spans", "8",
+          "--preserve-separators"])
+    seps = spark.read.parquet(out2).collect()[0].text
+    assert quote not in seps
+    assert "intact here\n\n" in seps  # paragraph boundary survived
