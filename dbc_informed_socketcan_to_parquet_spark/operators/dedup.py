@@ -1994,6 +1994,7 @@ def lsh_band_tune(
     configs: tuple[tuple[int, int], ...] = ((2, 8), (4, 4), (8, 2)),
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: int | None = 1000,
     hash_fn=md5_long,
 ) -> DataFrame:
     """MinHash-LSH BANDING parameter sweep (r12) — the dedup analog of
@@ -2016,9 +2017,21 @@ def lsh_band_tune(
     ``recall = n_true / truth_total`` (1 when the truth set is empty).
 
     Scale: the signature table is computed ONCE and persisted (one
-    corpus scan); each config costs one keyed band self-join over
-    signatures (never a cartesian), and every reported number is an
-    in-engine aggregate — nothing but the final per-config rows
+    corpus scan); the truth pair set is computed ONCE (finest banding →
+    estimate filter) and persisted; each config then costs one keyed
+    band self-join plus one keyed join against the truth pairs (never a
+    cartesian, never a signature re-join).  ``max_bucket`` (the
+    :func:`lsh_candidate_pairs` skew cap, applied UNIFORMLY to the
+    truth banding and every config) bounds per-bucket pair generation —
+    without it the (num_perms × 1) truth banding is quadratic in the
+    largest single-permutation-minimum bucket, which OOMs on a 500k-doc
+    boilerplate-heavy corpus.  Excluded oversized buckets are
+    transitively near-identical cliques, dropped from BOTH sides of the
+    ratio, so precision/recall stay internally consistent (``n_true`` =
+    |candidates ∩ truth|, hence recall ≤ 1 by construction; a candidate
+    pair whose every truth bucket is oversized counts against precision
+    — the sweep's universe is the capped one).  Every reported number
+    is an in-engine aggregate — nothing but the final per-config rows
     (len(configs)) ever reaches the driver.
     """
     for b, r in configs:
@@ -2037,26 +2050,29 @@ def lsh_band_tune(
         F.lit(0), lambda acc, x: acc + x,
     )
 
-    def _scored(cand: DataFrame) -> DataFrame:
-        sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
-        sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
-        return (
-            cand.join(sa, "id_a").join(sb, "id_b")
-            .select((matches / F.lit(float(num_perms))).alias("_est"))
-        )
-
-    truth_total = (
-        _scored(lsh_candidate_pairs(sigs, id_col, num_perms, 1))
-        .filter(F.col("_est") >= F.lit(threshold))
-        .agg(F.count(F.lit(1)).alias("truth_total"))
+    # truth PAIR SET, computed once: the finest banding's candidates
+    # (bucket-capped) filtered by the signature estimate.  Configs score
+    # against it by a keyed LEFT join — the per-config double signature
+    # join the first cut paid (and the uncapped (num_perms x 1) bucket
+    # enumeration that OOMed a 500k-doc sweep: a single common
+    # permutation-minimum bucket is quadratic in its size) are gone.
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
+    truth_pairs = (
+        lsh_candidate_pairs(sigs, id_col, num_perms, 1, max_bucket=max_bucket)
+        .join(sa, "id_a").join(sb, "id_b")
+        .filter((matches / F.lit(float(num_perms))) >= F.lit(threshold))
+        .select("id_a", "id_b", F.lit(1).alias("_t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    truth_total = truth_pairs.agg(F.count(F.lit(1)).alias("truth_total"))
 
     reports = []
     for b, r in configs:
-        est = _scored(lsh_candidate_pairs(sigs, id_col, b, r))
-        per = est.agg(
+        cand = lsh_candidate_pairs(sigs, id_col, b, r, max_bucket=max_bucket)
+        per = cand.join(truth_pairs, ["id_a", "id_b"], "left").agg(
             F.count(F.lit(1)).alias("n_candidates"),
-            F.count_if(F.col("_est") >= F.lit(threshold)).alias("n_true"),
+            F.count_if(F.col("_t").isNotNull()).alias("n_true"),
         ).select(
             F.lit(b).alias("num_bands"),
             F.lit(r).alias("rows_per_band"),

@@ -5398,33 +5398,41 @@ _TUNE_CONFIGS = ((2, 8), (4, 4), (8, 2))
 _TUNE_EQ = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(16))
 
 
-def _band_tune_oracle_sql(threshold: float = 0.5) -> str:
-    """Full replay of the sweep: one shared signature CTE, per-config
-    candidate/estimate CTEs, the (16 bands x 1 row) complete ground
-    truth, and the same precision/recall/S-curve arithmetic."""
+def _band_tune_oracle_sql(threshold: float = 0.5, max_bucket: int = 1000) -> str:
+    """Full replay of the sweep: one shared signature CTE, bucket-capped
+    per-config candidate CTEs, the (16 bands x 1 row) capped ground
+    truth PAIR SET (n_true = |candidates ∩ truth|, matching the Spark
+    side's truth-pair join), and the same ratio/S-curve arithmetic."""
+    def capped(b: int, r: int) -> str:
+        return (f"SELECT doc_id, band, bh FROM ("
+                f"SELECT doc_id, band, bh, "
+                f"count(*) OVER (PARTITION BY band, bh) AS _bc "
+                f"FROM ({_mh_band_sql_cfg('sigs', b, r)})) WHERE _bc <= {max_bucket}")
+
     parts = [f"sigs AS ({_MH_SIG_SQL})"]
-    parts.append(f"""truth AS (
-      SELECT count(*) AS truth_total FROM (
+    parts.append(f"""truth_pairs AS (
+      SELECT c.id_a, c.id_b FROM (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM ({_mh_band_sql_cfg('sigs', 16, 1)}) a
-        JOIN ({_mh_band_sql_cfg('sigs', 16, 1)}) b
+        FROM ({capped(16, 1)}) a
+        JOIN ({capped(16, 1)}) b
           ON a.band = b.band AND a.bh = b.bh
         WHERE a.doc_id < b.doc_id
       ) c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
       WHERE ({_TUNE_EQ}) / 16.0 >= {threshold}
-    )""")
+    ),
+    truth AS (SELECT count(*) AS truth_total FROM truth_pairs)""")
     selects = []
     for b, r in _TUNE_CONFIGS:
         parts.append(f"""cfg_{b}_{r} AS (
       SELECT count(*) AS n_candidates,
-             count(*) FILTER (WHERE ({_TUNE_EQ}) / 16.0 >= {threshold}) AS n_true
+             count(*) FILTER (WHERE tp.id_a IS NOT NULL) AS n_true
       FROM (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM ({_mh_band_sql_cfg('sigs', b, r)}) a
-        JOIN ({_mh_band_sql_cfg('sigs', b, r)}) b
+        FROM ({capped(b, r)}) a
+        JOIN ({capped(b, r)}) b
           ON a.band = b.band AND a.bh = b.bh
         WHERE a.doc_id < b.doc_id
-      ) c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+      ) c LEFT JOIN truth_pairs tp ON tp.id_a = c.id_a AND tp.id_b = c.id_b
     )""")
         selects.append(f"""SELECT {b} AS num_bands, {r} AS rows_per_band,
            CAST(n_candidates AS BIGINT) AS n_candidates,
