@@ -261,19 +261,53 @@ def gopher_repetition(
       keeps the operator row-local and is the common reimplementation —
       the thresholds just shift.)
 
-    Scale: every metric is ROW-LOCAL — one shuffle-free projection, no
-    explode, no groupBy, 15 columns in a single corpus scan.  The modal
-    n-gram comes from the same sorted-run fold as
+    Scale: every metric is ROW-LOCAL — two chained shuffle-free
+    projections, no explode, no groupBy, 15 columns in a single corpus
+    scan.  The modal n-gram comes from the same sorted-run fold as
     :func:`repetition_stats`, extended to carry the argmax gram so its
     character length is available (the mode of an array is the longest
     run after sorting; strict ``>`` keeps the first = smallest gram on
     ties).  On 100 TB the alternative explode+groupBy shape shuffles one
     row per n-gram occurrence per n — ~6 000× the document count for
     the nine n values here — where this form shuffles nothing.
+
+    The two-stage shape is load-bearing: higher-order functions are
+    evaluated interpreted (no codegen subexpression elimination across
+    output columns), so a single projection re-splits the text into
+    tokens/lines/paragraphs and rebuilds gram lists for every one of
+    the 15 columns (~20 regex-split + 12 gram-list evaluations per row
+    — measured ~10× slower at sf0.1: 34.8 s vs 3.4 s warm).  Stage one
+    materializes every split/gram/sorted-gram array once per row;
+    Catalyst's CollapseProject keeps the stages separate exactly
+    because the aliases are referenced by multiple non-cheap
+    expressions.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(F.lower(t))
-    total_chars = F.length(F.array_join(toks, " "))
+
+    def _grams(nn: int) -> Column:
+        # ascending index list filtered to the valid window starts —
+        # never sequence(1, k) directly: Spark's sequence DESCENDS when
+        # k < 1, fabricating grams on short docs
+        k = F.size(toks) - F.lit(nn - 1)
+        idx = F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda i: i <= k,
+        )
+        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, nn), " "))
+
+    # stage one: every split/gram/sort array ONCE per row, as attributes
+    staged = fan_out(df).select(
+        F.col(id_col),
+        F.filter(F.split(t, "\n"),
+                 lambda x: F.length(F.trim(x)) > 0).alias("_ls"),
+        F.filter(F.split(t, r"\n{2,}"),
+                 lambda x: F.length(F.trim(x)) > 0).alias("_ps"),
+        F.length(F.array_join(toks, " ")).alias("_tc"),
+        *[F.array_sort(_grams(nn)).alias(f"_s{nn}") for nn in top_ns],
+        *[_grams(nn).alias(f"_g{nn}") for nn in dup_ns],
+    )
+    total_chars = F.col("_tc")
 
     def _seg_cols(arr: Column, name: str) -> list[Column]:
         n = F.size(arr)
@@ -291,22 +325,8 @@ def gopher_repetition(
             ).alias(f"dup_{name}_char_frac"),
         ]
 
-    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
-    paras = F.filter(F.split(t, r"\n{2,}"), lambda x: F.length(F.trim(x)) > 0)
-
-    def _grams(nn: int) -> Column:
-        # ascending index list filtered to the valid window starts —
-        # never sequence(1, k) directly: Spark's sequence DESCENDS when
-        # k < 1, fabricating grams on short docs
-        k = F.size(toks) - F.lit(nn - 1)
-        idx = F.filter(
-            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
-            lambda i: i <= k,
-        )
-        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, nn), " "))
-
     def _top_char_frac(nn: int) -> Column:
-        srt = F.array_sort(_grams(nn))
+        srt = F.col(f"_s{nn}")
         init = F.struct(
             F.lit(None).cast("string").alias("prev"),
             F.lit(0).alias("run"),
@@ -340,17 +360,17 @@ def gopher_repetition(
         return F.round(frac, 6).alias(f"top_{nn}gram_char_frac")
 
     def _dup_gram_frac(nn: int) -> Column:
-        g = _grams(nn)
+        g = F.col(f"_g{nn}")
         n = F.size(g)
         frac = F.when(
             n > 0, (n - F.size(F.array_distinct(g))).cast("double") / n
         ).otherwise(F.lit(0.0))
         return F.round(frac, 6).alias(f"dup_{nn}gram_frac")
 
-    return fan_out(df).select(
+    return staged.select(
         F.col(id_col),
-        *_seg_cols(lines, "line"),
-        *_seg_cols(paras, "para"),
+        *_seg_cols(F.col("_ls"), "line"),
+        *_seg_cols(F.col("_ps"), "para"),
         *[_top_char_frac(nn) for nn in top_ns],
         *[_dup_gram_frac(nn) for nn in dup_ns],
     )
