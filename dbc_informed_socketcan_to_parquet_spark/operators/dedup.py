@@ -1995,6 +1995,7 @@ def lsh_band_tune(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int | None = 1000,
+    sample_docs: int | None = None,
     hash_fn=md5_long,
 ) -> DataFrame:
     """MinHash-LSH BANDING parameter sweep (r12) — the dedup analog of
@@ -2033,12 +2034,33 @@ def lsh_band_tune(
     — the sweep's universe is the capped one).  Every reported number
     is an in-engine aggregate — nothing but the final per-config rows
     (len(configs)) ever reaches the driver.
+
+    ``sample_docs`` is the 100 TB posture: banding choice is a
+    STATISTICAL estimation problem — precision/recall per config
+    converge on a uniform sample, so tune on ~10⁵–10⁶ docs and apply
+    the winner to the full corpus.  When set, the corpus is filtered to
+    ≈``sample_docs`` documents by a deterministic id-hash threshold
+    (one count() to size the keep probability; same ids every run and
+    in any engine) BEFORE signing, making the sweep's cost independent
+    of corpus size.  The full-corpus default (None) is the oracle lane:
+    even bucket-capped, its kept-pair universe grows superlinearly
+    through the decade where bucket sizes cross the cap (measured
+    ratio_x100 15.8 at sf1→sf10) — sample for anything bigger.
     """
     for b, r in configs:
         if b * r > num_perms:
             raise ValueError(
                 f"config ({b}, {r}) needs {b * r} perms, have {num_perms}")
     from pyspark import StorageLevel
+
+    if sample_docs is not None:
+        n = df.count()
+        if n > sample_docs:
+            # deterministic id-hash threshold: md5_long is uniform on
+            # [0, 2^60), so keep hash < p·2^60 — same sample every run,
+            # replayable in DuckDB
+            cut = int(sample_docs / n * (1 << 60))
+            df = df.filter(md5_long(F.col(id_col)) < F.lit(cut))
 
     sigs = minhash_signatures(
         df, id_col, text_col, num_perms=num_perms, shingle_n=shingle_n,

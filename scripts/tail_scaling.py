@@ -101,6 +101,17 @@ TAIL = [
 ]
 
 
+def _lsh_band_tune_sampled(spark, sf_dir):
+    """The production tuning posture: sweep on a deterministic ~50k-doc
+    sample — cost should be ~flat per decade (the full lane's capped
+    pair universe is transitionally superlinear, see the docstring)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import lsh_band_tune
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_band_tune(docs, num_perms=16, shingle_n=5,
+                         threshold=0.5, sample_docs=50_000)
+
+
 def _curate_e2e(spark, sf_dir):
     from dbc_informed_socketcan_to_parquet_spark.operators.curate import curate
 
@@ -141,6 +152,8 @@ def _export_shards(spark, sf_dir):
 
 
 def _resolve(name):
+    if name == "lsh_band_tune_sampled":
+        return _lsh_band_tune_sampled
     if name == "curate_e2e":
         return _curate_e2e
     if name == "export_training_shards":
@@ -180,7 +193,8 @@ def main() -> None:
     spark = get_spark("tail-scaling")
     spark.read.parquet(f"{SF_POINTS['sf01']}/lineitem.parquet").count()  # warmup
 
-    names = TAIL + ["semantic_dedup_prod", "curate_e2e", "export_training_shards"]
+    names = TAIL + ["semantic_dedup_prod", "curate_e2e",
+                    "export_training_shards", "lsh_band_tune_sampled"]
     if only is not None:
         unknown = only - set(names)
         if unknown:

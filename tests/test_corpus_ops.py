@@ -2658,3 +2658,25 @@ def test_ngram_novelty_pinned(spark):
     assert got[10] == (3, 0, 0.0)
     assert got[11] == (3, 2, round(2 / 3, 6))
     assert got[12] == (0, 0, 1.0)
+
+
+def test_lsh_band_tune_sampled_lane(spark):
+    """sample_docs (r12): deterministic id-hash sample — same report
+    twice, same schema as the full lane, and the sampled truth universe
+    is smaller; a sample_docs above the corpus size is a no-op."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import lsh_band_tune
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {(r.num_bands, r.rows_per_band): r
+            for r in lsh_band_tune(docs, configs=((4, 4),)).collect()}
+    s1 = {(r.num_bands, r.rows_per_band): r
+          for r in lsh_band_tune(docs, configs=((4, 4),), sample_docs=200).collect()}
+    s2 = {(r.num_bands, r.rows_per_band): r
+          for r in lsh_band_tune(docs, configs=((4, 4),), sample_docs=200).collect()}
+    assert s1 == s2                                     # deterministic
+    assert s1[(4, 4)].truth_total <= full[(4, 4)].truth_total
+    assert s1[(4, 4)].n_candidates < full[(4, 4)].n_candidates
+    noop = {(r.num_bands, r.rows_per_band): r
+            for r in lsh_band_tune(docs, configs=((4, 4),),
+                                   sample_docs=10_000_000).collect()}
+    assert noop == full
