@@ -327,7 +327,8 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  # r12 additions: LSH banding sweep, decon-triad report,
                  # vocab coverage, Gopher repetition battery, n-gram novelty
                  "lsh_band_tune", "decon_report", "vocab_coverage",
-                 "gopher_repetition", "ngram_novelty"):
+                 "gopher_repetition", "ngram_novelty",
+                 "cluster_size_report"):
         fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         out[name] = _min_of(spark, lambda: fn(spark, sf_dir),
                             5 if name in _NOISY else 2)

@@ -593,6 +593,13 @@ def build_report_parser() -> argparse.ArgumentParser:
                    help="also print the per-doc Gopher repetition battery "
                         "(dup line/paragraph fractions, top n-gram char "
                         "coverage, dup n-gram fractions), worst docs first")
+    p.add_argument("--cluster-sizes", action="store_true",
+                   help="also print the near-dup cluster-size distribution "
+                        "(star-edge LSH clustering; singleton row included, "
+                        "frac_docs sums to 1)")
+    p.add_argument("--cluster-jaccard", type=float, default=0.5,
+                   help="estimated-Jaccard edge verification threshold for "
+                        "--cluster-sizes")
     p.add_argument("--novelty-against", metavar="PATH",
                    help="also score each doc's distinct word-n-gram novelty "
                         "against a reference parquet corpus at PATH")
@@ -684,6 +691,18 @@ def run_report(argv: list[str]) -> None:
         if args.output_path:
             rept.write.mode("overwrite").parquet(f"{args.output_path}_repetition")
             print(f"wrote repetition report to {args.output_path}_repetition")
+    if args.cluster_sizes:
+        from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+            cluster_size_report,
+        )
+
+        cs = cluster_size_report(
+            docs, text_col=args.text_col, threshold=args.cluster_jaccard,
+        ).orderBy(F_desc("cluster_size"))
+        cs.show(20)
+        if args.output_path:
+            cs.write.mode("overwrite").parquet(f"{args.output_path}_clusters")
+            print(f"wrote cluster-size report to {args.output_path}_clusters")
     if args.novelty_against:
         from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
             ngram_novelty,

@@ -2306,3 +2306,66 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def cluster_size_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = 32,
+    shingle_n: int = 5,
+    num_bands: int = 8,
+    threshold: float | None = None,
+    seed: int = 42,
+    hash_fn=md5_long,
+) -> DataFrame:
+    """Near-dup CLUSTER-SIZE distribution (r12) — the dedup-health
+    report: how much of the corpus sits in how-big near-duplicate
+    components?  A crawl dominated by a few giant clusters wants a
+    keep-best survivor rule and an aggressive banding; a long tail of
+    pairs wants the opposite.  The singleton row (``cluster_size`` 1)
+    counts documents in NO verified near-dup component.
+
+    Output: one row per occurring cluster size —
+    ``(cluster_size, n_clusters, n_docs, frac_docs)`` where ``n_docs =
+    cluster_size × n_clusters`` and ``frac_docs`` is the share of the
+    whole corpus, so the column sums to the corpus size and 1.0.
+
+    Scale: :func:`minhash_star_clusters` (star edges + min-label CC —
+    never a quadratic pair list) feeds two keyed aggregations whose
+    keys shrink at each step (cluster id → cluster size); the corpus
+    total and the clustered total are 1-row aggregates joined
+    broadcast.  Nothing reaches the driver.
+    """
+    clusters = minhash_star_clusters(
+        df, id_col, text_col, num_perms=num_perms, shingle_n=shingle_n,
+        num_bands=num_bands, threshold=threshold, seed=seed, hash_fn=hash_fn,
+    )
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_sz"))
+    hist = (
+        sizes.groupBy(F.col("_sz").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    clustered = sizes.agg(F.coalesce(F.sum("_sz"), F.lit(0)).alias("_in"))
+    singles = (
+        total.join(F.broadcast(clustered))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("_total") - F.col("_in")).cast("long").alias("n_clusters"),
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .filter(F.col("n_clusters") > 0)
+        .join(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            F.round(
+                (F.col("cluster_size") * F.col("n_clusters"))
+                / F.col("_total").cast("double"), 6,
+            ).alias("frac_docs"),
+        )
+    )

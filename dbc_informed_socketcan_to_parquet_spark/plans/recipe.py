@@ -195,7 +195,8 @@ def validate_recipe(recipe: dict) -> None:
                          ("dup_spans", {"window_tokens", "min_count", "out"}),
                          ("vocab_coverage", {"top_k", "lang_col", "out"}),
                          ("repetition", {"out"}),
-                         ("novelty", {"against", "n", "out"})):
+                         ("novelty", {"against", "n", "out"}),
+                         ("cluster_sizes", {"threshold", "out"})):
         spec = recipe.get("report", {}).get(key)
         if spec not in (None, True, False) and not isinstance(spec, dict):
             raise ValueError(f"report.{key} must be true/false or a dict")
@@ -553,6 +554,22 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
                 rept.write.mode("overwrite").parquet(opts["out"])
             summary["report"]["repetition"] = {
                 "rows": rept.count(), "out": opts.get("out"),
+            }
+        cs_spec = recipe["report"].get("cluster_sizes")
+        if cs_spec:
+            # near-dup cluster-size distribution over the CURATED docs (r12)
+            from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+                cluster_size_report,
+            )
+
+            opts = cs_spec if isinstance(cs_spec, dict) else {}
+            cs = cluster_size_report(
+                kept, threshold=float(opts.get("threshold", 0.5)),
+            )
+            if opts.get("out"):
+                cs.write.mode("overwrite").parquet(opts["out"])
+            summary["report"]["cluster_sizes"] = {
+                "rows": cs.count(), "out": opts.get("out"),
             }
         nv_spec = recipe["report"].get("novelty")
         if nv_spec:

@@ -5757,3 +5757,43 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         n=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 12 session 2: near-dup cluster-size distribution (dedup.cluster_size_report)
+# ---------------------------------------------------------------------------
+
+@extra_query(
+    "cluster_size_report",
+    oracle=f"""
+    WITH RECURSIVE {_STAR_CC_CTES},
+    clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY 1),
+    hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM documents),
+    allrows AS (
+      SELECT cluster_size, n_clusters FROM hist
+      UNION ALL
+      SELECT 1 AS cluster_size,
+             (SELECT total FROM tot) - coalesce((SELECT sum(sz) FROM sizes), 0)
+             AS n_clusters
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+           round(cluster_size * n_clusters / CAST((SELECT total FROM tot) AS DOUBLE), 6)
+             AS frac_docs
+    FROM allrows WHERE n_clusters > 0
+    """,
+)
+def q_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution (dedup.cluster_size_report,
+    r12): the dedup-health histogram over the same star-CC clustering
+    the driver's dedup_star_clusters entry replays — plus the singleton
+    row, so n_docs sums to the corpus and frac_docs to 1."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import cluster_size_report
+
+    return cluster_size_report(
+        _read(spark, sf_dir, "documents"),
+        num_perms=16, shingle_n=5, num_bands=_MH_BANDS, threshold=0.5, seed=42,
+    )

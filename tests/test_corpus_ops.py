@@ -2680,3 +2680,27 @@ def test_lsh_band_tune_sampled_lane(spark):
             for r in lsh_band_tune(docs, configs=((4, 4),),
                                    sample_docs=10_000_000).collect()}
     assert noop == full
+
+
+def test_cluster_size_report_pinned(spark):
+    """Hand-built cluster structure (r12): one 3-doc near-dup clique,
+    one 2-doc pair, two singletons -> histogram rows (3,1), (2,1),
+    (1,2); n_docs sums to the corpus, frac_docs to 1."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        cluster_size_report,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "completely different content about cooking stews and braises slowly"
+    docs = spark.createDataFrame(
+        [(0, a), (1, a), (2, a + " extra"), (3, b), (4, b),
+         (5, "a unique document about astronomy and telescopes at night"),
+         (6, "another unique document about gardening and soil health")],
+        "doc_id long, text string",
+    )
+    rows = {r.cluster_size: r for r in cluster_size_report(
+        docs, num_perms=16, num_bands=8, threshold=0.5).collect()}
+    assert rows[3].n_clusters == 1 and rows[2].n_clusters == 1
+    assert rows[1].n_clusters == 2
+    assert sum(r.n_docs for r in rows.values()) == 7
+    assert abs(sum(r.frac_docs for r in rows.values()) - 1.0) < 1e-6

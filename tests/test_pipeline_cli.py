@@ -429,3 +429,17 @@ def test_cli_curate_preserve_separators(spark, tmp_path):
     seps = spark.read.parquet(out2).collect()[0].text
     assert quote not in seps
     assert "intact here\n\n" in seps  # paragraph boundary survived
+
+
+def test_cli_report_cluster_sizes(spark, tmp_path):
+    """report --cluster-sizes (r12): lands the histogram artifact;
+    frac_docs sums to 1 over the corpus."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "rep.parquet")
+    main(["report", "--in", src, "--cluster-sizes", "--out", out])
+    cs = spark.read.parquet(out + "_clusters").collect()
+    assert {c for r in cs for c in r.asDict()} == {
+        "cluster_size", "n_clusters", "n_docs", "frac_docs"}
+    assert abs(sum(r.frac_docs for r in cs) - 1.0) < 1e-4

@@ -513,11 +513,13 @@ def test_recipe_report_repetition_and_novelty(spark, tmp_path):
         "curate": {"min_quality": 0.0, "min_chars": 1},
         "out": out,
         "report": {"repetition": {"out": rp_out},
-                   "novelty": {"against": ref, "n": 4, "out": nv_out}},
+                   "novelty": {"against": ref, "n": 4, "out": nv_out},
+                   "cluster_sizes": True},
     }
     summary = run_recipe(spark, recipe)
     assert summary["report"]["repetition"]["rows"] == 2
     assert summary["report"]["novelty"]["rows"] == 2
+    assert summary["report"]["cluster_sizes"]["rows"] >= 1
     nov = {r.doc_id: r.novelty for r in spark.read.parquet(nv_out).collect()}
     assert nov[2] == 0.0 and nov[1] > 0.9
 
