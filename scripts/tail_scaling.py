@@ -94,6 +94,7 @@ TAIL = [
     "extra:vocab_coverage",
     "extra:gopher_repetition",
     "extra:ngram_novelty",
+    "extra:cluster_size_report",
     "source_overlap",
     "duplicate_spans",
     "remove_eval_spans",
