@@ -56,6 +56,10 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--hot-span-min-count", type=int, default=5)
     p.add_argument("--gopher", action="store_true",
                    help="additionally require every Gopher quality rule")
+    p.add_argument("--gopher-repetition", action="store_true",
+                   help="additionally require every published Gopher "
+                        "REPETITION rule (dup line/para fractions, top "
+                        "n-gram char coverage, dup n-gram fractions)")
     p.add_argument("--max-perplexity", type=float, default=None,
                    help="bigram-LM gate (trains on --lm-corpus if given, else on survivors)")
     p.add_argument("--lm-corpus", default=None, help="trusted reference parquet for the LM gate")
@@ -177,6 +181,7 @@ def run_curate(argv: list[str]) -> None:
         keep_ppl_tiers=tuple(args.keep_ppl_tier),
         against_sigs_path=args.against_sigs,
         gopher=args.gopher,
+        gopher_repetition=args.gopher_repetition,
         hash_fn=args.hash,
         lm_path=args.lm_path,
         classifier_path=args.classifier_path,

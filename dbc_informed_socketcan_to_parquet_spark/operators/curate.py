@@ -106,6 +106,9 @@ class CurateConfig:
     # require every Gopher rule (textops.gopher_quality_flags defaults)
     # in addition to the built-in quality gate; off by default
     gopher: bool = False
+    # r12: additionally require every published Gopher REPETITION rule
+    # (textops.gopher_repetition_flags / GOPHER_REPETITION_THRESHOLDS)
+    gopher_repetition: bool = False
     # language gate (r6): keep only docs whose lang_id prediction lands
     # in this set (e.g. ("en",)); "unknown" passes only if listed.
     # Empty tuple = stage off.  Runs with the quality gate (both are
@@ -542,6 +545,20 @@ def curate(
         flags = gopher_quality_flags(out, id_col, text_col).localCheckpoint(eager=False)
         out = _mark("gopher", out.join(
             flags.filter(F.col("passes_gopher")).select(id_col), id_col, "left_semi"
+        ))
+
+    if config.gopher_repetition:
+        # the repetition half of the Gopher battery (r12) — same
+        # materialization barrier as the rule battery above
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            gopher_repetition_flags,
+        )
+
+        rflags = gopher_repetition_flags(
+            out, id_col, text_col).localCheckpoint(eager=False)
+        out = _mark("gopher_repetition", out.join(
+            rflags.filter(F.col("passes_repetition")).select(id_col),
+            id_col, "left_semi",
         ))
 
     if config.min_clf_prob is not None:

@@ -1539,3 +1539,53 @@ def vocab_coverage(
             F.col("n_distinct_covered").cast("long"),
         )
     )
+
+
+#: Published per-rule DROP thresholds for the repetition battery
+#: (Rae et al. 2021, Table A1) — a doc failing ANY rule is dropped.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_frac": 0.15, "dup_6gram_frac": 0.14, "dup_7gram_frac": 0.13,
+    "dup_8gram_frac": 0.12, "dup_9gram_frac": 0.11, "dup_10gram_frac": 0.10,
+}
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """:func:`gopher_repetition` thresholded into NAMED boolean rules —
+    the repetition half of the Gopher gate, shaped exactly like
+    :func:`gopher_quality_flags`: every measured fraction, one ``ok_*``
+    boolean per rule at the paper's published drop threshold (override
+    any subset via ``thresholds``), and the conjunction
+    ``passes_repetition``.
+
+    Same scale shape as the battery: two shuffle-free row-local
+    projections; the flags are plain comparisons over the second.
+
+    .. note:: the published thresholds assume the quality battery's
+       ≥50-word floor runs alongside (as in the paper): on a ~25-word
+       doc a SINGLETON 4-gram covers ~18% of the characters and trips
+       the 0.16 ``top_4gram`` rule by construction.  Gate short docs on
+       word count first (``gopher_quality_flags`` / ``min_words``).
+    """
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown repetition rules: {sorted(unknown)}")
+        th.update(thresholds)
+    rep = gopher_repetition(df, id_col, text_col)
+    oks = [(F.col(m) <= F.lit(v)).alias(f"ok_{m}") for m, v in th.items()]
+    passes = F.lit(True)
+    for m, v in th.items():
+        passes = passes & (F.col(m) <= F.lit(v))
+    return rep.select(
+        "*", *oks, passes.alias("passes_repetition"),
+    )

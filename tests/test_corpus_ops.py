@@ -2704,3 +2704,46 @@ def test_cluster_size_report_pinned(spark):
     assert rows[1].n_clusters == 2
     assert sum(r.n_docs for r in rows.values()) == 7
     assert abs(sum(r.frac_docs for r in rows.values()) - 1.0) < 1e-6
+
+
+def test_gopher_repetition_flags_and_gate(spark):
+    """gopher_repetition_flags (r12): the paper's thresholds as named
+    rules — a boilerplate doc fails, clean prose passes, unknown rule
+    overrides are rejected; the curate gate drops exactly the failing
+    doc and records the funnel stage."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        CurateConfig,
+        curate,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        gopher_repetition_flags,
+    )
+
+    spam = "\n".join(["buy cheap pills online now today"] * 20)
+    # >= 50 words, like the quality battery's floor the paper pairs
+    # these thresholds with: on a 25-word doc a SINGLETON 4-gram covers
+    # ~18% of the characters and trips the 0.16 rule by construction
+    prose = ("a genuinely varied paragraph discussing gardens weather "
+             "books travel cooking music science history and art with "
+             "no repeated lines anywhere in sight at all " +
+             " ".join(f"plus{i} extra{i} vocabulary{i}" for i in range(12)))
+    docs = spark.createDataFrame(
+        [(1, spam), (2, prose)], "doc_id long, text string")
+
+    flags = {r.doc_id: r for r in gopher_repetition_flags(docs).collect()}
+    assert not flags[1].passes_repetition and not flags[1].ok_dup_line_frac
+    assert flags[2].passes_repetition
+
+    with _pytest.raises(ValueError, match="unknown repetition rules"):
+        gopher_repetition_flags(docs, thresholds={"bogus": 0.1})
+
+    trace: list = []
+    kept = curate(
+        docs, config=CurateConfig(min_chars=1, min_quality=0.0,
+                                  gopher_repetition=True),
+        _trace=trace,
+    )
+    assert [r.doc_id for r in kept.select("doc_id").collect()] == [2]
+    assert any(name == "gopher_repetition" for name, _ in trace)

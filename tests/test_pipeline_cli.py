@@ -443,3 +443,20 @@ def test_cli_report_cluster_sizes(spark, tmp_path):
     assert {c for r in cs for c in r.asDict()} == {
         "cluster_size", "n_clusters", "n_docs", "frac_docs"}
     assert abs(sum(r.frac_docs for r in cs) - 1.0) < 1e-4
+
+
+def test_cli_curate_gopher_repetition_gate(spark, tmp_path):
+    """--gopher-repetition (r12): the boilerplate doc drops, the long
+    varied doc survives."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    spam = "\n".join(["buy cheap pills online now today"] * 20)
+    prose = ("an essay of genuinely varied content " +
+             " ".join(f"idea{i} topic{i} detail{i}" for i in range(20)))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame([(1, spam), (2, prose)],
+                          "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "kept.parquet")
+    main(["curate", "--in", src, "--out", out, "--min-quality", "0.0",
+          "--min-chars", "1", "--gopher-repetition"])
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
