@@ -317,6 +317,9 @@ def build_stream_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--quarantine", default=None, help="corrupt-line JSONL dir")
     p.add_argument("--min-chars", type=int, default=32)
     p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--gopher-repetition", action="store_true",
+                   help="additionally require every published Gopher "
+                        "REPETITION rule (stateless row-local battery)")
     p.add_argument("--watermark", default="10 minutes", help="dedup state horizon")
     p.add_argument("--max-files-per-trigger", type=int, default=16)
     p.add_argument("--available-now", action="store_true",
@@ -407,6 +410,7 @@ def run_stream_curate(argv: list[str]) -> None:
         input_format="warc" if args.warc else "jsonl",
         max_pii=args.max_pii,
         min_compression_ratio=args.min_compression_ratio,
+        gopher_repetition=args.gopher_repetition,
         against_path=args.against, against_sigs_path=args.against_sigs,
         against_jaccard=args.jaccard,
         eval_corpus_path=args.eval_corpus, decon_span_window=args.decon_spans,

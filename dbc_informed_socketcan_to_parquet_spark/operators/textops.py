@@ -282,10 +282,24 @@ def gopher_repetition(
     because the aliases are referenced by multiple non-cheap
     expressions.
     """
+    # stage one: every split/gram/sort array ONCE per row, as attributes
+    staged = fan_out(df).select(
+        F.col(id_col),
+        *_repetition_stage_cols(text_col, top_ns, dup_ns),
+    )
+    return staged.select(
+        F.col(id_col), *_repetition_metric_cols(top_ns, dup_ns),
+    )
+
+
+def _repetition_stage_cols(text_col: str, top_ns, dup_ns) -> list[Column]:
+    """Stage-one arrays for the repetition battery (evaluate-once
+    attributes: lines, paragraphs, joined-token char count, sorted gram
+    lists for the top rules, gram lists for the dup rules)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(F.lower(t))
 
-    def _grams(nn: int) -> Column:
+    def grams(nn: int) -> Column:
         # ascending index list filtered to the valid window starts —
         # never sequence(1, k) directly: Spark's sequence DESCENDS when
         # k < 1, fabricating grams on short docs
@@ -296,17 +310,19 @@ def gopher_repetition(
         )
         return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, nn), " "))
 
-    # stage one: every split/gram/sort array ONCE per row, as attributes
-    staged = fan_out(df).select(
-        F.col(id_col),
+    return [
         F.filter(F.split(t, "\n"),
                  lambda x: F.length(F.trim(x)) > 0).alias("_ls"),
         F.filter(F.split(t, r"\n{2,}"),
                  lambda x: F.length(F.trim(x)) > 0).alias("_ps"),
         F.length(F.array_join(toks, " ")).alias("_tc"),
-        *[F.array_sort(_grams(nn)).alias(f"_s{nn}") for nn in top_ns],
-        *[_grams(nn).alias(f"_g{nn}") for nn in dup_ns],
-    )
+        *[F.array_sort(grams(nn)).alias(f"_s{nn}") for nn in top_ns],
+        *[grams(nn).alias(f"_g{nn}") for nn in dup_ns],
+    ]
+
+
+def _repetition_metric_cols(top_ns, dup_ns) -> list[Column]:
+    """Stage-two metric expressions over the staged attributes."""
     total_chars = F.col("_tc")
 
     def _seg_cols(arr: Column, name: str) -> list[Column]:
@@ -367,13 +383,12 @@ def gopher_repetition(
         ).otherwise(F.lit(0.0))
         return F.round(frac, 6).alias(f"dup_{nn}gram_frac")
 
-    return staged.select(
-        F.col(id_col),
+    return [
         *_seg_cols(F.col("_ls"), "line"),
         *_seg_cols(F.col("_ps"), "para"),
         *[_top_char_frac(nn) for nn in top_ns],
         *[_dup_gram_frac(nn) for nn in dup_ns],
-    )
+    ]
 
 
 # -- PII scrubbing -----------------------------------------------------------
@@ -1588,4 +1603,43 @@ def gopher_repetition_flags(
         passes = passes & (F.col(m) <= F.lit(v))
     return rep.select(
         "*", *oks, passes.alias("passes_repetition"),
+    )
+
+
+def with_passes_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+    out_col: str = "_passes_repetition",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Append the :func:`gopher_repetition_flags` conjunction as ONE
+    boolean column while PRESERVING every input column — the
+    streaming-safe form of the repetition gate (two stateless
+    projections, no join, no id requirement; batch curate uses the
+    join-based gate, streaming curate filters on this column).
+    """
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown repetition rules: {sorted(unknown)}")
+        th.update(thresholds)
+    orig = df.columns
+    staged = df.select("*", *_repetition_stage_cols(text_col, top_ns, dup_ns))
+    metrics = dict(zip(_metric_names(top_ns, dup_ns),
+                       _repetition_metric_cols(top_ns, dup_ns)))
+    passes = F.lit(True)
+    for m, v in th.items():
+        passes = passes & (metrics[m] <= F.lit(v))
+    return staged.select(*orig, passes.alias(out_col))
+
+
+def _metric_names(top_ns, dup_ns) -> list[str]:
+    return (
+        ["dup_line_frac", "dup_line_char_frac",
+         "dup_para_frac", "dup_para_char_frac"]
+        + [f"top_{nn}gram_char_frac" for nn in top_ns]
+        + [f"dup_{nn}gram_frac" for nn in dup_ns]
     )

@@ -90,6 +90,7 @@ _STREAM_CURATE_KEYS = frozenset({
     "lm_path", "max_perplexity", "classifier_path", "min_clf_prob",
     "lang_model_path", "allowed_langs", "extract_html", "html_min_words",
     "html_max_link_density", "max_pii", "min_compression_ratio",
+    "gopher_repetition",
     "against_path", "against_sigs_path", "against_num_bands",
     "against_jaccard", "eval_corpus_path", "decon_span_window",
 })

@@ -55,7 +55,8 @@ _STAT_NAMES = (
 #: observe() metric names in pipeline order — the streaming analog of
 #: curate_audit's stage list (only stages that actually run emit)
 _FUNNEL_ORDER = (
-    "funnel_input", "funnel_pii", "funnel_quality", "funnel_compression",
+    "funnel_input", "funnel_pii", "funnel_quality", "funnel_repetition",
+    "funnel_compression",
     "funnel_perplexity", "funnel_classifier", "funnel_language",
     "funnel_exact_dedup", "funnel_against_exact", "funnel_against_near",
 )
@@ -181,6 +182,7 @@ def streaming_curate_frame(
     allowed_langs: tuple[str, ...] = (),
     max_pii: int | None = None,
     min_compression_ratio: float | None = None,
+    gopher_repetition: bool = False,
     against_corpus: DataFrame | None = None,
     against_sigs_path: str | None = None,
     against_num_bands: int = 4,
@@ -280,6 +282,18 @@ def streaming_curate_frame(
         (stats["n_chars"] >= F.lit(min_chars))
         & (stats["quality"] >= F.lit(min_quality))
     ))
+    if gopher_repetition:
+        # Gopher repetition battery gate (r12): two stateless row-local
+        # projections appending the threshold conjunction — the
+        # streaming twin of CurateConfig.gopher_repetition (batch uses
+        # a join-based gate; streams filter on the appended column)
+        from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+            with_passes_repetition,
+        )
+
+        out = with_passes_repetition(out, text_col=text_col)
+        out = _obs("funnel_repetition", out.filter(
+            F.col("_passes_repetition"))).drop("_passes_repetition")
     if min_compression_ratio is not None:
         # zlib repetition gate (r9): stateless Arrow kernel filter — the
         # streaming twin of CurateConfig.min_compression_ratio.  The
@@ -415,6 +429,7 @@ def run_streaming_curate(
     input_format: str = "jsonl",
     max_pii: int | None = None,
     min_compression_ratio: float | None = None,
+    gopher_repetition: bool = False,
     against_path: str | None = None,
     against_sigs_path: str | None = None,
     against_num_bands: int = 4,
@@ -469,6 +484,7 @@ def run_streaming_curate(
         extract_html=extract_html, html_min_words=html_min_words,
         html_max_link_density=html_max_link_density,
         max_pii=max_pii, min_compression_ratio=min_compression_ratio,
+        gopher_repetition=gopher_repetition,
         against_corpus=(
             spark.read.parquet(against_path) if against_path else None
         ),

@@ -510,3 +510,44 @@ def test_streaming_against_gates_add_no_state(spark, tmp_path):
     assert flat, "expected the dedup state operator to report"
     names = {o.get("operatorName") for o in flat}
     assert names == {"dedupeWithinWatermark"}, names
+
+
+def test_streaming_gopher_repetition_gate(spark, tmp_path):
+    """--gopher-repetition streaming twin (r12): the boilerplate doc
+    drops at the funnel_repetition stage, varied prose survives, and
+    the streaming pass column agrees with the batch flags battery on
+    the same docs."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        gopher_repetition_flags,
+        with_passes_repetition,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.streaming.curate import (
+        run_streaming_curate,
+        streaming_funnel,
+    )
+
+    spam = "repeat this exact line forever\n" * 25
+    queries = None
+    land = tmp_path / "land"
+    land.mkdir()
+    _write_batch(land, "b0.jsonl", [_doc(1, GOOD_A), _doc(2, spam)])
+    queries = run_streaming_curate(
+        spark, str(land), str(tmp_path / "o"), str(tmp_path / "c"),
+        min_quality=0.0, watermark="1 hour", available_now=True,
+        gopher_repetition=True, observe_funnel=True,
+    )
+    for q in queries:
+        q.awaitTermination()
+    assert [r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "o")).collect()] == [1]
+    funnel = {f["stage"]: f for f in streaming_funnel(queries[0])}
+    assert funnel["repetition"]["dropped"] == 1
+
+    # batch-parity: the appended pass column == the batch conjunction
+    docs = spark.createDataFrame([(1, GOOD_A), (2, spam)],
+                                 "doc_id long, text string")
+    stream_side = {r.doc_id: r._passes_repetition
+                   for r in with_passes_repetition(docs).collect()}
+    batch_side = {r.doc_id: r.passes_repetition
+                  for r in gopher_repetition_flags(docs).collect()}
+    assert stream_side == batch_side == {1: True, 2: False}
