@@ -507,9 +507,12 @@ def test_registry_entry_never_plans_cartesian(spark, name):
     plan = plan_of(_ALL_REGISTRY[name](spark, SF))
     assert "CartesianProduct" not in plan, name
     # embedding_drift reduces THREE 1-row frames (old stats, new stats,
-    # centroid cosine) — two broadcast crossJoins by construction
+    # centroid cosine) — two broadcast crossJoins by construction;
+    # cluster_size_report joins TWO 1-row totals (clustered count for the
+    # singleton row, corpus count for frac_docs) — also two by design
     cap = {"extra:ann_recall": 4, "extra:ann_tune": 64,
-           "extra:embedding_drift": 4}.get(name, 2)
+           "extra:embedding_drift": 4,
+           "extra:cluster_size_report": 4}.get(name, 2)
     assert plan.count("BroadcastNestedLoopJoin") <= cap, name
 
 
