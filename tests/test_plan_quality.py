@@ -643,3 +643,46 @@ def test_chunk_documents_no_shuffle(spark):
     plan = plan_of(df)
     assert "Join" not in plan and "Window" not in plan
     assert n_exchanges(plan) == 0
+
+
+def test_gopher_repetition_no_shuffle(spark):
+    """gopher_repetition (r12): the full 15-column battery is two
+    chained row-local projections — no join, no window, no explode/
+    generate, and the only exchange is fan_out's round-robin width
+    guard on the narrow single-file input (never a hash/range
+    shuffle)."""
+    df = EXTRA_QUERIES["gopher_repetition"](spark, SF)
+    plan = plan_of(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert "Generate" not in plan
+    assert n_exchanges(plan) <= 1
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_ngram_novelty_plan(spark):
+    """ngram_novelty (r12): the membership probe is a keyed LEFT join
+    on the 60-bit gram hash with NO forced broadcast on the
+    corpus-scale reference (stats may still pick broadcast at this SF —
+    but never a product), and the raw text never reaches an Exchange
+    (only gram-hash / id projections shuffle)."""
+    import re
+
+    df = EXTRA_QUERIES["ngram_novelty"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1), m.group(0)
+
+
+def test_with_passes_repetition_streaming_safe(spark):
+    """with_passes_repetition: stateless projections only — the plan
+    has no exchange, join, or aggregate, so it is append-mode
+    streaming-safe by construction."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        with_passes_repetition,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(with_passes_repetition(docs))
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "Aggregate" not in plan
