@@ -328,7 +328,7 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  # vocab coverage, Gopher repetition battery, n-gram novelty
                  "lsh_band_tune", "decon_report", "vocab_coverage",
                  "gopher_repetition", "ngram_novelty",
-                 "cluster_size_report"):
+                 "cluster_size_report", "topic_report"):
         fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         out[name] = _min_of(spark, lambda: fn(spark, sf_dir),
                             5 if name in _NOISY else 2)

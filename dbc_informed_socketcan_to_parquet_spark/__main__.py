@@ -562,6 +562,7 @@ def build_report_parser() -> argparse.ArgumentParser:
     p.add_argument("--in", dest="input_path", required=True,
                    help="documents parquet to report on")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     p.add_argument("--group-col", default=None,
                    help="per-group rows + grand total (e.g. lang, source)")
     p.add_argument("--approx", action="store_true",
@@ -602,6 +603,13 @@ def build_report_parser() -> argparse.ArgumentParser:
                    help="also print the per-doc Gopher repetition battery "
                         "(dup line/paragraph fractions, top n-gram char "
                         "coverage, dup n-gram fractions), worst docs first")
+    p.add_argument("--topics-embeddings", metavar="PATH",
+                   help="also print the topic-structure report: Lloyd's "
+                        "clusters over this embedding parquet (id must "
+                        "match --id-col values), each labeled with its "
+                        "most distinctive terms")
+    p.add_argument("--topics-k", type=int, default=8,
+                   help="cluster count for --topics-embeddings (power of 2)")
     p.add_argument("--cluster-sizes", action="store_true",
                    help="also print the near-dup cluster-size distribution "
                         "(star-edge LSH clustering; singleton row included, "
@@ -700,6 +708,20 @@ def run_report(argv: list[str]) -> None:
         if args.output_path:
             rept.write.mode("overwrite").parquet(f"{args.output_path}_repetition")
             print(f"wrote repetition report to {args.output_path}_repetition")
+    if args.topics_embeddings:
+        from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+            topic_report,
+        )
+
+        topics = topic_report(
+            docs, spark.read.parquet(args.topics_embeddings),
+            id_col=args.id_col, text_col=args.text_col,
+            num_clusters=args.topics_k,
+        ).orderBy("cluster", "rank")
+        topics.show(args.topics_k * 5, truncate=False)
+        if args.output_path:
+            topics.write.mode("overwrite").parquet(f"{args.output_path}_topics")
+            print(f"wrote topic report to {args.output_path}_topics")
     if args.cluster_sizes:
         from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
             cluster_size_report,

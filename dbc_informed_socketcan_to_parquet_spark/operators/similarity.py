@@ -1700,3 +1700,90 @@ def semantic_contamination_indexed(
     if nprobe > 1:
         hits = hits.dropDuplicates([id_col, "_eid"])
     return _best_eval_match(hits, id_col)
+
+
+# -- corpus topic structure ---------------------------------------------------
+
+def topic_report(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    num_clusters: int = 8,
+    n_iters: int = 2,
+    dim: int | None = None,
+    top_terms: int = 5,
+    min_term_len: int = 4,
+    assign_kernel: str = "auto",
+) -> DataFrame:
+    """Corpus TOPIC structure report (r12) — the "what is in my 100 TB"
+    question: cluster the document embeddings with the deterministic
+    Lloyd's quantizer (the same hash-checked machinery behind the IVF
+    index) and label each cluster with its most distinctive terms
+    (term frequency × a cluster-level inverse document frequency,
+    ``tf · ln(1 + k/df)`` — df counts CLUSTERS containing the term, so
+    corpus-wide words score ~0 and cluster-specific vocabulary rises).
+
+    Output: one row per (cluster, term) for each cluster's ``top_terms``
+    — ``(cluster, n_docs, term, rank, score)``; rank orders by rounded
+    score desc then term asc (deterministic in both engines).
+
+    Scale: training is the shared deterministic-Lloyd's pass; assignment
+    is row-local against broadcast centroids; the doc↔vector join keys
+    on the id; term stats are two map-side-combined keyed aggregations
+    ((cluster, term) then term); the ranking window partitions on the
+    k-cardinality cluster label over per-cluster vocabularies (vocab ≪
+    corpus); cluster sizes join back from a broadcast k-row table.
+    Corpus text reaches exactly one explode — nothing else shuffles it.
+    """
+    dim, centers, assign_kernel = _ivf_train(
+        embeddings, dim, num_clusters, n_iters, vec_id_col, vec_col,
+        1, assign_kernel,
+    )
+    e = fan_out(embeddings).select(
+        F.col(vec_id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    if assign_kernel == "pandas":
+        e = _nearest_pandas(e, centers, "_cv", "cluster")
+    else:
+        e = e.withColumn("cluster", _nearest_label("_cv", centers))
+    assigned = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(e.select("_vid", "cluster"), F.col(id_col) == F.col("_vid"))
+        .select("cluster", F.col(text_col))
+    )
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    words = (
+        assigned.select("cluster", F.explode(toks).alias("w"))
+        .filter(F.length("w") >= min_term_len)
+    )
+    tf = words.groupBy("cluster", "w").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    nd = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("_tf") * F.log(F.lit(1.0) + F.lit(float(num_clusters)) / F.col("_df")),
+        6,
+    )
+    wnd = Window.partitionBy("cluster").orderBy(F.desc("score"), F.asc("term"))
+    ranked = (
+        tf.join(dfreq, "w")
+        .select("cluster", F.col("w").alias("term"), score.alias("score"))
+        .withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= top_terms)
+    )
+    return (
+        ranked.join(F.broadcast(nd), "cluster")
+        .select(
+            F.col("cluster").cast("long"),
+            F.col("n_docs").cast("long"),
+            "term",
+            F.col("rank").cast("int"),
+            "score",
+        )
+    )

@@ -197,13 +197,18 @@ def validate_recipe(recipe: dict) -> None:
                          ("vocab_coverage", {"top_k", "lang_col", "out"}),
                          ("repetition", {"out"}),
                          ("novelty", {"against", "n", "out"}),
-                         ("cluster_sizes", {"threshold", "out"})):
+                         ("cluster_sizes", {"threshold", "out"}),
+                         ("topics", {"embeddings", "k", "top_terms", "out"})):
         spec = recipe.get("report", {}).get(key)
         if spec not in (None, True, False) and not isinstance(spec, dict):
             raise ValueError(f"report.{key} must be true/false or a dict")
         if isinstance(spec, dict) and set(spec) - allowed:
             raise ValueError(
                 f"unknown report.{key} keys: {sorted(set(spec) - allowed)}")
+    tp = recipe.get("report", {}).get("topics")
+    if tp and not (isinstance(tp, dict) and tp.get("embeddings")):
+        raise ValueError("report.topics requires {\"embeddings\": <embedding "
+                         "parquet path>} — topics cluster the embedding space")
     nov = recipe.get("report", {}).get("novelty")
     if nov and not (isinstance(nov, dict) and nov.get("against")):
         raise ValueError("report.novelty requires {\"against\": <reference "
@@ -571,6 +576,24 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
                 cs.write.mode("overwrite").parquet(opts["out"])
             summary["report"]["cluster_sizes"] = {
                 "rows": cs.count(), "out": opts.get("out"),
+            }
+        tp_spec = recipe["report"].get("topics")
+        if tp_spec:
+            # topic-structure report over the CURATED docs (r12) —
+            # validation guarantees `embeddings` is present
+            from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+                topic_report,
+            )
+
+            tp_df = topic_report(
+                kept, spark.read.parquet(tp_spec["embeddings"]),
+                num_clusters=int(tp_spec.get("k", 8)),
+                top_terms=int(tp_spec.get("top_terms", 5)),
+            )
+            if tp_spec.get("out"):
+                tp_df.write.mode("overwrite").parquet(tp_spec["out"])
+            summary["report"]["topics"] = {
+                "rows": tp_df.count(), "out": tp_spec.get("out"),
             }
         nv_spec = recipe["report"].get("novelty")
         if nv_spec:

@@ -5797,3 +5797,59 @@ def q_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"),
         num_perms=16, shingle_n=5, num_bands=_MH_BANDS, threshold=0.5, seed=42,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 12 session 2: corpus topic structure (similarity.topic_report)
+# ---------------------------------------------------------------------------
+
+def _topic_report_oracle_sql(k: int = 8, top_terms: int = 5,
+                             min_len: int = 4) -> str:
+    """Shared deterministic-Lloyd's chain (nplanes = log2 k) → doc join →
+    per-cluster tf · ln(1 + k/df) with the rounded-score ordering."""
+    ctes = ",\n    ".join(_ivf_corpus_assign_ctes(dim=64, nplanes=k.bit_length() - 1,
+                                                 n_iters=2))
+    sc = f"round(tf * ln(1 + {k} / CAST(df AS DOUBLE)), 6)"
+    return f"""
+    WITH {ctes},
+    assigned AS (
+      SELECT ca.b AS cluster, lower(coalesce(d.text, '')) AS t
+      FROM corpus_assign ca JOIN documents d ON d.doc_id = ca.vec_id
+    ),
+    words AS (
+      SELECT cluster, w FROM (
+        SELECT cluster,
+               unnest(list_filter(string_split_regex(t, '\\s+'), x -> x != '')) AS w
+        FROM assigned
+      ) WHERE length(w) >= {min_len}
+    ),
+    tf AS (SELECT cluster, w, count(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT cluster, count(*) AS n_docs FROM assigned GROUP BY 1),
+    ranked AS (
+      SELECT tf.cluster, tf.w AS term, {sc} AS score,
+             row_number() OVER (PARTITION BY tf.cluster
+                                ORDER BY {sc} DESC, tf.w ASC) AS rank
+      FROM tf JOIN df ON df.w = tf.w
+    )
+    SELECT CAST(r.cluster AS BIGINT) AS cluster,
+           CAST(n.n_docs AS BIGINT) AS n_docs,
+           r.term, CAST(r.rank AS INT) AS rank, r.score
+    FROM ranked r JOIN nd n ON n.cluster = r.cluster
+    WHERE r.rank <= {top_terms}
+    """
+
+
+@extra_query("topic_report", oracle=_topic_report_oracle_sql())
+def q_topic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic structure (similarity.topic_report, r12): Lloyd's
+    k=8 clusters over the embeddings (the hash-checked IVF machinery),
+    each labeled with its five most distinctive terms by
+    tf · ln(1 + k/df) where df counts clusters — the corpus-composition
+    report run before choosing a mixing recipe."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import topic_report
+
+    return topic_report(
+        _read(spark, sf_dir, "documents"), _read(spark, sf_dir, "embeddings"),
+        num_clusters=8, n_iters=2, dim=64, top_terms=5,
+    )

@@ -2747,3 +2747,45 @@ def test_gopher_repetition_flags_and_gate(spark):
     )
     assert [r.doc_id for r in kept.select("doc_id").collect()] == [2]
     assert any(name == "gopher_repetition" for name, _ in trace)
+
+
+def test_topic_report_planted_topics(spark):
+    """Two planted embedding blobs with disjoint vocabularies (r12):
+    each cluster's top terms come from its own blob's vocabulary, the
+    cluster sizes match the blobs, and corpus-wide filler words (present
+    in both topics) never outrank topic-specific terms."""
+    import random
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        topic_report,
+    )
+
+    rng = random.Random(7)
+    cooking = "recipe kitchen saucepan simmer braise seasoning skillet"
+    space = "orbital telescope asteroid spacecraft nebula gravity cosmos"
+
+    def vec(center):
+        return [center + rng.uniform(-0.05, 0.05) for _ in range(8)]
+
+    rows, vecs = [], []
+    for i in range(30):
+        topic = cooking if i % 2 == 0 else space
+        words = " ".join(rng.choice(topic.split()) for _ in range(30))
+        rows.append((i, f"shared filler words {words} shared filler words"))
+        vecs.append((i, vec(1.0 if i % 2 == 0 else -1.0)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    got = topic_report(docs, emb, num_clusters=2, n_iters=2, dim=8,
+                       top_terms=3).collect()
+    by_cluster: dict = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert len(by_cluster) == 2
+    cook_set, space_set = set(cooking.split()), set(space.split())
+    for rows_ in by_cluster.values():
+        assert rows_[0].n_docs == 15
+        terms = {r.term for r in rows_}
+        # every top term is topic vocabulary, never the shared filler
+        assert terms <= cook_set or terms <= space_set
+        assert not terms & {"shared", "filler", "words"}

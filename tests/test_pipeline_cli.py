@@ -460,3 +460,19 @@ def test_cli_curate_gopher_repetition_gate(spark, tmp_path):
     main(["curate", "--in", src, "--out", out, "--min-quality", "0.0",
           "--min-chars", "1", "--gopher-repetition"])
     assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
+
+
+def test_cli_report_topics(spark, tmp_path):
+    """report --topics-embeddings (r12): the topic artifact lands with
+    ranked distinctive terms per cluster."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "rep.parquet")
+    main(["report", "--in", src, "--topics-embeddings", emb,
+          "--topics-k", "4", "--out", out])
+    t = spark.read.parquet(out + "_topics")
+    assert set(t.columns) == {"cluster", "n_docs", "term", "rank", "score"}
+    assert t.count() > 0
+    assert t.filter(t.rank > 5).count() == 0

@@ -527,3 +527,45 @@ def test_recipe_report_repetition_and_novelty(spark, tmp_path):
         validate_recipe({**recipe, "report": {"novelty": True}})
     with _pytest.raises(ValueError, match="repetition"):
         validate_recipe({**recipe, "report": {"repetition": {"bogus": 1}}})
+
+
+def test_recipe_report_topics(spark, tmp_path):
+    """recipe report.topics (r12): lands the topic artifact over the
+    curated docs; topics without `embeddings` fails validation."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.plans.recipe import (
+        run_recipe,
+        validate_recipe,
+    )
+
+    src = str(tmp_path / "docs.parquet")
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, "cooking recipes kitchen simmer braise pots pans " * 8)
+         if i % 2 == 0 else
+         (i, "orbital telescope asteroid spacecraft nebula stars " * 8)
+         for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(i, [1.0 + 0.01 * i] * 4 if i % 2 == 0 else [-1.0 - 0.01 * i] * 4)
+         for i in range(12)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(emb)
+    out = str(tmp_path / "kept.parquet")
+    tp_out = str(tmp_path / "topics.parquet")
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": out,
+        "report": {"topics": {"embeddings": emb, "k": 2, "top_terms": 3,
+                              "out": tp_out}},
+    }
+    summary = run_recipe(spark, recipe)
+    assert summary["report"]["topics"]["rows"] >= 2
+    t = spark.read.parquet(tp_out)
+    assert {r.cluster for r in t.collect()} and t.filter(t.rank > 3).count() == 0
+
+    with _pytest.raises(ValueError, match="topics"):
+        validate_recipe({**recipe, "report": {"topics": True}})
