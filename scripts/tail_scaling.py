@@ -95,6 +95,7 @@ TAIL = [
     "extra:gopher_repetition",
     "extra:ngram_novelty",
     "extra:cluster_size_report",
+    "extra:topic_report",
     "source_overlap",
     "duplicate_spans",
     "remove_eval_spans",
