@@ -65,6 +65,11 @@ _DECODE_LOAD_RETRIES = [0]
 #: the artifact carries an explicit ``degraded_host: true`` flag instead
 #: of a silently inflated total.
 _PROBE_ITERS = 3_000_000
+#: NOTE the reference is specific to this driver host class AND CPython
+#: build — on different hardware/interpreter, re-measure (min of ~6 quiet
+#: runs of _probe_once) and commit the new constant; a mismatched ref
+#: either burns 3 retries+sleeps per entry (slower host) or masks real
+#: degradation below the inflated headroom (faster host).
 _PROBE_REF = 0.315  # min of 6 quiet-host runs (loadavg 0.56), 2026-08-15
 _PROBE_LIMIT = 1.35  # quiet-host jitter is ~±10%; r11's bad host ran 1.7-2.9x
 _PROBE_SAMPLES: list[float] = []

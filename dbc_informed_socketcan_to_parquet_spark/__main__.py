@@ -450,11 +450,16 @@ def run_stream_curate(argv: list[str]) -> None:
                       f"{row['rows_in']} -> {row['rows_out']} (-{row['dropped']})")
             spark.streams.removeListener(listener)
         # an empty landing dir drains zero micro-batches, so the sink dir
-        # may not exist at all — report 0 instead of crashing on a
-        # schema-less read (r12, found driving the empty-drain flow)
-        try:
+        # may not exist at all — report 0 for THAT case only; any other
+        # read failure (corrupt footer, permissions) must surface, not
+        # masquerade as an empty drain (r12 review finding)
+        import os as _os
+
+        if _os.path.isdir(args.output_dir) and any(
+            f.endswith(".parquet") for f in _os.listdir(args.output_dir)
+        ):
             n = spark.read.parquet(args.output_dir).count()
-        except Exception:
+        else:
             n = 0
         print(f"stream-curate drained: {n} documents landed")
 
@@ -703,7 +708,7 @@ def run_report(argv: list[str]) -> None:
             gopher_repetition,
         )
 
-        rept = gopher_repetition(docs, text_col=args.text_col)
+        rept = gopher_repetition(docs, id_col=args.id_col, text_col=args.text_col)
         rept.orderBy(F_desc("dup_line_char_frac")).show(20)
         if args.output_path:
             rept.write.mode("overwrite").parquet(f"{args.output_path}_repetition")
@@ -728,7 +733,8 @@ def run_report(argv: list[str]) -> None:
         )
 
         cs = cluster_size_report(
-            docs, text_col=args.text_col, threshold=args.cluster_jaccard,
+            docs, id_col=args.id_col, text_col=args.text_col,
+            threshold=args.cluster_jaccard,
         ).orderBy(F_desc("cluster_size"))
         cs.show(20)
         if args.output_path:
@@ -741,7 +747,7 @@ def run_report(argv: list[str]) -> None:
 
         nov = ngram_novelty(
             docs, spark.read.parquet(args.novelty_against),
-            text_col=args.text_col, n=args.novelty_n,
+            id_col=args.id_col, text_col=args.text_col, n=args.novelty_n,
         )
         nov.orderBy(F_asc("novelty")).show(20)
         if args.output_path:

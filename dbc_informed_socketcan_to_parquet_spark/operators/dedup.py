@@ -47,13 +47,20 @@ HOT_SET_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def _measured_small(df: DataFrame, max_rows: int) -> tuple[DataFrame, bool]:
-    """Persist ``df`` and measure its row count ONCE (the aggregation that
-    produces it is required anyway; caching makes the join below reuse the
-    result instead of recomputing the corpus pass).  Returns the cached
-    frame and whether it is small enough to broadcast."""
-    from pyspark import StorageLevel
+    """Materialize ``df`` once and measure its row count (the aggregation
+    that produces it is required anyway; materializing makes the join
+    below reuse the result instead of recomputing the corpus pass).
+    Returns the materialized frame and whether it is small enough to
+    broadcast.
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    ``localCheckpoint(eager=True)`` rather than ``persist``: a persist
+    registers a CacheManager entry that lives until an explicit
+    unpersist — which no caller can issue, because the returned frame is
+    embedded in the plan they hand back — so repeated calls in a
+    long-lived session would leak corpus-scale caches.  Checkpoint
+    blocks are owned by the RDD and released by the ContextCleaner once
+    the plan is garbage-collected."""
+    df = df.localCheckpoint(eager=True)
     return df, df.count() <= max_rows
 
 
@@ -2051,7 +2058,6 @@ def lsh_band_tune(
         if b * r > num_perms:
             raise ValueError(
                 f"config ({b}, {r}) needs {b * r} perms, have {num_perms}")
-    from pyspark import StorageLevel
 
     if sample_docs is not None:
         n = df.count()
@@ -2062,10 +2068,13 @@ def lsh_band_tune(
             cut = int(sample_docs / n * (1 << 60))
             df = df.filter(md5_long(F.col(id_col)) < F.lit(cut))
 
+    # eager localCheckpoint, not persist: the tuner is run repeatedly
+    # while sweeping parameters, and persist entries have no release
+    # path once embedded in the returned plan (see _measured_small)
     sigs = minhash_signatures(
         df, id_col, text_col, num_perms=num_perms, shingle_n=shingle_n,
         seed=seed, hash_fn=hash_fn,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
 
     matches = F.aggregate(
         F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: (x == y).cast("int")),
@@ -2085,7 +2094,7 @@ def lsh_band_tune(
         .join(sa, "id_a").join(sb, "id_b")
         .filter((matches / F.lit(float(num_perms))) >= F.lit(threshold))
         .select("id_a", "id_b", F.lit(1).alias("_t"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     truth_total = truth_pairs.agg(F.count(F.lit(1)).alias("truth_total"))
 

@@ -1513,36 +1513,48 @@ def vocab_coverage(
     ``(lang, n_tokens, n_covered, oov_rate, n_distinct, n_distinct_covered)``
     where ``oov_rate = 1 - n_covered / n_tokens`` rounded to 6.
 
-    Scale: one token explode feeds BOTH aggregates; the global count is
-    map-side combined on a uniform word key; top-K selection is a
-    distributed TakeOrdered (never a global sort); the K-row vocabulary
-    broadcasts back onto the token stream; the per-language rollup keys
-    on language cardinality (dozens).  Corpus text never shuffles —
-    only (lang, word) projections do.
+    Scale: ONE corpus scan and ONE occurrence-scale shuffle — the
+    explode feeds a single map-side-combined (lang, word) count, and
+    everything else derives from that vocab-scale table: the global
+    count is a second (word-keyed, vocab-scale) rollup, top-K selection
+    is a distributed TakeOrdered (never a global sort), the K-row
+    vocabulary broadcasts back onto the (lang, word) counts, and the
+    per-language rollup keys on language cardinality (dozens).  Corpus
+    text never shuffles — and never scans twice (the first cut
+    referenced the exploded stream from two plan subtrees, doubling the
+    corpus I/O).
     """
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda t: t != F.lit(""),
     )
-    words = fan_out(df).select(
-        F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang"),
-        F.explode(toks).alias("w"),
+    # materialized once (eager localCheckpoint — ContextCleaner-owned,
+    # see dedup._measured_small): the vocab and coverage branches would
+    # otherwise each re-run the corpus scan+explode — exchange reuse
+    # does not dedupe them (verified on the executed plan)
+    lw = (
+        fan_out(df).select(
+            F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang"),
+            F.explode(toks).alias("w"),
+        )
+        .groupBy("lang", "w").agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
     vocab = (
-        words.groupBy("w").agg(F.count(F.lit(1)).alias("_c"))
-        .orderBy(F.desc("_c"), F.asc("w"))
+        lw.groupBy("w").agg(F.sum("_c").alias("_g"))
+        .orderBy(F.desc("_g"), F.asc("w"))
         .limit(int(top_k))
         .select("w", F.lit(1).alias("_in"))
     )
     return (
-        words.join(F.broadcast(vocab), "w", "left")
+        lw.join(F.broadcast(vocab), "w", "left")
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.coalesce(F.col("_in"), F.lit(0))).alias("n_covered"),
-            F.countDistinct("w").alias("n_distinct"),
-            F.countDistinct(F.when(F.col("_in").isNotNull(), F.col("w")))
-            .alias("n_distinct_covered"),
+            F.sum("_c").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNotNull(), F.col("_c"))
+                  .otherwise(F.lit(0))).alias("n_covered"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.count_if(F.col("_in").isNotNull()).alias("n_distinct_covered"),
         )
         .select(
             "lang",
@@ -1619,17 +1631,21 @@ def with_passes_repetition(
     streaming-safe form of the repetition gate (two stateless
     projections, no join, no id requirement; batch curate uses the
     join-based gate, streaming curate filters on this column).
+
+    With non-default ``top_ns``/``dup_ns`` the conjunction covers only
+    the rules whose metric is computed; threshold overrides must name
+    computed rules.
     """
-    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    names = _metric_names(top_ns, dup_ns)
+    th = {m: v for m, v in GOPHER_REPETITION_THRESHOLDS.items() if m in names}
     if thresholds:
-        unknown = set(thresholds) - set(th)
+        unknown = set(thresholds) - set(names)
         if unknown:
             raise ValueError(f"unknown repetition rules: {sorted(unknown)}")
         th.update(thresholds)
     orig = df.columns
     staged = df.select("*", *_repetition_stage_cols(text_col, top_ns, dup_ns))
-    metrics = dict(zip(_metric_names(top_ns, dup_ns),
-                       _repetition_metric_cols(top_ns, dup_ns)))
+    metrics = dict(zip(names, _repetition_metric_cols(top_ns, dup_ns)))
     passes = F.lit(True)
     for m, v in th.items():
         passes = passes & (metrics[m] <= F.lit(v))

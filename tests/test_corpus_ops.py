@@ -2789,3 +2789,25 @@ def test_topic_report_planted_topics(spark):
         # every top term is topic vocabulary, never the shared filler
         assert terms <= cook_set or terms <= space_set
         assert not terms & {"shared", "filler", "words"}
+
+
+def test_with_passes_repetition_custom_ns(spark):
+    """Non-default top_ns/dup_ns (r12 review finding): the conjunction
+    covers only computed rules (no KeyError on the absent defaults),
+    and overrides naming un-computed rules are rejected."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        with_passes_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spam line\n" * 25), (2, "varied " + " ".join(f"w{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r._passes_repetition
+           for r in with_passes_repetition(docs, top_ns=(2, 3), dup_ns=(5,)).collect()}
+    assert got == {1: False, 2: True}
+    with _pytest.raises(ValueError, match="unknown repetition rules"):
+        with_passes_repetition(docs, top_ns=(2,), dup_ns=(5,),
+                               thresholds={"top_4gram_char_frac": 0.5})
