@@ -613,9 +613,11 @@ def test_duplicate_spans_plan(spark):
     df = QUERIES["duplicate_spans"](spark, SF)  # promoted r12
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
-    # the measured-size gate's cached hot set feeds the broadcast — no
-    # recompute of the explode/count chain on the build side
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    # the measured-size gate's MATERIALIZED hot set feeds the broadcast —
+    # no recompute of the explode/count chain on the build side (r12
+    # review: eager localCheckpoint replaced persist, so the build side
+    # is a checkpoint scan, not an InMemoryTableScan)
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
     assert live_exchanges(df) <= 3
 
 
