@@ -450,16 +450,24 @@ def run_stream_curate(argv: list[str]) -> None:
                       f"{row['rows_in']} -> {row['rows_out']} (-{row['dropped']})")
             spark.streams.removeListener(listener)
         # an empty landing dir drains zero micro-batches, so the sink dir
-        # may not exist at all — report 0 for THAT case only; any other
-        # read failure (corrupt footer, permissions) must surface, not
-        # masquerade as an empty drain (r12 review finding)
-        import os as _os
+        # may not exist (or hold only _spark_metadata) — report 0 for
+        # THOSE cases only; any other read failure (corrupt footer,
+        # permissions) must surface, not masquerade as an empty drain.
+        # Probed by error condition, not os.path (r13, ADVICE r12): a
+        # driver-local isdir is always False for s3://... / hdfs://...
+        # outputs and silently reported 0 on remote storage.
+        from pyspark.errors import AnalysisException
 
-        if _os.path.isdir(args.output_dir) and any(
-            f.endswith(".parquet") for f in _os.listdir(args.output_dir)
-        ):
+        try:
             n = spark.read.parquet(args.output_dir).count()
-        else:
+        except AnalysisException as e:
+            cond = e.getCondition() if hasattr(e, "getCondition") else None
+            # _LEGACY_ERROR_TEMP_1134 is UNABLE_TO_INFER_SCHEMA raised by
+            # the streaming-sink read path (dir holding only
+            # _spark_metadata after a zero-batch drain)
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA",
+                            "_LEGACY_ERROR_TEMP_1134"):
+                raise
             n = 0
         print(f"stream-curate drained: {n} documents landed")
 
@@ -950,6 +958,12 @@ def build_tune_lsh_parser() -> argparse.ArgumentParser:
                    metavar="BANDSxROWS",
                    help="banding to evaluate, e.g. 4x4 (repeatable; "
                         "default sweeps 2x8, 4x4, 8x2)")
+    p.add_argument("--sample-docs", type=int, default=100_000,
+                   help="tune on a deterministic id-hash sample of ~N "
+                        "docs (default 100000 — the sweep is parameter "
+                        "estimation, so its cost should not scale with "
+                        "the corpus; 0 sweeps the FULL corpus, only "
+                        "sane on small inputs)")
     p.add_argument("--out", dest="output_path", default=None)
     return p
 
@@ -970,6 +984,7 @@ def run_tune_lsh(argv: list[str]) -> None:
         id_col=args.id_col, text_col=args.text_col,
         num_perms=args.num_perms, shingle_n=args.shingle_n,
         configs=configs, threshold=args.jaccard,
+        sample_docs=args.sample_docs if args.sample_docs > 0 else None,
     )
     rep.orderBy("num_bands").show(truncate=False)
     if args.output_path:

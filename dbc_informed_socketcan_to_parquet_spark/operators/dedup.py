@@ -28,6 +28,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dbc_informed_socketcan_to_parquet_spark.functions.checkpoints import durable_checkpoint
 from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long, perm_hash
 from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
 
@@ -53,14 +54,15 @@ def _measured_small(df: DataFrame, max_rows: int) -> tuple[DataFrame, bool]:
     Returns the materialized frame and whether it is small enough to
     broadcast.
 
-    ``localCheckpoint(eager=True)`` rather than ``persist``: a persist
-    registers a CacheManager entry that lives until an explicit
-    unpersist — which no caller can issue, because the returned frame is
-    embedded in the plan they hand back — so repeated calls in a
-    long-lived session would leak corpus-scale caches.  Checkpoint
-    blocks are owned by the RDD and released by the ContextCleaner once
-    the plan is garbage-collected."""
-    df = df.localCheckpoint(eager=True)
+    ``durable_checkpoint`` rather than ``persist``: a persist registers
+    a CacheManager entry that lives until an explicit unpersist — which
+    no caller can issue, because the returned frame is embedded in the
+    plan they hand back — so repeated calls in a long-lived session
+    would leak corpus-scale caches.  Checkpoint blocks are owned by the
+    RDD and released by the ContextCleaner once the plan is
+    garbage-collected; with a configured checkpoint dir the blocks are
+    additionally executor-loss-safe (see functions/checkpoints.py)."""
+    df = durable_checkpoint(df, eager=True)
     return df, df.count() <= max_rows
 
 
@@ -738,7 +740,8 @@ def dedup_clusters(
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    edges = durable_checkpoint(edges, eager=True)
 
     if driver_threshold > 0 and edges.count() <= driver_threshold:
         return _cc_driver(edges)
@@ -791,7 +794,7 @@ def dedup_clusters(
                 F.coalesce("_lmin", "cluster_id").alias("cluster_id"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut the per-round lineage
+        new_labels = durable_checkpoint(new_labels, eager=True)  # cut the per-round lineage
         new_sum = _label_sum(new_labels)
         changed = prev_sum - new_sum
         prev_sum = new_sum
@@ -2002,7 +2005,7 @@ def lsh_band_tune(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int | None = 1000,
-    sample_docs: int | None = None,
+    sample_docs: int | None = 100_000,
     hash_fn=md5_long,
 ) -> DataFrame:
     """MinHash-LSH BANDING parameter sweep (r12) — the dedup analog of
@@ -2042,17 +2045,26 @@ def lsh_band_tune(
     is an in-engine aggregate — nothing but the final per-config rows
     (len(configs)) ever reaches the driver.
 
-    ``sample_docs`` is the 100 TB posture: banding choice is a
-    STATISTICAL estimation problem — precision/recall per config
-    converge on a uniform sample, so tune on ~10⁵–10⁶ docs and apply
-    the winner to the full corpus.  When set, the corpus is filtered to
-    ≈``sample_docs`` documents by a deterministic id-hash threshold
-    (one count() to size the keep probability; same ids every run and
-    in any engine) BEFORE signing, making the sweep's cost independent
-    of corpus size.  The full-corpus default (None) is the oracle lane:
-    even bucket-capped, its kept-pair universe grows superlinearly
+    ``sample_docs`` is the 100 TB posture AND the default (100k, r13):
+    banding choice is a STATISTICAL estimation problem —
+    precision/recall per config converge on a uniform sample, so tune
+    on ~10⁵–10⁶ docs and apply the winner to the full corpus.  When
+    set, the corpus is filtered to ≈``sample_docs`` documents by a
+    deterministic id-hash threshold (one count() to size the keep
+    probability; same ids every run and in any engine) BEFORE signing,
+    making the sweep's cost independent of corpus size.  The
+    full-corpus lane (``sample_docs=None``) is the sf0.01 oracle shape
+    only: even bucket-capped, its kept-pair universe grows superlinearly
     through the decade where bucket sizes cross the cap (measured
-    ratio_x100 15.8 at sf1→sf10) — sample for anything bigger.
+    ratio_x100 15.8 at sf1→sf10, 392 s at sf10 in r12) — never run it
+    on a corpus you would not all-pairs.
+
+    The ``max_bucket=1000`` cap is likewise the INTENDED default
+    universe, not an accident (r13, answering the r12 advisory): every
+    report column is defined over the capped candidate space, the
+    DuckDB oracle replays the same cap, and the bench/recipe call sites
+    rely on it — pass ``max_bucket=None`` explicitly to sweep an
+    uncapped corpus you know has no oversized near-identical cliques.
     """
     for b, r in configs:
         if b * r > num_perms:
@@ -2068,13 +2080,13 @@ def lsh_band_tune(
             cut = int(sample_docs / n * (1 << 60))
             df = df.filter(md5_long(F.col(id_col)) < F.lit(cut))
 
-    # eager localCheckpoint, not persist: the tuner is run repeatedly
+    # eager durable_checkpoint, not persist: the tuner is run repeatedly
     # while sweeping parameters, and persist entries have no release
     # path once embedded in the returned plan (see _measured_small)
-    sigs = minhash_signatures(
+    sigs = durable_checkpoint(minhash_signatures(
         df, id_col, text_col, num_perms=num_perms, shingle_n=shingle_n,
         seed=seed, hash_fn=hash_fn,
-    ).localCheckpoint(eager=True)
+    ), eager=True)
 
     matches = F.aggregate(
         F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: (x == y).cast("int")),
@@ -2089,12 +2101,12 @@ def lsh_band_tune(
     # permutation-minimum bucket is quadratic in its size) are gone.
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
-    truth_pairs = (
+    truth_pairs = durable_checkpoint(
         lsh_candidate_pairs(sigs, id_col, num_perms, 1, max_bucket=max_bucket)
         .join(sa, "id_a").join(sb, "id_b")
         .filter((matches / F.lit(float(num_perms))) >= F.lit(threshold))
-        .select("id_a", "id_b", F.lit(1).alias("_t"))
-        .localCheckpoint(eager=True)
+        .select("id_a", "id_b", F.lit(1).alias("_t")),
+        eager=True,
     )
     truth_total = truth_pairs.agg(F.count(F.lit(1)).alias("truth_total"))
 

@@ -8,9 +8,14 @@ identical Java-regex / RE2 semantics so DuckDB oracles can mirror them.
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbc_informed_socketcan_to_parquet_spark.functions.checkpoints import durable_checkpoint
 from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
 from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
 from dbc_informed_socketcan_to_parquet_spark.functions.text import (
@@ -239,6 +244,8 @@ def gopher_repetition(
     text_col: str = "text",
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    kernel: bool = True,
+    dup_char: bool = False,
 ) -> DataFrame:
     """The FULL published Gopher repetition battery (Rae et al. 2021,
     Table A1) per document — the within-doc boilerplate signals that
@@ -271,17 +278,42 @@ def gopher_repetition(
     row per n-gram occurrence per n — ~6 000× the document count for
     the nine n values here — where this form shuffles nothing.
 
-    The two-stage shape is load-bearing: higher-order functions are
-    evaluated interpreted (no codegen subexpression elimination across
-    output columns), so a single projection re-splits the text into
-    tokens/lines/paragraphs and rebuilds gram lists for every one of
-    the 15 columns (~20 regex-split + 12 gram-list evaluations per row
-    — measured ~10× slower at sf0.1: 34.8 s vs 3.4 s warm).  Stage one
-    materializes every split/gram/sorted-gram array once per row;
-    Catalyst's CollapseProject keeps the stages separate exactly
-    because the aliases are referenced by multiple non-cheap
-    expressions.
+    ``kernel=True`` (default, r13) computes the battery in ONE
+    Arrow-batched struct UDF — a single Python pass per document with
+    C-backed Counter/set gram counting — instead of the interpreted
+    higher-order-function battery (~12 gram-array walks per row; the
+    expression lane survives as ``kernel=False``, the shape the DuckDB
+    oracle replays term-for-term).  Both lanes produce bit-identical
+    values: the kernel mirrors every arithmetic step (int counts, one
+    final double division) and the ``round(…, 6)`` wrapper is applied
+    Spark-side in both, so parity is by construction, and pinned in
+    ``tests/test_corpus_ops.py::test_gopher_repetition_kernel_parity``.
+
+    ``dup_char=True`` (kernel-only) appends the PAPER's overlap-aware
+    duplicated-character fraction per dup-n (``dup_{n}gram_char_frac``)
+    — Table A1's thresholds measure characters inside duplicated
+    n-grams, not occurrence counts; the gate
+    (:func:`gopher_repetition_flags`) thresholds the char-frac columns.
+
+    The expression lane's two-stage shape is load-bearing: higher-order
+    functions are evaluated interpreted (no codegen subexpression
+    elimination across output columns), so a single projection would
+    re-split the text for every one of the 15 columns (measured ~10×
+    slower at sf0.1: 34.8 s vs 3.4 s warm).  Catalyst's CollapseProject
+    keeps the stages separate because the aliases are referenced by
+    multiple non-cheap expressions.
     """
+    if kernel:
+        names = _metric_names(top_ns, dup_ns, dup_char)
+        udf = _repetition_kernel_udf(top_ns, dup_ns, dup_char)
+        staged = fan_out(df).select(
+            F.col(id_col), udf(F.col(text_col)).alias("_rep"))
+        return staged.select(
+            F.col(id_col),
+            *[F.round(F.col("_rep")[n], 6).alias(n) for n in names],
+        )
+    if dup_char:
+        raise ValueError("dup_char requires the kernel lane (kernel=True)")
     # stage one: every split/gram/sort array ONCE per row, as attributes
     staged = fan_out(df).select(
         F.col(id_col),
@@ -389,6 +421,138 @@ def _repetition_metric_cols(top_ns, dup_ns) -> list[Column]:
         *[_top_char_frac(nn) for nn in top_ns],
         *[_dup_gram_frac(nn) for nn in dup_ns],
     ]
+
+
+# -- Arrow kernel lane for the repetition battery (r13) ----------------------
+
+#: Java-regex ``\s`` is the ASCII class ``[ \t\n\x0b\f\r]`` (no UNICODE
+#: flag in Spark's split) — Python's ``\s`` on str is Unicode-wide, so the
+#: kernel spells the class out to match the expression lane exactly.
+_JAVA_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+_PARA_SPLIT_RE = re.compile(r"\n{2,}")
+
+
+def _seg_fracs(arr: list[str]) -> tuple[float, float]:
+    """(dup fraction, dup char fraction) over a line/paragraph list —
+    the kernel twin of ``_seg_cols`` (``array_distinct`` = ``set``;
+    ``F.length`` and ``len`` both count code points)."""
+    n = len(arr)
+    if n == 0:
+        return 0.0, 0.0
+    uniq = set(arr)
+    ch = sum(map(len, arr))
+    chd = sum(map(len, uniq))
+    return (
+        (n - len(uniq)) / n,
+        (ch - chd) / ch if ch > 0 else 0.0,
+    )
+
+
+def _doc_repetition(
+    t: str | None,
+    top_ns: tuple[int, ...],
+    dup_ns: tuple[int, ...],
+    dup_char: bool,
+) -> list[float]:
+    """UNROUNDED battery metrics for one document — every arithmetic step
+    mirrors the expression lane operation-for-operation (int counts, one
+    final double division) so the pre-round doubles are bit-identical
+    and the Spark-side ``round(…, 6)`` wrapper lands on the same values.
+
+    Tie-break parity: the expression lane takes the first max-run gram
+    of the ``array_sort``-ed gram array.  Tokens contain no character
+    ≤ 0x20 (they are split on exactly that class), so comparing token
+    TUPLES equals comparing the space-joined gram strings — ``min`` over
+    the max-count tuples reproduces the sorted-fold winner.
+
+    ``dup_char=True`` appends the paper's overlap-aware duplicated-
+    CHARACTER fraction per dup-n (Rae et al. 2021 Table A1 measures
+    characters inside duplicated n-grams, not occurrence counts): char
+    spans of every occurrence of a gram seen ≥2 times, interval-unioned
+    over the single-space-joined token stream.  Kernel-only — no
+    row-local Column algebra can mark overlapping spans.
+    """
+    if t is None:
+        t = ""
+    out: list[float] = []
+    out.extend(_seg_fracs([x for x in t.split("\n") if x.strip(" ")]))
+    out.extend(_seg_fracs([x for x in _PARA_SPLIT_RE.split(t) if x.strip(" ")]))
+    toks = [w for w in _JAVA_WS_RE.split(t.lower().strip(" ")) if w]
+    ntok = len(toks)
+    total_chars = (sum(map(len, toks)) + ntok - 1) if ntok else 0
+    for nn in top_ns:
+        if ntok - nn + 1 <= 0 or total_chars <= 0:
+            out.append(0.0)
+            continue
+        cnt = Counter(zip(*(toks[k:] for k in range(nn))))
+        best = max(cnt.values())
+        bg = min(g for g, c in cnt.items() if c == best)
+        glen = sum(map(len, bg)) + nn - 1
+        out.append(min(1.0, (best * glen) / total_chars))
+    if dup_char:
+        # char offset of token i in the joined stream is cum[i] + i
+        cum = [0] * (ntok + 1)
+        acc = 0
+        for i, w in enumerate(toks):
+            acc += len(w)
+            cum[i + 1] = acc
+    for nn in dup_ns:
+        m = ntok - nn + 1
+        if m <= 0:
+            out.append(0.0)
+            if dup_char:
+                out.append(0.0)
+            continue
+        grams = list(zip(*(toks[k:] for k in range(nn))))
+        if not dup_char:
+            out.append((m - len(set(grams))) / m)
+            continue
+        cnt = Counter(grams)
+        out.append((m - len(cnt)) / m)
+        # interval union of duplicated-gram occurrence spans; grams are
+        # start-sorted by construction so one sweep suffices
+        covered = 0
+        cur_s = cur_e = -1
+        for i, g in enumerate(grams):
+            if cnt[g] < 2:
+                continue
+            s, e = cum[i] + i, cum[i + nn] + i + nn - 1
+            if s > cur_e:
+                if cur_s >= 0:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s, e
+            elif e > cur_e:
+                cur_e = e
+        if cur_s >= 0:
+            covered += cur_e - cur_s
+        out.append(covered / total_chars if total_chars > 0 else 0.0)
+    return out
+
+
+def _repetition_kernel_udf(
+    top_ns: tuple[int, ...],
+    dup_ns: tuple[int, ...],
+    dup_char: bool = False,
+):
+    """Arrow-batched struct UDF computing the whole battery in one pass
+    (Counter/set are C-backed; one Python iteration per document instead
+    of ~20 interpreted higher-order-function walks per row — measured
+    r13 vs the expression lane: see SURVEY §17)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    top_ns, dup_ns = tuple(top_ns), tuple(dup_ns)
+    names = _metric_names(top_ns, dup_ns, dup_char)
+    schema = StructType([StructField(n, DoubleType(), False) for n in names])
+
+    @F.pandas_udf(schema)
+    def battery(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_doc_repetition(t, top_ns, dup_ns, dup_char) for t in texts],
+            columns=names,
+            dtype="float64",
+        )
+
+    return battery
 
 
 # -- PII scrubbing -----------------------------------------------------------
@@ -1528,17 +1692,18 @@ def vocab_coverage(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda t: t != F.lit(""),
     )
-    # materialized once (eager localCheckpoint — ContextCleaner-owned,
-    # see dedup._measured_small): the vocab and coverage branches would
+    # materialized once (eager durable_checkpoint — ContextCleaner-owned,
+    # executor-loss-safe when a checkpoint dir is configured; see
+    # dedup._measured_small): the vocab and coverage branches would
     # otherwise each re-run the corpus scan+explode — exchange reuse
     # does not dedupe them (verified on the executed plan)
-    lw = (
+    lw = durable_checkpoint(
         fan_out(df).select(
             F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang"),
             F.explode(toks).alias("w"),
         )
-        .groupBy("lang", "w").agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
+        .groupBy("lang", "w").agg(F.count(F.lit(1)).alias("_c")),
+        eager=True,
     )
     vocab = (
         lw.groupBy("w").agg(F.sum("_c").alias("_g"))
@@ -1570,13 +1735,19 @@ def vocab_coverage(
 
 #: Published per-rule DROP thresholds for the repetition battery
 #: (Rae et al. 2021, Table A1) — a doc failing ANY rule is dropped.
+#: The dup-n-gram rules threshold the paper's quantity, the overlap-aware
+#: duplicated-CHARACTER fraction (``dup_{n}gram_char_frac``, kernel lane)
+#: — NOT the count-based ``dup_{n}gram_frac`` the battery also reports
+#: (r13; through r12 the count fraction was gated unshifted, a documented
+#: deviation from Table A1 the kernel lane removes).
 GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
     "dup_line_frac": 0.30, "dup_para_frac": 0.30,
     "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
     "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
     "top_4gram_char_frac": 0.16,
-    "dup_5gram_frac": 0.15, "dup_6gram_frac": 0.14, "dup_7gram_frac": 0.13,
-    "dup_8gram_frac": 0.12, "dup_9gram_frac": 0.11, "dup_10gram_frac": 0.10,
+    "dup_5gram_char_frac": 0.15, "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13, "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11, "dup_10gram_char_frac": 0.10,
 }
 
 
@@ -1608,7 +1779,9 @@ def gopher_repetition_flags(
         if unknown:
             raise ValueError(f"unknown repetition rules: {sorted(unknown)}")
         th.update(thresholds)
-    rep = gopher_repetition(df, id_col, text_col)
+    # dup_char: the dup-n-gram rules gate the paper's duplicated-character
+    # fraction (kernel lane), next to the count-based battery columns
+    rep = gopher_repetition(df, id_col, text_col, dup_char=True)
     oks = [(F.col(m) <= F.lit(v)).alias(f"ok_{m}") for m, v in th.items()]
     passes = F.lit(True)
     for m, v in th.items():
@@ -1634,9 +1807,10 @@ def with_passes_repetition(
 
     With non-default ``top_ns``/``dup_ns`` the conjunction covers only
     the rules whose metric is computed; threshold overrides must name
-    computed rules.
+    computed rules.  Kernel lane (r13): one Arrow-batched struct UDF per
+    row — still a stateless projection, streaming-safe.
     """
-    names = _metric_names(top_ns, dup_ns)
+    names = _metric_names(top_ns, dup_ns, dup_char=True)
     th = {m: v for m, v in GOPHER_REPETITION_THRESHOLDS.items() if m in names}
     if thresholds:
         unknown = set(thresholds) - set(names)
@@ -1644,18 +1818,23 @@ def with_passes_repetition(
             raise ValueError(f"unknown repetition rules: {sorted(unknown)}")
         th.update(thresholds)
     orig = df.columns
-    staged = df.select("*", *_repetition_stage_cols(text_col, top_ns, dup_ns))
-    metrics = dict(zip(names, _repetition_metric_cols(top_ns, dup_ns)))
+    udf = _repetition_kernel_udf(top_ns, dup_ns, dup_char=True)
+    staged = df.select("*", udf(F.col(text_col)).alias("_rep"))
     passes = F.lit(True)
     for m, v in th.items():
-        passes = passes & (metrics[m] <= F.lit(v))
+        passes = passes & (F.round(F.col("_rep")[m], 6) <= F.lit(v))
     return staged.select(*orig, passes.alias(out_col))
 
 
-def _metric_names(top_ns, dup_ns) -> list[str]:
+def _metric_names(top_ns, dup_ns, dup_char: bool = False) -> list[str]:
+    dup_cols = []
+    for nn in dup_ns:
+        dup_cols.append(f"dup_{nn}gram_frac")
+        if dup_char:
+            dup_cols.append(f"dup_{nn}gram_char_frac")
     return (
         ["dup_line_frac", "dup_line_char_frac",
          "dup_para_frac", "dup_para_char_frac"]
         + [f"top_{nn}gram_char_frac" for nn in top_ns]
-        + [f"dup_{nn}gram_frac" for nn in dup_ns]
+        + dup_cols
     )

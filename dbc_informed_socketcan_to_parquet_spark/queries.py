@@ -749,7 +749,7 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionAll(only)
 
 
-@query(
+@extra_query(  # demoted r13: swapped for the r12 flagships (rotation pattern)
     "rollup_agg",
     oracle="""
     SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
@@ -863,7 +863,7 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(  # demoted r13: swapped for the r12 flagships (rotation pattern)
     "agg_stats_exact",
     oracle="""
     WITH d AS (
@@ -1656,7 +1656,7 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(  # demoted r13: swapped for the r12 flagships (rotation pattern)
     "sql_correlated_subquery",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
@@ -2160,7 +2160,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(  # demoted r13: swapped for the r12 flagships (rotation pattern)
     "tpch_q12_shipmode",
     oracle="""
     SELECT l_linestatus,
@@ -2190,7 +2190,7 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(  # demoted r13: swapped for the r12 flagships (rotation pattern)
     "tpch_q14_promo_ratio",
     oracle="""
     SELECT round(
@@ -5398,18 +5398,35 @@ _TUNE_CONFIGS = ((2, 8), (4, 4), (8, 2))
 _TUNE_EQ = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(16))
 
 
-def _band_tune_oracle_sql(threshold: float = 0.5, max_bucket: int = 1000) -> str:
+def _band_tune_oracle_sql(
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    sample_docs: int | None = None,
+) -> str:
     """Full replay of the sweep: one shared signature CTE, bucket-capped
     per-config candidate CTEs, the (16 bands x 1 row) capped ground
     truth PAIR SET (n_true = |candidates ∩ truth|, matching the Spark
-    side's truth-pair join), and the same ratio/S-curve arithmetic."""
+    side's truth-pair join), and the same ratio/S-curve arithmetic.
+    ``sample_docs`` replays the deterministic id-hash sample (r13): the
+    same ``int(sample_docs / n * 2^60)`` float arithmetic, truncated,
+    as the Spark side's keep threshold."""
     def capped(b: int, r: int) -> str:
         return (f"SELECT doc_id, band, bh FROM ("
                 f"SELECT doc_id, band, bh, "
                 f"count(*) OVER (PARTITION BY band, bh) AS _bc "
                 f"FROM ({_mh_band_sql_cfg('sigs', b, r)})) WHERE _bc <= {max_bucket}")
 
-    parts = [f"sigs AS ({_MH_SIG_SQL})"]
+    if sample_docs is None:
+        parts = [f"sigs AS ({_MH_SIG_SQL})"]
+    else:
+        cut = (f"CAST(trunc(CAST({sample_docs} AS DOUBLE) / "
+               f"(SELECT count(*) FROM documents) * 1152921504606846976.0)"
+               f" AS BIGINT)")
+        parts = [
+            f"docs_s AS (SELECT * FROM documents"
+            f" WHERE {md5_long_sql('doc_id')} < {cut})",
+            f"sigs AS ({_MH_SIG_SQL.replace('FROM documents)', 'FROM docs_s)')})",
+        ]
     parts.append(f"""truth_pairs AS (
       SELECT c.id_a, c.id_b FROM (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -5455,13 +5472,39 @@ def q_lsh_band_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes a 100 TB near-dedup banding.  Ground truth is the finest
     (16x1) banding's candidates filtered by the estimate (complete: any
     pair with est > 0 shares a permutation minimum), so the oracle
-    replays the whole sweep including both ratio columns."""
+    replays the whole sweep including both ratio columns.
+
+    FULL-corpus lane (``sample_docs=None``): the sf0.01 oracle shape —
+    its kept-pair universe grows superlinearly through decades where
+    bucket sizes cross the cap, so the benched/production lane is
+    ``lsh_band_tune_sampled`` below (r13)."""
     from dbc_informed_socketcan_to_parquet_spark.operators.dedup import lsh_band_tune
 
     return lsh_band_tune(
         _read(spark, sf_dir, "documents"),
         num_perms=16, shingle_n=5, configs=_TUNE_CONFIGS,
-        threshold=0.5, seed=42,
+        threshold=0.5, seed=42, sample_docs=None,
+    )
+
+
+@extra_query("lsh_band_tune_sampled",
+             oracle=_band_tune_oracle_sql(sample_docs=300))
+def q_lsh_band_tune_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION banding-sweep lane (r13): the same report over a
+    deterministic ~300-doc id-hash sample — banding choice is parameter
+    ESTIMATION, so precision/recall are computed on a bounded sample
+    and the winner applied to the full corpus; the sweep's cost is
+    independent of corpus size (REGISTRY_SCALING decade-2 ≈ flat vs the
+    full lane's 15.8).  300 keeps the sample genuinely active at the
+    sf0.01 oracle point (500 docs); the operator's production default
+    is 100k.  The oracle replays the identical truncated-float keep
+    threshold, so the sampled universe is hash-checked end-to-end."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import lsh_band_tune
+
+    return lsh_band_tune(
+        _read(spark, sf_dir, "documents"),
+        num_perms=16, shingle_n=5, configs=_TUNE_CONFIGS,
+        threshold=0.5, seed=42, sample_docs=300,
     )
 
 
@@ -5559,7 +5602,7 @@ def q_decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 12: per-language vocabulary coverage (textops.vocab_coverage)
 # ---------------------------------------------------------------------------
 
-@extra_query(
+@query(  # promoted r13: r12 flagship rotated into the driver-checked 50
     "vocab_coverage",
     oracle="""
     WITH words AS (
@@ -5681,7 +5724,8 @@ def _gopher_repetition_oracle_sql(
     """
 
 
-@extra_query("gopher_repetition", oracle=_gopher_repetition_oracle_sql())
+@query(  # promoted r13: r12 flagship rotated into the driver-checked 50
+    "gopher_repetition", oracle=_gopher_repetition_oracle_sql())
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition battery (textops.gopher_repetition, r12):
     dup line/paragraph fractions (count + char weighted), top-{2,3,4}
@@ -5742,7 +5786,8 @@ def _ngram_novelty_oracle_sql(w: int = 8) -> str:
     """
 
 
-@extra_query("ngram_novelty", oracle=_ngram_novelty_oracle_sql())
+@query(  # promoted r13: r12 flagship rotated into the driver-checked 50
+    "ngram_novelty", oracle=_ngram_novelty_oracle_sql())
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 8-gram novelty of the odd-id half of ``documents``
     against the even-id half as reference (dedup.ngram_novelty, r12):
@@ -5763,7 +5808,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 12 session 2: near-dup cluster-size distribution (dedup.cluster_size_report)
 # ---------------------------------------------------------------------------
 
-@extra_query(
+@query(  # promoted r13: r12 flagship rotated into the driver-checked 50
     "cluster_size_report",
     oracle=f"""
     WITH RECURSIVE {_STAR_CC_CTES},
@@ -5840,7 +5885,8 @@ def _topic_report_oracle_sql(k: int = 8, top_terms: int = 5,
     """
 
 
-@extra_query("topic_report", oracle=_topic_report_oracle_sql())
+@query(  # promoted r13: r12 flagship rotated into the driver-checked 50
+    "topic_report", oracle=_topic_report_oracle_sql())
 def q_topic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus topic structure (similarity.topic_report, r12): Lloyd's
     k=8 clusters over the embeddings (the hash-checked IVF machinery),

@@ -2638,6 +2638,74 @@ def test_gopher_repetition_pinned(spark):
     assert all(v == 0.0 for k, v in got[3].items() if k != "doc_id")
 
 
+def test_gopher_repetition_kernel_parity(spark):
+    """r13 kernel lane vs the expression battery: bit-identical values on
+    real sf0.001 documents AND on crafted edge docs (null/empty text,
+    self-overlap, ties, Java-\\s whitespace variants, repeated
+    paragraphs) — the kernel is the default, the expression lane is the
+    oracle-replayable shape, so parity is the correctness bridge."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import gopher_repetition
+
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (9001, None), (9002, ""), (9003, "   "),
+            (9004, " ".join(["w"] * 12)),
+            (9005, "ab cd\nab cd\nef"),
+            (9006, "p q\n\np q\n\n\nr\n\np q"),
+            (9007, "tab\there\x0bvt\ff\rcr  multi  space"),
+            (9008, ("one two three four five " * 3) + "tail"),
+            (9009, "A B a b A B\nmixed CASE lines\nA B a b A B"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = real.select("doc_id", "text").unionByName(edge)
+    k = {r.doc_id: r.asDict() for r in gopher_repetition(docs).collect()}
+    e = {r.doc_id: r.asDict()
+         for r in gopher_repetition(docs, kernel=False).collect()}
+    assert set(k) == set(e) and len(k) > 9
+    mismatches = [
+        (d, c, k[d][c], e[d][c])
+        for d in k for c in k[d] if k[d][c] != e[d][c]
+    ]
+    assert mismatches == []
+
+
+def test_gopher_repetition_dup_char_frac_pinned(spark):
+    """dup_char=True (r13): the paper's overlap-aware duplicated-character
+    fraction — hand-computed interval unions, next to the count-based
+    fraction the same row still reports, and the all-duplicated clamp."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # tokens: one two three four five ×2 + tail; joined stream is
+            # 52 chars; the duplicated 5-gram occupies [0,23) and [24,47)
+            (0, "one two three four five one two three four five tail"),
+            # "w"×12: every char of the joined stream sits inside a
+            # duplicated 5-gram -> char frac 1.0 while the count frac is 7/8
+            (1, " ".join(["w"] * 12)),
+            (2, "all tokens perfectly unique here nothing repeats at any size"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict()
+           for r in gopher_repetition(docs, dup_char=True).collect()}
+    assert got[0]["dup_5gram_char_frac"] == round(46 / 52, 6)
+    assert got[0]["dup_5gram_frac"] == round(1 / 7, 6)
+    assert got[0]["dup_6gram_char_frac"] == 0.0
+    assert got[1]["dup_5gram_char_frac"] == 1.0
+    assert got[1]["dup_5gram_frac"] == 0.875
+    assert got[2]["dup_5gram_char_frac"] == 0.0
+    assert all(v == 0.0 for c, v in got[3].items() if c != "doc_id")
+    # char-frac columns need the kernel; the expression lane refuses
+    with _pytest.raises(ValueError, match="dup_char requires the kernel"):
+        gopher_repetition(docs, kernel=False, dup_char=True)
+
+
 def test_ngram_novelty_pinned(spark):
     """Known windows (r12): identical doc scores 0 novelty, a one-token
     tail edit leaves only the prefix window seen, short docs score 1."""
@@ -2668,7 +2736,8 @@ def test_lsh_band_tune_sampled_lane(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     full = {(r.num_bands, r.rows_per_band): r
-            for r in lsh_band_tune(docs, configs=((4, 4),)).collect()}
+            for r in lsh_band_tune(docs, configs=((4, 4),),
+                                   sample_docs=None).collect()}
     s1 = {(r.num_bands, r.rows_per_band): r
           for r in lsh_band_tune(docs, configs=((4, 4),), sample_docs=200).collect()}
     s2 = {(r.num_bands, r.rows_per_band): r
@@ -2676,9 +2745,10 @@ def test_lsh_band_tune_sampled_lane(spark):
     assert s1 == s2                                     # deterministic
     assert s1[(4, 4)].truth_total <= full[(4, 4)].truth_total
     assert s1[(4, 4)].n_candidates < full[(4, 4)].n_candidates
+    # r13: sampling is the production DEFAULT (100k), a no-op below the
+    # cut — the default report equals the explicit full lane here
     noop = {(r.num_bands, r.rows_per_band): r
-            for r in lsh_band_tune(docs, configs=((4, 4),),
-                                   sample_docs=10_000_000).collect()}
+            for r in lsh_band_tune(docs, configs=((4, 4),)).collect()}
     assert noop == full
 
 

@@ -120,3 +120,39 @@ def test_salted_agg_count_star_counts_nulls(spark):
     ).collect()[0]
     assert got["n_col"] == 25   # NULL v skipped
     assert got["n_rows"] == 100  # count(*) semantics
+
+
+def test_durable_checkpoint_ladder(spark, tmp_path):
+    """durable_checkpoint (r13, ADVICE r12): with no checkpoint dir it
+    falls back to localCheckpoint; once a RELIABLE dir is configured the
+    same call writes replicated checkpoint files there (the
+    executor-loss-safe path a dynamic-allocation cluster needs)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.checkpoints import (
+        durable_checkpoint,
+    )
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    assert spark.sparkContext.getCheckpointDir() is None
+    local = durable_checkpoint(df, eager=True)
+    assert local.count() == 100
+    assert spark.sparkContext.getCheckpointDir() is None  # no dir appeared
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    try:
+        reliable = durable_checkpoint(df, eager=True)
+        assert reliable.count() == 100
+        found = [os.path.join(r, f) for r, _d, fs in os.walk(ckpt_dir) for f in fs]
+        assert found, "reliable checkpoint wrote no files"
+        assert sorted(r.id for r in reliable.collect()) == list(range(100))
+    finally:
+        # restore the fixture session's no-dir state (the setter has no
+        # public reset; package-private vars are public in bytecode)
+        jsc = spark.sparkContext._jsc.sc()
+        getattr(jsc, "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None))
+        assert spark.sparkContext.getCheckpointDir() is None

@@ -307,6 +307,24 @@ def test_cli_stream_curate_drain(spark, tmp_path, capsys):
               "--checkpoint", ckpt, "--max-perplexity", "5"])
 
 
+def test_cli_stream_curate_empty_drain_reports_zero(spark, tmp_path, capsys):
+    """Zero-batch drain (r13, ADVICE r12): the summary probes the sink by
+    read-error CONDITION (PATH_NOT_FOUND / schema-inference, incl. the
+    legacy streaming-sink variant), not driver-local os.path — so an
+    empty drain prints 0 instead of crashing, and the probe would work
+    unchanged for remote (s3://, hdfs://) output URIs."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    land = tmp_path / "empty_land"
+    land.mkdir()
+    main(["stream-curate", "--in", str(land),
+          "--out", str(tmp_path / "sc_out"),
+          "--checkpoint", str(tmp_path / "sc_ckpt"),
+          "--min-quality", "0.0", "--watermark", "1 hour",
+          "--available-now"])
+    assert "stream-curate drained: 0 documents" in capsys.readouterr().out
+
+
 def test_cli_decode_audit_flag(spark, tmp_path, capsys):
     from dbc_informed_socketcan_to_parquet_spark.__main__ import main
     from tests.conftest import TINY_DBC_TEXT

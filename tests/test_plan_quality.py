@@ -653,7 +653,7 @@ def test_gopher_repetition_no_shuffle(spark):
     generate, and the only exchange is fan_out's round-robin width
     guard on the narrow single-file input (never a hash/range
     shuffle)."""
-    df = EXTRA_QUERIES["gopher_repetition"](spark, SF)
+    df = QUERIES["gopher_repetition"](spark, SF)  # promoted r13
     plan = plan_of(df)
     assert "Join" not in plan and "Window" not in plan
     assert "Generate" not in plan
@@ -669,7 +669,7 @@ def test_ngram_novelty_plan(spark):
     (only gram-hash / id projections shuffle)."""
     import re
 
-    df = EXTRA_QUERIES["ngram_novelty"](spark, SF)
+    df = QUERIES["ngram_novelty"](spark, SF)  # promoted r13
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
