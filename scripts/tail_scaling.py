@@ -91,15 +91,19 @@ TAIL = [
     # rotated into the driver 50 in r12 — measure them by bare name)
     "extra:lsh_band_tune",
     "extra:decon_report",
-    "extra:vocab_coverage",
-    "extra:gopher_repetition",
-    "extra:ngram_novelty",
-    "extra:cluster_size_report",
-    "extra:topic_report",
+    # r13: the r12 flagships were rotated into the driver 50 — bare names
+    "vocab_coverage",
+    "gopher_repetition",
+    "ngram_novelty",
+    "cluster_size_report",
+    "topic_report",
     "source_overlap",
     "duplicate_spans",
     "remove_eval_spans",
     "fertility_mix",
+    # r13: the registry's sampled band-tune lane (300-doc sample at the
+    # sf0.01 oracle point; the 50k wrapper below is the posture study)
+    "extra:lsh_band_tune_sampled",
 ]
 
 
