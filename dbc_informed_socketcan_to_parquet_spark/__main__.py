@@ -817,6 +817,46 @@ def run_diff(argv: list[str]) -> None:
         d.unpersist()
 
 
+def build_calibration_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark calibration")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="scored parquet with probability + held-out label columns")
+    p.add_argument("--prob-col", default="prob")
+    p.add_argument("--label-col", default="label")
+    p.add_argument("--bins", type=int, default=10)
+    p.add_argument("--out", dest="output_path", default=None)
+    return p
+
+
+def run_calibration(argv: list[str]) -> None:
+    """Classifier reliability report (r13): per-bin mean probability vs
+    empirical positive rate + the expected calibration error — run it
+    on held-out labels BEFORE turning a probability into a
+    --min-clf-prob keep threshold."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import calibration_report
+
+    args = build_calibration_parser().parse_args(argv)
+    spark = get_spark("calibration-cli")
+    rep = calibration_report(
+        spark.read.parquet(args.input_path),
+        prob_col=args.prob_col, label_col=args.label_col, n_bins=args.bins,
+    ).persist()
+    try:
+        t = rep.agg(
+            (F.sum(F.col("n") * F.col("abs_gap")) / F.sum("n")).alias("ece"),
+            F.sum("n").alias("n"),
+        ).collect()[0]
+        print(f"ECE: {t.ece:.6f} over {t.n} scored rows")
+        rep.orderBy("bin").show(args.bins, truncate=False)
+        if args.output_path:
+            rep.write.mode("overwrite").parquet(args.output_path)
+            print(f"wrote calibration report to {args.output_path}")
+    finally:
+        rep.unpersist()
+
+
 def build_pii_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark pii-report")
     p.add_argument("--in", dest="input_path", required=True,
@@ -1007,6 +1047,9 @@ def main(argv: list[str] | None = None) -> None:
         return
     if argv and argv[0] == "pii-report":
         run_pii_report(argv[1:])
+        return
+    if argv and argv[0] == "calibration":
+        run_calibration(argv[1:])
         return
     if argv and argv[0] == "run-recipe":
         from dbc_informed_socketcan_to_parquet_spark.plans.recipe import (

@@ -1031,6 +1031,55 @@ def classifier_score(
     )
 
 
+def calibration_report(
+    scored: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram report for a scored corpus (r13) — the check
+    to run BEFORE turning a quality classifier's probability into a
+    keep/drop threshold (``curate --min-clf-prob``): a classifier can
+    rank well and still be badly calibrated, and a 100 TB keep decision
+    at prob ≥ 0.55 means something only if 0.55 ≈ the empirical
+    positive rate at that score.
+
+    Input: any frame with a [0, 1] probability column
+    (:func:`classifier_score` / ``classifier_score_from`` output joined
+    to held-out labels).  Output: one row per OCCUPIED probability bin —
+    ``(bin, n, mean_prob, frac_pos, abs_gap)`` where ``bin`` =
+    ``min(floor(p·n_bins), n_bins-1)`` (prob 1.0 clamps into the last
+    bin), ``frac_pos`` is the empirical positive rate, and ``abs_gap``
+    is the per-bin calibration error.  ECE = Σ n·abs_gap / Σ n over the
+    rows; a reliability diagram is the (mean_prob, frac_pos) scatter.
+
+    Scale: ONE hash aggregation on the bin key (≤ ``n_bins`` groups —
+    map-side combine collapses everything before the shuffle); no
+    window, no join, label cast + binning row-local.
+    """
+    b = F.least(
+        F.floor(F.col(prob_col) * F.lit(int(n_bins))).cast("int"),
+        F.lit(int(n_bins) - 1),
+    )
+    agg = (
+        scored.select(
+            b.alias("bin"),
+            F.col(prob_col).alias("_p"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("_p"), 6).alias("mean_prob"),
+            F.round(F.avg("_y"), 6).alias("frac_pos"),
+        )
+    )
+    return agg.select(
+        "bin", "n", "mean_prob", "frac_pos",
+        F.round(F.abs(F.col("mean_prob") - F.col("frac_pos")), 6).alias("abs_gap"),
+    )
+
+
 def _broadcast_getter(spark, value):
     """Ship ``value`` to executors via ``sc.broadcast`` (ONE copy per
     executor, torrent distribution) instead of pickling it into every

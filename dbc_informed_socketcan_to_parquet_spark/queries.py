@@ -2615,10 +2615,9 @@ def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLF_FEATS = 1 << 18
 
-
-@extra_query(
-    "classifier_score",
-    oracle=f"""
+#: full classifier-scoring replay, shared by the classifier_score entry
+#: and the r13 calibration_report composition
+_CLF_SCORE_SQL = f"""
     WITH {_LM_BIGRAM_CTES},
     feats AS (
       SELECT doc_id, w AS f FROM toks
@@ -2637,7 +2636,12 @@ _CLF_FEATS = 1 << 18
            round(avg(w), 6) AS margin,
            round(1.0 / (1.0 + exp(-avg(w))), 6) AS prob
     FROM weighted GROUP BY doc_id
-    """,
+    """
+
+
+@extra_query(
+    "classifier_score",
+    oracle=_CLF_SCORE_SQL,
 )
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped hashed linear classifier scoring: unigram + word-
@@ -5899,3 +5903,53 @@ def q_topic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), _read(spark, sf_dir, "embeddings"),
         num_clusters=8, n_iters=2, dim=64, top_terms=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 13: classifier calibration report (textops.calibration_report)
+# ---------------------------------------------------------------------------
+
+_CALIBRATION_ORACLE = f"""
+    WITH scored AS ({_CLF_SCORE_SQL}),
+    lab AS (
+      SELECT s.prob, CAST(length(d.text) % 2 AS DOUBLE) AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    binned AS (
+      SELECT CAST(least(CAST(floor(prob * 10) AS INT), 9) AS INT) AS bin,
+             prob, y
+      FROM lab
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(prob), 6) AS mean_prob,
+           round(avg(y), 6) AS frac_pos,
+           round(abs(round(avg(prob), 6) - round(avg(y), 6)), 6) AS abs_gap
+    FROM binned GROUP BY bin
+    """
+
+
+@extra_query("calibration_report", oracle=_CALIBRATION_ORACLE)
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability report (textops.calibration_report, r13):
+    bin the hashed-classifier probabilities into 10 equal-width bins
+    and compare each bin's mean predicted probability to the empirical
+    positive rate — the check run before a probability threshold
+    becomes a 100 TB keep/drop decision (ECE = Σ n·abs_gap / Σ n over
+    the rows).  The fixture label is the deterministic
+    ``length(text) % 2`` parity (≈ coin-flip ground truth independent
+    of the score — a deliberately uncalibrated pairing, so the gaps
+    are non-trivial); production joins held-out human labels instead."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        calibration_report,
+        classifier_score,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = classifier_score(docs, num_features=_CLF_FEATS, bigrams=True)
+    labeled = scored.join(
+        docs.select(
+            "doc_id", (F.length("text") % 2).cast("double").alias("label")),
+        "doc_id",
+    )
+    return calibration_report(labeled, prob_col="prob", label_col="label")

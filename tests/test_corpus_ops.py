@@ -2881,3 +2881,34 @@ def test_with_passes_repetition_custom_ns(spark):
     with _pytest.raises(ValueError, match="unknown repetition rules"):
         with_passes_repetition(docs, top_ns=(2,), dup_ns=(5,),
                                thresholds={"top_4gram_char_frac": 0.5})
+
+
+def test_calibration_report_pinned(spark):
+    """calibration_report (r13): hand-computed bins — equal-width bin
+    assignment with prob 1.0 clamped into the last bin, per-bin mean
+    prob vs empirical positive rate, absolute gap, empty bins absent,
+    boolean labels accepted via cast."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        calibration_report,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            (0.05, 0), (0.08, 1),          # bin 0: mean 0.065, pos 0.5
+            (0.62, 1), (0.66, 1), (0.64, 0),  # bin 6: mean 0.64, pos 2/3
+            (1.0, 1),                       # clamps into bin 9
+        ],
+        "prob double, label int",
+    )
+    got = {r.bin: r for r in calibration_report(scored).collect()}
+    assert set(got) == {0, 6, 9}
+    assert got[0].n == 2 and got[0].mean_prob == 0.065 and got[0].frac_pos == 0.5
+    assert got[0].abs_gap == round(abs(0.065 - 0.5), 6)
+    assert got[6].n == 3 and got[6].frac_pos == round(2 / 3, 6)
+    assert got[9].n == 1 and got[9].mean_prob == 1.0 and got[9].abs_gap == 0.0
+    # ECE over the report = sum(n * gap) / sum(n)
+    ece = sum(r.n * r.abs_gap for r in got.values()) / sum(r.n for r in got.values())
+    assert 0.0 <= ece <= 1.0
+    # custom bin count: 0.62/0.64/0.66 split across 50 bins
+    fine = {r.bin for r in calibration_report(scored, n_bins=50).collect()}
+    assert {31, 32, 33} <= fine

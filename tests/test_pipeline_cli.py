@@ -494,3 +494,23 @@ def test_cli_report_topics(spark, tmp_path):
     assert set(t.columns) == {"cluster", "n_docs", "term", "rank", "score"}
     assert t.count() > 0
     assert t.filter(t.rank > 5).count() == 0
+
+
+def test_cli_calibration_report(spark, tmp_path, capsys):
+    """`calibration --in scored.parquet` (r13): prints the ECE summary,
+    lands the per-bin report, honors --bins/--prob-col/--label-col."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    src = str(tmp_path / "scored.parquet")
+    spark.createDataFrame(
+        [(i, (i % 10) / 10.0 + 0.05, 1 if i % 3 == 0 else 0)
+         for i in range(60)],
+        "doc_id long, p double, y int",
+    ).write.parquet(src)
+    out = str(tmp_path / "cal.parquet")
+    main(["calibration", "--in", src, "--prob-col", "p",
+          "--label-col", "y", "--bins", "5", "--out", out])
+    printed = capsys.readouterr().out
+    assert "ECE:" in printed and "60 scored rows" in printed
+    rep = {r.bin: r for r in spark.read.parquet(out).collect()}
+    assert set(rep) == {0, 1, 2, 3, 4} and sum(r.n for r in rep.values()) == 60
