@@ -824,6 +824,10 @@ def build_calibration_parser() -> argparse.ArgumentParser:
     p.add_argument("--prob-col", default="prob")
     p.add_argument("--label-col", default="label")
     p.add_argument("--bins", type=int, default=10)
+    p.add_argument("--sweep", default=None, metavar="T1,T2,...",
+                   help="also sweep keep thresholds (comma-separated "
+                        "probabilities): kept fraction + precision/recall "
+                        "per candidate --min-clf-prob value")
     p.add_argument("--out", dest="output_path", default=None)
     return p
 
@@ -853,6 +857,21 @@ def run_calibration(argv: list[str]) -> None:
         if args.output_path:
             rep.write.mode("overwrite").parquet(args.output_path)
             print(f"wrote calibration report to {args.output_path}")
+        if args.sweep:
+            from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+                threshold_sweep,
+            )
+
+            ths = tuple(float(x) for x in args.sweep.split(","))
+            sw = threshold_sweep(
+                spark.read.parquet(args.input_path),
+                prob_col=args.prob_col, label_col=args.label_col,
+                thresholds=ths,
+            )
+            sw.orderBy("threshold").show(len(ths), truncate=False)
+            if args.output_path:
+                sw.write.mode("overwrite").parquet(args.output_path + "_sweep")
+                print(f"wrote threshold sweep to {args.output_path}_sweep")
     finally:
         rep.unpersist()
 

@@ -1080,6 +1080,64 @@ def calibration_report(
     )
 
 
+def threshold_sweep(
+    scored: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label",
+    thresholds: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Keep-threshold sweep over a scored + labeled corpus (r13) — the
+    PR-curve companion to :func:`calibration_report`: for each candidate
+    ``--min-clf-prob`` value, how much of the corpus survives and what
+    the kept set's precision/recall against the held-out labels would
+    be.  Run both BEFORE committing a threshold to a 100 TB curation.
+
+    Output: one row per threshold — ``(threshold, n_kept, keep_frac,
+    precision, recall)``; ``precision = tp / n_kept`` (0 when nothing
+    kept), ``recall = tp / n_pos`` (1 when there are no positives).
+
+    Scale: ONE corpus pass producing a single row of conditional
+    aggregates (2 + 2·|thresholds| counts, all map-side combined), then
+    a constant-size explode of that row — no join, no window, no
+    per-threshold rescan.
+    """
+    p, y = F.col(prob_col), F.col(label_col).cast("double")
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.count_if(y == 1.0).alias("_pos"),
+    ]
+    for i, t in enumerate(thresholds):
+        aggs.append(F.count_if(p >= F.lit(float(t))).alias(f"_k{i}"))
+        aggs.append(
+            F.count_if((p >= F.lit(float(t))) & (y == 1.0)).alias(f"_t{i}"))
+    row = scored.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"_k{i}").cast("long").alias("n_kept"),
+            F.col(f"_t{i}").cast("long").alias("_tp"),
+        )
+        for i, t in enumerate(thresholds)
+    ])
+    r = F.col("_r")
+    return (
+        row.select(F.explode(entries).alias("_r"), "_n", "_pos")
+        .select(
+            r["threshold"].alias("threshold"),
+            r["n_kept"].alias("n_kept"),
+            F.round(F.when(F.col("_n") > 0,
+                           r["n_kept"] / F.col("_n")).otherwise(F.lit(0.0)), 6)
+            .alias("keep_frac"),
+            F.round(F.when(r["n_kept"] > 0,
+                           r["_tp"] / r["n_kept"]).otherwise(F.lit(0.0)), 6)
+            .alias("precision"),
+            F.round(F.when(F.col("_pos") > 0,
+                           r["_tp"] / F.col("_pos")).otherwise(F.lit(1.0)), 6)
+            .alias("recall"),
+        )
+    )
+
+
 def _broadcast_getter(spark, value):
     """Ship ``value`` to executors via ``sc.broadcast`` (ONE copy per
     executor, torrent distribution) instead of pickling it into every

@@ -5953,3 +5953,60 @@ def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return calibration_report(labeled, prob_col="prob", label_col="label")
+
+
+# ---------------------------------------------------------------------------
+# round 13: keep-threshold sweep (textops.threshold_sweep)
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+_SWEEP_ORACLE = f"""
+    WITH scored AS ({_CLF_SCORE_SQL}),
+    lab AS (
+      SELECT s.prob, CAST(length(d.text) % 2 AS DOUBLE) AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    tot AS (
+      SELECT count(*) AS n, count(*) FILTER (WHERE y = 1.0) AS pos FROM lab
+    ),
+    th AS (SELECT unnest([{', '.join(str(t) for t in _SWEEP_THRESHOLDS)}]::DOUBLE[]) AS threshold)
+    SELECT th.threshold,
+           CAST(count(*) FILTER (WHERE lab.prob >= th.threshold) AS BIGINT) AS n_kept,
+           round(CASE WHEN max(tot.n) > 0
+                 THEN count(*) FILTER (WHERE lab.prob >= th.threshold)
+                      / CAST(max(tot.n) AS DOUBLE) ELSE 0.0 END, 6) AS keep_frac,
+           round(CASE WHEN count(*) FILTER (WHERE lab.prob >= th.threshold) > 0
+                 THEN count(*) FILTER (WHERE lab.prob >= th.threshold AND lab.y = 1.0)
+                      / CAST(count(*) FILTER (WHERE lab.prob >= th.threshold) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS precision,
+           round(CASE WHEN max(tot.pos) > 0
+                 THEN count(*) FILTER (WHERE lab.prob >= th.threshold AND lab.y = 1.0)
+                      / CAST(max(tot.pos) AS DOUBLE) ELSE 1.0 END, 6) AS recall
+    FROM th CROSS JOIN lab CROSS JOIN tot
+    GROUP BY th.threshold
+    """
+
+
+@extra_query("threshold_sweep", oracle=_SWEEP_ORACLE)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-threshold sweep (textops.threshold_sweep, r13): per candidate
+    --min-clf-prob value, the kept fraction and the kept set's
+    precision/recall against held-out labels — one corpus pass of
+    conditional aggregates, a constant-size explode, no per-threshold
+    rescan.  Same deterministic fixture pairing as calibration_report
+    (hashed-classifier prob × length-parity label)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_score,
+        threshold_sweep,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = classifier_score(docs, num_features=_CLF_FEATS, bigrams=True)
+    labeled = scored.join(
+        docs.select(
+            "doc_id", (F.length("text") % 2).cast("double").alias("label")),
+        "doc_id",
+    )
+    return threshold_sweep(labeled, prob_col="prob", label_col="label",
+                           thresholds=_SWEEP_THRESHOLDS)

@@ -2912,3 +2912,32 @@ def test_calibration_report_pinned(spark):
     # custom bin count: 0.62/0.64/0.66 split across 50 bins
     fine = {r.bin for r in calibration_report(scored, n_bins=50).collect()}
     assert {31, 32, 33} <= fine
+
+
+def test_threshold_sweep_pinned(spark):
+    """threshold_sweep (r13): hand-computed keep/precision/recall at
+    each threshold, the empty-kept and no-positives edge conventions,
+    and monotone non-increasing keep_frac."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        threshold_sweep,
+    )
+
+    scored = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.6, 1), (0.4, 0), (0.2, 1)],
+        "prob double, label int",
+    )
+    got = {r.threshold: r
+           for r in threshold_sweep(scored, thresholds=(0.5, 0.7, 0.95)).collect()}
+    assert got[0.5].n_kept == 3 and got[0.5].keep_frac == 0.6
+    assert got[0.5].precision == round(2 / 3, 6)
+    assert got[0.5].recall == round(2 / 3, 6)
+    assert got[0.7].n_kept == 2 and got[0.7].precision == 0.5
+    assert got[0.95].n_kept == 0 and got[0.95].precision == 0.0
+    assert got[0.95].recall == 0.0
+    ks = [got[t].keep_frac for t in (0.5, 0.7, 0.95)]
+    assert ks == sorted(ks, reverse=True)
+    # no positives: recall pins to 1 by convention; the one kept doc is
+    # a negative, so precision is 0
+    neg = spark.createDataFrame([(0.9, 0), (0.1, 0)], "prob double, label int")
+    r = threshold_sweep(neg, thresholds=(0.5,)).collect()[0]
+    assert r.recall == 1.0 and r.precision == 0.0 and r.n_kept == 1

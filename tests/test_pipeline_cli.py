@@ -514,3 +514,24 @@ def test_cli_calibration_report(spark, tmp_path, capsys):
     assert "ECE:" in printed and "60 scored rows" in printed
     rep = {r.bin: r for r in spark.read.parquet(out).collect()}
     assert set(rep) == {0, 1, 2, 3, 4} and sum(r.n for r in rep.values()) == 60
+
+
+def test_cli_calibration_sweep(spark, tmp_path, capsys):
+    """`calibration --sweep` (r13): the threshold sweep prints next to
+    the reliability report and lands as a separate _sweep artifact."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    src = str(tmp_path / "scored2.parquet")
+    spark.createDataFrame(
+        [(i, i / 20.0, 1 if i >= 10 else 0) for i in range(20)],
+        "doc_id long, prob double, label int",
+    ).write.parquet(src)
+    out = str(tmp_path / "cal2.parquet")
+    main(["calibration", "--in", src, "--sweep", "0.25,0.5,0.75",
+          "--out", out])
+    printed = capsys.readouterr().out
+    assert "ECE:" in printed and "threshold sweep" in printed
+    sw = {r.threshold: r for r in spark.read.parquet(out + "_sweep").collect()}
+    assert set(sw) == {0.25, 0.5, 0.75}
+    assert sw[0.5].n_kept == 10 and sw[0.5].recall == 1.0
+    assert sw[0.5].precision == 1.0  # labels = prob >= 0.5 exactly
