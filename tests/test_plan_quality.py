@@ -688,3 +688,42 @@ def test_with_passes_repetition_streaming_safe(spark):
     plan = plan_of(with_passes_repetition(docs))
     assert "Join" not in plan and "Exchange" not in plan
     assert "Aggregate" not in plan
+
+
+def test_calibration_report_plan(spark):
+    """calibration_report (r13): one hash aggregation on the bin key —
+    no join, no window; the only exchange is the ≤n_bins-group
+    partial→final aggregation shuffle."""
+    df = EXTRA_QUERIES["calibration_report"](spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    # the classifier scoring upstream joins docs to labels once; the
+    # report itself adds no further join past the scored frame
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        calibration_report,
+    )
+
+    scored = spark.createDataFrame([(0.4, 1)], "prob double, label int")
+    rep_plan = plan_of(calibration_report(scored))
+    assert "Join" not in rep_plan and n_exchanges(rep_plan) == 1
+    assert "partial" in rep_plan.lower()  # map-side combine before the shuffle
+
+
+def test_threshold_sweep_plan(spark):
+    """threshold_sweep (r13): ONE corpus pass — a single-row conditional
+    aggregate then a constant-size Generate; no join, no window, no
+    per-threshold rescan (exactly one aggregate pair in the plan)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        threshold_sweep,
+    )
+
+    scored = spark.createDataFrame([(0.4, 1)], "prob double, label int")
+    df = threshold_sweep(scored, thresholds=(0.3, 0.5, 0.7))
+    plan = plan_of(df)
+    assert "Join" not in plan and "Window" not in plan
+    # node counts on the single-line tree (formatted mode prints each
+    # node twice: once in the tree, once in the detail section)
+    tree = plan_of(df, "simple")
+    assert tree.count("Generate") == 1
+    # one partial + one final aggregate node, regardless of thresholds
+    assert tree.count("HashAggregate") == 2
