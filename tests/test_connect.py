@@ -55,6 +55,9 @@ GUARDED_SITES = {
     # model-getter cache by session object identity; getters there hold
     # closures, not broadcasts, so staleness is a memory concern only)
     ("operators/textops.py", "_ctx_key"),
+    # try sparkContext.getCheckpointDir except → localCheckpoint fallback
+    # (r13: reliable-checkpoint upgrade only exists on classic sessions)
+    ("functions/checkpoints.py", "durable_checkpoint"),
 }
 
 CLASSIC_ATTRS = {"sparkContext", "_jdf", "_jsc", "_jvm", "rdd"}
