@@ -48,7 +48,12 @@ _NOISY = {"simhash_signatures", "minhash_lsh_pairs", "text_stats",
           # r11 quiet band 2.1-2.6 s with routing unchanged and a probe
           # pass ratio of 1.341 — a near-degraded draw survived min-of-2;
           # min-of-5 plus the tightened probe gate below close that hole.
-          "semantic_contamination"}
+          "semantic_contamination",
+          # r13 confirmation runs: decon_report swung 2.67 -> 7.99 s
+          # between two same-day runs (band-join + window-hash family),
+          # and the newly-benched sampled band-tune lane is md5-bound
+          # like the rest of the minhash family
+          "decon_report", "lsh_band_tune_sampled"}
 #: accumulated per-pass loadavg samples + count of load-gated retries,
 #: summarized into the artifact's "load" field.
 _LOAD_SAMPLES: list[float] = []
@@ -104,6 +109,33 @@ def _probe_ratio() -> float:
     ratio = t / _PROBE_REF
     _PROBE_SAMPLES.append(round(ratio, 3))
     return ratio
+
+
+def _mc_spin(_i: int) -> float:
+    return _probe_once()
+
+
+def _mc_probe(workers: int = 8) -> dict:
+    """Multi-core calibration probe (r13, OBSERVATIONAL — not a gate):
+    the single-thread probe cannot see degradation that only hits
+    parallel throughput (shared-cache pressure, reduced all-core turbo,
+    co-tenant burst across other cores): the r13 confirmation runs
+    measured uniform 1.1-1.4× inflation on untouched queries while the
+    single-thread probe read 1.0.  Run the same spin loop in
+    ``workers`` forked processes at once; on a quiet host each worker
+    costs ≈ the single-thread reference, so mean_ratio ≈ 1.  Recorded
+    at bench start and end so a drifting host is visible in the
+    artifact even when every per-pass gate stayed green."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    with ctx.Pool(workers) as pool:
+        times = pool.map(_mc_spin, range(workers))
+    return {
+        "workers": workers,
+        "mean_ratio": round(sum(times) / len(times) / _PROBE_REF, 3),
+        "max_ratio": round(max(times) / _PROBE_REF, 3),
+    }
 
 
 def _min_of(spark, mk, reps: int, max_retries: int = 3) -> float:
@@ -189,6 +221,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     start_load = os.getloadavg()[0]
+    mc_start = _mc_probe()
     spark = get_spark("bench")
     # Warm the JVM outside the timed region: file listing, codegen, and the
     # md5/regex/conv intrinsics the text queries lean on — bench measures
@@ -232,6 +265,8 @@ def main() -> None:
                         "when probe stays >limit after retries"),
         "load": _load_summary(start_load),
         "probe": _probe_summary(),
+        # observational multi-core drift evidence (see _mc_probe)
+        "mc_probe": {"start": mc_start, "end": _mc_probe()},
         "queries": timings,
         "sf": sf,
         "decode_frames_per_sec": fps,
