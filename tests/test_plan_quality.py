@@ -376,7 +376,7 @@ def test_q12_filters_before_fact_join(spark):
     sort-merge on the order key, never a nested loop — orders is NOT
     broadcast because at production scale it is the second-largest
     table."""
-    plan = plan_of(QUERIES["tpch_q12_shipmode"](spark, SF))
+    plan = plan_of(EXTRA_QUERIES["tpch_q12_shipmode"](spark, SF))  # demoted r13
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters", 1)[1][:400]
     assert "l_shipdate" in pushed
@@ -387,7 +387,7 @@ def test_q12_filters_before_fact_join(spark):
 def test_q14_broadcasts_part_single_pass(spark):
     """part broadcasts (dim side); the promo share is ONE aggregation
     over one scan — no self-join, no second lineitem scan."""
-    plan = plan_of(QUERIES["tpch_q14_promo_ratio"](spark, SF))
+    plan = plan_of(EXTRA_QUERIES["tpch_q14_promo_ratio"](spark, SF))  # demoted r13
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     # lineitem + part, once each (numbered detail nodes, one per scan)
@@ -512,7 +512,7 @@ def test_registry_entry_never_plans_cartesian(spark, name):
     # singleton row, corpus count for frac_docs) — also two by design
     cap = {"extra:ann_recall": 4, "extra:ann_tune": 64,
            "extra:embedding_drift": 4,
-           "extra:cluster_size_report": 4}.get(name, 2)
+           "cluster_size_report": 4}.get(name, 2)  # promoted r13
     assert plan.count("BroadcastNestedLoopJoin") <= cap, name
 
 
