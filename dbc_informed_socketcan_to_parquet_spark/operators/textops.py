@@ -430,6 +430,11 @@ def _repetition_metric_cols(top_ns, dup_ns) -> list[Column]:
 #: kernel spells the class out to match the expression lane exactly.
 _JAVA_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
 _PARA_SPLIT_RE = re.compile(r"\n{2,}")
+#: control characters that can survive the whitespace split INSIDE a
+#: token and sort below the space joiner (0x20) — the only case where
+#: comparing token tuples diverges from comparing space-joined gram
+#: strings (see the tie-break note in :func:`_doc_repetition`)
+_SUB_SPACE_CTRL_RE = re.compile("[\x00-\x08\x0e-\x1f]")
 
 
 def _seg_fracs(arr: list[str]) -> tuple[float, float]:
@@ -460,10 +465,15 @@ def _doc_repetition(
     and the Spark-side ``round(…, 6)`` wrapper lands on the same values.
 
     Tie-break parity: the expression lane takes the first max-run gram
-    of the ``array_sort``-ed gram array.  Tokens contain no character
-    ≤ 0x20 (they are split on exactly that class), so comparing token
-    TUPLES equals comparing the space-joined gram strings — ``min`` over
-    the max-count tuples reproduces the sorted-fold winner.
+    of the ``array_sort``-ed gram array, and Spark's string order is
+    UTF8String's BYTEWISE compare = code-point order — identical to
+    Python ``str`` comparison on the joined gram.  Tokens cannot
+    contain the split class itself, so the space joiner (0x20) is
+    normally below every token byte and comparing token TUPLES equals
+    comparing the joined strings; the single exception is a token
+    carrying a control char < 0x20 (``_SUB_SPACE_CTRL_RE``), where the
+    joined order can flip — detected once per document (one C-speed
+    regex scan) and routed to an exact joined-string tie-break.
 
     ``dup_char=True`` appends the paper's overlap-aware duplicated-
     CHARACTER fraction per dup-n (Rae et al. 2021 Table A1 measures
@@ -480,13 +490,18 @@ def _doc_repetition(
     toks = [w for w in _JAVA_WS_RE.split(t.lower().strip(" ")) if w]
     ntok = len(toks)
     total_chars = (sum(map(len, toks)) + ntok - 1) if ntok else 0
+    ctrl = _SUB_SPACE_CTRL_RE.search(t) is not None
     for nn in top_ns:
         if ntok - nn + 1 <= 0 or total_chars <= 0:
             out.append(0.0)
             continue
         cnt = Counter(zip(*(toks[k:] for k in range(nn))))
         best = max(cnt.values())
-        bg = min(g for g, c in cnt.items() if c == best)
+        if ctrl:
+            bg = min((g for g, c in cnt.items() if c == best),
+                     key=" ".join)
+        else:
+            bg = min(g for g, c in cnt.items() if c == best)
         glen = sum(map(len, bg)) + nn - 1
         out.append(min(1.0, (best * glen) / total_chars))
     if dup_char:

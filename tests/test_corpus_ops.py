@@ -2656,14 +2656,32 @@ def test_gopher_repetition_kernel_parity(spark):
             (9007, "tab\there\x0bvt\ff\rcr  multi  space"),
             (9008, ("one two three four five " * 3) + "tail"),
             (9009, "A B a b A B\nmixed CASE lines\nA B a b A B"),
+            # control char INSIDE a token: the joined-string tie order
+            # ("a\x01 a" < "a z") diverges from tuple order — the slow
+            # path the ctrl detector must route to (r13 fix)
+            (9010, "a\x01 a z"),
+            (9011, "q\x02w e r q\x02w e r zz"),
         ],
         "doc_id long, text string",
     )
-    docs = real.select("doc_id", "text").unionByName(edge)
+    import random as _random
+
+    rng = _random.Random(1313)
+    vocab = ["alpha", "beta", "beta", "gamma", "δéļtå", "x", "yy", "z" * 7,
+             "a\x01b", "ctrl\x1f", "ǫuirk", "1234", "...", "—dash"]
+    fuzz = spark.createDataFrame(
+        [(9100 + i,
+          " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40)))
+          + ("\n" * rng.randrange(0, 4)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    docs = (real.select("doc_id", "text")
+            .unionByName(edge).unionByName(fuzz))
     k = {r.doc_id: r.asDict() for r in gopher_repetition(docs).collect()}
     e = {r.doc_id: r.asDict()
          for r in gopher_repetition(docs, kernel=False).collect()}
-    assert set(k) == set(e) and len(k) > 9
+    assert set(k) == set(e) and len(k) > 70
     mismatches = [
         (d, c, k[d][c], e[d][c])
         for d in k for c in k[d] if k[d][c] != e[d][c]
