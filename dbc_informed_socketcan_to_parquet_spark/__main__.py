@@ -817,6 +817,50 @@ def run_diff(argv: list[str]) -> None:
         d.unpersist()
 
 
+def build_select_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark select")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="parquet with a quality-score and token-count column")
+    p.add_argument("--score-col", default="score")
+    p.add_argument("--token-col", default="n_tokens")
+    p.add_argument("--budget", type=int, required=True,
+                   help="token budget: keep the highest-scoring docs until "
+                        "cumulative tokens first reach this")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--resolution", type=int, default=10_000,
+                   help="score buckets for the sort-free selection; higher "
+                        "= smaller boundary window (answer is exact at any "
+                        "resolution)")
+    p.add_argument("--out", dest="output_path", required=True)
+    return p
+
+
+def run_select(argv: list[str]) -> None:
+    """Token-budget selection (r13): keep the best-scoring documents
+    until the budget fills — no global corpus sort (bucketed cumulative
+    + exact boundary window)."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    args = build_select_parser().parse_args(argv)
+    spark = get_spark("select-cli")
+    kept = select_to_token_budget(
+        spark.read.parquet(args.input_path),
+        score_col=args.score_col, token_col=args.token_col,
+        budget_tokens=args.budget, id_col=args.id_col,
+        resolution=args.resolution,
+    )
+    kept.write.mode("overwrite").parquet(args.output_path)
+    out = spark.read.parquet(args.output_path)
+    t = out.agg(F.count(F.lit(1)).alias("n"),
+                F.sum(args.token_col).alias("tok")).collect()[0]
+    print(f"selected {t.n} documents / {t.tok or 0} tokens "
+          f"(budget {args.budget}) to {args.output_path}")
+
+
 def build_calibration_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbc_informed_socketcan_to_parquet_spark calibration")
     p.add_argument("--in", dest="input_path", required=True,
@@ -1069,6 +1113,9 @@ def main(argv: list[str] | None = None) -> None:
         return
     if argv and argv[0] == "calibration":
         run_calibration(argv[1:])
+        return
+    if argv and argv[0] == "select":
+        run_select(argv[1:])
         return
     if argv and argv[0] == "run-recipe":
         from dbc_informed_socketcan_to_parquet_spark.plans.recipe import (

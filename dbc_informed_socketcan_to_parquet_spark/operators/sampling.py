@@ -798,3 +798,83 @@ def temperature_mix(
         docs.join(F.broadcast(frac_df), source_col)
         .filter((F.col("keep_frac") >= 1.0) | (u < F.col("keep_frac")))
     )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Keep the HIGHEST-scoring documents until a token budget fills
+    (r13) — the "give me the best 1T tokens" primitive that turns a
+    quality score plus a target budget into a training corpus.
+
+    Semantics (deterministic, engine-independent): order documents by
+    ``(score DESC, id ASC)`` and keep the prefix whose cumulative
+    ``token_col`` first reaches ``budget_tokens`` — a document is kept
+    iff the tokens STRICTLY before it total < budget (so the crossing
+    document is included and the kept sum may overshoot by less than
+    one document).  Budget ≥ corpus keeps everything; budget ≤ 0 keeps
+    nothing.
+
+    Scale — NO global sort of the corpus (the naive window over
+    ``ORDER BY score DESC`` is a single-partition sort of 100 TB):
+
+    1. one aggregation onto ``floor(score·resolution)`` buckets
+       (≤ resolution·range rows, map-side combined), cumulative
+       tokens per bucket on that SMALL table;
+    2. every document in a bucket strictly above the boundary bucket
+       is kept outright (no ordering needed — the budget is not yet
+       exhausted there);
+    3. only the BOUNDARY bucket (≈ corpus/resolution documents) gets
+       the exact ``(score DESC, id ASC)`` running-sum window, fed the
+       budget remaining after the higher buckets.
+
+    Raise ``resolution`` to shrink the boundary window's input; the
+    kept set is exactly the global-sort answer at ANY resolution
+    because bucketing is monotone in score and the boundary is refined
+    on exact scores.
+    """
+    if budget_tokens <= 0:
+        return df.filter(F.lit(False))
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(score_col) * F.lit(float(resolution))).alias("_b")
+    per = (
+        df.select(b, F.col(token_col).alias("_t"))
+        .groupBy("_b")
+        .agg(F.sum("_t").alias("_bt"))
+    )
+    # cumulative tokens from the TOP bucket down — resolution-bounded
+    # table, so the single-partition window is over ≤ a few 10k rows
+    w = Window.orderBy(F.desc("_b")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("_b", F.sum("_bt").over(w).alias("_cum"), "_bt")
+    boundary = (
+        cum.filter(F.col("_cum") - F.col("_bt") < F.lit(int(budget_tokens)))
+        .agg(F.min("_b").alias("_bstar"),
+             F.max(F.when(F.col("_cum") - F.col("_bt")
+                          < F.lit(int(budget_tokens)),
+                          F.col("_cum") - F.col("_bt"))).alias("_before"))
+        .collect()[0]
+    )
+    if boundary["_bstar"] is None:
+        # budget covers nothing (empty corpus) — keep nothing
+        return df.filter(F.lit(False))
+    bstar = int(boundary["_bstar"])
+    spent_above = int(boundary["_before"])  # tokens in buckets > bstar
+    remaining = int(budget_tokens) - spent_above
+
+    bucket = F.floor(F.col(score_col) * F.lit(float(resolution)))
+    kept_above = df.filter(bucket > F.lit(bstar))
+    edge = df.filter(bucket == F.lit(bstar))
+    we = Window.orderBy(F.desc(score_col), F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, 0)
+    kept_edge = (
+        edge.withColumn("_cum", F.sum(F.col(token_col)).over(we))
+        .filter(F.col("_cum") - F.col(token_col) < F.lit(remaining))
+        .drop("_cum")
+    )
+    return kept_above.unionByName(kept_edge)

@@ -6010,3 +6010,60 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return threshold_sweep(labeled, prob_col="prob", label_col="label",
                            thresholds=_SWEEP_THRESHOLDS)
+
+
+# ---------------------------------------------------------------------------
+# round 13: token-budget selection (sampling.select_to_token_budget)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 20_000
+
+_BUDGET_ORACLE = f"""
+    WITH scored AS ({_CLF_SCORE_SQL}),
+    base AS (
+      SELECT d.doc_id, s.prob AS score,
+             len(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\\s+'),
+                             t -> t != '')) AS n_tokens
+      FROM documents d JOIN scored s USING (doc_id)
+    ),
+    w AS (
+      SELECT doc_id, score, n_tokens,
+             sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base
+    )
+    SELECT doc_id, score, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM w WHERE cum - n_tokens < {_BUDGET_TOKENS}
+    """
+
+
+@extra_query("select_to_token_budget", oracle=_BUDGET_ORACLE)
+def q_select_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection (sampling.select_to_token_budget, r13):
+    keep the highest-scoring documents until 20k tokens fill — the
+    "best N tokens" primitive, computed WITHOUT a global corpus sort
+    (bucketed cumulative + an exact boundary-bucket window); the oracle
+    replays the straightforward global running-sum definition, so the
+    hash match proves the two-phase plan computes the global-sort
+    answer."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_score,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.join(
+        classifier_score(docs, num_features=_CLF_FEATS, bigrams=True)
+        .select("doc_id", F.col("prob").alias("score")),
+        "doc_id",
+    ).select(
+        "doc_id", "score",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return select_to_token_budget(
+        scored, score_col="score", token_col="n_tokens",
+        budget_tokens=_BUDGET_TOKENS,
+    )

@@ -535,3 +535,20 @@ def test_cli_calibration_sweep(spark, tmp_path, capsys):
     assert set(sw) == {0.25, 0.5, 0.75}
     assert sw[0.5].n_kept == 10 and sw[0.5].recall == 1.0
     assert sw[0.5].precision == 1.0  # labels = prob >= 0.5 exactly
+
+
+def test_cli_select_token_budget(spark, tmp_path, capsys):
+    """`select --budget N` (r13): lands the kept prefix and reports the
+    selected doc/token totals."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    src = str(tmp_path / "scored3.parquet")
+    spark.createDataFrame(
+        [(1, 0.9, 100), (2, 0.7, 200), (3, 0.5, 300), (4, 0.1, 400)],
+        "doc_id long, score double, n_tokens long",
+    ).write.parquet(src)
+    out = str(tmp_path / "sel.parquet")
+    main(["select", "--in", src, "--budget", "250", "--out", out])
+    assert "selected 2 documents / 300 tokens" in capsys.readouterr().out
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2]

@@ -563,3 +563,74 @@ def test_temperature_mix_integer_source_column(spark):
     assert 0 < kept <= 300
     # alpha=1 keeps everything, whatever the source type
     assert temperature_mix(docs, "n_tokens", alpha=1.0).count() == 300
+
+
+def test_select_to_token_budget_pinned(spark):
+    """select_to_token_budget (r13): the kept set equals the global
+    (score DESC, id ASC) running-sum prefix — crossing doc included,
+    ties broken by id, edge budgets, and resolution-invariance (the
+    bucketed two-phase plan computes the same answer at any
+    resolution)."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    rows = [  # (doc_id, score, n_tokens)
+        (1, 0.9, 100), (2, 0.8, 200), (3, 0.8, 150), (4, 0.5, 400),
+        (5, 0.5, 50), (6, 0.1, 1000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+
+    def brute(budget):
+        cum, keep = 0, []
+        for d, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if cum < budget:
+                keep.append(d)
+            cum += t
+        return sorted(keep)
+
+    for budget in (1, 99, 100, 101, 300, 451, 800, 900, 5000):
+        for res in (10, 10_000):
+            got = sorted(r.doc_id for r in select_to_token_budget(
+                df, "score", "n_tokens", budget, resolution=res).collect())
+            assert got == brute(budget), (budget, res, got)
+    assert select_to_token_budget(df, "score", "n_tokens", 0).count() == 0
+    assert select_to_token_budget(df, "score", "n_tokens", -5).count() == 0
+    # budget over the corpus keeps everything
+    assert select_to_token_budget(df, "score", "n_tokens", 10**9).count() == 6
+    # all full doc columns survive selection
+    wide = df.withColumn("text", F.lit("payload"))
+    kept = select_to_token_budget(wide, "score", "n_tokens", 300)
+    assert set(kept.columns) == {"doc_id", "score", "n_tokens", "text"}
+
+
+def test_select_to_token_budget_randomized(spark):
+    """200 seeded random docs: two-phase answer == brute force at two
+    resolutions, including heavy score ties."""
+    import random
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    rng = random.Random(42)
+    rows = [(i, round(rng.choice([0.1, 0.25, 0.5, 0.5, 0.77, 0.9]), 6),
+             rng.randrange(1, 500)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    total = sum(t for _, _, t in rows)
+
+    def brute(budget):
+        cum, keep = 0, []
+        for d, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if cum < budget:
+                keep.append(d)
+            cum += t
+        return sorted(keep)
+
+    for budget in (1, total // 7, total // 2, total - 1, total + 10):
+        for res in (4, 10_000):
+            got = sorted(r.doc_id for r in select_to_token_budget(
+                df, "score", "n_tokens", budget, resolution=res).collect())
+            assert got == brute(budget), (budget, res)
