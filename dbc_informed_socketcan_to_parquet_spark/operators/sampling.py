@@ -807,6 +807,7 @@ def select_to_token_budget(
     budget_tokens: int,
     id_col: str = "doc_id",
     resolution: int = 10_000,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Keep the HIGHEST-scoring documents until a token budget fills
     (r13) — the "give me the best 1T tokens" primitive that turns a
@@ -837,9 +838,22 @@ def select_to_token_budget(
     kept set is exactly the global-sort answer at ANY resolution
     because bucketing is monotone in score and the boundary is refined
     on exact scores.
+
+    ``materialize_input`` (default True) cuts the input's lineage once
+    (lazy durable_checkpoint) because the plan references ``df`` three
+    times (bucket aggregation, kept-above filter, boundary window) —
+    with an expensive upstream (a classifier-scoring join) the naive
+    plan recomputes it three times; a plain parquet scan can pass
+    ``False`` and keep the three cheap scans.
     """
     if budget_tokens <= 0:
         return df.filter(F.lit(False))
+    if materialize_input:
+        from dbc_informed_socketcan_to_parquet_spark.functions.checkpoints import (
+            durable_checkpoint,
+        )
+
+        df = durable_checkpoint(df, eager=False)
     from pyspark.sql import Window
 
     b = F.floor(F.col(score_col) * F.lit(float(resolution))).alias("_b")

@@ -144,7 +144,7 @@ def validate_recipe(recipe: dict) -> None:
         _validate_streaming_recipe(recipe)
         return
     known_top = {"mode", "ingest", "curate", "out", "report", "split", "export",
-                 "chunk", "audit"}
+                 "chunk", "audit", "select"}
     unknown = set(recipe) - known_top
     if unknown:
         raise ValueError(f"unknown recipe sections: {sorted(unknown)}")
@@ -217,6 +217,16 @@ def validate_recipe(recipe: dict) -> None:
         for req in ("out", "max_tokens"):
             if req not in recipe["export"]:
                 raise ValueError(f"export requires {req!r}")
+    if "select" in recipe:
+        sl = recipe["select"]
+        if not isinstance(sl, dict) or "out" not in sl or "budget" not in sl:
+            raise ValueError("select requires {'out': ..., 'budget': ...}")
+        unknown = set(sl) - {"out", "budget", "score_col", "token_col",
+                             "classifier_path", "resolution"}
+        if unknown:
+            raise ValueError(f"unknown select keys: {sorted(unknown)}")
+        if int(sl["budget"]) <= 0:
+            raise ValueError("select.budget must be a positive token count")
     if "chunk" in recipe:
         ch = recipe["chunk"]
         if not isinstance(ch, dict) or "out" not in ch or "chunk_tokens" not in ch:
@@ -446,6 +456,50 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
                 "stage_idx INT, stage STRING, rows_in BIGINT, "
                 "rows_out BIGINT, dropped BIGINT",
             ).write.mode("overwrite").parquet(audit["out"])
+    if "select" in recipe:
+        # token-budget selection of the CURATED corpus (r13): keep the
+        # highest-scoring docs until the budget fills; split/report/
+        # chunk/export below consume the SELECTED set, while recipe.out
+        # keeps the full curated table
+        from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+            select_to_token_budget,
+        )
+
+        sel = recipe["select"]
+        sdf = kept
+        score_col = sel.get("score_col", "score")
+        if sel.get("classifier_path"):
+            from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+                classifier_score_from,
+            )
+
+            scored = classifier_score_from(sdf, sel["classifier_path"])
+            sdf = sdf.join(
+                scored.select("doc_id", F.col("prob").alias("_sel_score")),
+                "doc_id")
+            score_col = "_sel_score"
+        token_col = sel.get("token_col", "n_tokens")
+        if token_col not in sdf.columns:
+            from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
+
+            sdf = sdf.withColumn(
+                token_col, F.size(tokens(F.col("text"))).cast("long"))
+        selected = select_to_token_budget(
+            sdf, score_col=score_col, token_col=token_col,
+            budget_tokens=int(sel["budget"]),
+            resolution=int(sel.get("resolution", 10_000)),
+        )
+        if "_sel_score" in selected.columns:
+            selected = selected.drop("_sel_score")
+        selected.write.mode("overwrite").parquet(sel["out"])
+        kept = spark.read.parquet(sel["out"])
+        summary["select"] = {
+            "n_docs": kept.count(),
+            "n_tokens": int(kept.agg(F.sum(token_col)).collect()[0][0] or 0),
+            "budget": int(sel["budget"]),
+            "out": sel["out"],
+        }
+
     if "split" in recipe:
         summary["split"] = {
             r["split"]: r["n"]

@@ -104,6 +104,10 @@ TAIL = [
     # r13: the registry's sampled band-tune lane (300-doc sample at the
     # sf0.01 oracle point; the 50k wrapper below is the posture study)
     "extra:lsh_band_tune_sampled",
+    # r13 additions: classifier-gating toolkit + token-budget selection
+    "extra:calibration_report",
+    "extra:threshold_sweep",
+    "extra:select_to_token_budget",
 ]
 
 

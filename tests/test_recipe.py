@@ -569,3 +569,49 @@ def test_recipe_report_topics(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="topics"):
         validate_recipe({**recipe, "report": {"topics": True}})
+
+
+def test_recipe_select_stage(spark, tmp_path):
+    """recipe select stage (r13): the curated corpus narrows to the
+    token budget (score column respected, whitespace token count
+    derived when absent) and the chunk/export stages downstream consume
+    the SELECTED set; validation requires out + positive budget and
+    rejects unknown keys."""
+    src = str(tmp_path / "docs.parquet")
+    texts = {  # 30 varied tokens each (repetitive docs fail the quality gate)
+        1: " ".join(f"alpha{i} beta{i}" for i in range(15)),   # score 0.9
+        2: " ".join(f"gamma{i} delta{i}" for i in range(15)),  # score 0.5
+        3: " ".join(f"omega{i} sigma{i}" for i in range(15)),  # score 0.1
+    }
+    spark.createDataFrame(
+        [(k, v, {1: 0.9, 2: 0.5, 3: 0.1}[k]) for k, v in texts.items()],
+        "doc_id long, text string, score double",
+    ).write.parquet(src)
+    sel_out = str(tmp_path / "selected.parquet")
+    ch_out = str(tmp_path / "chunks.parquet")
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": str(tmp_path / "curated.parquet"),
+        "select": {"out": sel_out, "budget": 40},
+        "chunk": {"out": ch_out, "chunk_tokens": 16},
+    }
+    summary = run_recipe(spark, recipe)
+    # budget 40 crosses into doc 2: docs 1 and 2 kept (60 tokens), 3 dropped
+    assert summary["select"]["n_docs"] == 2
+    assert summary["select"]["n_tokens"] == 60
+    kept = sorted(r.doc_id for r in spark.read.parquet(sel_out).collect())
+    assert kept == [1, 2]
+    # chunking ran over the SELECTED set only
+    chunk_ids = {r.doc_id for r in spark.read.parquet(ch_out).collect()}
+    assert chunk_ids == {1, 2}
+    # the full curated table still landed at out
+    assert spark.read.parquet(recipe["out"]).count() == 3
+
+    with pytest.raises(ValueError, match="select requires"):
+        validate_recipe({**recipe, "select": {"budget": 40}})
+    with pytest.raises(ValueError, match="unknown select keys"):
+        validate_recipe({**recipe, "select": {"out": sel_out, "budget": 40,
+                                              "bogus": 1}})
+    with pytest.raises(ValueError, match="positive token count"):
+        validate_recipe({**recipe, "select": {"out": sel_out, "budget": 0}})
