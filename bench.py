@@ -380,7 +380,11 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  # oracle shape only — VERDICT r12 item 1)
                  "lsh_band_tune_sampled", "decon_report", "vocab_coverage",
                  "gopher_repetition", "ngram_novelty",
-                 "cluster_size_report", "topic_report"):
+                 "cluster_size_report", "topic_report",
+                 # r13 additions: classifier-gating toolkit + token-budget
+                 # selection (each rides the shared scoring pass)
+                 "calibration_report", "threshold_sweep",
+                 "select_to_token_budget"):
         fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         out[name] = _min_of(spark, lambda: fn(spark, sf_dir),
                             5 if name in _NOISY else 2)

@@ -819,7 +819,8 @@ def select_to_token_budget(
     iff the tokens STRICTLY before it total < budget (so the crossing
     document is included and the kept sum may overshoot by less than
     one document).  Budget ≥ corpus keeps everything; budget ≤ 0 keeps
-    nothing.
+    nothing.  Documents with a NULL score are never kept (they have no
+    place in the order — score them or filter them first).
 
     Scale — NO global sort of the corpus (the naive window over
     ``ORDER BY score DESC`` is a single-partition sort of 100 TB):
