@@ -896,7 +896,9 @@ def run_calibration(argv: list[str]) -> None:
             (F.sum(F.col("n") * F.col("abs_gap")) / F.sum("n")).alias("ece"),
             F.sum("n").alias("n"),
         ).collect()[0]
-        print(f"ECE: {t.ece:.6f} over {t.n} scored rows")
+        # zero scored rows aggregate to NULLs — report cleanly, not a
+        # format TypeError (r13 review)
+        print(f"ECE: {(t.ece or 0.0):.6f} over {t.n or 0} scored rows")
         rep.orderBy("bin").show(args.bins, truncate=False)
         if args.output_path:
             rep.write.mode("overwrite").parquet(args.output_path)

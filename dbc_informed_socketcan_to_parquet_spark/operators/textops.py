@@ -11,7 +11,16 @@ from __future__ import annotations
 import re
 from collections import Counter
 
-import pandas as pd
+try:
+    # needed only by the repetition kernel lane; module-level (rather
+    # than deferred like the other pandas uses in this file) because the
+    # kernel UDF's string type hints resolve 'pd.Series' against MODULE
+    # globals — but kept soft so importing textops on a pandas-less
+    # driver still works for every non-kernel operator (r13 review)
+    import pandas as pd
+except ImportError:  # pragma: no cover — pandas is baked into this env
+    pd = None  # type: ignore[assignment]
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -555,6 +564,10 @@ def _repetition_kernel_udf(
     r13 vs the expression lane: see SURVEY §17)."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    if pd is None:  # pragma: no cover
+        raise ImportError(
+            "the repetition kernel lane needs pandas (Arrow-batched UDF); "
+            "install pandas or use gopher_repetition(kernel=False)")
     top_ns, dup_ns = tuple(top_ns), tuple(dup_ns)
     names = _metric_names(top_ns, dup_ns, dup_char)
     schema = StructType([StructField(n, DoubleType(), False) for n in names])

@@ -227,6 +227,13 @@ def validate_recipe(recipe: dict) -> None:
             raise ValueError(f"unknown select keys: {sorted(unknown)}")
         if int(sl["budget"]) <= 0:
             raise ValueError("select.budget must be a positive token count")
+        if sl.get("classifier_path") and sl.get("score_col"):
+            # a classifier would silently override the named column —
+            # the user must pick ONE score source (r13 review)
+            raise ValueError(
+                "select.classifier_path and select.score_col are mutually "
+                "exclusive — the classifier probability would silently "
+                "override the named column")
     if "chunk" in recipe:
         ch = recipe["chunk"]
         if not isinstance(ch, dict) or "out" not in ch or "chunk_tokens" not in ch:

@@ -309,12 +309,18 @@ def streaming_near_dedup_against(
     """
     rows_per_band = num_perms // num_bands
     # static: one deterministic representative signature per (band, bh),
-    # composite-keyed and materialized once
+    # composite-keyed and materialized once.  The broadcast gate is sized
+    # in BYTES, not rows (r13 review finding): a rep row carries a
+    # num_perms-long signature array plus the composite key (~200 B at
+    # num_perms=16), so the id-only 2M-row hot-set cap would admit a
+    # ~400 MB forced broadcast; cap the estimated payload at 128 MB.
     from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
-        HOT_SET_BROADCAST_MAX_ROWS,
         _band_table,
         _measured_small,
     )
+
+    rep_row_bytes = 64 + 8 * num_perms  # key string + long[] signature
+    max_rep_rows = (128 << 20) // rep_row_bytes
 
     store_bands = _band_table(store_sigs, "doc_id", num_bands, rows_per_band)
     reps = (
@@ -326,7 +332,7 @@ def streaming_near_dedup_against(
             F.col("_rep.sig").alias("_rep_sig"),
         )
     )
-    reps, small = _measured_small(reps, HOT_SET_BROADCAST_MAX_ROWS)
+    reps, small = _measured_small(reps, max_rep_rows)
 
     sig = _rowlocal_minhash(F.col(text_col), num_perms, shingle_n, seed, max_chars)
     # records too short to shingle have no signature and pass unflagged

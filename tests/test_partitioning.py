@@ -124,14 +124,17 @@ def test_salted_agg_count_star_counts_nulls(spark):
 
 def test_durable_checkpoint_ladder(spark, tmp_path):
     """durable_checkpoint (r13, ADVICE r12): with no checkpoint dir it
-    falls back to localCheckpoint; once a RELIABLE dir is configured the
-    same call writes replicated checkpoint files there (the
-    executor-loss-safe path a dynamic-allocation cluster needs)."""
+    falls back to localCheckpoint; a dir ALONE is not enough (without
+    cleanCheckpoints=true reliable checkpoint files leak forever — r13
+    review finding); with dir + cleaner flag the same call writes
+    reliable checkpoint files (the executor-loss-safe path a
+    dynamic-allocation cluster needs)."""
     import os
 
     from pyspark.sql import functions as F
 
     from dbc_informed_socketcan_to_parquet_spark.functions.checkpoints import (
+        _CLEAN_CHECKPOINTS_CONF,
         durable_checkpoint,
     )
 
@@ -143,13 +146,23 @@ def test_durable_checkpoint_ladder(spark, tmp_path):
 
     ckpt_dir = str(tmp_path / "ckpt")
     spark.sparkContext.setCheckpointDir(ckpt_dir)
+    jconf = spark.sparkContext._jsc.sc().conf()
     try:
+        # dir set but cleaner off: stays on localCheckpoint (no files)
+        half = durable_checkpoint(df, eager=True)
+        assert half.count() == 100
+        assert not [f for _r, _d, fs in os.walk(ckpt_dir) for f in fs]
+
+        jconf.set(_CLEAN_CHECKPOINTS_CONF, "true")
         reliable = durable_checkpoint(df, eager=True)
         assert reliable.count() == 100
         found = [os.path.join(r, f) for r, _d, fs in os.walk(ckpt_dir) for f in fs]
         assert found, "reliable checkpoint wrote no files"
         assert sorted(r.id for r in reliable.collect()) == list(range(100))
+        # the persist-around-checkpoint released its cache entry
+        assert not reliable.storageLevel.useMemory
     finally:
+        jconf.remove(_CLEAN_CHECKPOINTS_CONF)
         # restore the fixture session's no-dir state (the setter has no
         # public reset; package-private vars are public in bytecode)
         jsc = spark.sparkContext._jsc.sc()

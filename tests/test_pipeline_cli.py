@@ -552,3 +552,14 @@ def test_cli_select_token_budget(spark, tmp_path, capsys):
     assert "selected 2 documents / 300 tokens" in capsys.readouterr().out
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 2]
+
+
+def test_cli_calibration_empty_input(spark, tmp_path, capsys):
+    """Zero scored rows (r13 review): a clean 0-row ECE line, not a
+    NoneType format crash."""
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    src = str(tmp_path / "empty_scored.parquet")
+    spark.createDataFrame([], "doc_id long, prob double, label int").write.parquet(src)
+    main(["calibration", "--in", src])
+    assert "ECE: 0.000000 over 0 scored rows" in capsys.readouterr().out

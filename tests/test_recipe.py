@@ -615,3 +615,17 @@ def test_recipe_select_stage(spark, tmp_path):
                                               "bogus": 1}})
     with pytest.raises(ValueError, match="positive token count"):
         validate_recipe({**recipe, "select": {"out": sel_out, "budget": 0}})
+
+
+def test_recipe_select_score_sources_exclusive(spark, tmp_path):
+    """select.classifier_path and select.score_col together fail fast
+    (r13 review: the classifier would silently override the column)."""
+    recipe = {
+        "ingest": {"format": "parquet", "path": str(tmp_path / "x.parquet")},
+        "out": str(tmp_path / "o.parquet"),
+        "select": {"out": str(tmp_path / "s.parquet"), "budget": 10,
+                   "score_col": "human_score",
+                   "classifier_path": str(tmp_path / "clf")},
+    }
+    with pytest.raises(ValueError, match="mutually\\s+exclusive"):
+        validate_recipe(recipe)

@@ -600,6 +600,19 @@ def test_select_to_token_budget_pinned(spark):
     assert select_to_token_budget(df, "score", "n_tokens", -5).count() == 0
     # budget over the corpus keeps everything
     assert select_to_token_budget(df, "score", "n_tokens", 10**9).count() == 6
+    # NULL-score docs leave the universe entirely and must not disturb
+    # the boundary arithmetic when the budget exceeds the scored total
+    # (r13 review finding): scored docs all kept, the null doc never
+    withnull = spark.createDataFrame(
+        [(1, 0.5, 60), (2, 0.5, 40), (3, None, 50)],
+        "doc_id long, score double, n_tokens long",
+    )
+    got = sorted(r.doc_id for r in select_to_token_budget(
+        withnull, "score", "n_tokens", 120).collect())
+    assert got == [1, 2]
+    got = sorted(r.doc_id for r in select_to_token_budget(
+        withnull, "score", "n_tokens", 50).collect())
+    assert got == [1]
     # all full doc columns survive selection
     wide = df.withColumn("text", F.lit("payload"))
     kept = select_to_token_budget(wide, "score", "n_tokens", 300)
