@@ -42,7 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query (omitted only for the genuinely
-    engine-specific ops: HLL sketches, LSH-ANN — driver records the weaker
-    rows-only check; their semantics are pytest-verified instead)."""
+    """DuckDB-runnable ANSI SQL per query — ALL 50 driver queries are
+    oracle-paired (the genuinely engine-specific ops — HLL sketches,
+    trained-BPE counts, zlib ratios — live in the EXTRA registry as
+    rows-only entries, value-pinned in pytest instead)."""
     return dict(ORACLES)

@@ -2959,3 +2959,56 @@ def test_threshold_sweep_pinned(spark):
     neg = spark.createDataFrame([(0.9, 0), (0.1, 0)], "prob double, label int")
     r = threshold_sweep(neg, thresholds=(0.5,)).collect()[0]
     assert r.recall == 1.0 and r.precision == 0.0 and r.n_kept == 1
+
+
+def test_doc_repetition_kernel_invariants_property():
+    """Hypothesis invariants over the kernel's pure-Python core (r13):
+    every metric lands in [0, 1]; unique-token docs have zero dup-gram
+    fractions; the overlap-aware duplicated-char fraction is 0 exactly
+    when the count fraction is 0; all-identical-token docs saturate the
+    dup fractions as n grows.  Pure driver-side — no Spark roundtrip,
+    so hypothesis can run hundreds of examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        _doc_repetition,
+        _metric_names,
+    )
+
+    TOP, DUP = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    names = _metric_names(TOP, DUP, dup_char=True)
+
+    text_st = st.one_of(
+        st.none(),
+        st.text(alphabet=st.characters(codec="utf-8"), max_size=400),
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "a\x01b", "δé", "zz zz", "\n\n", "w"]),
+            max_size=80,
+        ).map(" ".join),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(text_st)
+    def check(t):
+        vals = dict(zip(names, _doc_repetition(t, TOP, DUP, dup_char=True)))
+        for m, v in vals.items():
+            assert 0.0 <= v <= 1.0, (m, v, t)
+        for nn in DUP:
+            cf, chf = vals[f"dup_{nn}gram_frac"], vals[f"dup_{nn}gram_char_frac"]
+            assert (cf == 0.0) == (chf == 0.0), (nn, cf, chf, t)
+
+    check()
+
+    # saturation: "w"*k has dup_ngram_frac (k-n)/(k-n+1) -> 1 and char frac 1
+    for k in (12, 40):
+        vals = dict(zip(names, _doc_repetition(" ".join(["w"] * k), TOP, DUP, True)))
+        for nn in DUP:
+            assert vals[f"dup_{nn}gram_frac"] == (k - nn) / (k - nn + 1)
+            assert vals[f"dup_{nn}gram_char_frac"] == 1.0
+    # unique tokens: every dup fraction is exactly 0
+    vals = dict(zip(names, _doc_repetition(
+        " ".join(f"tok{i}" for i in range(30)), TOP, DUP, True)))
+    for nn in DUP:
+        assert vals[f"dup_{nn}gram_frac"] == 0.0
+        assert vals[f"dup_{nn}gram_char_frac"] == 0.0
