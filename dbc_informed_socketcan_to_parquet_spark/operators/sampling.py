@@ -849,13 +849,18 @@ def select_to_token_budget(
     """
     if budget_tokens <= 0:
         return df.filter(F.lit(False))
-    # NULL scores leave the selection universe ENTIRELY, up front: left
-    # in, the NULL bucket would pass the cumulative filter (desc-order
-    # NULLs sort last, so its running total covers every scored token)
-    # and inflate the boundary's spent-above figure — silently starving
-    # the boundary bucket whenever the budget exceeds the scored total
-    # (r13 review finding, reproduced).
-    df = df.filter(F.col(score_col).isNotNull())
+    # NULL and NaN scores leave the selection universe ENTIRELY, up
+    # front: left in, the NULL bucket would pass the cumulative filter
+    # (desc-order NULLs sort last, so its running total covers every
+    # scored token) and inflate the boundary's spent-above figure —
+    # silently starving the boundary bucket whenever the budget exceeds
+    # the scored total (r13 review finding, reproduced).  NaN is the
+    # same bug through the other door (r14 review): it sorts ABOVE
+    # every double in the (score DESC) window yet the non-ANSI
+    # NaN->long cast buckets it at floor(NaN·res) = 0, breaking the
+    # bucketed-equals-global-sort equivalence and starving the boundary.
+    s = F.col(score_col)
+    df = df.filter(s.isNotNull() & ~F.isnan(s.cast("double")))
     if materialize_input:
         from dbc_informed_socketcan_to_parquet_spark.functions.checkpoints import (
             durable_checkpoint,

@@ -298,10 +298,12 @@ def gopher_repetition(
     Spark-side in both, so parity is by construction, and pinned in
     ``tests/test_corpus_ops.py::test_gopher_repetition_kernel_parity``.
 
-    ``dup_char=True`` (kernel-only) appends the PAPER's overlap-aware
-    duplicated-character fraction per dup-n (``dup_{n}gram_char_frac``)
-    — Table A1's thresholds measure characters inside duplicated
-    n-grams, not occurrence counts; the gate
+    ``dup_char=True`` (kernel-only) appends the PAPER's duplicated-
+    character fraction per dup-n (``dup_{n}gram_char_frac``) — Table
+    A1's thresholds measure characters inside duplicated n-grams, not
+    occurrence counts — in the reference reproduction's semantics
+    (repeated non-overlapping occurrences only; first occurrence free —
+    see :func:`_doc_repetition`, r14); the gate
     (:func:`gopher_repetition_flags`) thresholds the char-frac columns.
 
     The expression lane's two-stage shape is load-bearing: higher-order
@@ -484,12 +486,22 @@ def _doc_repetition(
     joined order can flip — detected once per document (one C-speed
     regex scan) and routed to an exact joined-string tie-break.
 
-    ``dup_char=True`` appends the paper's overlap-aware duplicated-
-    CHARACTER fraction per dup-n (Rae et al. 2021 Table A1 measures
-    characters inside duplicated n-grams, not occurrence counts): char
-    spans of every occurrence of a gram seen ≥2 times, interval-unioned
-    over the single-space-joined token stream.  Kernel-only — no
-    row-local Column algebra can mark overlapping spans.
+    ``dup_char=True`` appends the paper's duplicated-CHARACTER fraction
+    per dup-n (Rae et al. 2021 Table A1 measures characters inside
+    duplicated n-grams, not occurrence counts), in the REFERENCE
+    reproduction's form (DataTrove ``find_all_duplicate``, the lineage
+    Table A1's thresholds are calibrated against): a left-to-right walk
+    that counts only REPEATED occurrences — the first occurrence of a
+    gram is never counted — and skips ``n`` tokens past each counted
+    repeat so counted spans never overlap.  (Through r13 this counted
+    ALL occurrences of any gram seen ≥2, interval-unioned — systematically
+    more aggressive than the thresholds assume on gram-repetitive docs,
+    e.g. ``"w "×12`` scored 1.0 vs ~0.78 here; r14 review fix.)  Char
+    unit stays the single-space-joined token stream on both sides of the
+    division — gram chars include internal joiners, the denominator is
+    the joined stream length — consistent with every other char-frac in
+    the battery.  Kernel-only — no row-local Column algebra can walk
+    with a data-dependent skip.
     """
     if t is None:
         t = ""
@@ -531,24 +543,23 @@ def _doc_repetition(
         if not dup_char:
             out.append((m - len(set(grams))) / m)
             continue
-        cnt = Counter(grams)
-        out.append((m - len(cnt)) / m)
-        # interval union of duplicated-gram occurrence spans; grams are
-        # start-sorted by construction so one sweep suffices
+        out.append((m - len(set(grams))) / m)
+        # reference walk (DataTrove find_all_duplicate): count only the
+        # chars of REPEATED occurrences, skipping n past each counted
+        # repeat so counted spans never overlap; first occurrences are
+        # free.  Gram char length in joined-stream units: cum span + the
+        # nn-1 internal joiners.
+        seen: set = set()
         covered = 0
-        cur_s = cur_e = -1
-        for i, g in enumerate(grams):
-            if cnt[g] < 2:
-                continue
-            s, e = cum[i] + i, cum[i + nn] + i + nn - 1
-            if s > cur_e:
-                if cur_s >= 0:
-                    covered += cur_e - cur_s
-                cur_s, cur_e = s, e
-            elif e > cur_e:
-                cur_e = e
-        if cur_s >= 0:
-            covered += cur_e - cur_s
+        i = 0
+        while i < m:
+            g = grams[i]
+            if g in seen:
+                covered += cum[i + nn] - cum[i] + nn - 1
+                i += nn
+            else:
+                seen.add(g)
+                i += 1
         out.append(covered / total_chars if total_chars > 0 else 0.0)
     return out
 
@@ -1084,13 +1095,24 @@ def calibration_report(
     Scale: ONE hash aggregation on the bin key (≤ ``n_bins`` groups —
     map-side combine collapses everything before the shuffle); no
     window, no join, label cast + binning row-local.
+
+    Rows whose probability is NULL, NaN, or outside [0, 1] are dropped
+    up front (r14 review fix): a NULL prob formed a NULL bin row and
+    out-of-range values produced negative/overflow bins that silently
+    skewed the per-bin rows and the CLI's ECE aggregate.  The report
+    and ECE cover well-formed scores only — malformed scores mean the
+    classifier output is broken, which no binning can repair.
     """
+    p = F.col(prob_col)
+    valid = scored.filter(
+        p.isNotNull() & ~F.isnan(p) & (p >= F.lit(0.0)) & (p <= F.lit(1.0))
+    )
     b = F.least(
         F.floor(F.col(prob_col) * F.lit(int(n_bins))).cast("int"),
         F.lit(int(n_bins) - 1),
     )
     agg = (
-        scored.select(
+        valid.select(
             b.alias("bin"),
             F.col(prob_col).alias("_p"),
             F.col(label_col).cast("double").alias("_y"),
@@ -1128,7 +1150,17 @@ def threshold_sweep(
     aggregates (2 + 2·|thresholds| counts, all map-side combined), then
     a constant-size explode of that row — no join, no window, no
     per-threshold rescan.
+
+    Like :func:`calibration_report` (r14), rows with NULL / NaN /
+    out-of-[0, 1] probabilities are dropped up front — Spark orders NaN
+    ABOVE every double, so a NaN-scored row would count as kept at
+    every threshold and silently skew n_kept and precision.
     """
+    pcol = F.col(prob_col)
+    scored = scored.filter(
+        pcol.isNotNull() & ~F.isnan(pcol)
+        & (pcol >= F.lit(0.0)) & (pcol <= F.lit(1.0))
+    )
     p, y = F.col(prob_col), F.col(label_col).cast("double")
     aggs = [
         F.count(F.lit(1)).alias("_n"),
@@ -1886,6 +1918,34 @@ GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
 }
 
 
+_COUNT_LANE_RE = re.compile(r"^dup_(\d+)gram_char_frac$")
+
+
+def _gate_thresholds(
+    kernel: bool, names: set[str] | None = None
+) -> dict[str, float]:
+    """The gate-able rule set for the current lane — the ONE key set
+    both gates validate overrides against (r14 review fix; previously
+    the streaming gate accepted count-frac overrides the batch gate
+    rejected, and conjoined them with the char-frac defaults).
+
+    Kernel lane: the published char-frac rules verbatim.  Pandas-less
+    fallback (``kernel=False``): the dup-n rules remap to the count-frac
+    columns at the same values — the documented pre-r13 deviation —
+    so the gate still works without pandas.  Restricted to ``names``
+    (the computed metrics) when given.
+    """
+    th: dict[str, float] = {}
+    for k, v in GOPHER_REPETITION_THRESHOLDS.items():
+        if not kernel:
+            m = _COUNT_LANE_RE.match(k)
+            if m:
+                k = f"dup_{m.group(1)}gram_frac"
+        if names is None or k in names:
+            th[k] = v
+    return th
+
+
 def gopher_repetition_flags(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1902,13 +1962,28 @@ def gopher_repetition_flags(
     Same scale shape as the battery: two shuffle-free row-local
     projections; the flags are plain comparisons over the second.
 
+    On a pandas-less driver the kernel lane is unavailable; the gate
+    falls back to the expression lane with the dup-n rules on the
+    COUNT-frac columns at the same values (the pre-r13 deviation,
+    r14 review fix — previously this raised ImportError mid-plan), with
+    a warning.  Override keys must name rules gate-able in the active
+    lane; the batch and streaming gates validate against the SAME set.
+
     .. note:: the published thresholds assume the quality battery's
        ≥50-word floor runs alongside (as in the paper): on a ~25-word
        doc a SINGLETON 4-gram covers ~18% of the characters and trips
        the 0.16 ``top_4gram`` rule by construction.  Gate short docs on
        word count first (``gopher_quality_flags`` / ``min_words``).
     """
-    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    kernel = pd is not None
+    if not kernel:  # pragma: no cover — pandas is baked into this env
+        import warnings
+
+        warnings.warn(
+            "pandas unavailable: repetition gate falling back to the "
+            "expression lane (dup-n rules gate count fractions)",
+            RuntimeWarning, stacklevel=2)
+    th = _gate_thresholds(kernel)
     if thresholds:
         unknown = set(thresholds) - set(th)
         if unknown:
@@ -1916,7 +1991,8 @@ def gopher_repetition_flags(
         th.update(thresholds)
     # dup_char: the dup-n-gram rules gate the paper's duplicated-character
     # fraction (kernel lane), next to the count-based battery columns
-    rep = gopher_repetition(df, id_col, text_col, dup_char=True)
+    rep = gopher_repetition(df, id_col, text_col,
+                            kernel=kernel, dup_char=kernel)
     oks = [(F.col(m) <= F.lit(v)).alias(f"ok_{m}") for m, v in th.items()]
     passes = F.lit(True)
     for m, v in th.items():
@@ -1942,17 +2018,37 @@ def with_passes_repetition(
 
     With non-default ``top_ns``/``dup_ns`` the conjunction covers only
     the rules whose metric is computed; threshold overrides must name
-    computed rules.  Kernel lane (r13): one Arrow-batched struct UDF per
-    row — still a stateless projection, streaming-safe.
+    GATE-ABLE rules — the same key set :func:`gopher_repetition_flags`
+    accepts (r14 review fix: a count-frac override like
+    ``dup_5gram_frac`` is rejected in BOTH gates rather than silently
+    conjoined with the char-frac default here).  Kernel lane (r13): one
+    Arrow-batched struct UDF per row — still a stateless projection,
+    streaming-safe; pandas-less drivers fall back to the expression
+    lane exactly as the batch gate does.
     """
-    names = _metric_names(top_ns, dup_ns, dup_char=True)
-    th = {m: v for m, v in GOPHER_REPETITION_THRESHOLDS.items() if m in names}
+    kernel = pd is not None
+    if not kernel:  # pragma: no cover — pandas is baked into this env
+        import warnings
+
+        warnings.warn(
+            "pandas unavailable: repetition gate falling back to the "
+            "expression lane (dup-n rules gate count fractions)",
+            RuntimeWarning, stacklevel=2)
+    names = set(_metric_names(top_ns, dup_ns, dup_char=kernel))
+    th = _gate_thresholds(kernel, names)
     if thresholds:
-        unknown = set(thresholds) - set(names)
+        unknown = set(thresholds) - set(th)
         if unknown:
             raise ValueError(f"unknown repetition rules: {sorted(unknown)}")
         th.update(thresholds)
     orig = df.columns
+    if not kernel:  # pragma: no cover — expression-lane fallback
+        staged = df.select("*", *_repetition_stage_cols(text_col, top_ns, dup_ns))
+        metered = staged.select(*orig, *_repetition_metric_cols(top_ns, dup_ns))
+        passes = F.lit(True)
+        for m, v in th.items():
+            passes = passes & (F.col(m) <= F.lit(v))
+        return metered.select(*orig, passes.alias(out_col))
     udf = _repetition_kernel_udf(top_ns, dup_ns, dup_char=True)
     staged = df.select("*", udf(F.col(text_col)).alias("_rep"))
     passes = F.lit(True)

@@ -5919,6 +5919,8 @@ _CALIBRATION_ORACLE = f"""
       SELECT CAST(least(CAST(floor(prob * 10) AS INT), 9) AS INT) AS bin,
              prob, y
       FROM lab
+      WHERE prob IS NOT NULL AND NOT isnan(prob)
+        AND prob >= 0 AND prob <= 1
     )
     SELECT bin,
            CAST(count(*) AS BIGINT) AS n,
@@ -5966,6 +5968,8 @@ _SWEEP_ORACLE = f"""
     lab AS (
       SELECT s.prob, CAST(length(d.text) % 2 AS DOUBLE) AS y
       FROM scored s JOIN documents d USING (doc_id)
+      WHERE s.prob IS NOT NULL AND NOT isnan(s.prob)
+        AND s.prob >= 0 AND s.prob <= 1
     ),
     tot AS (
       SELECT count(*) AS n, count(*) FILTER (WHERE y = 1.0) AS pos FROM lab

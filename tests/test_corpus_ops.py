@@ -2690,9 +2690,11 @@ def test_gopher_repetition_kernel_parity(spark):
 
 
 def test_gopher_repetition_dup_char_frac_pinned(spark):
-    """dup_char=True (r13): the paper's overlap-aware duplicated-character
-    fraction — hand-computed interval unions, next to the count-based
-    fraction the same row still reports, and the all-duplicated clamp."""
+    """dup_char=True, r14 reference semantics (DataTrove
+    find_all_duplicate): only REPEATED occurrences count — the first
+    occurrence of a gram is free — and each counted repeat skips n
+    tokens, so counted spans never overlap.  Hand-computed walks, next
+    to the count-based fraction the same row still reports."""
     import pytest as _pytest
 
     from dbc_informed_socketcan_to_parquet_spark.operators.textops import gopher_repetition
@@ -2700,10 +2702,14 @@ def test_gopher_repetition_dup_char_frac_pinned(spark):
     docs = spark.createDataFrame(
         [
             # tokens: one two three four five ×2 + tail; joined stream is
-            # 52 chars; the duplicated 5-gram occupies [0,23) and [24,47)
+            # 52 chars; the walk hits the repeat of the 5-gram
+            # "one two three four five" once (23 chars) — the first
+            # occurrence is NOT counted (pre-r14 interval union scored
+            # both occurrences: 46/52)
             (0, "one two three four five one two three four five tail"),
-            # "w"×12: every char of the joined stream sits inside a
-            # duplicated 5-gram -> char frac 1.0 while the count frac is 7/8
+            # "w"×12 joined = 23 chars: hits at gram idx 1 and 6, each
+            # "w w w w w" = 9 chars -> 18/23 (pre-r14: 1.0) while the
+            # count frac stays 7/8
             (1, " ".join(["w"] * 12)),
             (2, "all tokens perfectly unique here nothing repeats at any size"),
             (3, None),
@@ -2712,16 +2718,65 @@ def test_gopher_repetition_dup_char_frac_pinned(spark):
     )
     got = {r.doc_id: r.asDict()
            for r in gopher_repetition(docs, dup_char=True).collect()}
-    assert got[0]["dup_5gram_char_frac"] == round(46 / 52, 6)
+    assert got[0]["dup_5gram_char_frac"] == round(23 / 52, 6)
     assert got[0]["dup_5gram_frac"] == round(1 / 7, 6)
     assert got[0]["dup_6gram_char_frac"] == 0.0
-    assert got[1]["dup_5gram_char_frac"] == 1.0
+    assert got[1]["dup_5gram_char_frac"] == round(18 / 23, 6)
     assert got[1]["dup_5gram_frac"] == 0.875
     assert got[2]["dup_5gram_char_frac"] == 0.0
     assert all(v == 0.0 for c, v in got[3].items() if c != "doc_id")
     # char-frac columns need the kernel; the expression lane refuses
     with _pytest.raises(ValueError, match="dup_char requires the kernel"):
         gopher_repetition(docs, kernel=False, dup_char=True)
+
+
+def test_repetition_gate_reference_semantics_kept_set(spark):
+    """A document where the r14 reference definition and the pre-r14
+    all-occurrence interval union DISAGREE on the kept-set, pinned to
+    the intended (reference) outcome: one repeated 5-gram whose single
+    counted repeat is 14/149 = 0.094 ≤ 0.15 (KEEP), while counting both
+    occurrences scores 28/149 = 0.188 > 0.15 (pre-r14 dropped it).
+    Filler is sized so no other rule trips (top_4gram 22/149 = 0.148)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        gopher_repetition_flags,
+        with_passes_repetition,
+    )
+
+    text = "aa bb cc dd ee aa bb cc dd ee " + " ".join(
+        f"x{i:02d}" for i in range(30))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = gopher_repetition_flags(docs).collect()[0]
+    assert row["dup_5gram_char_frac"] == round(14 / 149, 6)
+    assert row["ok_dup_5gram_char_frac"] is True
+    assert row["ok_top_4gram_char_frac"] is True
+    assert row["passes_repetition"] is True
+    # the streaming twin agrees on the same document
+    srow = with_passes_repetition(docs).collect()[0]
+    assert srow["_passes_repetition"] is True
+
+
+def test_repetition_gate_override_key_parity(spark):
+    """r14 review fix: BOTH gates validate threshold overrides against
+    the same key set — a legacy count-frac override (dup_5gram_frac) is
+    rejected by the streaming gate too, instead of silently conjoining
+    with the char-frac default."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        gopher_repetition_flags,
+        with_passes_repetition,
+    )
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    for gate in (
+        lambda: gopher_repetition_flags(docs, thresholds={"dup_5gram_frac": 0.5}),
+        lambda: with_passes_repetition(docs, thresholds={"dup_5gram_frac": 0.5}),
+    ):
+        with _pytest.raises(ValueError, match="unknown repetition rules"):
+            gate()
+    # char-frac overrides remain accepted by both
+    gopher_repetition_flags(docs, thresholds={"dup_5gram_char_frac": 0.5})
+    with_passes_repetition(docs, thresholds={"dup_5gram_char_frac": 0.5})
 
 
 def test_ngram_novelty_pinned(spark):
@@ -2930,6 +2985,17 @@ def test_calibration_report_pinned(spark):
     # custom bin count: 0.62/0.64/0.66 split across 50 bins
     fine = {r.bin for r in calibration_report(scored, n_bins=50).collect()}
     assert {31, 32, 33} <= fine
+    # r14 review fix: NULL / NaN / out-of-[0,1] probs are dropped up
+    # front — no NULL bin row, no negative/overflow bins, and the
+    # well-formed rows' bins are untouched
+    dirty = spark.createDataFrame(
+        [(0.05, 0), (0.08, 1), (None, 1), (float("nan"), 0),
+         (-0.3, 1), (1.7, 0)],
+        "prob double, label int",
+    )
+    rows = calibration_report(dirty).collect()
+    assert {r.bin for r in rows} == {0}
+    assert rows[0].n == 2 and rows[0].mean_prob == 0.065
 
 
 def test_threshold_sweep_pinned(spark):
@@ -2951,6 +3017,18 @@ def test_threshold_sweep_pinned(spark):
     assert got[0.5].recall == round(2 / 3, 6)
     assert got[0.7].n_kept == 2 and got[0.7].precision == 0.5
     assert got[0.95].n_kept == 0 and got[0.95].precision == 0.0
+    # r14: NULL / NaN / out-of-range probs leave the sweep universe —
+    # Spark sorts NaN above every double, so an unfiltered NaN row
+    # would count as kept at every threshold
+    dirty = scored.union(spark.createDataFrame(
+        [(float("nan"), 1), (None, 0), (1.8, 1), (-0.2, 0)],
+        "prob double, label int"))
+    dgot = {r.threshold: r
+            for r in threshold_sweep(dirty, thresholds=(0.5, 0.7, 0.95)).collect()}
+    for t in (0.5, 0.7, 0.95):
+        assert (dgot[t].n_kept, dgot[t].keep_frac, dgot[t].precision,
+                dgot[t].recall) == (
+            got[t].n_kept, got[t].keep_frac, got[t].precision, got[t].recall), t
     assert got[0.95].recall == 0.0
     ks = [got[t].keep_frac for t in (0.5, 0.7, 0.95)]
     assert ks == sorted(ks, reverse=True)
@@ -3000,12 +3078,16 @@ def test_doc_repetition_kernel_invariants_property():
 
     check()
 
-    # saturation: "w"*k has dup_ngram_frac (k-n)/(k-n+1) -> 1 and char frac 1
+    # saturation: "w"*k has dup_ngram_frac (k-n)/(k-n+1) -> 1; the
+    # reference walk (r14) hits at gram idx 1, 1+n, 1+2n, … ≤ k-n —
+    # floor((k-1)/n) repeats of 2n-1 chars over the 2k-1-char stream
     for k in (12, 40):
         vals = dict(zip(names, _doc_repetition(" ".join(["w"] * k), TOP, DUP, True)))
         for nn in DUP:
             assert vals[f"dup_{nn}gram_frac"] == (k - nn) / (k - nn + 1)
-            assert vals[f"dup_{nn}gram_char_frac"] == 1.0
+            hits = (k - 1) // nn
+            assert vals[f"dup_{nn}gram_char_frac"] == (
+                hits * (2 * nn - 1) / (2 * k - 1))
     # unique tokens: every dup fraction is exactly 0
     vals = dict(zip(names, _doc_repetition(
         " ".join(f"tok{i}" for i in range(30)), TOP, DUP, True)))

@@ -613,6 +613,17 @@ def test_select_to_token_budget_pinned(spark):
     got = sorted(r.doc_id for r in select_to_token_budget(
         withnull, "score", "n_tokens", 50).collect())
     assert got == [1]
+    # NaN scores are the same bug through the other door (r14 review):
+    # NaN sorts ABOVE every double in the desc window but buckets at 0
+    # via the non-ANSI cast — it must leave the universe like NULL does
+    withnan = spark.createDataFrame(
+        [(1, 0.5, 60), (2, 0.5, 40), (3, float("nan"), 50)],
+        "doc_id long, score double, n_tokens long",
+    )
+    for budget, want in ((120, [1, 2]), (50, [1])):
+        got = sorted(r.doc_id for r in select_to_token_budget(
+            withnan, "score", "n_tokens", budget).collect())
+        assert got == want, (budget, got)
     # all full doc columns survive selection
     wide = df.withColumn("text", F.lit("payload"))
     kept = select_to_token_budget(wide, "score", "n_tokens", 300)
