@@ -116,16 +116,16 @@ def _mc_spin(_i: int) -> float:
 
 
 def _mc_probe(workers: int = 8) -> dict:
-    """Multi-core calibration probe (r13, OBSERVATIONAL — not a gate):
-    the single-thread probe cannot see degradation that only hits
-    parallel throughput (shared-cache pressure, reduced all-core turbo,
-    co-tenant burst across other cores): the r13 confirmation runs
-    measured uniform 1.1-1.4× inflation on untouched queries while the
-    single-thread probe read 1.0.  Run the same spin loop in
-    ``workers`` forked processes at once; on a quiet host each worker
-    costs ≈ the single-thread reference, so mean_ratio ≈ 1.  Recorded
-    at bench start and end so a drifting host is visible in the
-    artifact even when every per-pass gate stayed green."""
+    """Multi-core calibration probe (r13): the single-thread probe
+    cannot see degradation that only hits parallel throughput
+    (shared-cache pressure, reduced all-core turbo, co-tenant burst
+    across other cores): the r13 confirmation runs measured uniform
+    1.1-1.4× inflation on untouched queries while the single-thread
+    probe read 1.0.  Run the same spin loop in ``workers`` forked
+    processes at once; on a quiet host each worker costs ≈ the
+    single-thread reference, so mean_ratio ≈ 1.  Recorded at bench
+    start and end; since r14 the START reading is a GATE (see
+    :func:`_mc_gate`), not just evidence."""
     import multiprocessing as mp
 
     ctx = mp.get_context("fork")
@@ -136,6 +136,34 @@ def _mc_probe(workers: int = 8) -> dict:
         "mean_ratio": round(sum(times) / len(times) / _PROBE_REF, 3),
         "max_ratio": round(max(times) / _PROBE_REF, 3),
     }
+
+
+#: r14 (VERDICT r13 item 1): the committed BENCH_r13 was a degraded-host
+#: draw whose own mc_probe start mean read 1.288 while the single-thread
+#: per-pass gate stayed green — exactly the failure mode mc_probe was
+#: added to expose.  The start probe is now a GATE: above
+#: ``_MC_LIMIT`` mean the run sleeps and re-probes (up to
+#: ``_MC_MAX_RETRIES``); if contention persists the run proceeds but the
+#: artifact carries ``degraded_host: true`` so a bad draw can never be
+#: committed as the round's number without saying so.  The END probe
+#: sets the same flag retroactively — a run that finished on a
+#: contended host is suspect even if it started quiet.
+_MC_LIMIT = 1.15
+_MC_MAX_RETRIES = 6
+_MC_GATE_RETRIES = [0]
+
+
+def _mc_gate() -> dict:
+    probe = _mc_probe()
+    for _ in range(_MC_MAX_RETRIES):
+        if probe["mean_ratio"] <= _MC_LIMIT:
+            return probe
+        _MC_GATE_RETRIES[0] += 1
+        time.sleep(20.0)
+        probe = _mc_probe()
+    if probe["mean_ratio"] > _MC_LIMIT:
+        _DEGRADED[0] = True
+    return probe
 
 
 def _min_of(spark, mk, reps: int, max_retries: int = 3) -> float:
@@ -221,7 +249,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     start_load = os.getloadavg()[0]
-    mc_start = _mc_probe()
+    mc_start = _mc_gate()  # r14: gated, not observational
     spark = get_spark("bench")
     # Warm the JVM outside the timed region: file listing, codegen, and the
     # md5/regex/conv intrinsics the text queries lean on — bench measures
@@ -238,15 +266,23 @@ def main() -> None:
     # re-run (see _min_of).  Cache is cleared between passes so operators
     # that .cache() intermediates (minhash_lsh_pairs' signature table)
     # are still measured cold.
+    # HEADLINE names resolve from either registry: rotations between the
+    # driver 50 and EXTRA (r14 demoted top_k_per_group / window_running)
+    # must not change what the headline sum measures
+    from dbc_informed_socketcan_to_parquet_spark.queries import EXTRA_QUERIES
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
+        fn = QUERIES.get(name) or EXTRA_QUERIES[name]
         reps = 5 if name in _NOISY else 3
         timings[name] = _min_of(spark, lambda: fn(spark, sf_dir), reps)
 
     fast = _fast_path_timings(spark, sf_dir)
     corpus = _corpus_addition_timings(spark, sf_dir)
     fps = _decode_throughput(spark)
+    mc_end = _mc_probe()
+    if mc_end["mean_ratio"] > _MC_LIMIT:
+        _DEGRADED[0] = True
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -262,11 +298,16 @@ def main() -> None:
                         "corpus=min2-cold (hash-bound min5), "
                         "decode=median5-warm, load+probe-gated retry on "
                         "every timed pass incl. decode; degraded_host set "
-                        "when probe stays >limit after retries"),
+                        "when probe stays >limit after retries; r14: "
+                        "multi-core probe gates run start (retry loop) "
+                        "and flags a contended end reading"),
         "load": _load_summary(start_load),
         "probe": _probe_summary(),
-        # observational multi-core drift evidence (see _mc_probe)
-        "mc_probe": {"start": mc_start, "end": _mc_probe()},
+        # multi-core contention: start reading is a gate (r14), end
+        # reading retroactively flags a run that finished contended
+        "mc_probe": {"start": mc_start, "end": mc_end,
+                     "limit_mean": _MC_LIMIT,
+                     "gated_retries": _MC_GATE_RETRIES[0]},
         "queries": timings,
         "sf": sf,
         "decode_frames_per_sec": fps,
@@ -382,9 +423,15 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  "gopher_repetition", "ngram_novelty",
                  "cluster_size_report", "topic_report",
                  # r13 additions: classifier-gating toolkit + token-budget
-                 # selection (each rides the shared scoring pass)
+                 # selection.  r14: select_to_token_budget reads a
+                 # PRESCORED fixture (VERDICT r13 item 7) — its trend now
+                 # measures the selection operator, not the shared
+                 # classifier-scoring pass (which calibration_report /
+                 # threshold_sweep still pay and track)
                  "calibration_report", "threshold_sweep",
-                 "select_to_token_budget"):
+                 "select_to_token_budget",
+                 # r14 addition: per-group (per-language) budget selection
+                 "select_by_group_budget"):
         fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         out[name] = _min_of(spark, lambda: fn(spark, sf_dir),
                             5 if name in _NOISY else 2)

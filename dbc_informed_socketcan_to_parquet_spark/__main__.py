@@ -831,6 +831,17 @@ def build_select_parser() -> argparse.ArgumentParser:
                    help="score buckets for the sort-free selection; higher "
                         "= smaller boundary window (answer is exact at any "
                         "resolution)")
+    p.add_argument("--by-group", dest="group_col", default=None,
+                   help="r14: select PER GROUP of this column (e.g. lang/"
+                        "source) — each group keeps its own best-scoring "
+                        "prefix; --budget applies per group unless "
+                        "--group-budget overrides it")
+    p.add_argument("--group-budget", dest="group_budgets", action="append",
+                   default=[], metavar="GROUP=TOKENS",
+                   help="per-group budget override (repeatable); groups "
+                        "named here are selected to their own budget, "
+                        "unnamed groups fall back to --budget, or are "
+                        "DROPPED with --budget 0")
     p.add_argument("--out", dest="output_path", required=True)
     return p
 
@@ -838,27 +849,60 @@ def build_select_parser() -> argparse.ArgumentParser:
 def run_select(argv: list[str]) -> None:
     """Token-budget selection (r13): keep the best-scoring documents
     until the budget fills — no global corpus sort (bucketed cumulative
-    + exact boundary window)."""
+    + exact boundary window).  r14: ``--by-group lang`` selects per
+    language ("best N tokens PER LANGUAGE"), with optional
+    ``--group-budget en=4000`` overrides."""
     from pyspark.sql import functions as F
 
     from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
         select_to_token_budget,
+        select_to_token_budget_by_group,
     )
 
     args = build_select_parser().parse_args(argv)
+    if args.group_budgets and not args.group_col:
+        raise SystemExit("--group-budget requires --by-group")
     spark = get_spark("select-cli")
-    kept = select_to_token_budget(
-        spark.read.parquet(args.input_path),
-        score_col=args.score_col, token_col=args.token_col,
-        budget_tokens=args.budget, id_col=args.id_col,
-        resolution=args.resolution,
-    )
+    docs = spark.read.parquet(args.input_path)
+    if args.group_col:
+        if args.group_budgets:
+            budgets: dict[str, int] = {}
+            for kv in args.group_budgets:
+                g, _, n = kv.partition("=")
+                if not g or not n.lstrip("-").isdigit():
+                    raise SystemExit(
+                        f"--group-budget wants GROUP=TOKENS, got {kv!r}")
+                budgets[g] = int(n)
+            if args.budget > 0:
+                # unnamed groups fall back to the flat budget
+                present = {
+                    r[0] for r in
+                    docs.select(args.group_col).distinct().collect()
+                    if r[0] is not None
+                }
+                for g in present - set(budgets):
+                    budgets[g] = args.budget
+            budgets_arg: dict[str, int] | int = budgets
+        else:
+            budgets_arg = args.budget
+        kept = select_to_token_budget_by_group(
+            docs, score_col=args.score_col, token_col=args.token_col,
+            budgets=budgets_arg, group_col=args.group_col,
+            id_col=args.id_col, resolution=args.resolution,
+        )
+    else:
+        kept = select_to_token_budget(
+            docs, score_col=args.score_col, token_col=args.token_col,
+            budget_tokens=args.budget, id_col=args.id_col,
+            resolution=args.resolution,
+        )
     kept.write.mode("overwrite").parquet(args.output_path)
     out = spark.read.parquet(args.output_path)
     t = out.agg(F.count(F.lit(1)).alias("n"),
                 F.sum(args.token_col).alias("tok")).collect()[0]
+    scope = f"per {args.group_col}" if args.group_col else "global"
     print(f"selected {t.n} documents / {t.tok or 0} tokens "
-          f"(budget {args.budget}) to {args.output_path}")
+          f"(budget {args.budget} {scope}) to {args.output_path}")
 
 
 def build_calibration_parser() -> argparse.ArgumentParser:

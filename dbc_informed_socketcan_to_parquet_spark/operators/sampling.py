@@ -905,3 +905,116 @@ def select_to_token_budget(
         .drop("_cum")
     )
     return kept_above.unionByName(kept_edge)
+
+
+def select_to_token_budget_by_group(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    budgets: dict[str, int] | int,
+    group_col: str,
+    id_col: str = "doc_id",
+    resolution: int = 10_000,
+    materialize_input: bool = True,
+) -> DataFrame:
+    """Per-group token-budget selection (r14, VERDICT r13 item 3) — the
+    production shape of :func:`select_to_token_budget`: "the best N
+    tokens PER LANGUAGE/SOURCE", one budget per ``group_col`` value.
+
+    ``budgets`` is either a ``{group: budget_tokens}`` map (groups
+    absent from the map are DROPPED — selection is explicit) or a
+    single int applied to every group present in the data.  Within each
+    group the semantics are exactly the single-budget operator's:
+    order by ``(score DESC, id ASC)``, keep the prefix whose strictly-
+    preceding tokens total < the group's budget (crossing doc included).
+    NULL groups and NULL/NaN scores leave the universe; budgets ≤ 0
+    keep nothing for that group.
+
+    Scale — the bucketed two-phase trick PARTITIONS CLEANLY by group,
+    and nothing per-group ever reaches the driver:
+
+    1. one aggregation onto ``(group, floor(score·resolution))`` keys
+       (map-side combined; ≤ groups·resolution·range rows);
+    2. the cumulative window runs ``partitionBy(group)`` over that
+       SMALL table — no single-partition global window;
+    3. the per-group boundary table (one row per group: boundary
+       bucket + tokens spent above it) is groups-sized and joins back
+       BROADCAST, so the kept-above filter and the boundary-bucket
+       refinement stay shuffle-free on the corpus side;
+    4. only boundary-bucket documents (≈ corpus/resolution per group)
+       get the exact ``(score DESC, id ASC)`` running-sum window,
+       ``partitionBy(group)`` — parallel across groups.
+
+    The kept set equals the per-group global-sort answer at ANY
+    resolution (same monotone-bucketing + exact-boundary argument as
+    the single-budget form, applied within each partition).  Compose
+    with ``fertility_mix``: its per-language ``est_tokens`` output is
+    exactly the ``budgets`` map this consumes.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if isinstance(budgets, int):
+        budget_df = (
+            df.select(F.col(group_col).alias("_g")).distinct()
+            .withColumn("_budget", F.lit(int(budgets)).cast("long"))
+        )
+    else:
+        items = [(str(g), int(b)) for g, b in budgets.items() if int(b) > 0]
+        if not items:
+            return df.filter(F.lit(False))
+        budget_df = spark.createDataFrame(items, "_g string, _budget long")
+    s = F.col(score_col)
+    df = df.filter(
+        s.isNotNull() & ~F.isnan(s.cast("double")) & F.col(group_col).isNotNull()
+    )
+    # groups without a (positive) budget leave the universe here — the
+    # budget table is groups-sized, always broadcastable
+    df = df.join(
+        F.broadcast(budget_df.filter(F.col("_budget") > 0)),
+        df[group_col] == F.col("_g"),
+    ).drop("_g")
+    if materialize_input:
+        from dbc_informed_socketcan_to_parquet_spark.functions.checkpoints import (
+            durable_checkpoint,
+        )
+
+        df = durable_checkpoint(df, eager=False)
+    b = F.floor(F.col(score_col) * F.lit(float(resolution)))
+    per = (
+        df.select(F.col(group_col).alias("_g"), b.alias("_b"),
+                  F.col(token_col).alias("_t"), F.col("_budget"))
+        .groupBy("_g", "_b")
+        .agg(F.sum("_t").alias("_bt"), F.first("_budget").alias("_budget"))
+    )
+    w = (
+        Window.partitionBy("_g").orderBy(F.desc("_b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "_g", "_b", "_bt", "_budget", F.sum("_bt").over(w).alias("_cum"))
+    bnd = (
+        cum.filter(F.col("_cum") - F.col("_bt") < F.col("_budget"))
+        .groupBy("_g")
+        .agg(
+            F.min("_b").alias("_bstar"),
+            (F.first("_budget") - F.max(F.col("_cum") - F.col("_bt")))
+            .alias("_remaining"),
+        )
+    )
+    joined = df.join(F.broadcast(bnd), df[group_col] == bnd["_g"]).drop("_g")
+    bucket = F.floor(F.col(score_col) * F.lit(float(resolution)))
+    extra = ["_budget", "_bstar", "_remaining"]
+    kept_above = joined.filter(bucket > F.col("_bstar")).drop(*extra)
+    edge = joined.filter(bucket == F.col("_bstar"))
+    we = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept_edge = (
+        edge.withColumn("_cum", F.sum(F.col(token_col)).over(we))
+        .filter(F.col("_cum") - F.col(token_col) < F.col("_remaining"))
+        .drop("_cum", *extra)
+    )
+    return kept_above.unionByName(kept_edge)

@@ -219,14 +219,34 @@ def validate_recipe(recipe: dict) -> None:
                 raise ValueError(f"export requires {req!r}")
     if "select" in recipe:
         sl = recipe["select"]
-        if not isinstance(sl, dict) or "out" not in sl or "budget" not in sl:
+        if not isinstance(sl, dict) or "out" not in sl:
             raise ValueError("select requires {'out': ..., 'budget': ...}")
         unknown = set(sl) - {"out", "budget", "score_col", "token_col",
-                             "classifier_path", "resolution"}
+                             "classifier_path", "resolution",
+                             "group_col", "group_budgets"}
         if unknown:
             raise ValueError(f"unknown select keys: {sorted(unknown)}")
-        if int(sl["budget"]) <= 0:
-            raise ValueError("select.budget must be a positive token count")
+        # r14: per-group selection — either a flat budget per group
+        # (group_col + budget) or an explicit {group: tokens} map
+        if sl.get("group_budgets") is not None:
+            gb = sl["group_budgets"]
+            if not sl.get("group_col"):
+                raise ValueError("select.group_budgets requires group_col")
+            if (not isinstance(gb, dict) or not gb
+                    or not all(int(v) > 0 for v in gb.values())):
+                raise ValueError(
+                    "select.group_budgets must be a non-empty "
+                    "{group: positive token count} map")
+            if "budget" in sl:
+                raise ValueError(
+                    "select.budget and select.group_budgets are mutually "
+                    "exclusive — per-group budgets define the whole "
+                    "selection")
+        else:
+            if "budget" not in sl:
+                raise ValueError("select requires {'out': ..., 'budget': ...}")
+            if int(sl["budget"]) <= 0:
+                raise ValueError("select.budget must be a positive token count")
         if sl.get("classifier_path") and sl.get("score_col"):
             # a classifier would silently override the named column —
             # the user must pick ONE score source (r13 review)
@@ -470,6 +490,7 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         # keeps the full curated table
         from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
             select_to_token_budget,
+            select_to_token_budget_by_group,
         )
 
         sel = recipe["select"]
@@ -491,11 +512,25 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
 
             sdf = sdf.withColumn(
                 token_col, F.size(tokens(F.col("text"))).cast("long"))
-        selected = select_to_token_budget(
-            sdf, score_col=score_col, token_col=token_col,
-            budget_tokens=int(sel["budget"]),
-            resolution=int(sel.get("resolution", 10_000)),
-        )
+        if sel.get("group_col"):
+            # r14: per-group budgets — an explicit map, or the flat
+            # budget applied to every group present
+            budgets = (
+                {str(g): int(v) for g, v in sel["group_budgets"].items()}
+                if sel.get("group_budgets") is not None
+                else int(sel["budget"])
+            )
+            selected = select_to_token_budget_by_group(
+                sdf, score_col=score_col, token_col=token_col,
+                budgets=budgets, group_col=sel["group_col"],
+                resolution=int(sel.get("resolution", 10_000)),
+            )
+        else:
+            selected = select_to_token_budget(
+                sdf, score_col=score_col, token_col=token_col,
+                budget_tokens=int(sel["budget"]),
+                resolution=int(sel.get("resolution", 10_000)),
+            )
         if "_sel_score" in selected.columns:
             selected = selected.drop("_sel_score")
         selected.write.mode("overwrite").parquet(sel["out"])
@@ -503,7 +538,10 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         summary["select"] = {
             "n_docs": kept.count(),
             "n_tokens": int(kept.agg(F.sum(token_col)).collect()[0][0] or 0),
-            "budget": int(sel["budget"]),
+            "budget": (sel.get("group_budgets")
+                       if sel.get("group_budgets") is not None
+                       else int(sel["budget"])),
+            "group_col": sel.get("group_col"),
             "out": sel["out"],
         }
 

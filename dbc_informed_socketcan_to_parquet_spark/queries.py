@@ -665,7 +665,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(  # demoted r14: stable relational shape, rotated out for the r13 flagships
     "top_k_per_group",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice
@@ -779,7 +779,7 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("l_returnflag", "l_linestatus")
 
 
-@query(
+@extra_query(  # demoted r14: stable relational shape, rotated out for the r13 flagships
     "window_running",
     oracle="""
     SELECT c_custkey,
@@ -1569,7 +1569,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.asof import (  # noqa: E4
 )
 
 
-@query(
+@extra_query(  # demoted r14: stable relational shape, rotated out for the r13 flagships
     "asof_join",
     oracle=f"""
     WITH clicks AS (
@@ -1747,7 +1747,7 @@ from dbc_informed_socketcan_to_parquet_spark.operators.asof import (  # noqa: E4
 )
 
 
-@query(
+@extra_query(  # demoted r14: stable relational shape, rotated out for the r13 flagships
     "range_join",
     oracle=f"""
     WITH errors AS (
@@ -5491,8 +5491,8 @@ def q_lsh_band_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query("lsh_band_tune_sampled",
-             oracle=_band_tune_oracle_sql(sample_docs=300))
+@query(  # promoted r14: the production banding-sweep lane joins the driver gate
+    "lsh_band_tune_sampled", oracle=_band_tune_oracle_sql(sample_docs=300))
 def q_lsh_band_tune_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION banding-sweep lane (r13): the same report over a
     deterministic ~300-doc id-hash sample — banding choice is parameter
@@ -5931,7 +5931,8 @@ _CALIBRATION_ORACLE = f"""
     """
 
 
-@extra_query("calibration_report", oracle=_CALIBRATION_ORACLE)
+@query(  # promoted r14 (r13 flagship)
+    "calibration_report", oracle=_CALIBRATION_ORACLE)
 def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier reliability report (textops.calibration_report, r13):
     bin the hashed-classifier probabilities into 10 equal-width bins
@@ -5992,7 +5993,8 @@ _SWEEP_ORACLE = f"""
     """
 
 
-@extra_query("threshold_sweep", oracle=_SWEEP_ORACLE)
+@query(  # promoted r14 (r13 flagship)
+    "threshold_sweep", oracle=_SWEEP_ORACLE)
 def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-threshold sweep (textops.threshold_sweep, r13): per candidate
     --min-clf-prob value, the kept fraction and the kept set's
@@ -6022,14 +6024,24 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUDGET_TOKENS = 20_000
 
-_BUDGET_ORACLE = f"""
-    WITH scored AS ({_CLF_SCORE_SQL}),
-    base AS (
-      SELECT d.doc_id, s.prob AS score,
-             len(list_filter(string_split_regex(trim(coalesce(d.text, '')), '\\s+'),
+#: prescored fixture (r14, VERDICT r13 item 7): the driver-checked lane
+#: measures the SELECTION operator, not a shared classifier-scoring
+#: fixture (which was 90% of the r13 entry's registry-lane cost) — the
+#: deterministic per-doc pseudo-score is one md5 both engines compute
+#: identically; the production composition (classifier -> select) stays
+#: covered by the calibration/threshold entries and the recipe select
+#: stage.
+_BUDGET_SCORE_SQL = f"(({md5_long_sql('doc_id', 'sel|')} % 10000) / 10000.0)"
+
+_BUDGET_BASE_SQL = f"""
+      SELECT doc_id, {_BUDGET_SCORE_SQL} AS score,
+             len(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
                              t -> t != '')) AS n_tokens
-      FROM documents d JOIN scored s USING (doc_id)
-    ),
+      FROM documents
+"""
+
+_BUDGET_ORACLE = f"""
+    WITH base AS ({_BUDGET_BASE_SQL}),
     w AS (
       SELECT doc_id, score, n_tokens,
              sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
@@ -6041,7 +6053,22 @@ _BUDGET_ORACLE = f"""
     """
 
 
-@extra_query("select_to_token_budget", oracle=_BUDGET_ORACLE)
+def _budget_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, n_tokens) prescored selection input — the shape a
+    production run hands to select after its scoring pass."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+    from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((md5_long(F.col("doc_id"), salt="sel|") % 10_000)
+         / F.lit(10_000.0)).alias("score"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+@query(  # promoted r14 (r13 flagship); prescored fixture since r14
+    "select_to_token_budget", oracle=_BUDGET_ORACLE)
 def q_select_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget selection (sampling.select_to_token_budget, r13):
     keep the highest-scoring documents until 20k tokens fill — the
@@ -6049,25 +6076,76 @@ def q_select_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucketed cumulative + an exact boundary-bucket window); the oracle
     replays the straightforward global running-sum definition, so the
     hash match proves the two-phase plan computes the global-sort
-    answer."""
-    from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
+    answer.  r14: the score is a deterministic md5 pseudo-score — the
+    registry lane measures the operator, not the classifier-scoring
+    fixture that dominated the r13 entry's cost (VERDICT r13 item 7)."""
     from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
         select_to_token_budget,
     )
-    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
-        classifier_score,
+
+    return select_to_token_budget(
+        _budget_scored(spark, sf_dir), score_col="score",
+        token_col="n_tokens", budget_tokens=_BUDGET_TOKENS,
+        materialize_input=False,
     )
 
-    docs = _read(spark, sf_dir, "documents")
-    scored = docs.join(
-        classifier_score(docs, num_features=_CLF_FEATS, bigrams=True)
-        .select("doc_id", F.col("prob").alias("score")),
-        "doc_id",
-    ).select(
-        "doc_id", "score",
+
+# ---------------------------------------------------------------------------
+# round 14: per-group token-budget selection (VERDICT r13 item 3)
+# ---------------------------------------------------------------------------
+
+#: per-language budgets over the synthetic corpus: en cuts mid-corpus,
+#: de cuts early, es keeps everything (budget >> corpus), fr cuts tight,
+#: zh is ABSENT from the map (dropped lane) — every code path exercised.
+_GROUP_BUDGETS = {"en": 4000, "de": 1500, "es": 99_999_999, "fr": 800}
+
+_GROUP_BUDGET_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_BUDGET_SCORE_SQL} AS score,
+             len(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                             t -> t != '')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT * FROM (VALUES {', '.join(f"('{g}', {n})" for g, n in _GROUP_BUDGETS.items())})
+      AS t(lang, budget)
+    ),
+    w AS (
+      SELECT base.doc_id, base.lang, base.score, base.n_tokens, b.budget,
+             sum(base.n_tokens) OVER (PARTITION BY base.lang
+                                      ORDER BY base.score DESC, base.doc_id ASC
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base JOIN b USING (lang)
+    )
+    SELECT doc_id, lang, score, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM w WHERE cum - n_tokens < budget
+    """
+
+
+@extra_query("select_by_group_budget", oracle=_GROUP_BUDGET_ORACLE)
+def q_select_by_group_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group token-budget selection
+    (sampling.select_to_token_budget_by_group, r14): "the best N tokens
+    PER LANGUAGE" — each language independently keeps its
+    (score DESC, id ASC) prefix to its own budget, with no global sort
+    and no per-group driver loop (bucketed cumulative partitioned by
+    group + broadcast groups-sized boundary table).  The oracle replays
+    the per-group global-window definition, so the hash match proves
+    the partitioned two-phase plan computes the per-group global-sort
+    answer; languages absent from the budget map drop entirely."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
+    from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        select_to_token_budget_by_group,
+    )
+
+    scored = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        ((md5_long(F.col("doc_id"), salt="sel|") % 10_000)
+         / F.lit(10_000.0)).alias("score"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    return select_to_token_budget(
+    return select_to_token_budget_by_group(
         scored, score_col="score", token_col="n_tokens",
-        budget_tokens=_BUDGET_TOKENS,
+        budgets=_GROUP_BUDGETS, group_col="lang", materialize_input=False,
     )

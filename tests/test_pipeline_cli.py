@@ -554,6 +554,36 @@ def test_cli_select_token_budget(spark, tmp_path, capsys):
     assert kept == [1, 2]
 
 
+def test_cli_select_by_group(spark, tmp_path, capsys):
+    """`select --by-group lang` (r14): per-group prefixes to per-group
+    budgets — explicit --group-budget overrides win, unnamed groups
+    fall back to --budget, and --group-budget without --by-group fails
+    fast."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    src = str(tmp_path / "scored_g.parquet")
+    spark.createDataFrame(
+        [(1, "en", 0.9, 100), (2, "en", 0.7, 200), (3, "en", 0.5, 300),
+         (4, "de", 0.8, 50), (5, "de", 0.6, 50)],
+        "doc_id long, lang string, score double, n_tokens long",
+    ).write.parquet(src)
+    out = str(tmp_path / "sel_g.parquet")
+    main(["select", "--in", src, "--by-group", "lang", "--budget", "60",
+          "--group-budget", "en=250", "--out", out])
+    # en override 250: docs 1+2 (crossing); de falls back to 60: 4+5
+    assert "per lang" in capsys.readouterr().out
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4, 5]
+    with _pytest.raises(SystemExit, match="requires --by-group"):
+        main(["select", "--in", src, "--budget", "60",
+              "--group-budget", "en=250", "--out", out])
+    with _pytest.raises(SystemExit, match="GROUP=TOKENS"):
+        main(["select", "--in", src, "--by-group", "lang", "--budget", "60",
+              "--group-budget", "en:250", "--out", out])
+
+
 def test_cli_calibration_empty_input(spark, tmp_path, capsys):
     """Zero scored rows (r13 review): a clean 0-row ECE line, not a
     NoneType format crash."""

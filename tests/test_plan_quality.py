@@ -694,7 +694,7 @@ def test_calibration_report_plan(spark):
     """calibration_report (r13): one hash aggregation on the bin key —
     no join, no window; the only exchange is the ≤n_bins-group
     partial→final aggregation shuffle."""
-    df = EXTRA_QUERIES["calibration_report"](spark, SF)
+    df = QUERIES["calibration_report"](spark, SF)  # promoted r14
     plan = plan_of(df)
     assert "Window" not in plan
     # the classifier scoring upstream joins docs to labels once; the
@@ -709,7 +709,22 @@ def test_calibration_report_plan(spark):
     assert "partial" in rep_plan.lower()  # map-side combine before the shuffle
 
 
-def test_threshold_sweep_plan(spark):
+def test_select_by_group_budget_plan(spark):
+    """select_to_token_budget_by_group (r14): no global single-partition
+    window over the corpus — every Window node carries a partition spec
+    (the per-group cumulative + boundary refinement), the groups-sized
+    budget and boundary tables join back BROADCAST, and nothing plans a
+    cartesian product."""
+    df = EXTRA_QUERIES["select_by_group_budget"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan          # budget + boundary joins
+    assert "SortMergeJoin" not in plan          # nothing corpus-sized joins shuffled
+    # every window spec is partitioned: windowspecdefinition's first arg
+    # is the partition column when present — a global window renders
+    # windowspecdefinition(score ...) with no partition list and plans a
+    # single-partition Exchange; assert no such exchange exists
+    assert "Exchange SinglePartition" not in plan
     """threshold_sweep (r13): ONE corpus pass — a single-row conditional
     aggregate then a constant-size Generate; no join, no window, no
     per-threshold rescan (exactly one aggregate pair in the plan)."""

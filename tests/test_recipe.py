@@ -617,6 +617,52 @@ def test_recipe_select_stage(spark, tmp_path):
         validate_recipe({**recipe, "select": {"out": sel_out, "budget": 0}})
 
 
+def test_recipe_select_by_group(spark, tmp_path):
+    """recipe per-group select (r14): group_budgets selects each group
+    to its own budget (groups absent from the map drop); validation
+    requires group_col with group_budgets, rejects budget+group_budgets
+    together and non-positive per-group values."""
+    src = str(tmp_path / "docs_g.parquet")
+    mk = lambda tag: " ".join(f"{tag}{i} w{i}" for i in range(15))  # noqa: E731
+    spark.createDataFrame(
+        [(1, "en", mk("a"), 0.9), (2, "en", mk("b"), 0.5),
+         (3, "de", mk("c"), 0.8), (4, "de", mk("d"), 0.2),
+         (5, "fr", mk("e"), 0.9)],
+        "doc_id long, lang string, text string, score double",
+    ).write.parquet(src)
+    sel_out = str(tmp_path / "selected_g.parquet")
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": str(tmp_path / "curated_g.parquet"),
+        "select": {"out": sel_out, "group_col": "lang",
+                   "group_budgets": {"en": 40, "de": 10}},
+    }
+    summary = run_recipe(spark, recipe)
+    # en 40 crosses into doc 2 (docs are 30 tokens each); de 10 keeps
+    # only doc 3; fr absent from the map -> dropped
+    kept = sorted(r.doc_id for r in spark.read.parquet(sel_out).collect())
+    assert kept == [1, 2, 3]
+    assert summary["select"]["n_docs"] == 3
+    assert summary["select"]["group_col"] == "lang"
+    assert summary["select"]["budget"] == {"en": 40, "de": 10}
+
+    with pytest.raises(ValueError, match="requires group_col"):
+        validate_recipe({**recipe, "select": {
+            "out": sel_out, "group_budgets": {"en": 40}}})
+    with pytest.raises(ValueError, match="mutually\\s+exclusive"):
+        validate_recipe({**recipe, "select": {
+            "out": sel_out, "group_col": "lang", "budget": 40,
+            "group_budgets": {"en": 40}}})
+    with pytest.raises(ValueError, match="positive token count"):
+        validate_recipe({**recipe, "select": {
+            "out": sel_out, "group_col": "lang",
+            "group_budgets": {"en": 0}}})
+    # flat budget + group_col (no map) is valid: per-group flat budgets
+    validate_recipe({**recipe, "select": {
+        "out": sel_out, "group_col": "lang", "budget": 40}})
+
+
 def test_recipe_select_score_sources_exclusive(spark, tmp_path):
     """select.classifier_path and select.score_col together fail fast
     (r13 review: the classifier would silently override the column)."""

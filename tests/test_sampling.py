@@ -630,6 +630,114 @@ def test_select_to_token_budget_pinned(spark):
     assert set(kept.columns) == {"doc_id", "score", "n_tokens", "text"}
 
 
+def test_select_to_token_budget_by_group_pinned(spark):
+    """Per-group budgets (r14): each group independently keeps its
+    (score DESC, id ASC) prefix to ITS budget; groups missing from the
+    map, NULL groups, NULL/NaN scores, and non-positive budgets drop."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        select_to_token_budget_by_group,
+    )
+
+    rows = [  # (doc_id, lang, score, n_tokens)
+        (1, "en", 0.9, 100), (2, "en", 0.8, 200), (3, "en", 0.5, 400),
+        (4, "de", 0.7, 50), (5, "de", 0.6, 50), (6, "de", 0.4, 50),
+        (7, "fr", 0.9, 10),
+        (8, None, 0.9, 10), (9, "en", None, 10), (10, "de", float("nan"), 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, score double, n_tokens long")
+    got = sorted(
+        r.doc_id
+        for r in select_to_token_budget_by_group(
+            df, "score", "n_tokens",
+            {"en": 150, "de": 100, "fr": 0, "zz": 500}, "lang",
+        ).collect()
+    )
+    # en: 100 then crossing doc 2; de: 50 + crossing 5; fr budget 0;
+    # zz has no docs; 8/9/10 invalid
+    assert got == [1, 2, 4, 5]
+    # single-int budget applies to every group present
+    got = sorted(
+        r.doc_id for r in select_to_token_budget_by_group(
+            df, "score", "n_tokens", 60, "lang").collect())
+    assert got == [1, 4, 5, 7]
+    # full input columns survive
+    kept = select_to_token_budget_by_group(
+        df, "score", "n_tokens", {"en": 150}, "lang")
+    assert set(kept.columns) == {"doc_id", "lang", "score", "n_tokens"}
+
+
+def test_select_to_token_budget_by_group_randomized(spark):
+    """300 seeded random docs over 4 groups: the two-phase per-group
+    plan == per-group brute force at two resolutions, with score ties."""
+    import random
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        select_to_token_budget_by_group,
+    )
+
+    rng = random.Random(7)
+    langs = ["en", "de", "fr", "ja"]
+    rows = [(i, rng.choice(langs),
+             round(rng.choice([0.1, 0.25, 0.5, 0.5, 0.77, 0.9]), 6),
+             rng.randrange(1, 300)) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, score double, n_tokens long")
+    budgets = {"en": 2000, "de": 500, "fr": 10_000_000, "ja": 1}
+
+    def brute():
+        keep = []
+        for g, budget in budgets.items():
+            cum = 0
+            for d, _, s, t in sorted(
+                (r for r in rows if r[1] == g), key=lambda r: (-r[2], r[0])
+            ):
+                if cum < budget:
+                    keep.append(d)
+                cum += t
+        return sorted(keep)
+
+    want = brute()
+    for res in (4, 10_000):
+        got = sorted(r.doc_id for r in select_to_token_budget_by_group(
+            df, "score", "n_tokens", budgets, "lang", resolution=res).collect())
+        assert got == want, res
+
+
+def test_select_by_group_composes_with_fertility_budgets(spark):
+    """The production composition (r14): per-language budgets derived
+    from the corpus's own token totals (the shape fertility_mix's
+    per-language est_tokens feeds) drive the per-group selection — each
+    language keeps ~the budgeted fraction of its tokens, never crossing
+    by more than one document."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        select_to_token_budget_by_group,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.choice(["en", "de", "zh"]),
+             round(rng.random(), 6), rng.randrange(20, 200))
+            for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, score double, n_tokens long")
+    # groups-sized aggregate -> budget map (what fertility_mix's
+    # est_tokens per language provides in the real pipeline)
+    totals = {r.lang: r.t for r in
+              df.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    budgets = {g: int(0.4 * t) for g, t in totals.items()}
+    kept = select_to_token_budget_by_group(
+        df, "score", "n_tokens", budgets, "lang")
+    kept_tok = {r.lang: r.t for r in
+                kept.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    max_doc = {g: max(r[3] for r in rows if r[1] == g) for g in totals}
+    for g, b in budgets.items():
+        assert b <= kept_tok[g] < b + max_doc[g], (g, b, kept_tok[g])
+
+
 def test_select_to_token_budget_randomized(spark):
     """200 seeded random docs: two-phase answer == brute force at two
     resolutions, including heavy score ties."""
