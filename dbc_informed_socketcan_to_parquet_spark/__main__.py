@@ -131,6 +131,14 @@ def build_curate_parser() -> argparse.ArgumentParser:
                         "level stages downstream stay meaningful")
     p.add_argument("--embeddings-id-col", default=None,
                    help="embedding tables' id column when it differs from --id-col")
+    p.add_argument("--against-embeddings", default=None, metavar="INDEX",
+                   help="r14: persisted IVF index dir (ivf_index_write) over "
+                        "HISTORY embeddings; batch docs whose embedding "
+                        "near-duplicates history drop (needs --embeddings)")
+    p.add_argument("--against-cosine", type=float, default=0.9,
+                   help="cosine threshold for --against-embeddings")
+    p.add_argument("--against-nprobe", type=int, default=4,
+                   help="history clusters each batch doc probes")
     p.add_argument("--stage-dir", default=None,
                    help="resumable staged execution: materialize every stage "
                         "boundary to this dir; a re-run after a failure loads "
@@ -203,6 +211,9 @@ def run_curate(argv: list[str]) -> None:
         decon_id_col=args.embeddings_id_col,
         decon_span_window=args.decon_spans,
         decon_span_preserve_seps=args.preserve_separators,
+        against_embeddings_path=args.against_embeddings,
+        against_cosine=args.against_cosine,
+        against_nprobe=args.against_nprobe,
     )
     if args.url_col is None and (args.block_domain or args.url_dedup or args.max_per_domain):
         parser.error("--block-domain/--url-dedup/--max-per-domain require --url-col")
@@ -212,6 +223,9 @@ def run_curate(argv: list[str]) -> None:
     against = spark.read.parquet(args.against) if args.against else None
     if args.decon_cosine is not None and not (args.embeddings and args.eval_embeddings):
         parser.error("--decon-cosine needs --embeddings and --eval-embeddings")
+    if args.against_embeddings and not args.embeddings:
+        parser.error("--against-embeddings needs --embeddings (the batch "
+                     "embedding table to probe with)")
     if (args.decon_spans is None) != (args.eval_corpus is None):
         parser.error("--decon-spans and --eval-corpus go together")
     doc_emb = spark.read.parquet(args.embeddings) if args.embeddings else None

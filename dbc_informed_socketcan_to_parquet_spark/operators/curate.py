@@ -201,6 +201,18 @@ class CurateConfig:
     # boundaries between kept tokens survive the scrub (batch lane only;
     # the streaming twin always space-joins).
     decon_span_preserve_seps: bool = False
+    # vs-history EMBEDDING near-dup (r14, similarity.
+    # semantic_dedup_against): path to a persisted IVF index
+    # (similarity.ivf_index_write) built over HISTORY embeddings; batch
+    # docs whose embedding's cosine against any probed history vector
+    # reaches against_cosine drop.  Completes the vs-history matrix next
+    # to against_corpus (exact text) and against_sigs_path (MinHash
+    # text): this one catches the rewordings that share no n-grams with
+    # history.  Needs curate(doc_embeddings=); decon_id_col maps the
+    # embedding table's id as for decon_cosine.  None = off.
+    against_embeddings_path: str | None = None
+    against_cosine: float = 0.9
+    against_nprobe: int = 4
 
 
 def _stage_complete(path: str) -> bool:
@@ -692,6 +704,35 @@ def curate(
             )
 
         out = _mark("against_near", _build_against_near)
+
+    if config.against_embeddings_path is not None:
+        # incremental SEMANTIC mode (r14): drop batch rows whose embedding
+        # near-duplicates the persisted HISTORY index — the third cell of
+        # the vs-history matrix (exact text / MinHash text / embedding).
+        # History is touched only at its probed partitions (pruned at
+        # file listing); nothing history-sized ever shuffles or re-embeds.
+        if doc_embeddings is None:
+            raise ValueError(
+                "against_embeddings_path set but doc_embeddings not "
+                "provided (the batch embedding table the gate probes with)")
+
+        def _build_against_semantic(out=out):
+            from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+                semantic_dedup_against,
+            )
+
+            emb_id = config.decon_id_col or id_col
+            d_emb = (doc_embeddings.withColumnRenamed(emb_id, id_col)
+                     if emb_id != id_col else doc_embeddings)
+            hits = semantic_dedup_against(
+                out.sparkSession, config.against_embeddings_path, d_emb,
+                threshold=config.against_cosine,
+                nprobe=config.against_nprobe,
+                id_col="vec_id", vec_col="embedding", batch_id_col=id_col,
+            ).select(id_col)
+            return out.join(hits, id_col, "left_anti")
+
+        out = _mark("against_semantic", _build_against_semantic)
 
     if config.survivor not in ("min_id", "quality"):
         raise ValueError(f"unknown survivor rule: {config.survivor!r}")

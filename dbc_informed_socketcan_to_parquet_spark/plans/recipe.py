@@ -172,10 +172,21 @@ def validate_recipe(recipe: dict) -> None:
             raise ValueError(
                 f"curate.decon_cosine needs {missing} (parquet paths of the "
                 f"doc and eval embedding tables)")
-    elif cur.get("embeddings") or cur.get("eval_embeddings"):
+    elif cur.get("eval_embeddings"):
         raise ValueError(
-            "curate.embeddings/eval_embeddings are only read by the "
-            "decontamination gate — set decon_cosine or drop them")
+            "curate.eval_embeddings is only read by the "
+            "decontamination gate — set decon_cosine or drop it")
+    # r14: the vs-history embedding gate reads the doc embeddings too
+    if cur.get("against_embeddings_path") and not cur.get("embeddings"):
+        raise ValueError(
+            "curate.against_embeddings_path needs curate.embeddings (the "
+            "batch embedding table the gate probes with)")
+    if (cur.get("embeddings") and cur.get("decon_cosine") is None
+            and not cur.get("against_embeddings_path")):
+        raise ValueError(
+            "curate.embeddings is only read by the decontamination or "
+            "vs-history embedding gates — set decon_cosine or "
+            "against_embeddings_path, or drop it")
     # span-level verbatim decontamination (r11): same pairing doctrine
     if (cur.get("decon_span_window") is None) != (not cur.get("eval_corpus")):
         raise ValueError(

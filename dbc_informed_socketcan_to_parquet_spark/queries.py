@@ -1867,11 +1867,14 @@ def _ivf_assign_sql(vec_src: str, centers: str, rn_pred: str) -> str:
     ) WHERE {rn_pred}"""
 
 
-def _ivf_corpus_assign_ctes(dim: int = 64, nplanes: int = 4, n_iters: int = 2) -> list[str]:
+def _ivf_corpus_assign_ctes(dim: int = 64, nplanes: int = 4, n_iters: int = 2,
+                            src: str = "embeddings") -> list[str]:
     """The deterministic-Lloyd's CTE chain up to ``corpus_assign`` —
-    shared by the IVF ANN oracle and the semantic-dedup oracle."""
+    shared by the IVF ANN oracle and the semantic-dedup oracles.  ``src``
+    parameterizes the training/indexed corpus (r14: the vs-history lane
+    trains on the history slice only)."""
     parts = [
-        f"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        f"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
     iplanes AS (
       SELECT pp.range AS p,
              list(CAST(CAST('0x' || substr(md5('tivf_p' || pp.range || '_d' || dd.range), 1, 15)
@@ -2067,6 +2070,77 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4, mode="ivf", num_clusters=8, n_iters=2, nprobe=4,
         dim=64, round_to=6, assign_kernel="pandas",
     )
+
+
+def _semantic_dedup_against_oracle_sql(dim: int = 64, nplanes: int = 3,
+                                       n_iters: int = 2, nprobe: int = 4,
+                                       thr: float = 0.4) -> str:
+    """Full replay of the vs-history embedding near-dup (r14): the
+    deterministic-Lloyd's chain trains and assigns over the HISTORY
+    slice only (= the persisted index build), the batch slice probes its
+    nprobe nearest final centroids, cosine ≥ thr inside probed clusters,
+    best HISTORY match per batch doc (max cosine, ties to smallest
+    history id)."""
+    parts = _ivf_corpus_assign_ctes(
+        dim, nplanes, n_iters,
+        src="(SELECT * FROM embeddings WHERE vec_id % 3 != 0)")
+    final = f"centers{n_iters}"
+    parts.append(
+        "bvecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id % 3 = 0)")
+    parts.append(f"""probe AS (
+      SELECT vec_id AS bid, v AS bv, b AS cluster
+      FROM ({_ivf_assign_sql('bvecs', final, f'rn <= {nprobe}')})
+    )""")
+    cos = ("round(list_dot_product(ca.v, p.bv) / "
+           "(sqrt(list_dot_product(ca.v, ca.v)) * sqrt(list_dot_product(p.bv, p.bv))), 6)")
+    parts.append(f"""hits AS (
+      SELECT DISTINCT p.bid, ca.vec_id AS hid, {cos} AS cos
+      FROM corpus_assign ca JOIN probe p ON ca.b = p.cluster
+      WHERE {cos} >= {thr}
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, history_id, cosine FROM (
+      SELECT bid AS vec_id, hid AS history_id, cos AS cosine,
+             row_number() OVER (PARTITION BY bid ORDER BY cos DESC, hid) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """
+
+
+@extra_query("semantic_dedup_against",
+             oracle=_semantic_dedup_against_oracle_sql())
+def q_semantic_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vs-history embedding near-dup (similarity.semantic_dedup_against,
+    r14): history = embeddings with vec_id % 3 != 0, persisted as a
+    cluster-partitioned IVF index (ivf_index_write, k=8, the hash-checked
+    deterministic Lloyd's); batch = the vec_id % 3 == 0 slice probes its
+    4 nearest history clusters and flags cosine ≥ 0.4, best history
+    match per batch doc.  The oracle replays index build + probe +
+    threshold + best-match end-to-end, so the hash match proves the
+    persisted-index lane computes the same answer as the from-scratch
+    definition.  The index is rebuilt per invocation here (deterministic,
+    so hashes are stable); production builds it once and every later
+    batch pays only its probed partitions."""
+    import tempfile
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+        semantic_dedup_against,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="sda_idx_")
+    # expr kernel pinned: this is the DuckDB-replay lane (bit-identical
+    # SQL fold; the pandas kernel's blocked numpy summation is not)
+    ivf_index_write(hist, path, dim=64, num_clusters=8, n_iters=2,
+                    assign_kernel="expr")
+    return semantic_dedup_against(
+        spark, path, batch, threshold=0.4, nprobe=4, round_to=6)
 
 
 def _ivf_cluster_stats_oracle_sql(dim: int = 64, nplanes: int = 3,

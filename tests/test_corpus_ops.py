@@ -2403,6 +2403,59 @@ def test_semantic_contamination_indexed_matches_exact_at_full_probe(spark, tmp_p
             for r in narrow.collect()} <= exact_set
 
 
+def test_semantic_dedup_against_matches_brute_force_at_full_probe(spark, tmp_path):
+    """Vs-history embedding near-dup (r14): at nprobe == num_clusters the
+    persisted-index probe equals the brute-force batch × history sweep —
+    one row per flagged BATCH doc with its best history match (max
+    cosine, ties to the smallest history id); at nprobe=1 a subset; the
+    report keys on the batch id (unlike contamination, which keys on the
+    indexed corpus)."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+        semantic_dedup_against,
+    )
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    hist_rows = [(100 + s, unit(s)) for s in range(24)]
+    batch_rows = [(1, unit(3)), (2, unit(17)), (3, unit(99))]
+    history = spark.createDataFrame(
+        hist_rows, "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "hist_ivf")
+    ivf_index_write(history, idx, dim=8, num_clusters=4, n_iters=2)
+
+    def brute(threshold):
+        out = {}
+        for bid, bv in batch_rows:
+            best = None
+            for hid, hv in hist_rows:
+                c = round(sum(x * y for x, y in zip(bv, hv)), 6)
+                if c >= threshold and (best is None or (-c, hid) < best):
+                    best = (-c, hid)
+            if best is not None:
+                out[bid] = (best[1], -best[0])
+        return {(b, h, c) for b, (h, c) in out.items()}
+
+    want = brute(0.9)
+    assert want  # planted identical vectors hit
+    full = semantic_dedup_against(
+        spark, idx, batch, threshold=0.9, nprobe=4, round_to=6)
+    assert {(r.vec_id, r.history_id, r.cosine) for r in full.collect()} == want
+    # one row per flagged batch doc, keyed on the batch id
+    assert full.count() == len({b for b, _, _ in want})
+    narrow = semantic_dedup_against(
+        spark, idx, batch, threshold=0.9, nprobe=1, round_to=6)
+    assert {(r.vec_id, r.history_id, r.cosine)
+            for r in narrow.collect()} <= want
+
+
 def test_chunk_cli(spark, tmp_path, capsys):
     """chunk subcommand (r11): curated docs -> chunk rows parquet."""
     from dbc_informed_socketcan_to_parquet_spark.__main__ import main

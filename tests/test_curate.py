@@ -396,6 +396,106 @@ def test_cli_curate_against_flag(spark, tmp_path, capsys):
     assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
 
 
+def test_cli_curate_against_embeddings(spark, tmp_path, capsys):
+    """`curate --against-embeddings <index>` (r14): the vs-history
+    embedding gate from the CLI — needs --embeddings, drops the
+    semantically-duplicated batch doc."""
+    import math
+
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+    )
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    idx = str(tmp_path / "hidx")
+    ivf_index_write(
+        spark.createDataFrame([(100 + s, unit(s)) for s in range(12)],
+                              "vec_id long, embedding array<double>"),
+        idx, dim=8, num_clusters=4, n_iters=2)
+    src = str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [(1, "a paraphrase sharing no tokens with the historical corpus"),
+         (2, "a genuinely novel essay about columnar shuffle strategies")],
+        "doc_id long, text string").write.parquet(src)
+    emb = str(tmp_path / "bemb.parquet")
+    novel = [s / math.sqrt(8) for s in (1, 1, -1, -1, 1, 1, -1, 1)]
+    spark.createDataFrame(
+        [(1, unit(3)), (2, novel)],
+        "doc_id long, embedding array<double>").write.parquet(emb)
+    out = str(tmp_path / "kept_e.parquet")
+    main(["curate", "--in", src, "--out", out, "--min-chars", "10",
+          "--min-quality", "0.0", "--embeddings", emb,
+          "--against-embeddings", idx, "--against-cosine", "0.95"])
+    assert "curated 2 -> 1 documents" in capsys.readouterr().out
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
+    with _pytest.raises(SystemExit):
+        main(["curate", "--in", src, "--out", out,
+              "--against-embeddings", idx])
+
+
+def test_curate_against_embeddings_index(spark, tmp_path):
+    """curate(against_embeddings_path=) (r14): batch docs whose EMBEDDING
+    near-duplicates the persisted history index drop — the semantic cell
+    of the vs-history matrix (the texts share no n-grams, so the exact
+    and MinHash history gates would keep them); the audit funnel carries
+    the against_semantic stage; config without doc_embeddings fails
+    fast."""
+    import math
+
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        CurateConfig,
+        audit_rows_from_trace,
+        curate,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+    )
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    history_emb = spark.createDataFrame(
+        [(100 + s, unit(s)) for s in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "hist_idx")
+    ivf_index_write(history_emb, idx, dim=8, num_clusters=4, n_iters=2)
+    # doc 1 embeds exactly on history vector 3 (a reworded duplicate);
+    # doc 2 is genuinely novel; texts share no n-grams with anything
+    batch = spark.createDataFrame(
+        [(1, "a complete paraphrase that shares no tokens with history"),
+         (2, "a genuinely novel essay about columnar shuffle strategies")],
+        "doc_id long, text string",
+    )
+    # doc 2's vector is near-orthogonal to EVERY history vector (max
+    # |cos| ≈ 0.029 — the sin-family seeds all correlate ≥ 0.93 with
+    # some history vector in 8 dims, so a fixed sign pattern is used)
+    novel = [s / math.sqrt(8) for s in (1, 1, -1, -1, 1, 1, -1, 1)]
+    batch_emb = spark.createDataFrame(
+        [(1, unit(3)), (2, novel)], "doc_id long, embedding array<double>")
+    cfg = CurateConfig(min_chars=10, min_quality=0.0, scrub=False,
+                       against_embeddings_path=idx, against_cosine=0.95)
+    trace: list = []
+    kept = curate(batch, config=cfg, doc_embeddings=batch_emb, _trace=trace)
+    assert [r.doc_id for r in kept.collect()] == [2]
+    funnel = {s: (n_in, n_out)
+              for _, s, n_in, n_out, _ in audit_rows_from_trace(batch, trace)}
+    assert funnel["against_semantic"] == (2, 1)
+    with _pytest.raises(ValueError, match="doc_embeddings not"):
+        curate(batch, config=cfg)
+
+
 def test_curate_language_gate(spark):
     """allowed_langs keeps only lang_id-predicted languages; off by
     default."""

@@ -382,6 +382,12 @@ def test_validate_recipe_decon_keys():
     validate_recipe({**base, "curate": {
         "decon_cosine": 0.9, "embeddings": "e.parquet",
         "eval_embeddings": "v.parquet"}})
+    # r14: the vs-history embedding gate pairs embeddings with
+    # against_embeddings_path instead of decon_cosine
+    validate_recipe({**base, "curate": {
+        "against_embeddings_path": "idx", "embeddings": "e.parquet"}})
+    with pytest.raises(ValueError, match="against_embeddings_path needs"):
+        validate_recipe({**base, "curate": {"against_embeddings_path": "idx"}})
 
 
 def test_recipe_decontamination_e2e(spark, tmp_path):
