@@ -144,7 +144,7 @@ def validate_recipe(recipe: dict) -> None:
         _validate_streaming_recipe(recipe)
         return
     known_top = {"mode", "ingest", "curate", "out", "report", "split", "export",
-                 "chunk", "audit", "select"}
+                 "chunk", "audit", "select", "resume_dir"}
     unknown = set(recipe) - known_top
     if unknown:
         raise ValueError(f"unknown recipe sections: {sorted(unknown)}")
@@ -391,8 +391,75 @@ def _run_streaming_recipe(spark: SparkSession, recipe: dict) -> dict:
             spark.streams.removeListener(listener)
 
 
+class _RecipeResume:
+    """RECIPE-level staged resume (r14, VERDICT r13 item 5): each stage
+    that lands an artifact writes a ``<stage>.done.json`` marker (its
+    summary fragment) into ``resume_dir`` AFTER its output commits; a
+    re-run of the SAME recipe skips stages whose marker exists and whose
+    output still carries Spark's ``_SUCCESS``, loading the artifact
+    instead of recomputing it.  The manifest refusal is the same as
+    curate's ``stage_dir``: a resume_dir written under a different
+    recipe fingerprint is rejected — mixed-config resume would splice
+    two pipelines.  Markers are written atomically (tmp + rename), so a
+    kill mid-stage leaves no marker and the stage re-runs whole."""
+
+    def __init__(self, resume_dir: str, recipe: dict):
+        import hashlib
+
+        from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+            _check_stage_manifest,
+        )
+
+        self.dir = resume_dir
+        fp = {k: v for k, v in recipe.items() if k != "resume_dir"}
+        _check_stage_manifest(
+            resume_dir,
+            hashlib.sha256(json.dumps(fp, sort_keys=True).encode()).hexdigest(),
+        )
+
+    def _marker(self, stage: str) -> str:
+        import os
+
+        return os.path.join(self.dir, f"{stage}.done.json")
+
+    def done(self, stage: str, *out_paths: str) -> dict | None:
+        """The stage's saved summary fragment, or None if it must run.
+        Every ``out_paths`` dir must still carry ``_SUCCESS`` — a marker
+        whose artifact was deleted re-runs the stage."""
+        import os
+
+        from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+            _stage_complete,
+        )
+
+        p = self._marker(stage)
+        if not os.path.exists(p):
+            return None
+        for out in out_paths:
+            if not _stage_complete(out):
+                return None
+        with open(p) as f:
+            return json.load(f)
+
+    def mark(self, stage: str, fragment: dict) -> None:
+        import os
+
+        p = self._marker(stage)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(fragment, f)
+        os.replace(tmp, p)
+
+
 def run_recipe(spark: SparkSession, recipe: dict) -> dict:
-    """Execute a validated recipe; returns a per-stage summary dict."""
+    """Execute a validated recipe; returns a per-stage summary dict.
+
+    With a top-level ``resume_dir`` the run is RESUMABLE at stage
+    granularity (see :class:`_RecipeResume`): a recipe that died in
+    select/chunk/export re-runs only from the failed stage — completed
+    stages load their committed artifacts.  Curate's own ``stage_dir``
+    resumes WITHIN the curate stage; this resumes ACROSS recipe stages.
+    """
     from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
         CurateConfig,
         curate,
@@ -401,7 +468,27 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
     validate_recipe(recipe)
     if recipe.get("mode", "batch") == "streaming":
         return _run_streaming_recipe(spark, recipe)
+    resume = (_RecipeResume(recipe["resume_dir"], recipe)
+              if recipe.get("resume_dir") else None)
     summary: dict = {}
+    if resume is not None:
+        frag = resume.done("curate", recipe["out"])
+        if frag is not None:
+            # ingest + curate (+ audit counts) load from the committed
+            # curated table; the fertility lang-col validation below
+            # runs against its schema instead of the ingest's
+            summary.update(frag)
+            kept = spark.read.parquet(recipe["out"])
+            fert_spec = recipe.get("report", {}).get("fertility")
+            if fert_spec:
+                fert_lang = (fert_spec.get("lang_col", "lang")
+                             if isinstance(fert_spec, dict) else "lang")
+                if fert_lang not in kept.columns:
+                    raise ValueError(
+                        f"report.fertility groups on column {fert_lang!r}, "
+                        f"which the curated schema does not have "
+                        f"(columns: {kept.columns})")
+            return _run_recipe_tail(spark, recipe, kept, summary, resume)
     docs, info = _ingest(spark, recipe["ingest"])
     # report.fertility groups on lang_col — a missing column must die
     # HERE, on the ingest schema (which curate passes through), not as
@@ -494,7 +581,28 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
                 "stage_idx INT, stage STRING, rows_in BIGINT, "
                 "rows_out BIGINT, dropped BIGINT",
             ).write.mode("overwrite").parquet(audit["out"])
-    if "select" in recipe:
+    if resume is not None:
+        resume.mark("curate", {k: summary[k]
+                               for k in ("ingest", "curate", "audit")
+                               if k in summary})
+    return _run_recipe_tail(spark, recipe, kept, summary, resume)
+
+
+def _run_recipe_tail(
+    spark: SparkSession,
+    recipe: dict,
+    kept: DataFrame,
+    summary: dict,
+    resume: "_RecipeResume | None",
+) -> dict:
+    """Post-curate recipe stages (select → split summary → report →
+    chunk → export), each ``resume``-gated when a resume_dir is set."""
+    if "select" in recipe and resume is not None:
+        frag = resume.done("select", recipe["select"]["out"])
+        if frag is not None:
+            summary["select"] = frag
+            kept = spark.read.parquet(recipe["select"]["out"])
+    if "select" in recipe and "select" not in summary:
         # token-budget selection of the CURATED corpus (r13): keep the
         # highest-scoring docs until the budget fills; split/report/
         # chunk/export below consume the SELECTED set, while recipe.out
@@ -555,6 +663,8 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
             "group_col": sel.get("group_col"),
             "out": sel["out"],
         }
+        if resume is not None:
+            resume.mark("select", summary["select"])
 
     if "split" in recipe:
         summary["split"] = {
@@ -562,7 +672,16 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
             for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
         }
 
-    if "report" in recipe:
+    if "report" in recipe and resume is not None:
+        rep_outs = [recipe["report"].get("out")] + [
+            spec.get("out")
+            for spec in recipe["report"].values()
+            if isinstance(spec, dict)
+        ]
+        frag = resume.done("report", *[p for p in rep_outs if p])
+        if frag is not None:
+            summary["report"] = frag
+    if "report" in recipe and "report" not in summary:
         from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
             corpus_report,
         )
@@ -722,8 +841,14 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
             summary["report"]["novelty"] = {
                 "rows": nov_df.count(), "out": nv_spec.get("out"),
             }
+        if resume is not None:
+            resume.mark("report", summary["report"])
 
-    if "chunk" in recipe:
+    if "chunk" in recipe and resume is not None:
+        frag = resume.done("chunk", recipe["chunk"]["out"])
+        if frag is not None:
+            summary["chunk"] = frag
+    if "chunk" in recipe and "chunk" not in summary:
         # context-length chunking of the CURATED output (r11) — a
         # separate artifact next to `out`; export below still packs the
         # doc-granularity table (chunk consumers read chunk.out)
@@ -740,8 +865,18 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         summary["chunk"] = {
             "n_chunks": spark.read.parquet(ch["out"]).count(), "out": ch["out"],
         }
+        if resume is not None:
+            resume.mark("chunk", summary["chunk"])
 
-    if "export" in recipe:
+    if "export" in recipe and resume is not None:
+        import os as _os
+
+        frag = resume.done("export")
+        if frag is not None and _os.path.exists(
+            _os.path.join(recipe["export"]["out"], "_manifest.json")
+        ):
+            summary["export"] = frag
+    if "export" in recipe and "export" not in summary:
         from dbc_informed_socketcan_to_parquet_spark.storage import (
             export_training_shards,
         )
@@ -778,4 +913,6 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         summary["export"] = {
             "out": ex["out"], "n_shards": len(manifest.get("shards", [])),
         }
+        if resume is not None:
+            resume.mark("export", summary["export"])
     return summary

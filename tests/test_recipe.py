@@ -669,6 +669,98 @@ def test_recipe_select_by_group(spark, tmp_path):
         "out": sel_out, "group_col": "lang", "budget": 40}})
 
 
+def test_recipe_staged_resume_kill_after_stage_k(spark, tmp_path, monkeypatch):
+    """Recipe-level staged resume (r14, VERDICT r13 item 5): a recipe
+    with resume_dir that DIES in export re-runs only export — curate,
+    select, and chunk load their committed artifacts (pinned by poisoning
+    the curate operator on the resumed run) — and the final export
+    manifest is byte-identical (per-shard fingerprints) to an
+    uninterrupted run of the same recipe; a resume_dir written by a
+    different recipe is refused."""
+    import json as _json
+    import os
+
+    import dbc_informed_socketcan_to_parquet_spark.storage as storage_mod
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, " ".join(f"tok{i}w{j} u{j}" for j in range(15)), 0.9 - i * 0.1)
+         for i in range(5)],
+        "doc_id long, text string, score double",
+    ).write.parquet(src)
+
+    def mk_recipe(root):
+        return {
+            "ingest": {"format": "parquet", "path": src},
+            "curate": {"min_quality": 0.0, "min_chars": 1},
+            "out": f"{root}/curated.parquet",
+            "select": {"out": f"{root}/selected.parquet", "budget": 100},
+            "chunk": {"out": f"{root}/chunks.parquet", "chunk_tokens": 16},
+            "export": {"out": f"{root}/shards", "max_tokens": 64,
+                       "num_shards": 4},
+            "resume_dir": f"{root}/resume",
+        }
+
+    # uninterrupted reference run
+    ref = mk_recipe(str(tmp_path / "ref"))
+    run_recipe(spark, ref)
+    ref_manifest = _json.load(open(f"{tmp_path}/ref/shards/_manifest.json"))
+
+    # interrupted run: export dies after chunk committed
+    real_export = storage_mod.export_training_shards
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated executor loss in export")
+
+    monkeypatch.setattr(storage_mod, "export_training_shards", boom)
+    broken = mk_recipe(str(tmp_path / "run"))
+    with pytest.raises(RuntimeError, match="simulated executor loss"):
+        run_recipe(spark, broken)
+    monkeypatch.setattr(storage_mod, "export_training_shards", real_export)
+    # markers exist for the committed stages, not for export
+    rdir = f"{tmp_path}/run/resume"
+    assert os.path.exists(f"{rdir}/curate.done.json")
+    assert os.path.exists(f"{rdir}/select.done.json")
+    assert os.path.exists(f"{rdir}/chunk.done.json")
+    assert not os.path.exists(f"{rdir}/export.done.json")
+
+    # resumed run must NOT recompute curate/select/chunk: poison them
+    # (importlib: the operators package re-exports `curate` the FUNCTION,
+    # shadowing the submodule attribute)
+    import importlib
+
+    curate_mod = importlib.import_module(
+        "dbc_informed_socketcan_to_parquet_spark.operators.curate")
+    sampling_mod = importlib.import_module(
+        "dbc_informed_socketcan_to_parquet_spark.operators.sampling")
+
+    def poisoned(*a, **k):
+        raise AssertionError("completed stage recomputed on resume")
+
+    monkeypatch.setattr(curate_mod, "curate", poisoned)
+    monkeypatch.setattr(sampling_mod, "select_to_token_budget", poisoned)
+    monkeypatch.setattr(sampling_mod, "chunk_documents", poisoned)
+    summary = run_recipe(spark, broken)
+    assert summary["export"]["n_shards"] == 4
+    assert os.path.exists(f"{rdir}/export.done.json")
+
+    got_manifest = _json.load(open(f"{tmp_path}/run/shards/_manifest.json"))
+    # content identity: the manifests (per-shard fingerprints included)
+    # are byte-identical between the resumed and uninterrupted runs
+    assert got_manifest["shards"] == ref_manifest["shards"]
+
+    # a third run with everything committed is a pure no-op fast path
+    summary2 = run_recipe(spark, broken)
+    assert summary2["select"] == summary["select"]
+    assert summary2["export"] == summary["export"]
+
+    # mixed-config refusal: same resume_dir, different recipe
+    other = mk_recipe(str(tmp_path / "run"))
+    other["select"]["budget"] = 999
+    with pytest.raises(ValueError, match="different curate configuration"):
+        run_recipe(spark, other)
+
+
 def test_recipe_select_score_sources_exclusive(spark, tmp_path):
     """select.classifier_path and select.score_col together fail fast
     (r13 review: the classifier would silently override the column)."""
