@@ -147,6 +147,33 @@ def build_fixtures(spark) -> None:
     print("# fixtures: eval corpus / sig store / embedding tables written", flush=True)
 
 
+def build_clf_fixture(spark) -> None:
+    """r14 (VERDICT r13 item 6): a persisted quality classifier for the
+    recipe's SELECT stage — trained in-engine on every 50th sf10 doc
+    with a deterministic length proxy label (token count ≥ 100), the
+    shape a production run has after a human-labeled bootstrap.  Fixture
+    build is untimed; the recipe run pays SCORING, which is the real
+    per-curation cost."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.text import tokens
+    from dbc_informed_socketcan_to_parquet_spark.operators.textops import (
+        classifier_train,
+        classifier_write,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    labeled = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", "text",
+        (F.size(tokens(F.col("text"))) >= 100).cast("int").alias("label"),
+    )
+    weights, bias = classifier_train(
+        labeled, num_features=1 << 15, n_iters=3, lr=2.0)
+    classifier_write(weights, os.path.join(WORK, "clf_model"),
+                     num_features=1 << 15, bias=bias)
+    print("# fixtures: classifier model written", flush=True)
+
+
 def main() -> None:
     from dbc_informed_socketcan_to_parquet_spark.plans.recipe import run_recipe
     from dbc_informed_socketcan_to_parquet_spark.session import get_spark
@@ -159,11 +186,18 @@ def main() -> None:
         build_fixtures(spark)
         print(f"# fixture build (untimed setup): {time.perf_counter()-t0:.0f}s",
               flush=True)
+    clf_marker = os.path.join(WORK, "clf_model", "meta", "_SUCCESS")
+    if rebuild or not os.path.exists(clf_marker):
+        t0 = time.perf_counter()
+        build_clf_fixture(spark)
+        print(f"# classifier fixture (untimed setup): "
+              f"{time.perf_counter()-t0:.0f}s", flush=True)
 
     with open(RECIPE) as f:
         recipe = json.load(f)
     recipe.pop("_comment", None)
-    for stale in ("curated.parquet", "chunks.parquet", "shards"):
+    for stale in ("curated.parquet", "selected.parquet", "chunks.parquet",
+                  "shards", "resume"):
         shutil.rmtree(os.path.join(WORK, stale), ignore_errors=True)
 
     t0 = time.perf_counter()
@@ -171,6 +205,23 @@ def main() -> None:
     wall = round(time.perf_counter() - t0, 1)
     print(json.dumps({"metric": "production_recipe_sf10_wall", "value": wall,
                       "unit": "sec", "summary": summary}))
+
+    # r14 (VERDICT r13 item 5): RESUMED timing — simulate an export-stage
+    # death (shards gone, marker gone, everything upstream committed) and
+    # re-run the same recipe; the resume should pay only the export.
+    shutil.rmtree(os.path.join(WORK, "shards"), ignore_errors=True)
+    marker = os.path.join(WORK, "resume", "export.done.json")
+    if os.path.exists(marker):
+        os.remove(marker)
+    t0 = time.perf_counter()
+    summary2 = run_recipe(spark, recipe)
+    wall2 = round(time.perf_counter() - t0, 1)
+    print(json.dumps({
+        "metric": "production_recipe_sf10_resumed_export_wall",
+        "value": wall2, "unit": "sec",
+        "export": summary2.get("export"),
+        "matches_full_run": summary2.get("export") == summary.get("export"),
+    }))
 
 
 if __name__ == "__main__":
