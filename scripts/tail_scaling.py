@@ -101,13 +101,18 @@ TAIL = [
     "duplicate_spans",
     "remove_eval_spans",
     "fertility_mix",
-    # r13: the registry's sampled band-tune lane (300-doc sample at the
-    # sf0.01 oracle point; the 50k wrapper below is the posture study)
-    "extra:lsh_band_tune_sampled",
-    # r13 additions: classifier-gating toolkit + token-budget selection
-    "extra:calibration_report",
-    "extra:threshold_sweep",
-    "extra:select_to_token_budget",
+    # r13 additions (classifier-gating toolkit + token-budget selection
+    # + the 300-doc sampled band-tune registry lane), all rotated into
+    # the driver 50 in r14 — bare names (the old ``extra:`` forms are
+    # gone from EXTRA_QUERIES); the select lane is PRESCORED since r14,
+    # so its rows measure the operator, not the scoring fixture
+    "calibration_report",
+    "threshold_sweep",
+    "select_to_token_budget",
+    "lsh_band_tune_sampled_registry",
+    # r14 additions: per-group budget selection + vs-history embedding dedup
+    "extra:select_by_group_budget",
+    "extra:semantic_dedup_against",
 ]
 
 
@@ -164,6 +169,10 @@ def _export_shards(spark, sf_dir):
 def _resolve(name):
     if name == "lsh_band_tune_sampled":
         return _lsh_band_tune_sampled
+    if name == "lsh_band_tune_sampled_registry":
+        # the driver-registry lane (300-doc sample) — named apart from
+        # the 50k posture wrapper above
+        return QUERIES["lsh_band_tune_sampled"]
     if name == "curate_e2e":
         return _curate_e2e
     if name == "export_training_shards":
