@@ -1155,10 +1155,62 @@ def run_tune_lsh(argv: list[str]) -> None:
         print(f"wrote banding sweep to {args.output_path}")
 
 
+def build_index_embeddings_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dbc_informed_socketcan_to_parquet_spark index-embeddings")
+    p.add_argument("--in", dest="input_path", required=True,
+                   help="embedding parquet (id + array<double> vector column)")
+    p.add_argument("--out", dest="output_path", required=True,
+                   help="IVF index dir (data/ partitioned by cluster + model/)")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--clusters", type=int, default=16,
+                   help="coarse quantizer size (power of two)")
+    p.add_argument("--iters", type=int, default=2,
+                   help="deterministic-Lloyd's refinement iterations")
+    p.add_argument("--sample-mod", type=int, default=1,
+                   help="train on every Nth id (hash-sampled); 1 = full corpus")
+    p.add_argument("--append", action="store_true",
+                   help="assign with the STORED centroids and append into an "
+                        "existing index (the daily-ingest shape; no retrain)")
+    return p
+
+
+def run_index_embeddings(argv: list[str]) -> None:
+    """Build (or grow) the persisted cluster-partitioned IVF index (r14) —
+    the one-off batch job behind `curate --against-embeddings`,
+    `semantic_dedup_against`, `semantic_contamination_indexed`, and
+    `ivf_index_topk`; previously only reachable as a library call."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_write,
+    )
+
+    args = build_index_embeddings_parser().parse_args(argv)
+    spark = get_spark("index-embeddings-cli")
+    vectors = spark.read.parquet(args.input_path)
+    if args.append:
+        ivf_index_append(spark, args.output_path, vectors,
+                         vec_col=args.vec_col)
+        verb = "appended"
+    else:
+        ivf_index_write(vectors, args.output_path,
+                        num_clusters=args.clusters, n_iters=args.iters,
+                        id_col=args.id_col, vec_col=args.vec_col,
+                        sample_mod=args.sample_mod)
+        verb = "indexed"
+    n = spark.read.parquet(f"{args.output_path}/data").count()
+    k = spark.read.parquet(f"{args.output_path}/model").count()
+    print(f"{verb} {n} vectors across {k} clusters at {args.output_path}")
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
 
     argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "index-embeddings":
+        run_index_embeddings(argv[1:])
+        return
     if argv and argv[0] == "decon-report":
         run_decon_report(argv[1:])
         return

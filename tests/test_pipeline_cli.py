@@ -584,6 +584,46 @@ def test_cli_select_by_group(spark, tmp_path, capsys):
               "--group-budget", "en:250", "--out", out])
 
 
+def test_cli_index_embeddings(spark, tmp_path, capsys):
+    """`index-embeddings` (r14): builds the persisted cluster-partitioned
+    IVF index from the CLI, `--append` grows it with stored centroids
+    (no retrain), and the result serves `semantic_dedup_against`."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        semantic_dedup_against,
+    )
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    emb = str(tmp_path / "hist_emb.parquet")
+    spark.createDataFrame(
+        [(100 + s, unit(s)) for s in range(12)],
+        "vec_id long, embedding array<double>").write.parquet(emb)
+    idx = str(tmp_path / "idx")
+    main(["index-embeddings", "--in", emb, "--out", idx, "--clusters", "4"])
+    assert "indexed 12 vectors across 4 clusters" in capsys.readouterr().out
+
+    more = str(tmp_path / "more_emb.parquet")
+    spark.createDataFrame(
+        [(200 + s, unit(50 + s)) for s in range(5)],
+        "vec_id long, embedding array<double>").write.parquet(more)
+    main(["index-embeddings", "--in", more, "--out", idx, "--append"])
+    assert "appended 17 vectors" in capsys.readouterr().out
+
+    # the grown index serves the vs-history gate: a batch doc planted on
+    # an APPENDED vector is flagged with that history id
+    batch = spark.createDataFrame(
+        [(1, unit(52))], "vec_id long, embedding array<double>")
+    hits = semantic_dedup_against(spark, idx, batch, threshold=0.99,
+                                  nprobe=4, round_to=6).collect()
+    assert [(r.vec_id, r.history_id) for r in hits] == [(1, 202)]
+
+
 def test_cli_calibration_empty_input(spark, tmp_path, capsys):
     """Zero scored rows (r13 review): a clean 0-row ECE line, not a
     NoneType format crash."""
