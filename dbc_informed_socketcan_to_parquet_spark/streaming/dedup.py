@@ -469,3 +469,86 @@ def streaming_scrub_eval_spans(
     # locally-imported pd.Series hints
     _scrub = pandas_udf(_scrub_fn, "string")
     return docs.withColumn(text_col, _scrub(F.col(text_col)))
+
+
+def streaming_semantic_dedup_against(
+    docs: DataFrame,
+    spark,
+    index_path: str,
+    threshold: float = 0.9,
+    nprobe: int = 4,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    time_col: str = "_ingest_ts",
+    watermark: str = "10 minutes",
+    window: str = "1 minute",
+) -> DataFrame:
+    """STREAMING twin of ``similarity.semantic_dedup_against`` (r14):
+    drop arriving records whose EMBEDDING near-duplicates the persisted
+    history index (``ivf_index_write`` layout) — the semantic cell of
+    the streaming vs-history matrix, next to
+    :func:`streaming_dedup_against` (exact text) and
+    :func:`streaming_near_dedup_against` (MinHash text).
+
+    Shape: centers load once at gate construction (driver-sized model
+    table); each record assigns ROW-LOCALLY to its ``nprobe`` nearest
+    clusters (stateless expression over broadcast-literal centroids),
+    stream-static LEFT OUTER joins the cached index data on
+    ``ivf_cluster``, and a watermarked (window, id) aggregation folds
+    the per-candidate cosines back to one row per record —
+    ``max(cosine)`` is NULL when no probed cluster held any history
+    vector, and the record is kept iff that max is NULL or below
+    ``threshold``.  All original columns ride a payload struct through
+    the aggregation, so the gate composes like the other twins.
+
+    The documented two-tier trade (the near gate's doctrine): the
+    streaming tier cannot prune index partitions per batch (the probe
+    set is dynamic), so each micro-batch pays one keyed join against
+    the CACHED index relation — even at production cluster counts
+    (k ≥ cores, so the cluster key partitions evenly) this is the
+    online pre-filter, and the batch pass over the landed table
+    (``curate --against-embeddings``, partition-pruned) remains
+    authoritative.  Output lands AFTER the watermark passes (the
+    aggregation is append-mode) — the same latency contract as the
+    watermarked exact-dedup stage.
+    """
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        _nearest_labels,
+        cosine,
+    )
+
+    model = spark.read.parquet(f"{index_path}/model").collect()
+    centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
+    data = (
+        spark.read.parquet(f"{index_path}/data")
+        .select("ivf_cluster",
+                F.col(vec_col).cast("array<double>").alias("_hv"))
+        .persist()
+    )
+
+    orig = docs.columns
+    out = docs
+    if time_col not in out.columns:
+        out = out.withColumn(time_col, F.current_timestamp())
+    payload_cols = [c for c in out.columns]
+    probes = (
+        out.withColumn("_payload", F.struct(*[F.col(c) for c in payload_cols]))
+        .withColumn("_bv", F.col(vec_col).cast("array<double>"))
+        .withColumn(
+            "ivf_cluster",
+            F.explode(_nearest_labels("_bv", centers, nprobe)),
+        )
+        .withWatermark(time_col, watermark)
+    )
+    scored = probes.join(data, "ivf_cluster", "left_outer").withColumn(
+        "_cos", F.when(F.col("_hv").isNotNull(),
+                       cosine(F.col("_bv"), F.col("_hv"))),
+    )
+    agg = (
+        scored.groupBy(F.window(F.col(time_col), window), F.col(id_col))
+        .agg(F.max("_cos").alias("_best"), F.first("_payload").alias("_p"))
+    )
+    kept = agg.filter(
+        F.col("_best").isNull() | (F.col("_best") < F.lit(threshold))
+    )
+    return kept.select(*[F.col(f"_p.{c}").alias(c) for c in orig])

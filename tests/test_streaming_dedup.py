@@ -258,3 +258,86 @@ def test_stream_curate_decon_spans_e2e(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1
     assert "qq0" not in rows[0].text and "original prose" in rows[0].text
+
+
+def test_streaming_semantic_dedup_against_index(spark, tmp_path):
+    """STREAMING vs-history embedding gate (r14): records whose embedding
+    near-duplicates the persisted history index drop as they arrive; the
+    kept set for a drained window equals the BATCH operator's answer on
+    the same records (two-tier parity), and records with no history
+    candidate in any probed cluster survive (NULL max cosine)."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+        semantic_dedup_against,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import (
+        streaming_semantic_dedup_against,
+    )
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    history = spark.createDataFrame(
+        [(100 + s, unit(s)) for s in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "hist_idx")
+    ivf_index_write(history, idx, dim=8, num_clusters=4, n_iters=2)
+
+    novel = [s / math.sqrt(8) for s in (1, 1, -1, -1, 1, 1, -1, 1)]
+    log_dir = tmp_path / "emb_stream"
+    log_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    raw = (
+        spark.readStream.format("json").schema(schema).load(str(log_dir))
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+        .drop("ts_ms")
+    )
+    out = streaming_semantic_dedup_against(
+        raw, spark, idx, threshold=0.95, nprobe=4,
+        time_col="event_time", watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sem_against_out")
+        .outputMode("append").start()
+    )
+    try:
+        t0 = 1_700_000_000_000
+        _write_batch(log_dir, "b0.json", [
+            # doc 1 sits exactly on history vector 103 -> drop
+            {"doc_id": 1, "ts_ms": t0, "text": "p", "embedding": unit(3)},
+            # doc 2 is near-orthogonal to every history vector -> keep
+            {"doc_id": 2, "ts_ms": t0 + 1000, "text": "n", "embedding": novel},
+        ])
+        q.processAllAvailable()
+        # a much-later batch advances the watermark so batch-0 windows
+        # finalize (append-mode aggregation emits after the horizon)
+        _write_batch(log_dir, "b1.json", [
+            {"doc_id": 3, "ts_ms": t0 + 3 * 3_600_000, "text": "late",
+             "embedding": novel},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT doc_id, text FROM sem_against_out ORDER BY doc_id").collect()
+    assert [(r.doc_id, r.text) for r in rows] == [(2, "n")]
+
+    # two-tier parity: the batch gate over the same landed records keeps
+    # the same ids
+    landed = spark.createDataFrame(
+        [(1, unit(3)), (2, novel)], "doc_id long, embedding array<double>")
+    flagged = {r.doc_id for r in semantic_dedup_against(
+        spark, idx, landed, threshold=0.95, nprobe=4,
+        batch_id_col="doc_id").collect()}
+    assert flagged == {1}
