@@ -110,10 +110,40 @@ TAIL = [
     "threshold_sweep",
     "select_to_token_budget",
     "lsh_band_tune_sampled_registry",
-    # r14 additions: per-group budget selection + vs-history embedding dedup
+    # r14 additions: per-group budget selection + vs-history embedding
+    # dedup.  The latter is measured in its PRODUCTION shape — a
+    # FIXED-size daily batch probing a GROWING history index (linear in
+    # history for a fixed batch).  The registry entry's batch grows with
+    # the corpus (batch = corpus/3, the deterministic oracle fixture),
+    # which is |batch|·|history|-quadratic at fixed split — an oracle
+    # shape like the full band-tune lane, never the production posture.
     "extra:select_by_group_budget",
-    "extra:semantic_dedup_against",
+    "semantic_dedup_against_fixed_batch",
 ]
+
+
+def _semantic_dedup_against_fixed_batch(spark, sf_dir):
+    """Vs-history embedding dedup in the PRODUCTION posture (r14): a
+    fixed ~700-vector daily batch probes an IVF index over the FULL
+    remaining history — history grows 10× per decade, the batch does
+    not, so cost should scale with the probed history fraction (index
+    build dominates; the probe join is |batch|·|history|·nprobe/k)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+        semantic_dedup_against,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") < 2100))
+    path = tempfile.mkdtemp(prefix="sda_scale_")
+    ivf_index_write(hist, path, dim=64, num_clusters=8, n_iters=2,
+                    assign_kernel="pandas")
+    return semantic_dedup_against(spark, path, batch, threshold=0.4, nprobe=4)
 
 
 def _lsh_band_tune_sampled(spark, sf_dir):
@@ -173,6 +203,8 @@ def _resolve(name):
         # the driver-registry lane (300-doc sample) — named apart from
         # the 50k posture wrapper above
         return QUERIES["lsh_band_tune_sampled"]
+    if name == "semantic_dedup_against_fixed_batch":
+        return _semantic_dedup_against_fixed_batch
     if name == "curate_e2e":
         return _curate_e2e
     if name == "export_training_shards":
