@@ -725,6 +725,9 @@ def test_select_by_group_budget_plan(spark):
     # windowspecdefinition(score ...) with no partition list and plans a
     # single-partition Exchange; assert no such exchange exists
     assert "Exchange SinglePartition" not in plan
+
+
+def test_threshold_sweep_plan(spark):
     """threshold_sweep (r13): ONE corpus pass — a single-row conditional
     aggregate then a constant-size Generate; no join, no window, no
     per-threshold rescan (exactly one aggregate pair in the plan)."""
