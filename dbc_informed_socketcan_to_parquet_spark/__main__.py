@@ -883,9 +883,17 @@ def run_select(argv: list[str]) -> None:
             budgets: dict[str, int] = {}
             for kv in args.group_budgets:
                 g, _, n = kv.partition("=")
-                if not g or not n.lstrip("-").isdigit():
+                if not g or not n.isdigit():
                     raise SystemExit(
-                        f"--group-budget wants GROUP=TOKENS, got {kv!r}")
+                        f"--group-budget wants GROUP=TOKENS "
+                        f"(positive token count), got {kv!r}")
+                if int(n) <= 0:
+                    # match validate_recipe's rule: a zero/negative budget
+                    # here is almost always a typo, and the operator would
+                    # silently drop the whole group
+                    raise SystemExit(
+                        f"--group-budget {g!r}: token count must be "
+                        f"positive, got {n}")
                 budgets[g] = int(n)
             if args.budget > 0:
                 # unnamed groups fall back to the flat budget
@@ -1162,8 +1170,12 @@ def build_index_embeddings_parser() -> argparse.ArgumentParser:
                    help="embedding parquet (id + array<double> vector column)")
     p.add_argument("--out", dest="output_path", required=True,
                    help="IVF index dir (data/ partitioned by cluster + model/)")
-    p.add_argument("--id-col", default="vec_id")
-    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id",
+                   help="input id column; normalized to 'vec_id' on write "
+                        "so every index consumer resolves it")
+    p.add_argument("--vec-col", default="embedding",
+                   help="input vector column; normalized to 'embedding' "
+                        "on write")
     p.add_argument("--clusters", type=int, default=16,
                    help="coarse quantizer size (power of two)")
     p.add_argument("--iters", type=int, default=2,
@@ -1189,14 +1201,21 @@ def run_index_embeddings(argv: list[str]) -> None:
     args = build_index_embeddings_parser().parse_args(argv)
     spark = get_spark("index-embeddings-cli")
     vectors = spark.read.parquet(args.input_path)
+    # normalize --id-col/--vec-col to the canonical (vec_id, embedding)
+    # layout on write (r15, advisory): every downstream index consumer —
+    # `curate --against-embeddings`, semantic_dedup_against defaults,
+    # the streaming gate — reads those names, so a CLI-built index with
+    # renamed columns would fail at runtime with an unresolved column.
+    if args.id_col != "vec_id":
+        vectors = vectors.withColumnRenamed(args.id_col, "vec_id")
+    if args.vec_col != "embedding":
+        vectors = vectors.withColumnRenamed(args.vec_col, "embedding")
     if args.append:
-        ivf_index_append(spark, args.output_path, vectors,
-                         vec_col=args.vec_col)
+        ivf_index_append(spark, args.output_path, vectors)
         verb = "appended"
     else:
         ivf_index_write(vectors, args.output_path,
                         num_clusters=args.clusters, n_iters=args.iters,
-                        id_col=args.id_col, vec_col=args.vec_col,
                         sample_mod=args.sample_mod)
         verb = "indexed"
     n = spark.read.parquet(f"{args.output_path}/data").count()

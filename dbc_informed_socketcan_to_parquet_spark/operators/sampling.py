@@ -964,6 +964,16 @@ def select_to_token_budget_by_group(
         if not items:
             return df.filter(F.lit(False))
         budget_df = spark.createDataFrame(items, "_g string, _budget long")
+        # cast the key to the INPUT group column's type (r14 review
+        # finding): the join below must never rely on implicit
+        # string-vs-numeric casts — an int source-id group works by
+        # accident, a float/decimal group could mis-join silently.  A
+        # key that does not parse as the column's type try_casts to NULL
+        # and (correctly) matches nothing — try_cast, not cast: ANSI
+        # mode (Spark 4 default) makes a failed cast THROW.
+        budget_df = budget_df.withColumn(
+            "_g", F.col("_g").try_cast(df.schema[group_col].dataType)
+        )
     s = F.col(score_col)
     df = df.filter(
         s.isNotNull() & ~F.isnan(s.cast("double")) & F.col(group_col).isNotNull()

@@ -1712,6 +1712,7 @@ def semantic_dedup_against(
     vec_col: str = "embedding",
     batch_id_col: str | None = None,
     round_to: int | None = None,
+    broadcast_max_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Embedding-space near-dup of an INCOMING BATCH against a PERSISTED
     history index (r14, VERDICT r13 item 4) — the last cell of the
@@ -1732,6 +1733,14 @@ def semantic_dedup_against(
     PAST and the probe side is today's batch, and the report keys on the
     BATCH doc.
 
+    Production posture (r15): the batch side is a FIXED-SIZE daily
+    increment, never the growing corpus — cost stays |batch| ·
+    nprobe/num_clusters of history regardless of how large history gets.
+    The batch-side join is broadcast ONLY when its measured exploded
+    payload (8·dim bytes/row ×nprobe rows/doc) fits ``broadcast_max_bytes``
+    (default 128 MB); above that it falls back to a SHUFFLE_HASH join on
+    the cluster key, same kept set, no driver-memory cliff.
+
     Output: ``(batch_id, history_id, cosine)`` — one row per batch doc
     whose cosine against ANY history vector is ≥ ``threshold``, with its
     best history match (max cosine, ties toward the smallest history
@@ -1740,9 +1749,15 @@ def semantic_dedup_against(
     result equals the exact broadcast sweep (pytest-pinned); below that
     the standard multi-probe recall trade applies.
     """
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        _keyed_join,
+        _measured_small,
+    )
+
     bid = batch_id_col or id_col
     model = spark.read.parquet(f"{index_path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
+    dim = len(next(iter(centers.values())))
 
     b = batch.select(
         F.col(bid).alias("_bid"),
@@ -1752,9 +1767,19 @@ def semantic_dedup_against(
         "_bid", "_bv",
         F.explode(_nearest_labels("_bv", centers, nprobe)).alias("ivf_cluster"),
     )
-    # materialize once: the probe assignment feeds the driver-side probe
-    # collect AND the broadcast join (the ivf_index_topk pattern)
-    b = b.localCheckpoint(eager=False)
+    # Materialize the exploded probe table once: it feeds the driver-side
+    # probe collect AND the history join.  The join strategy is sized in
+    # BYTES on that measured table (r14 review finding): a probe row
+    # carries the full float64 embedding (8·dim) plus id + cluster label,
+    # so a 10M-doc daily batch at d=768 exploded ×nprobe is ~240 GB — far
+    # past any driver budget.  Broadcast only when the measured payload
+    # fits 128 MB (the streaming rep-table cap); above it, SHUFFLE_HASH on
+    # the cluster key — the history side is already partition-pruned to
+    # the probed clusters, so the fallback costs one exchange of each
+    # side, never a corpus rescan.  Kept set is identical either path
+    # (pytest-pinned).
+    probe_row_bytes = 64 + 8 * dim  # id + cluster label + double[dim]
+    b, small = _measured_small(b, max(1, broadcast_max_bytes // probe_row_bytes))
     probed = sorted(
         {r["ivf_cluster"] for r in b.select("ivf_cluster").distinct().collect()}
     )
@@ -1769,7 +1794,7 @@ def semantic_dedup_against(
     if round_to is not None:
         sim = F.round(sim, round_to)
     hits = (
-        h.join(F.broadcast(b), "ivf_cluster")
+        _keyed_join(h, b, "ivf_cluster", small)
         .select(F.col("_bid"), F.col("_hid"), sim.alias("_cos"))
         .filter(F.col("_cos") >= F.lit(threshold))
     )

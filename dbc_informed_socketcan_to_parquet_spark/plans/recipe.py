@@ -472,7 +472,15 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
               if recipe.get("resume_dir") else None)
     summary: dict = {}
     if resume is not None:
-        frag = resume.done("curate", recipe["out"])
+        # the audit parquet (when configured) lands in the SAME stage as
+        # the curated table, so the marker must check both artifacts —
+        # a deleted/partial audit output would otherwise resume cleanly
+        # while the loaded summary still claims it exists (r15 advisory)
+        audit_spec = recipe.get("audit")
+        curate_outs = [recipe["out"]]
+        if isinstance(audit_spec, dict) and audit_spec.get("out"):
+            curate_outs.append(audit_spec["out"])
+        frag = resume.done("curate", *curate_outs)
         if frag is not None:
             # ingest + curate (+ audit counts) load from the committed
             # curated table; the fertility lang-col validation below

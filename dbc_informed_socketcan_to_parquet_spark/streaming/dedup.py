@@ -535,8 +535,19 @@ def streaming_semantic_dedup_against(
         out.withColumn("_payload", F.struct(*[F.col(c) for c in payload_cols]))
         .withColumn("_bv", F.col(vec_col).cast("array<double>"))
         .withColumn(
+            # NULL/un-embeddable records are KEPT, like the batch gate
+            # keeps them (r15, advisory-hardened): guard the assignment
+            # so a NULL vector gets a NULL cluster array, and
+            # explode_OUTER so that still emits one row — the NULL
+            # cluster key equi-joins nothing, max cosine stays NULL, and
+            # the keep-filter passes the record through.  (Unguarded,
+            # null distances still sorted to real labels and the record
+            # pointlessly joined every probed history partition.)
             "ivf_cluster",
-            F.explode(_nearest_labels("_bv", centers, nprobe)),
+            F.explode_outer(
+                F.when(F.col("_bv").isNotNull(),
+                       _nearest_labels("_bv", centers, nprobe))
+            ),
         )
         .withWatermark(time_col, watermark)
     )

@@ -2456,6 +2456,47 @@ def test_semantic_dedup_against_matches_brute_force_at_full_probe(spark, tmp_pat
             for r in narrow.collect()} <= want
 
 
+def test_semantic_dedup_against_broadcast_gate(spark, tmp_path):
+    """r15 (VERDICT r14 item 1): the batch-side join is broadcast only
+    when the measured exploded probe payload fits broadcast_max_bytes;
+    a forced-tiny cap flips the plan to SHUFFLE_HASH with an IDENTICAL
+    kept set — no driver-memory cliff on a large daily batch."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+        semantic_dedup_against,
+    )
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    history = spark.createDataFrame(
+        [(100 + s, unit(s)) for s in range(24)],
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(i, unit(i % 24)) for i in range(1, 13)],
+        "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "hist_ivf")
+    ivf_index_write(history, idx, dim=8, num_clusters=4, n_iters=2)
+
+    big = semantic_dedup_against(
+        spark, idx, batch, threshold=0.9, nprobe=4, round_to=6)
+    small = semantic_dedup_against(
+        spark, idx, batch, threshold=0.9, nprobe=4, round_to=6,
+        broadcast_max_bytes=1)  # 12 probe rows × (64+64) B >> 1 B
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in big_plan
+    assert "ShuffledHashJoin" in small_plan
+    assert "BroadcastHashJoin" not in small_plan.split("ShuffledHashJoin")[0]
+    assert ({tuple(r) for r in big.collect()}
+            == {tuple(r) for r in small.collect()})
+    assert big.count() == 12  # every batch doc has an exact history twin
+
+
 def test_chunk_cli(spark, tmp_path, capsys):
     """chunk subcommand (r11): curated docs -> chunk rows parquet."""
     from dbc_informed_socketcan_to_parquet_spark.__main__ import main

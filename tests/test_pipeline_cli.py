@@ -582,6 +582,12 @@ def test_cli_select_by_group(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="GROUP=TOKENS"):
         main(["select", "--in", src, "--by-group", "lang", "--budget", "60",
               "--group-budget", "en:250", "--out", out])
+    # r15: non-positive budgets are rejected like validate_recipe does,
+    # instead of silently dropping the group (en=-5 typo ate a language)
+    for bad in ("en=-5", "en=0"):
+        with _pytest.raises(SystemExit, match="GROUP=TOKENS|positive"):
+            main(["select", "--in", src, "--by-group", "lang",
+                  "--budget", "60", "--group-budget", bad, "--out", out])
 
 
 def test_cli_index_embeddings(spark, tmp_path, capsys):
@@ -622,6 +628,26 @@ def test_cli_index_embeddings(spark, tmp_path, capsys):
     hits = semantic_dedup_against(spark, idx, batch, threshold=0.99,
                                   nprobe=4, round_to=6).collect()
     assert [(r.vec_id, r.history_id) for r in hits] == [(1, 202)]
+
+    # r15 (advisory): --id-col/--vec-col overrides NORMALIZE to the
+    # canonical (vec_id, embedding) layout, so an index built from a
+    # renamed source still serves the default-column consumers
+    # (curate --against-embeddings, semantic_dedup_against)
+    ren = str(tmp_path / "renamed_emb.parquet")
+    spark.createDataFrame(
+        [(300 + s, unit(s)) for s in range(8)],
+        "chunk_id long, vec array<double>").write.parquet(ren)
+    idx2 = str(tmp_path / "idx2")
+    main(["index-embeddings", "--in", ren, "--out", idx2, "--clusters", "2",
+          "--id-col", "chunk_id", "--vec-col", "vec"])
+    assert "indexed 8 vectors" in capsys.readouterr().out
+    data_cols = set(spark.read.parquet(f"{idx2}/data").columns)
+    assert {"vec_id", "embedding"} <= data_cols
+    hits2 = semantic_dedup_against(
+        spark, idx2, spark.createDataFrame(
+            [(9, unit(5))], "vec_id long, embedding array<double>"),
+        threshold=0.99, nprobe=2, round_to=6).collect()
+    assert [(r.vec_id, r.history_id) for r in hits2] == [(9, 305)]
 
 
 def test_cli_calibration_empty_input(spark, tmp_path, capsys):

@@ -761,6 +761,39 @@ def test_recipe_staged_resume_kill_after_stage_k(spark, tmp_path, monkeypatch):
         run_recipe(spark, other)
 
 
+def test_recipe_resume_checks_audit_artifact(spark, tmp_path):
+    """r15 (advisory): the curate resume marker covers the AUDIT parquet
+    too — deleting the audit output (but not the curated table) forces
+    the curate stage to re-run and re-land the audit, instead of
+    resuming cleanly while the summary claims an artifact that is gone."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, " ".join(f"tok{i}w{j} u{j}" for j in range(15)))
+         for i in range(4)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    audit_out = str(tmp_path / "audit.parquet")
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": str(tmp_path / "curated.parquet"),
+        "audit": {"out": audit_out},
+        "resume_dir": str(tmp_path / "resume"),
+    }
+    s1 = run_recipe(spark, recipe)
+    assert os.path.exists(f"{tmp_path}/resume/curate.done.json")
+    assert spark.read.parquet(audit_out).count() >= 1
+
+    shutil.rmtree(audit_out)
+    s2 = run_recipe(spark, recipe)  # must re-run curate, re-land audit
+    assert os.path.isdir(audit_out)
+    assert s2["audit"] == s1["audit"]
+    assert s2["curate"]["n_docs"] == s1["curate"]["n_docs"]
+
+
 def test_recipe_select_score_sources_exclusive(spark, tmp_path):
     """select.classifier_path and select.score_col together fail fast
     (r13 review: the classifier would silently override the column)."""

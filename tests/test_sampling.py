@@ -704,6 +704,56 @@ def test_select_to_token_budget_by_group_randomized(spark):
         assert got == want, res
 
 
+def test_select_to_token_budget_by_group_typed_keys(spark):
+    """r15 (VERDICT r14 item 6): the budget table's key is cast to the
+    INPUT group column's type before the join — int and string group
+    columns both match brute force exactly, with no reliance on
+    implicit string casts (a float group like 1.5 must not silently
+    mis-join)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.sampling import (
+        select_to_token_budget_by_group,
+    )
+
+    def brute(rows, budgets):
+        keep = []
+        for g, budget in budgets.items():
+            cum = 0
+            for d, _, s, t in sorted(
+                (r for r in rows if r[1] == g), key=lambda r: (-r[2], r[0])
+            ):
+                if cum < budget:
+                    keep.append(d)
+                cum += t
+        return sorted(keep)
+
+    # int group column (source ids)
+    int_rows = [(1, 10, 0.9, 100), (2, 10, 0.8, 200), (3, 10, 0.5, 400),
+                (4, 20, 0.7, 50), (5, 20, 0.6, 50), (6, 30, 0.9, 10)]
+    df_i = spark.createDataFrame(
+        int_rows, "doc_id long, src int, score double, n_tokens long")
+    budgets_i = {10: 150, 20: 60, 30: 0}
+    got = sorted(r.doc_id for r in select_to_token_budget_by_group(
+        df_i, "score", "n_tokens", budgets_i, "src").collect())
+    assert got == brute(int_rows, budgets_i) == [1, 2, 4, 5]
+    # the budget key column is typed to the input column, not string
+    joined = select_to_token_budget_by_group(
+        df_i, "score", "n_tokens", budgets_i, "src")
+    assert dict(joined.dtypes)["src"] == "int"
+
+    # float group column: key "1.5" must match group 1.5 exactly
+    flt_rows = [(1, 1.5, 0.9, 10), (2, 1.5, 0.8, 10), (3, 2.5, 0.9, 10)]
+    df_f = spark.createDataFrame(
+        flt_rows, "doc_id long, grp double, score double, n_tokens long")
+    got = sorted(r.doc_id for r in select_to_token_budget_by_group(
+        df_f, "score", "n_tokens", {1.5: 15, 2.5: 5}, "grp").collect())
+    assert got == brute(flt_rows, {1.5: 15, 2.5: 5}) == [1, 2, 3]
+
+    # a key that cannot parse as the column's type matches nothing
+    got = sorted(r.doc_id for r in select_to_token_budget_by_group(
+        df_i, "score", "n_tokens", {"oops": 100, 20: 60}, "src").collect())
+    assert got == [4, 5]
+
+
 def test_select_by_group_composes_with_fertility_budgets(spark):
     """The production composition (r14): per-language budgets derived
     from the corpus's own token totals (the shape fertility_mix's

@@ -317,6 +317,10 @@ def test_streaming_semantic_dedup_against_index(spark, tmp_path):
             {"doc_id": 1, "ts_ms": t0, "text": "p", "embedding": unit(3)},
             # doc 2 is near-orthogonal to every history vector -> keep
             {"doc_id": 2, "ts_ms": t0 + 1000, "text": "n", "embedding": novel},
+            # doc 4 is un-embeddable (NULL embedding) -> KEPT, like the
+            # batch gate keeps it (r15 advisory: must not be silently
+            # dropped by the probe explode)
+            {"doc_id": 4, "ts_ms": t0 + 2000, "text": "x", "embedding": None},
         ])
         q.processAllAvailable()
         # a much-later batch advances the watermark so batch-0 windows
@@ -331,12 +335,13 @@ def test_streaming_semantic_dedup_against_index(spark, tmp_path):
 
     rows = spark.sql(
         "SELECT doc_id, text FROM sem_against_out ORDER BY doc_id").collect()
-    assert [(r.doc_id, r.text) for r in rows] == [(2, "n")]
+    assert [(r.doc_id, r.text) for r in rows] == [(2, "n"), (4, "x")]
 
     # two-tier parity: the batch gate over the same landed records keeps
-    # the same ids
+    # the same ids (and never flags the un-embeddable doc 4)
     landed = spark.createDataFrame(
-        [(1, unit(3)), (2, novel)], "doc_id long, embedding array<double>")
+        [(1, unit(3)), (2, novel), (4, None)],
+        "doc_id long, embedding array<double>")
     flagged = {r.doc_id for r in semantic_dedup_against(
         spark, idx, landed, threshold=0.95, nprobe=4,
         batch_id_col="doc_id").collect()}
