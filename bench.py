@@ -431,7 +431,13 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  "calibration_report", "threshold_sweep",
                  "select_to_token_budget",
                  # r14 addition: per-group (per-language) budget selection
-                 "select_by_group_budget"):
+                 "select_by_group_budget",
+                 # r15 addition: vs-history embedding dedup — the driver
+                 # entry is the FIXED-batch production posture since r15
+                 # (vec_id < 450 slice probing the persisted IVF index),
+                 # so its trend measures the history-probe cost, not a
+                 # growing-batch oracle shape
+                 "semantic_dedup_against"):
         fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         out[name] = _min_of(spark, lambda: fn(spark, sf_dir),
                             5 if name in _NOISY else 2)

@@ -625,7 +625,10 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(  # demoted r15 to free a driver slot for the r14 flagships:
+    # the 6-way star-join shape stays exactly-checked through the EXTRA
+    # gate, and its join-strategy logic remains driver-covered
+    # transitively by tpch_q3 (join+agg+topk) and tpch_q1/q6 (agg scans)
     "tpch_q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
@@ -1598,7 +1601,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                               value_cols=["purchase_value"])
 
 
-@query(
+@extra_query(  # demoted r15 to free a driver slot for the r14 flagships:
+    # the lag+running-sum session window stays exactly-checked through
+    # the EXTRA gate; its Window machinery remains driver-covered by
+    # forward_fill / bucket_last / select lanes
     "sessionize",
     oracle=f"""
     WITH marked AS (
@@ -2074,20 +2080,24 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_dedup_against_oracle_sql(dim: int = 64, nplanes: int = 3,
                                        n_iters: int = 2, nprobe: int = 4,
-                                       thr: float = 0.4) -> str:
+                                       thr: float = 0.4,
+                                       batch_max_id: int | None = None) -> str:
     """Full replay of the vs-history embedding near-dup (r14): the
     deterministic-Lloyd's chain trains and assigns over the HISTORY
     slice only (= the persisted index build), the batch slice probes its
     nprobe nearest final centroids, cosine ≥ thr inside probed clusters,
     best HISTORY match per batch doc (max cosine, ties to smallest
-    history id)."""
+    history id).  ``batch_max_id`` caps the batch slice to a FIXED
+    deterministic prefix (the r15 production-posture lane: a daily batch
+    does not grow with the corpus)."""
     parts = _ivf_corpus_assign_ctes(
         dim, nplanes, n_iters,
         src="(SELECT * FROM embeddings WHERE vec_id % 3 != 0)")
     final = f"centers{n_iters}"
+    bcap = f" AND vec_id < {batch_max_id}" if batch_max_id is not None else ""
     parts.append(
         "bvecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings WHERE vec_id % 3 = 0)")
+        f"FROM embeddings WHERE vec_id % 3 = 0{bcap})")
     parts.append(f"""probe AS (
       SELECT vec_id AS bid, v AS bv, b AS cluster
       FROM ({_ivf_assign_sql('bvecs', final, f'rn <= {nprobe}')})
@@ -2110,20 +2120,56 @@ def _semantic_dedup_against_oracle_sql(dim: int = 64, nplanes: int = 3,
     """
 
 
-@extra_query("semantic_dedup_against",
-             oracle=_semantic_dedup_against_oracle_sql())
+@query(  # promoted r15 (r14 flagship); fixed-batch fixture since r15
+    "semantic_dedup_against",
+    oracle=_semantic_dedup_against_oracle_sql(batch_max_id=450))
 def q_semantic_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vs-history embedding near-dup (similarity.semantic_dedup_against,
     r14): history = embeddings with vec_id % 3 != 0, persisted as a
     cluster-partitioned IVF index (ivf_index_write, k=8, the hash-checked
-    deterministic Lloyd's); batch = the vec_id % 3 == 0 slice probes its
-    4 nearest history clusters and flags cosine ≥ 0.4, best history
+    deterministic Lloyd's); batch = a FIXED ~150-vector deterministic
+    slice (vec_id % 3 == 0, vec_id < 450 — present at every SF) probing
+    its 4 nearest history clusters, flagging cosine ≥ 0.4, best history
     match per batch doc.  The oracle replays index build + probe +
     threshold + best-match end-to-end, so the hash match proves the
     persisted-index lane computes the same answer as the from-scratch
-    definition.  The index is rebuilt per invocation here (deterministic,
-    so hashes are stable); production builds it once and every later
-    batch pays only its probed partitions."""
+    definition.  r15 (VERDICT r14 item 3): the batch is FIXED-size — the
+    production posture, where a daily increment does not grow with the
+    accumulated corpus, so this lane's scaling trend measures the
+    history-side probe cost; the growing-batch oracle-stress shape lives
+    on as EXTRA ``semantic_dedup_against_full``.  The index is rebuilt
+    per invocation here (deterministic, so hashes are stable);
+    production builds it once and every later batch pays only its
+    probed partitions."""
+    import tempfile
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+        semantic_dedup_against,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = (emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") < 450))
+             .select("vec_id", "embedding"))
+    path = tempfile.mkdtemp(prefix="sda_idx_")
+    # expr kernel pinned: this is the DuckDB-replay lane (bit-identical
+    # SQL fold; the pandas kernel's blocked numpy summation is not)
+    ivf_index_write(hist, path, dim=64, num_clusters=8, n_iters=2,
+                    assign_kernel="expr")
+    return semantic_dedup_against(
+        spark, path, batch, threshold=0.4, nprobe=4, round_to=6)
+
+
+@extra_query("semantic_dedup_against_full",
+             oracle=_semantic_dedup_against_oracle_sql())
+def q_semantic_dedup_against_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growing-batch oracle-stress form of ``semantic_dedup_against``
+    (the r14 fixture): batch = the WHOLE vec_id % 3 == 0 slice, so the
+    checked surface covers every embedding at the gate SF.  Explicitly
+    NOT the production posture (batch grows with the corpus — a
+    quadratic shape); never benched, never in a scaling lane — the
+    driver entry above probes with the fixed slice instead."""
     import tempfile
 
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
@@ -2134,9 +2180,7 @@ def q_semantic_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     hist = emb.filter(F.col("vec_id") % 3 != 0)
     batch = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
-    path = tempfile.mkdtemp(prefix="sda_idx_")
-    # expr kernel pinned: this is the DuckDB-replay lane (bit-identical
-    # SQL fold; the pandas kernel's blocked numpy summation is not)
+    path = tempfile.mkdtemp(prefix="sda_full_idx_")
     ivf_index_write(hist, path, dim=64, num_clusters=8, n_iters=2,
                     assign_kernel="expr")
     return semantic_dedup_against(
@@ -6196,7 +6240,8 @@ _GROUP_BUDGET_ORACLE = f"""
     """
 
 
-@extra_query("select_by_group_budget", oracle=_GROUP_BUDGET_ORACLE)
+@query(  # promoted r15 (r14 flagship)
+    "select_by_group_budget", oracle=_GROUP_BUDGET_ORACLE)
 def q_select_by_group_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group token-budget selection
     (sampling.select_to_token_budget_by_group, r14): "the best N tokens

@@ -117,7 +117,12 @@ TAIL = [
     # the corpus (batch = corpus/3, the deterministic oracle fixture),
     # which is |batch|·|history|-quadratic at fixed split — an oracle
     # shape like the full band-tune lane, never the production posture.
-    "extra:select_by_group_budget",
+    # r15: both promoted into the driver 50 — bare name for the select
+    # lane; the driver semantic_dedup_against entry is now ITSELF the
+    # fixed-batch production posture (vec_id < 450 slice), and the
+    # growing-batch oracle shape lives on as EXTRA
+    # semantic_dedup_against_full (never measured here)
+    "select_by_group_budget",
     "semantic_dedup_against_fixed_batch",
 ]
 

@@ -118,7 +118,7 @@ def test_q5_supplier_join_not_hint_broadcast(spark):
     threshold and OOMs executors at 100× scale (VERDICT r2 #1).  Catalyst
     may still auto-broadcast it at toy SFs — that's size-based and safe;
     the guard is against the *hint*, which is unconditional."""
-    df = QUERIES["tpch_q5_local_supplier_volume"](spark, SF)
+    df = EXTRA_QUERIES["tpch_q5_local_supplier_volume"](spark, SF)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     joins = [ln for ln in opt.splitlines() if "Join Inner" in ln]
     supplier = [ln for ln in joins if "s_suppkey" in ln]
@@ -715,7 +715,7 @@ def test_select_by_group_budget_plan(spark):
     (the per-group cumulative + boundary refinement), the groups-sized
     budget and boundary tables join back BROADCAST, and nothing plans a
     cartesian product."""
-    df = EXTRA_QUERIES["select_by_group_budget"](spark, SF)
+    df = QUERIES["select_by_group_budget"](spark, SF)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan          # budget + boundary joins
