@@ -1166,8 +1166,9 @@ def run_tune_lsh(argv: list[str]) -> None:
 def build_index_embeddings_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dbc_informed_socketcan_to_parquet_spark index-embeddings")
-    p.add_argument("--in", dest="input_path", required=True,
-                   help="embedding parquet (id + array<double> vector column)")
+    p.add_argument("--in", dest="input_path", default=None,
+                   help="embedding parquet (id + array<double> vector "
+                        "column); required unless --stats/--rebuild-from")
     p.add_argument("--out", dest="output_path", required=True,
                    help="IVF index dir (data/ partitioned by cluster + model/)")
     p.add_argument("--id-col", default="vec_id",
@@ -1184,7 +1185,21 @@ def build_index_embeddings_parser() -> argparse.ArgumentParser:
                    help="train on every Nth id (hash-sampled); 1 = full corpus")
     p.add_argument("--append", action="store_true",
                    help="assign with the STORED centroids and append into an "
-                        "existing index (the daily-ingest shape; no retrain)")
+                        "existing index (the daily-ingest shape; no retrain); "
+                        "prints rebuild advice when the grown index is skewed "
+                        "or undersized")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-cluster health + rebuild advice for the "
+                        "EXISTING index at --out (no input read, no build)")
+    p.add_argument("--rebuild-from", dest="rebuild_from", default=None,
+                   metavar="OLD_INDEX",
+                   help="retrain over OLD_INDEX's accumulated data and write "
+                        "a fresh index at --out (--clusters 0 = the sqrt-N "
+                        "recommendation); publish by swapping readers to the "
+                        "new path")
+    p.add_argument("--imbalance-threshold", type=float, default=4.0,
+                   help="hot-cluster imbalance (n*k/total) that triggers "
+                        "rebuild advice")
     return p
 
 
@@ -1195,11 +1210,45 @@ def run_index_embeddings(argv: list[str]) -> None:
     `ivf_index_topk`; previously only reachable as a library call."""
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
         ivf_index_append,
+        ivf_index_health,
+        ivf_index_rebuild,
+        ivf_index_rebuild_advice,
         ivf_index_write,
     )
 
     args = build_index_embeddings_parser().parse_args(argv)
     spark = get_spark("index-embeddings-cli")
+
+    def _print_advice(path: str) -> None:
+        adv = ivf_index_rebuild_advice(
+            spark, path, imbalance_threshold=args.imbalance_threshold)
+        if adv["rebuild"]:
+            print(f"rebuild advised (recommended k={adv['recommended_k']}): "
+                  + "; ".join(adv["reasons"]))
+        else:
+            print(f"index healthy: {adv['n_vecs']} vectors, k={adv['k']}, "
+                  f"max imbalance {adv['max_imbalance']:.2f}")
+
+    if args.stats:
+        for r in ivf_index_health(spark, args.output_path).collect():
+            print(f"cluster {r.cluster}: {r.n_vecs} vectors "
+                  f"(frac {r.frac:.4f}, imbalance {r.imbalance:.2f})")
+        _print_advice(args.output_path)
+        return
+    if args.rebuild_from:
+        k = args.clusters if args.clusters > 0 else None
+        ivf_index_rebuild(spark, args.rebuild_from, args.output_path,
+                          num_clusters=k, n_iters=args.iters,
+                          sample_mod=args.sample_mod)
+        n = spark.read.parquet(f"{args.output_path}/data").count()
+        k = spark.read.parquet(f"{args.output_path}/model").count()
+        print(f"rebuilt {n} vectors across {k} clusters at "
+              f"{args.output_path} (from {args.rebuild_from})")
+        _print_advice(args.output_path)
+        return
+
+    if not args.input_path:
+        raise SystemExit("--in is required (unless --stats/--rebuild-from)")
     vectors = spark.read.parquet(args.input_path)
     # normalize --id-col/--vec-col to the canonical (vec_id, embedding)
     # layout on write (r15, advisory): every downstream index consumer —
@@ -1221,6 +1270,10 @@ def run_index_embeddings(argv: list[str]) -> None:
     n = spark.read.parquet(f"{args.output_path}/data").count()
     k = spark.read.parquet(f"{args.output_path}/model").count()
     print(f"{verb} {n} vectors across {k} clusters at {args.output_path}")
+    if args.append:
+        # appends assign with stored centroids and never retrain, so
+        # skew/growth accumulates — surface the rebuild trigger here
+        _print_advice(args.output_path)
 
 
 def main(argv: list[str] | None = None) -> None:

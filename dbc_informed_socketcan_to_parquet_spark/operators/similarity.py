@@ -618,6 +618,117 @@ def ivf_index_append(
     c.write.partitionBy("ivf_cluster").mode("append").parquet(f"{path}/data")
 
 
+def ivf_index_health(spark, path: str, round_to: int = 6) -> DataFrame:
+    """Per-cluster population of a PERSISTED index (r15, VERDICT r14
+    item 4) — :func:`ivf_cluster_stats` without the retrain: the data
+    layout already carries the assignment as its partition column, so
+    the report is a ONE-COLUMN scan (partition values come from file
+    paths; no vector bytes are read) + a ≤k-cardinality aggregation.
+
+    Output matches ``ivf_cluster_stats``: ``(cluster, n_vecs, frac,
+    imbalance)`` per non-empty cluster, with ``imbalance`` scaled by the
+    MODEL's k (so empty clusters surface as the others' imbalance > 1).
+    This is the growth-health check behind :func:`ivf_index_rebuild_advice`:
+    ``ivf_index_append`` assigns with STORED centroids and never
+    retrains, so appended mass accumulates skew — run this after appends
+    and rebuild when the hot cluster breaches the imbalance budget."""
+    k = spark.read.parquet(f"{path}/model").count()
+    counts = (
+        spark.read.parquet(f"{path}/data")
+        .groupBy(F.col("ivf_cluster").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    total = counts.agg(F.sum("n_vecs").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "cluster",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(F.col("n_vecs") / F.col("_total"), round_to).alias("frac"),
+            F.round(F.col("n_vecs") * F.lit(k) / F.col("_total"), round_to)
+            .alias("imbalance"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def ivf_index_rebuild_advice(
+    spark,
+    path: str,
+    imbalance_threshold: float = 4.0,
+) -> dict:
+    """Stats-gated rebuild trigger for a persisted, append-grown IVF
+    index (r15, VERDICT r14 item 4).  Two independent reasons to
+    rebuild:
+
+    - **skew**: the hottest cluster's ``imbalance`` (n·k/total) breached
+      ``imbalance_threshold`` — probes hitting it degrade toward a full
+      scan while cold clusters starve recall;
+    - **growth**: the corpus outgrew its quantizer — the standard
+      k ∝ √N sizing (recommended k = the power of two nearest
+      √n_vecs, clamped to ≥ the current k) is ≥ 2× the stored k, so
+      per-probe candidate lists are ~2× the design cost even when
+      balanced.
+
+    Returns ``{n_vecs, k, max_imbalance, hot_cluster, recommended_k,
+    rebuild, reasons}`` — driver-sized arithmetic over the ≤k-row health
+    report; the corpus is touched only through the partition-column
+    scan.  Rebuild cadence (production): run after each
+    ``ivf_index_append`` window (e.g. daily-ingest recipes check it
+    post-append and schedule :func:`ivf_index_rebuild` when flagged);
+    between rebuilds, queries need no change."""
+    import math
+
+    health = ivf_index_health(spark, path).collect()
+    k = spark.read.parquet(f"{path}/model").count()
+    n = sum(r["n_vecs"] for r in health)
+    hot = max(health, key=lambda r: r["n_vecs"]) if health else None
+    max_imb = float(hot["imbalance"]) if hot else 0.0
+    rec_k = max(k, 1 << round(0.5 * math.log2(n))) if n > 1 else k
+    reasons = []
+    if max_imb >= imbalance_threshold:
+        reasons.append(
+            f"cluster {hot['cluster']} holds {hot['frac']:.1%} of "
+            f"{n} vectors (imbalance {max_imb:.2f} >= "
+            f"{imbalance_threshold})")
+    if rec_k >= 2 * k:
+        reasons.append(
+            f"corpus grew to {n} vectors; k={k} is under the sqrt-N "
+            f"sizing (recommended k={rec_k})")
+    return {
+        "n_vecs": n, "k": k, "max_imbalance": max_imb,
+        "hot_cluster": int(hot["cluster"]) if hot else None,
+        "recommended_k": int(rec_k), "rebuild": bool(reasons),
+        "reasons": reasons,
+    }
+
+
+def ivf_index_rebuild(
+    spark,
+    old_path: str,
+    new_path: str,
+    num_clusters: int | None = None,
+    n_iters: int = 2,
+    sample_mod: int = 1,
+    assign_kernel: str = "auto",
+) -> dict[int, list[float]]:
+    """RETRAIN a persisted index over its own accumulated data (r15):
+    one corpus pass re-fits the quantizer (``num_clusters=None`` takes
+    :func:`ivf_index_rebuild_advice`'s √N recommendation) and rewrites
+    the cluster-partitioned layout at ``new_path``.  The rebuild lands
+    at a NEW path on purpose — a distributed store cannot atomically
+    overwrite a directory being served; publish by swapping the path
+    your readers resolve (symlink / table pointer / recipe config) and
+    retire the old version afterwards.  Returns the new centroids."""
+    if num_clusters is None:
+        num_clusters = ivf_index_rebuild_advice(spark, old_path)["recommended_k"]
+    data = spark.read.parquet(f"{old_path}/data").drop("ivf_cluster")
+    return ivf_index_write(
+        data, new_path, num_clusters=num_clusters, n_iters=n_iters,
+        sample_mod=sample_mod, assign_kernel=assign_kernel,
+    )
+
+
 def ivf_index_topk(
     spark,
     path: str,

@@ -2540,6 +2540,80 @@ def test_ivf_cluster_stats_flags_planted_skew(spark):
     assert top.n_vecs >= 30 and top.imbalance >= 3.0  # 30/36 * 4 = 3.33
 
 
+def test_ivf_index_rebuild_advice_and_probe_cost(spark, tmp_path):
+    """Index growth health (r15, VERDICT r14 item 4): appends assign with
+    STORED centroids and never retrain, so a corpus that drifts into one
+    region piles into one cluster.  ivf_index_health reads ONLY the
+    partition column; ivf_index_rebuild_advice flags the skew-grown
+    index; ivf_index_rebuild retrains into a NEW path and the probe
+    cost (candidate rows in the hot query's nprobe=1 cluster) drops."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_health,
+        ivf_index_rebuild,
+        ivf_index_rebuild_advice,
+        ivf_index_write,
+    )
+    from pyspark.sql import functions as F
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def cone(base, seed, spread=0.45):
+        noise = unit(seed)
+        v = [b + spread * x for b, x in zip(base, noise)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = unit(3)
+    initial = spark.createDataFrame(
+        [(s, unit(s)) for s in range(24)],
+        "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx_v1")
+    ivf_index_write(initial, idx, dim=8, num_clusters=8, n_iters=2)
+    # daily appends drift into a wide cone around one history vector
+    appended = spark.createDataFrame(
+        [(100 + i, cone(base, 50 + i)) for i in range(72)],
+        "vec_id long, embedding array<double>")
+    ivf_index_append(spark, idx, appended)
+
+    health = {r.cluster: r for r in ivf_index_health(spark, idx).collect()}
+    assert sum(r.n_vecs for r in health.values()) == 96
+    old_hot = max(health.values(), key=lambda r: r.n_vecs)
+    adv = ivf_index_rebuild_advice(spark, idx, imbalance_threshold=2.0)
+    # the model stores only OCCUPIED sign-LSH buckets, so k <= requested
+    assert adv["rebuild"] and adv["n_vecs"] == 96 and 2 <= adv["k"] <= 8
+    assert adv["max_imbalance"] == old_hot.imbalance >= 2.0
+    assert adv["hot_cluster"] == old_hot.cluster
+    assert adv["recommended_k"] >= adv["k"]
+
+    # retrain over the accumulated data into a NEW path (publish-by-swap)
+    idx2 = str(tmp_path / "idx_v2")
+    ivf_index_rebuild(spark, idx, idx2, num_clusters=8, n_iters=2)
+    h2 = ivf_index_health(spark, idx2).collect()
+    assert sum(r.n_vecs for r in h2) == 96  # nothing lost in the rebuild
+    new_max_imb = max(r.imbalance for r in h2)
+    assert new_max_imb < old_hot.imbalance  # quantizer re-fit the drift
+
+    # probe cost for a query INSIDE the drifted region: candidates in
+    # its nearest cluster shrink after the rebuild
+    def probe_candidates(path, q):
+        model = spark.read.parquet(f"{path}/model").collect()
+        best = min(model, key=lambda r: sum(
+            (a - b) ** 2 for a, b in zip(r["center"], q)))
+        return (spark.read.parquet(f"{path}/data")
+                .filter(F.col("ivf_cluster") == best["ivf_cluster"]).count())
+
+    q = cone(base, 999)
+    before, after = probe_candidates(idx, q), probe_candidates(idx2, q)
+    assert before == old_hot.n_vecs  # the query lands in the hot cluster
+    assert after < before, (before, after)
+
+
 def test_vocab_coverage_semantics(spark):
     """Coverage arithmetic on a hand-checkable fixture: top-2 vocabulary
     {a, b} (count ties broken lexicographically), per-language token and

@@ -650,6 +650,61 @@ def test_cli_index_embeddings(spark, tmp_path, capsys):
     assert [(r.vec_id, r.history_id) for r in hits2] == [(9, 305)]
 
 
+def test_cli_index_embeddings_health_and_rebuild(spark, tmp_path, capsys):
+    """index-embeddings growth health (r15, VERDICT r14 item 4):
+    --append prints rebuild advice on the grown index, --stats reports
+    per-cluster health without touching vectors, and --rebuild-from
+    retrains into a NEW path (publish-by-swap)."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.__main__ import main
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def cone(seed, spread=0.45):
+        base, noise = unit(3), unit(seed)
+        v = [b + spread * x for b, x in zip(base, noise)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame([(s, unit(s)) for s in range(24)],
+                          "vec_id long, embedding array<double>").write.parquet(emb)
+    idx = str(tmp_path / "idx")
+    main(["index-embeddings", "--in", emb, "--out", idx, "--clusters", "8"])
+    capsys.readouterr()
+
+    drift = str(tmp_path / "drift.parquet")
+    spark.createDataFrame([(100 + i, cone(50 + i)) for i in range(72)],
+                          "vec_id long, embedding array<double>").write.parquet(drift)
+    main(["index-embeddings", "--in", drift, "--out", idx, "--append",
+          "--imbalance-threshold", "2.0"])
+    out = capsys.readouterr().out
+    assert "appended 96 vectors" in out
+    assert "rebuild advised" in out and "recommended k=" in out
+
+    main(["index-embeddings", "--out", idx, "--stats",
+          "--imbalance-threshold", "2.0"])
+    out = capsys.readouterr().out
+    assert "cluster" in out and "imbalance" in out
+    assert "rebuild advised" in out
+
+    idx2 = str(tmp_path / "idx_v2")
+    main(["index-embeddings", "--out", idx2, "--rebuild-from", idx,
+          "--clusters", "0", "--imbalance-threshold", "2.0"])
+    out = capsys.readouterr().out
+    assert "rebuilt 96 vectors" in out
+    assert spark.read.parquet(f"{idx2}/data").count() == 96
+
+    # --in required on the build path
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="--in is required"):
+        main(["index-embeddings", "--out", str(tmp_path / "nope")])
+
+
 def test_cli_calibration_empty_input(spark, tmp_path, capsys):
     """Zero scored rows (r13 review): a clean 0-row ECE line, not a
     NoneType format crash."""
