@@ -213,6 +213,12 @@ class CurateConfig:
     against_embeddings_path: str | None = None
     against_cosine: float = 0.9
     against_nprobe: int = 4
+    # r15 (daily-incremental recipes): when set, ``against_corpus`` is a
+    # pre-hashed DIGEST table — md5-of-text strings in this column — the
+    # history-store shape a daily pipeline appends to (16 bytes per
+    # historical doc, never the text).  None = against_corpus is raw
+    # text hashed at gate time.
+    against_digest_col: str | None = None
 
 
 def _stage_complete(path: str) -> bool:
@@ -675,7 +681,8 @@ def curate(
         )
 
         out = _mark("against_exact", lambda out=out: dedup_against_corpus(
-            out, against_corpus, id_col=id_col, text_col=text_col
+            out, against_corpus, id_col=id_col, text_col=text_col,
+            corpus_digest_col=config.against_digest_col,
         ))
     if config.against_sigs_path is not None:
         # incremental NEAR mode (r9): drop batch rows near-duplicating

@@ -1044,6 +1044,7 @@ def dedup_against_corpus(
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
     hash_fn=md5_long,
+    corpus_digest_col: str | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: rows of ``batch`` whose content does NOT
     already appear in ``corpus`` — EXACT result, Bloom-gated cost.
@@ -1066,6 +1067,13 @@ def dedup_against_corpus(
     does a numpy gather + mask test.  NULL text hashes as the empty
     string on BOTH sides (a NULL-text batch row duplicates a NULL-text
     corpus row) — NULLs would otherwise poison the position arrays.
+
+    ``corpus_digest_col`` (r15): the corpus side may be a pre-hashed
+    DIGEST table (md5-of-text strings in that column) instead of raw
+    text — the history-store shape a daily recipe appends to: 16-byte
+    digests per historical doc, never the text.  Batch rows hash their
+    text as before; the gate result is identical to hashing the raw
+    corpus.
     """
     import numpy as np
     import pandas as pd
@@ -1073,7 +1081,11 @@ def dedup_against_corpus(
 
     spark = batch.sparkSession
     content_hash = F.md5(F.coalesce(F.col(text_col), F.lit("")))
-    hashes = corpus.select(content_hash.alias("_ch")).distinct()
+    hashes = (
+        corpus.select(F.col(corpus_digest_col).alias("_ch")).distinct()
+        if corpus_digest_col is not None
+        else corpus.select(content_hash.alias("_ch")).distinct()
+    )
     bitmap = bloom_bitmap(hashes, "_ch", num_bits, num_hashes, hash_fn)
     # Classic PySpark: torrent-broadcast the bitmap once per executor.
     # Spark Connect exposes no sparkContext (accessing it raises), so the

@@ -19,8 +19,32 @@ Shape::
       "split":   {"fractions": {"train": 0.98, "val": 0.01, "test": 0.01},
                   "leakage_safe": true},
       "export":  {"out": "shards/", "max_tokens": 4096, "num_shards": 64},
-      "audit":   true
+      "audit":   true,
+      "history": {"digests": "stores/digests.parquet",
+                  "sigs": "stores/sig_store",
+                  "embeddings_index": "stores/ivf_idx"}
     }
+
+``history`` (r15) is the DAILY-INCREMENTAL mode: the same recipe runs
+day after day against persistent vs-history stores.  On each run,
+stores that already exist arm the matching gates (``digests`` → the
+Bloom-gated exact check on 16-byte content digests, ``sigs`` → the
+MinHash near gate, ``embeddings_index`` → the IVF embedding gate —
+the full vs-history matrix), so day N's batch drops everything that
+duplicates days 1..N-1's survivors; after curate, today's survivors
+append into each store (anti-joined first, so crash-retry is
+idempotent — which also requires doc ids to be globally unique across
+days).  Day 1 finds no stores, curates gate-free, and CREATES them.
+``embeddings_index`` needs ``curate.embeddings`` (the per-batch
+embedding table; ``decon_id_col`` maps its id column); the summary's
+``history.index_advice`` carries the rebuild trigger — appends never
+retrain the quantizer, so when it flags skew/growth, run
+``index-embeddings --rebuild-from`` between daily runs and swap the
+recipe's index path to the new version.  Optional knobs:
+``num_perms``/``shingle_n`` (signature family, day-1 creation only —
+later days read the store's meta), ``num_clusters``/``n_iters``
+(day-1 index build), ``rebuild_imbalance`` (advice threshold).
+Manual ``curate.against*`` keys are rejected alongside ``history``.
 
 ``ingest`` + ``out`` are required; ``curate``/``report``/``split``/
 ``export`` are each optional (omit = stage off).  ``curate`` keys are
@@ -144,7 +168,7 @@ def validate_recipe(recipe: dict) -> None:
         _validate_streaming_recipe(recipe)
         return
     known_top = {"mode", "ingest", "curate", "out", "report", "split", "export",
-                 "chunk", "audit", "select", "resume_dir"}
+                 "chunk", "audit", "select", "resume_dir", "history"}
     unknown = set(recipe) - known_top
     if unknown:
         raise ValueError(f"unknown recipe sections: {sorted(unknown)}")
@@ -182,11 +206,42 @@ def validate_recipe(recipe: dict) -> None:
             "curate.against_embeddings_path needs curate.embeddings (the "
             "batch embedding table the gate probes with)")
     if (cur.get("embeddings") and cur.get("decon_cosine") is None
-            and not cur.get("against_embeddings_path")):
+            and not cur.get("against_embeddings_path")
+            and not (recipe.get("history") or {}).get("embeddings_index")):
         raise ValueError(
             "curate.embeddings is only read by the decontamination or "
             "vs-history embedding gates — set decon_cosine or "
-            "against_embeddings_path, or drop it")
+            "against_embeddings_path (or history.embeddings_index), "
+            "or drop it")
+    # daily-incremental history stores (r15, VERDICT r14 item 5)
+    hist = recipe.get("history")
+    if hist is not None:
+        if not isinstance(hist, dict):
+            raise ValueError("history must be a dict of store paths")
+        allowed = {"digests", "sigs", "embeddings_index", "num_perms",
+                   "shingle_n", "num_clusters", "n_iters",
+                   "rebuild_imbalance"}
+        unknown = set(hist) - allowed
+        if unknown:
+            raise ValueError(f"unknown history keys: {sorted(unknown)}")
+        if not any(hist.get(k) for k in ("digests", "sigs",
+                                         "embeddings_index")):
+            raise ValueError(
+                "history requires at least one store path: digests / "
+                "sigs / embeddings_index")
+        if hist.get("embeddings_index") and not cur.get("embeddings"):
+            raise ValueError(
+                "history.embeddings_index needs curate.embeddings (the "
+                "batch embedding table the gate probes and the store "
+                "appends)")
+        manual = [k for k in ("against", "against_sigs_path",
+                              "against_embeddings_path",
+                              "against_digest_col") if cur.get(k)]
+        if manual:
+            raise ValueError(
+                f"history manages the vs-history gates — drop the manual "
+                f"curate keys {manual} (day >= 2 arms them automatically "
+                f"from the stores)")
     # span-level verbatim decontamination (r11): same pairing doctrine
     if (cur.get("decon_span_window") is None) != (not cur.get("eval_corpus")):
         raise ValueError(
@@ -515,6 +570,23 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
 
     cur = dict(recipe.get("curate", {}))
     against_path = cur.pop("against", None)
+    hist = recipe.get("history")
+    if hist:
+        # daily-incremental mode (r15): stores a PREVIOUS day's run built
+        # arm the vs-history gates automatically — day 1 finds no store
+        # and curates gate-free, day N probes day 1..N-1's survivors
+        from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+            _stage_complete,
+        )
+
+        if hist.get("digests") and _stage_complete(hist["digests"]):
+            against_path = hist["digests"]
+            cur["against_digest_col"] = "content_hash"
+        if hist.get("sigs") and _stage_complete(f"{hist['sigs']}/meta"):
+            cur["against_sigs_path"] = hist["sigs"]
+        if (hist.get("embeddings_index")
+                and _stage_complete(f"{hist['embeddings_index']}/model")):
+            cur["against_embeddings_path"] = hist["embeddings_index"]
     lm_corpus_path = cur.pop("lm_corpus", None)
     emb_path = cur.pop("embeddings", None)
     eval_emb_path = cur.pop("eval_embeddings", None)
@@ -596,6 +668,118 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
     return _run_recipe_tail(spark, recipe, kept, summary, resume)
 
 
+def _update_history_stores(
+    spark: SparkSession, recipe: dict, kept: DataFrame
+) -> dict:
+    """Append TODAY's survivors into the vs-history stores (r15, VERDICT
+    r14 item 4/5) so tomorrow's gates see them — the other half of the
+    daily-incremental loop (the gate-arming half runs pre-curate):
+
+    - ``digests``: md5 content digests of the kept text (16 bytes/doc —
+      the exact gate's history never stores text);
+    - ``sigs``: MinHash signature store (``minhash_write``; day 1
+      creates it and pins the signature family, later days append with
+      the STORED family);
+    - ``embeddings_index``: persisted IVF index (day 1 trains via
+      ``ivf_index_write``, later days ``ivf_index_append`` with stored
+      centroids), plus ``ivf_index_rebuild_advice`` in the summary —
+      the rebuild cadence hook: appends never retrain, so when the
+      advice flags skew/growth, schedule ``index-embeddings
+      --rebuild-from`` between daily runs and swap readers to the new
+      path.
+
+    Every append ANTI-JOINS the store first (digest / doc_id / vec_id),
+    so re-running after a mid-update crash is idempotent — the resume
+    marker records completion, the anti-joins make repetition safe."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.checkpoints import (
+        durable_checkpoint,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+        _stage_complete,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        minhash_read,
+        minhash_signatures,
+        minhash_write,
+    )
+
+    hist = recipe["history"]
+    out: dict = {}
+    if hist.get("digests"):
+        dig = kept.select(
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("content_hash")
+        ).distinct()
+        if _stage_complete(hist["digests"]):
+            old = spark.read.parquet(hist["digests"])
+            dig = dig.join(old, "content_hash", "left_anti")
+        dig = durable_checkpoint(dig, eager=True)
+        n = dig.count()
+        if n:
+            dig.write.mode("append").parquet(hist["digests"])
+        out["digests_appended"] = n
+    if hist.get("sigs"):
+        path = hist["sigs"]
+        if _stage_complete(f"{path}/meta"):
+            store_sigs, meta = minhash_read(spark, path)
+            sigs = minhash_signatures(
+                kept, "doc_id", "text", num_perms=meta["num_perms"],
+                shingle_n=meta["shingle_n"], seed=meta["seed"])
+            sigs = sigs.join(store_sigs.select("doc_id"), "doc_id",
+                             "left_anti")
+            sigs = durable_checkpoint(sigs, eager=True)
+            n = sigs.count()
+            if n:
+                minhash_write(sigs, path, meta["num_perms"],
+                              meta["shingle_n"], seed=meta["seed"],
+                              hash_name=meta.get("hash_name", "md5"),
+                              mode="append")
+        else:
+            num_perms = int(hist.get("num_perms", 32))
+            shingle_n = int(hist.get("shingle_n", 5))
+            sigs = minhash_signatures(kept, "doc_id", "text",
+                                      num_perms=num_perms,
+                                      shingle_n=shingle_n)
+            sigs = durable_checkpoint(sigs, eager=True)
+            n = sigs.count()
+            minhash_write(sigs, path, num_perms, shingle_n)
+        out["sigs_appended"] = n
+    if hist.get("embeddings_index"):
+        from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+            ivf_index_append,
+            ivf_index_rebuild_advice,
+            ivf_index_write,
+        )
+
+        idx = hist["embeddings_index"]
+        emb_id = (recipe.get("curate", {}).get("decon_id_col")
+                  or "doc_id")
+        emb = spark.read.parquet(recipe["curate"]["embeddings"])
+        surv = emb.join(
+            kept.select(F.col("doc_id").alias(emb_id)).distinct(), emb_id
+        ).select(F.col(emb_id).alias("vec_id"), "embedding")
+        if _stage_complete(f"{idx}/model"):
+            old_ids = spark.read.parquet(f"{idx}/data").select("vec_id")
+            surv = surv.join(old_ids, "vec_id", "left_anti")
+            surv = durable_checkpoint(surv, eager=True)
+            n = surv.count()
+            if n:
+                ivf_index_append(spark, idx, surv)
+        else:
+            surv = durable_checkpoint(surv, eager=True)
+            n = surv.count()
+            if n:
+                ivf_index_write(
+                    surv, idx,
+                    num_clusters=int(hist.get("num_clusters", 16)),
+                    n_iters=int(hist.get("n_iters", 2)))
+        out["embeddings_appended"] = n
+        if _stage_complete(f"{idx}/model"):
+            out["index_advice"] = ivf_index_rebuild_advice(
+                spark, idx,
+                imbalance_threshold=float(hist.get("rebuild_imbalance", 4.0)))
+    return out
+
+
 def _run_recipe_tail(
     spark: SparkSession,
     recipe: dict,
@@ -603,8 +787,17 @@ def _run_recipe_tail(
     summary: dict,
     resume: "_RecipeResume | None",
 ) -> dict:
-    """Post-curate recipe stages (select → split summary → report →
-    chunk → export), each ``resume``-gated when a resume_dir is set."""
+    """Post-curate recipe stages (history-store append → select → split
+    summary → report → chunk → export), each ``resume``-gated when a
+    resume_dir is set."""
+    if "history" in recipe:
+        frag = resume.done("history") if resume is not None else None
+        if frag is not None:
+            summary["history"] = frag
+        else:
+            summary["history"] = _update_history_stores(spark, recipe, kept)
+            if resume is not None:
+                resume.mark("history", summary["history"])
     if "select" in recipe and resume is not None:
         frag = resume.done("select", recipe["select"]["out"])
         if frag is not None:
