@@ -1761,6 +1761,7 @@ def semantic_contamination_indexed(
     vec_col: str = "embedding",
     eval_id_col: str | None = None,
     round_to: int | None = None,
+    broadcast_max_bytes: int = 128 << 20,
 ) -> DataFrame:
     """:func:`semantic_contamination` against a PERSISTED IVF index
     (:func:`ivf_index_write`) — the production 100 TB shape: the corpus
@@ -1775,10 +1776,23 @@ def semantic_contamination_indexed(
     corpus doc.  At ``nprobe == num_clusters`` the probe set covers the
     whole index and the result equals exact mode (pytest-pinned); below
     that, the standard multi-probe recall trade applies.
+
+    Eval sets are benchmark-sized by contract, so the probe-side
+    broadcast is normally trivial — but the join is still sized on the
+    MEASURED exploded payload (r15, the ``semantic_dedup_against``
+    pattern): a mistakenly corpus-sized "eval" table falls back to a
+    SHUFFLE_HASH join on the cluster key instead of a driver-memory
+    cliff, same result either path.
     """
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import (
+        _keyed_join,
+        _measured_small,
+    )
+
     eval_id = eval_id_col or id_col
     model = spark.read.parquet(f"{index_path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
+    dim = len(next(iter(centers.values())))
 
     e = eval_df.select(
         F.col(eval_id).alias("_eid"),
@@ -1789,9 +1803,10 @@ def semantic_contamination_indexed(
         F.explode(_nearest_labels("_ev", centers, nprobe)).alias("ivf_cluster"),
     )
     # materialize the probe table once (it feeds the driver-side probe
-    # collect AND the broadcast join — the ivf_index_topk pattern), then
+    # collect AND the keyed join — the ivf_index_topk pattern), then
     # prune the index scan to the probed partitions at file listing
-    e = e.localCheckpoint(eager=False)
+    probe_row_bytes = 64 + 8 * dim
+    e, small = _measured_small(e, max(1, broadcast_max_bytes // probe_row_bytes))
     probed = sorted({r["ivf_cluster"] for r in e.select("ivf_cluster").distinct().collect()})
     data = spark.read.parquet(f"{index_path}/data").filter(
         F.col("ivf_cluster").isin(probed)
@@ -1804,7 +1819,7 @@ def semantic_contamination_indexed(
     if round_to is not None:
         sim = F.round(sim, round_to)
     hits = (
-        c.join(F.broadcast(e), "ivf_cluster")
+        _keyed_join(c, e, "ivf_cluster", small)
         .select(F.col(id_col), F.col("_eid"), sim.alias("_cos"))
         .filter(F.col("_cos") >= F.lit(threshold))
     )

@@ -2402,6 +2402,16 @@ def test_semantic_contamination_indexed_matches_exact_at_full_probe(spark, tmp_p
     assert {(r.vec_id, r.eval_id, r.cosine)
             for r in narrow.collect()} <= exact_set
 
+    # r15: the probe-side join is measured-size-gated like
+    # semantic_dedup_against — a forced-tiny cap flips to SHUFFLE_HASH
+    # with the identical result set
+    gated = semantic_contamination_indexed(
+        spark, idx, eval_df, threshold=0.9, nprobe=4, id_col="vec_id",
+        round_to=6, broadcast_max_bytes=1)
+    assert "ShuffledHashJoin" in (
+        gated._jdf.queryExecution().executedPlan().toString())
+    assert {(r.vec_id, r.eval_id, r.cosine) for r in gated.collect()} == exact_set
+
 
 def test_semantic_dedup_against_matches_brute_force_at_full_probe(spark, tmp_path):
     """Vs-history embedding near-dup (r14): at nprobe == num_clusters the
