@@ -86,6 +86,16 @@ batch-only stage like ``paragraph_dedup`` fails validation); the drain
 runs ``availableNow`` so the recipe terminates with a summary, and
 ``audit`` populates the same funnel shape as batch from the observe()
 metrics accumulated on the listener bus.
+
+Streaming recipes accept the same ``history`` section for the TEXT
+half of the daily-incremental matrix (r15): existing ``digests`` /
+``sigs`` stores arm the stream's against_exact / against_near gates
+(stream-static digest join; row-local signatures vs the store's band
+representatives), and after the drain this window's novel survivors
+append into the stores — shared with the batch lane, so batch days and
+streaming windows see each other's history.  ``embeddings_index`` is
+batch-only (stream records carry no vectors); run the batch recipe's
+history over the landed table for the embedding gate.
 """
 
 from __future__ import annotations
@@ -115,13 +125,15 @@ _STREAM_CURATE_KEYS = frozenset({
     "lang_model_path", "allowed_langs", "extract_html", "html_min_words",
     "html_max_link_density", "max_pii", "min_compression_ratio",
     "gopher_repetition",
-    "against_path", "against_sigs_path", "against_num_bands",
-    "against_jaccard", "eval_corpus_path", "decon_span_window",
+    "against_path", "against_digest_col", "against_sigs_path",
+    "against_num_bands", "against_jaccard", "eval_corpus_path",
+    "decon_span_window",
 })
 
 
 def _validate_streaming_recipe(recipe: dict) -> None:
-    known_top = {"mode", "ingest", "curate", "out", "checkpoint", "audit"}
+    known_top = {"mode", "ingest", "curate", "out", "checkpoint", "audit",
+                 "history"}
     unknown = set(recipe) - known_top
     if unknown:
         raise ValueError(f"unknown streaming recipe sections: {sorted(unknown)} "
@@ -155,6 +167,33 @@ def _validate_streaming_recipe(recipe: dict) -> None:
         raise ValueError("audit must be true/false or {\"out\": path}")
     if isinstance(audit, dict) and set(audit) - {"out"}:
         raise ValueError(f"unknown audit keys: {sorted(set(audit) - {'out'})}")
+    # streaming daily-incremental history (r15): the TEXT half of the
+    # matrix — digests (exact) + sigs (MinHash).  Embeddings arrive
+    # post-hoc in the batch lane (stream records carry no vectors), so
+    # embeddings_index is batch-only.
+    hist = recipe.get("history")
+    if hist is not None:
+        if not isinstance(hist, dict):
+            raise ValueError("history must be a dict of store paths")
+        allowed = {"digests", "sigs", "num_perms", "shingle_n"}
+        unknown = set(hist) - allowed
+        if unknown:
+            extra = (" (embeddings_index is batch-mode only: stream "
+                     "records carry no vectors — run the batch recipe's "
+                     "history over the landed table)"
+                     if "embeddings_index" in unknown else "")
+            raise ValueError(
+                f"unknown streaming history keys: {sorted(unknown)}{extra}")
+        if not any(hist.get(k) for k in ("digests", "sigs")):
+            raise ValueError(
+                "streaming history requires at least one store path: "
+                "digests / sigs")
+        manual = [k for k in ("against_path", "against_sigs_path",
+                              "against_digest_col") if cur.get(k)]
+        if manual:
+            raise ValueError(
+                f"history manages the vs-history gates — drop the manual "
+                f"curate keys {manual}")
 
 
 def validate_recipe(recipe: dict) -> None:
@@ -396,6 +435,21 @@ def _run_streaming_recipe(spark: SparkSession, recipe: dict) -> dict:
         cur = dict(recipe.get("curate", {}))
         if "allowed_langs" in cur:
             cur["allowed_langs"] = tuple(cur["allowed_langs"])
+        hist = recipe.get("history")
+        if hist:
+            # streaming daily-incremental (r15): stores a previous
+            # drain/batch run built arm the text-matrix gates — same
+            # doctrine as the batch lane; the gates are row-local /
+            # stream-static joins, so arming costs no state
+            from dbc_informed_socketcan_to_parquet_spark.operators.curate import (
+                _stage_complete,
+            )
+
+            if hist.get("digests") and _stage_complete(hist["digests"]):
+                cur["against_path"] = hist["digests"]
+                cur["against_digest_col"] = "content_hash"
+            if hist.get("sigs") and _stage_complete(f"{hist['sigs']}/meta"):
+                cur["against_sigs_path"] = hist["sigs"]
         queries = run_streaming_curate(
             spark, ing["path"], recipe["out"], recipe["checkpoint"],
             quarantine_dir=ing.get("quarantine"),
@@ -411,6 +465,14 @@ def _run_streaming_recipe(spark: SparkSession, recipe: dict) -> dict:
             "n_docs": spark.read.parquet(recipe["out"]).count(),
             "out": recipe["out"],
         }
+        if hist:
+            # post-drain store append: the out dir accumulates across
+            # drains, but every append anti-joins the store first, so
+            # only THIS drain's novel survivors land (idempotent, same
+            # contract as the batch lane)
+            summary["history"] = _update_history_stores(
+                spark, {"history": hist, "curate": {}},
+                spark.read.parquet(recipe["out"]))
         if audit:
             # the listener bus delivers progress asynchronously — wait
             # for the totals to settle before folding the funnel

@@ -184,6 +184,7 @@ def streaming_curate_frame(
     min_compression_ratio: float | None = None,
     gopher_repetition: bool = False,
     against_corpus: DataFrame | None = None,
+    against_digest_col: str | None = None,
     against_sigs_path: str | None = None,
     against_num_bands: int = 4,
     against_jaccard: float = 0.5,
@@ -376,7 +377,8 @@ def streaming_curate_frame(
         )
 
         out = _obs("funnel_against_exact", streaming_dedup_against(
-            out, against_corpus, text_col=text_col
+            out, against_corpus, text_col=text_col,
+            corpus_digest_col=against_digest_col,
         ))
     if against_sigs_path is not None:
         # incremental NEAR vs history (r10): row-local signature +
@@ -431,6 +433,7 @@ def run_streaming_curate(
     min_compression_ratio: float | None = None,
     gopher_repetition: bool = False,
     against_path: str | None = None,
+    against_digest_col: str | None = None,
     against_sigs_path: str | None = None,
     against_num_bands: int = 4,
     against_jaccard: float = 0.5,
@@ -488,6 +491,7 @@ def run_streaming_curate(
         against_corpus=(
             spark.read.parquet(against_path) if against_path else None
         ),
+        against_digest_col=against_digest_col,
         against_sigs_path=against_sigs_path,
         against_num_bands=against_num_bands, against_jaccard=against_jaccard,
         eval_corpus=(

@@ -231,6 +231,7 @@ def streaming_dedup_against(
     docs: DataFrame,
     corpus: DataFrame,
     text_col: str = "text",
+    corpus_digest_col: str | None = None,
 ) -> DataFrame:
     """Drop stream records whose content already exists in a STATIC
     historical corpus — the streaming twin of
@@ -244,9 +245,17 @@ def streaming_dedup_against(
     append-safe, no watermark required.  At 100 TB the static side is
     the persisted, hash-bucketed corpus-digest table (the same artifact
     the batch Bloom verify reads), so each micro-batch pays a digest
-    join, never a history scan."""
+    join, never a history scan.
+
+    ``corpus_digest_col`` (r15): pass that persisted digest table
+    directly — md5-of-text strings in the named column — instead of raw
+    history text (the daily-recipe store shape; same result as hashing
+    the raw corpus)."""
     hashes = (
-        corpus.select(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_ch"))
+        (corpus.select(F.col(corpus_digest_col).alias("_ch"))
+         if corpus_digest_col is not None
+         else corpus.select(
+             F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_ch")))
         .distinct()
         .withColumn("_hit", F.lit(True))
     )

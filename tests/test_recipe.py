@@ -794,6 +794,111 @@ def test_recipe_resume_checks_audit_artifact(spark, tmp_path):
     assert s2["curate"]["n_docs"] == s1["curate"]["n_docs"]
 
 
+def test_streaming_recipe_daily_incremental_history(spark, tmp_path):
+    """STREAMING daily-incremental history (r15): drain windows share
+    the persistent text-matrix stores with the batch lane — day 1's
+    drain creates them from its survivors; day 2 (a NEW deployment
+    window: fresh checkpoint, its own out) arms against_exact from the
+    digest store and against_near from the signature store, drops the
+    planted dups of day 1, and appends only its novel survivor.  The
+    stores, not the checkpoint state, carry the cross-window memory."""
+    import json
+
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.plans.recipe import (
+        run_recipe,
+        validate_recipe,
+    )
+
+    stores = tmp_path / "stores"
+    good_a = ("a clear and well formed english paragraph about everyday "
+              "cooking with enough distinct words to pass the quality rules")
+    good_b = ("an entirely different essay describing distributed query "
+              "engines and the shuffle strategies they use at terabyte scale")
+
+    def mk_recipe(day, land):
+        return {
+            "mode": "streaming",
+            "ingest": {"format": "jsonl", "path": str(land)},
+            "curate": {"min_chars": 32, "min_quality": 0.0,
+                       "watermark": "1 hour"},
+            "out": str(tmp_path / f"out{day}"),
+            "checkpoint": str(tmp_path / f"ckpt{day}"),
+            "history": {"digests": str(stores / "digests.parquet"),
+                        "sigs": str(stores / "sig_store"),
+                        "num_perms": 32, "shingle_n": 5},
+            "audit": True,
+        }
+
+    def land_rows(day, rows):
+        d = tmp_path / f"land{day}"
+        d.mkdir()
+        with open(d / "b0.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return d
+
+    # embeddings_index is batch-only in streaming mode
+    bad = mk_recipe(0, tmp_path)
+    bad["history"]["embeddings_index"] = str(stores / "idx")
+    with _pytest.raises(ValueError, match="batch-mode only"):
+        validate_recipe(bad)
+    # manual against keys conflict with the managed stores
+    bad2 = mk_recipe(0, tmp_path)
+    bad2["curate"]["against_sigs_path"] = str(stores / "sig_store")
+    with _pytest.raises(ValueError, match="history manages"):
+        validate_recipe(bad2)
+
+    land1 = land_rows(1, [
+        {"doc_id": 1, "text": good_a, "lang": "en", "source": "w",
+         "n_chars": len(good_a)},
+        {"doc_id": 2, "text": good_b, "lang": "en", "source": "w",
+         "n_chars": len(good_b)},
+    ])
+    s1 = run_recipe(spark, mk_recipe(1, land1))
+    assert s1["curate"]["n_docs"] == 2
+    assert s1["history"] == {"digests_appended": 2, "sigs_appended": 2}
+    assert not any(f["stage"].startswith("against") for f in s1["audit"])
+
+    near_b = good_b.replace("shuffle", "exchange")
+    land2 = land_rows(2, [
+        {"doc_id": 11, "text": good_a, "lang": "en", "source": "w",
+         "n_chars": len(good_a)},          # exact dup of day-1 doc 1
+        {"doc_id": 12, "text": near_b, "lang": "en", "source": "w",
+         "n_chars": len(near_b)},          # near dup of day-1 doc 2
+        {"doc_id": 13, "text": "a wholly novel composition regarding "
+                               "alpine botany and seasonal pollinator "
+                               "behavior in high meadows",
+         "lang": "en", "source": "w", "n_chars": 100},
+    ])
+    s2 = run_recipe(spark, mk_recipe(2, land2))
+    kept2 = spark.read.parquet(str(tmp_path / "out2"))
+    assert [r.doc_id for r in kept2.collect()] == [13]
+    by = {f["stage"]: f for f in s2["audit"]}
+    assert by["against_exact"]["dropped"] == 1
+    assert by["against_near"]["dropped"] == 1
+    assert s2["history"] == {"digests_appended": 1, "sigs_appended": 1}
+
+    # cross-lane interop: the batch vs-history gates read the SAME
+    # stores the streaming drains maintain
+    batch_in = str(tmp_path / "day3.parquet")
+    spark.createDataFrame(
+        [(21, good_a), (22, "completely fresh batch prose about tidal "
+                            "estuary sediment transport dynamics")],
+        "doc_id long, text string").write.parquet(batch_in)
+    s3 = run_recipe(spark, {
+        "ingest": {"format": "parquet", "path": batch_in},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": str(tmp_path / "day3_kept.parquet"),
+        "history": {"digests": str(stores / "digests.parquet"),
+                    "sigs": str(stores / "sig_store")},
+        "audit": True,
+    })
+    assert s3["curate"]["n_docs"] == 1  # 21 duplicates streamed history
+    assert s3["history"]["digests_appended"] == 1
+
+
 def test_recipe_daily_incremental_history(spark, tmp_path):
     """Daily-incremental mode (r15, VERDICT r14 item 5): day 1 builds
     the vs-history stores from its survivors; day 2's run arms all
