@@ -40,10 +40,15 @@ embedding table; ``decon_id_col`` maps its id column); the summary's
 ``history.index_advice`` carries the rebuild trigger — appends never
 retrain the quantizer, so when it flags skew/growth, run
 ``index-embeddings --rebuild-from`` between daily runs and swap the
-recipe's index path to the new version.  Optional knobs:
-``num_perms``/``shingle_n`` (signature family, day-1 creation only —
-later days read the store's meta), ``num_clusters``/``n_iters``
-(day-1 index build), ``rebuild_imbalance`` (advice threshold).
+recipe's index path to the new version, or set
+``history.auto_rebuild: true`` to have the recipe retrain + swap
+itself (the index path becomes a versioned root with a
+``CURRENT.json`` pointer; each flagged day rebuilds at √N-recommended
+k into the next version dir and publishes by atomic pointer rename).
+Optional knobs: ``num_perms``/``shingle_n`` (signature family, day-1
+creation only — later days read the store's meta),
+``num_clusters``/``n_iters`` (day-1 index build),
+``rebuild_imbalance`` (advice threshold).
 Manual ``curate.against*`` keys are rejected alongside ``history``.
 
 ``ingest`` + ``out`` are required; ``curate``/``report``/``split``/
@@ -259,7 +264,11 @@ def validate_recipe(recipe: dict) -> None:
             raise ValueError("history must be a dict of store paths")
         allowed = {"digests", "sigs", "embeddings_index", "num_perms",
                    "shingle_n", "num_clusters", "n_iters",
-                   "rebuild_imbalance"}
+                   "rebuild_imbalance", "auto_rebuild"}
+        if hist.get("auto_rebuild") and not hist.get("embeddings_index"):
+            raise ValueError(
+                "history.auto_rebuild manages the embeddings index — set "
+                "history.embeddings_index or drop it")
         unknown = set(hist) - allowed
         if unknown:
             raise ValueError(f"unknown history keys: {sorted(unknown)}")
@@ -646,9 +655,10 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
             cur["against_digest_col"] = "content_hash"
         if hist.get("sigs") and _stage_complete(f"{hist['sigs']}/meta"):
             cur["against_sigs_path"] = hist["sigs"]
-        if (hist.get("embeddings_index")
-                and _stage_complete(f"{hist['embeddings_index']}/model")):
-            cur["against_embeddings_path"] = hist["embeddings_index"]
+        if hist.get("embeddings_index"):
+            active = _ivf_active(hist)
+            if active is not None and _stage_complete(f"{active}/model"):
+                cur["against_embeddings_path"] = active
     lm_corpus_path = cur.pop("lm_corpus", None)
     emb_path = cur.pop("embeddings", None)
     eval_emb_path = cur.pop("eval_embeddings", None)
@@ -748,7 +758,12 @@ def _update_history_stores(
       the rebuild cadence hook: appends never retrain, so when the
       advice flags skew/growth, schedule ``index-embeddings
       --rebuild-from`` between daily runs and swap readers to the new
-      path.
+      path — or set ``history.auto_rebuild`` and the recipe does the
+      swap itself: the configured path becomes a versioned root
+      (``CURRENT.json`` + ``v0001``, ``v0002``, …) and a flagged
+      post-append advice triggers an in-recipe retrain into the next
+      version followed by an atomic pointer publish
+      (:func:`_ivf_active` / :func:`_ivf_publish`).
 
     Every append ANTI-JOINS the store first (digest / doc_id / vec_id),
     so re-running after a mid-update crash is idempotent — the resume
@@ -806,20 +821,26 @@ def _update_history_stores(
             minhash_write(sigs, path, num_perms, shingle_n)
         out["sigs_appended"] = n
     if hist.get("embeddings_index"):
+        import os
+
         from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
             ivf_index_append,
+            ivf_index_rebuild,
             ivf_index_rebuild_advice,
             ivf_index_write,
         )
 
-        idx = hist["embeddings_index"]
+        root = hist["embeddings_index"]
+        auto = bool(hist.get("auto_rebuild"))
+        pointer = _ivf_pointer(root) if auto else None
+        idx = _ivf_active(hist)
         emb_id = (recipe.get("curate", {}).get("decon_id_col")
                   or "doc_id")
         emb = spark.read.parquet(recipe["curate"]["embeddings"])
         surv = emb.join(
             kept.select(F.col("doc_id").alias(emb_id)).distinct(), emb_id
         ).select(F.col(emb_id).alias("vec_id"), "embedding")
-        if _stage_complete(f"{idx}/model"):
+        if idx is not None and _stage_complete(f"{idx}/model"):
             old_ids = spark.read.parquet(f"{idx}/data").select("vec_id")
             surv = surv.join(old_ids, "vec_id", "left_anti")
             surv = durable_checkpoint(surv, eager=True)
@@ -827,19 +848,98 @@ def _update_history_stores(
             if n:
                 ivf_index_append(spark, idx, surv)
         else:
+            k0 = int(hist.get("num_clusters", 16))
+            idx = os.path.join(root, "v0001") if auto else root
             surv = durable_checkpoint(surv, eager=True)
             n = surv.count()
             if n:
                 ivf_index_write(
-                    surv, idx,
-                    num_clusters=int(hist.get("num_clusters", 16)),
+                    surv, idx, num_clusters=k0,
                     n_iters=int(hist.get("n_iters", 2)))
+                if auto:
+                    pointer = _ivf_publish(root, "v0001", k0)
         out["embeddings_appended"] = n
         if _stage_complete(f"{idx}/model"):
-            out["index_advice"] = ivf_index_rebuild_advice(
+            advice = ivf_index_rebuild_advice(
                 spark, idx,
                 imbalance_threshold=float(hist.get("rebuild_imbalance", 4.0)))
+            out["index_advice"] = advice
+            # Auto-rebuild (r15) fires only when the recommendation is a
+            # k the current version was NOT already built at: Lloyd's
+            # drops empty clusters, so a retrain asked for k can land
+            # fewer — re-firing on the same recommendation every day
+            # would retrain forever for no gain.  A same-k imbalance
+            # flag therefore stays advisory (out-of-band lever); k
+            # GROWTH re-arms the trigger as the corpus keeps growing.
+            if (auto and advice["rebuild"]
+                    and int(advice["recommended_k"])
+                    != int(pointer.get("requested_k", -1))):
+                # publish-by-swap: retrain into the NEXT version dir,
+                # then atomically repoint CURRENT.json — tomorrow's gate
+                # arms from the rebuilt quantizer while today's readers
+                # finish on the old one.  A crash mid-rebuild leaves the
+                # pointer on the old version (still complete); the retry
+                # overwrites the half-written dir.  Old versions are
+                # retired out-of-band once no reader resolves them.
+                new_v = f"v{int(os.path.basename(idx)[1:]) + 1:04d}"
+                ivf_index_rebuild(
+                    spark, idx, os.path.join(root, new_v),
+                    num_clusters=int(advice["recommended_k"]),
+                    n_iters=int(hist.get("n_iters", 2)))
+                _ivf_publish(root, new_v, int(advice["recommended_k"]))
+                out["index_rebuilt_to"] = new_v
+                out["index_rebuilt_k"] = int(advice["recommended_k"])
     return out
+
+
+def _ivf_pointer(root: str) -> "dict | None":
+    """Parse an auto_rebuild root's ``CURRENT.json`` pointer
+    (``{"version": "vNNNN", "requested_k": k}``), or None before day 1
+    trains v0001.  ``requested_k`` is the k the serving version's
+    training was ASKED for — Lloyd's drops empty clusters, so the
+    stored model can hold fewer rows; the auto-rebuild trigger compares
+    against the request to avoid retraining on the same recommendation
+    forever."""
+    import os
+
+    p = os.path.join(root, "CURRENT.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _ivf_active(hist: dict) -> "str | None":
+    """Resolve the ACTIVE index path for the history embedding gate.
+    Plain mode: the configured ``embeddings_index`` path itself.
+    ``auto_rebuild`` mode (r15): that path is a VERSIONED ROOT —
+    ``CURRENT.json`` names the serving version dir, so a rebuild can
+    land at a new version and publish with one atomic pointer rename
+    (a distributed store cannot atomically overwrite a directory being
+    served).  Returns None before day 1 trains v0001."""
+    import os
+
+    root = hist["embeddings_index"]
+    if not hist.get("auto_rebuild"):
+        return root
+    ptr = _ivf_pointer(root)
+    return None if ptr is None else os.path.join(root, ptr["version"])
+
+
+def _ivf_publish(root: str, version: str, requested_k: int) -> dict:
+    """Atomically repoint ``CURRENT.json`` at a freshly-landed version
+    dir — tmp + rename, the same publish primitive as resume markers;
+    readers resolving mid-swap see either the old or the new complete
+    index, never a partial one.  Returns the new pointer."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    ptr = {"version": version, "requested_k": int(requested_k)}
+    tmp = os.path.join(root, "CURRENT.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(ptr, f)
+    os.replace(tmp, os.path.join(root, "CURRENT.json"))
+    return ptr
 
 
 def _run_recipe_tail(

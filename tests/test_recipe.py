@@ -992,6 +992,118 @@ def test_recipe_daily_incremental_history(spark, tmp_path):
     assert _json is not None
 
 
+def test_recipe_history_auto_rebuild(spark, tmp_path):
+    """``history.auto_rebuild`` (r15): the embeddings_index path becomes
+    a versioned root with a CURRENT.json pointer; a flagged post-append
+    advice retrains into the next version at the √N-recommended k and
+    publishes by atomic pointer swap, and the NEXT day's gate arms from
+    the rebuilt index.  Axis-aligned embeddings make every cosine exact
+    (1.0 for the planted dup, 0.0 otherwise) and day 1's ±e0 pairs make
+    Lloyd's k=2 exact (the sign-LSH init splits opposite vectors by
+    construction), so the growth trigger (recommended k ≥ 2× stored k)
+    is pure arithmetic: day 1 lands 4 vectors at k=2 (no flag), day 2
+    appends 8 orthogonal ones → n=12, recommended k=4 ≥ 2·2 → rebuild
+    v0002.  A day-2 re-run keeps the pointer still — the requested-k
+    memo in CURRENT.json stops rebuild oscillation even if the k=4
+    retrain collapsed empty clusters."""
+    import json as _json
+    import os
+
+    def doc(i, letter):
+        # one doc-unique letter per doc: every char 5-gram contains it,
+        # so cross-doc shingle Jaccard is exactly 0 and the within-batch
+        # near-dup stage provably keeps everything
+        return (i, " ".join(letter * (3 + j % 7) for j in range(40)))
+
+    def onehot(i, dim=16, sign=1.0):
+        return [sign if d == i else 0.0 for d in range(dim)]
+
+    root = str(tmp_path / "stores" / "ivf_root")
+
+    def mk_recipe(day, in_path, emb_path):
+        return {
+            "ingest": {"format": "parquet", "path": in_path},
+            "curate": {"min_quality": 0.0, "min_chars": 1,
+                       "embeddings": emb_path},
+            "out": str(tmp_path / f"day{day}_kept.parquet"),
+            "history": {"digests": str(tmp_path / "stores" / "dig.parquet"),
+                        "embeddings_index": root,
+                        "auto_rebuild": True,
+                        "num_clusters": 2,
+                        "rebuild_imbalance": 100.0},
+            "audit": True,
+        }
+
+    # ---- day 1: 4 novel docs -> trains v0001 (k=2), publishes pointer;
+    # embeddings are two at +e0, two at -e0 (opposite signs under every
+    # hyperplane -> the k=2 quantizer provably keeps both clusters)
+    d1 = str(tmp_path / "day1.parquet")
+    spark.createDataFrame([doc(i, "abcd"[i - 1]) for i in (1, 2, 3, 4)],
+                          "doc_id long, text string").write.parquet(d1)
+    e1 = str(tmp_path / "day1_emb.parquet")
+    spark.createDataFrame(
+        [(1, onehot(0)), (2, onehot(0)),
+         (3, onehot(0, sign=-1.0)), (4, onehot(0, sign=-1.0))],
+        "doc_id long, embedding array<double>").write.parquet(e1)
+    s1 = run_recipe(spark, mk_recipe(1, d1, e1))
+    assert s1["history"]["embeddings_appended"] == 4
+    assert "index_rebuilt_to" not in s1["history"]
+    with open(os.path.join(root, "CURRENT.json")) as f:
+        assert _json.load(f)["version"] == "v0001"
+
+    # ---- day 2: 1 semantic dup of day-1 docs 1/2 (their exact +e0
+    # embedding under unrelated text) + 8 novel docs on e1..e8 (cosine
+    # 0 vs all history) -> dup drops via v0001, the 8 appends push n to
+    # 12 and the growth rule flags -> rebuild at recommended k=4
+    d2 = str(tmp_path / "day2.parquet")
+    spark.createDataFrame(
+        [doc(11, "e")] + [doc(i, "fghijklm"[i - 12]) for i in range(12, 20)],
+        "doc_id long, text string").write.parquet(d2)
+    e2 = str(tmp_path / "day2_emb.parquet")
+    spark.createDataFrame(
+        [(11, onehot(0))] + [(i, onehot(i - 11)) for i in range(12, 20)],
+        "doc_id long, embedding array<double>").write.parquet(e2)
+    s2 = run_recipe(spark, mk_recipe(2, d2, e2))
+    stages = {st["stage"]: st for st in s2["audit"]}
+    assert stages["against_semantic"]["dropped"] == 1
+    assert s2["history"]["embeddings_appended"] == 8
+    assert s2["history"]["index_advice"]["rebuild"]
+    assert s2["history"]["index_rebuilt_to"] == "v0002"
+    assert s2["history"]["index_rebuilt_k"] == 4
+    with open(os.path.join(root, "CURRENT.json")) as f:
+        assert _json.load(f)["version"] == "v0002"
+    # the rebuilt index is complete on disk (Lloyd's may drop empty
+    # clusters, so the stored model holds 2..4 of the requested 4)
+    assert 2 <= spark.read.parquet(f"{root}/v0002/model").count() <= 4
+    assert spark.read.parquet(f"{root}/v0002/data").count() == 12
+
+    # ---- day 2 re-run: gate arms from v0002 (proving the swapped index
+    # serves), everything is history, nothing appends, pointer is still
+    assert sorted(
+        r.doc_id for r in
+        spark.read.parquet(str(tmp_path / "day2_kept.parquet")).collect()
+    ) == list(range(12, 20))
+    s3 = run_recipe(spark, mk_recipe(2, d2, e2))
+    assert s3["curate"]["n_docs"] == 0
+    assert s3["history"]["embeddings_appended"] == 0
+    assert "index_rebuilt_to" not in s3["history"]
+    with open(os.path.join(root, "CURRENT.json")) as f:
+        assert _json.load(f)["version"] == "v0002"
+
+
+def test_recipe_auto_rebuild_requires_index(spark, tmp_path):
+    """history.auto_rebuild without embeddings_index fails fast — it
+    manages exactly that store."""
+    recipe = {
+        "ingest": {"format": "parquet", "path": str(tmp_path / "x.parquet")},
+        "out": str(tmp_path / "o.parquet"),
+        "history": {"digests": str(tmp_path / "dig.parquet"),
+                    "auto_rebuild": True},
+    }
+    with pytest.raises(ValueError, match="auto_rebuild"):
+        validate_recipe(recipe)
+
+
 def test_recipe_select_score_sources_exclusive(spark, tmp_path):
     """select.classifier_path and select.score_col together fail fast
     (r13 review: the classifier would silently override the column)."""
