@@ -1214,6 +1214,7 @@ def run_index_embeddings(argv: list[str]) -> None:
         ivf_index_rebuild,
         ivf_index_rebuild_advice,
         ivf_index_write,
+        resolve_index_path,
     )
 
     args = build_index_embeddings_parser().parse_args(argv)
@@ -1240,8 +1241,9 @@ def run_index_embeddings(argv: list[str]) -> None:
         ivf_index_rebuild(spark, args.rebuild_from, args.output_path,
                           num_clusters=k, n_iters=args.iters,
                           sample_mod=args.sample_mod)
-        n = spark.read.parquet(f"{args.output_path}/data").count()
-        k = spark.read.parquet(f"{args.output_path}/model").count()
+        rp = resolve_index_path(args.output_path)
+        n = spark.read.parquet(f"{rp}/data").count()
+        k = spark.read.parquet(f"{rp}/model").count()
         print(f"rebuilt {n} vectors across {k} clusters at "
               f"{args.output_path} (from {args.rebuild_from})")
         _print_advice(args.output_path)
@@ -1267,8 +1269,9 @@ def run_index_embeddings(argv: list[str]) -> None:
                         num_clusters=args.clusters, n_iters=args.iters,
                         sample_mod=args.sample_mod)
         verb = "indexed"
-    n = spark.read.parquet(f"{args.output_path}/data").count()
-    k = spark.read.parquet(f"{args.output_path}/model").count()
+    rp = resolve_index_path(args.output_path)
+    n = spark.read.parquet(f"{rp}/data").count()
+    k = spark.read.parquet(f"{rp}/model").count()
     print(f"{verb} {n} vectors across {k} clusters at {args.output_path}")
     if args.append:
         # appends assign with stored centroids and never retrain, so

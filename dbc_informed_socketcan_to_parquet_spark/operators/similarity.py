@@ -603,6 +603,7 @@ def ivf_index_append(
     centroids stale — standard practice is periodic
     :func:`ivf_index_write` rebuilds, with appends between.  Queries need
     no change: partition pruning sees old and new files alike."""
+    path = resolve_index_path(path)
     model = spark.read.parquet(f"{path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
     assign_kernel = _resolve_assign_kernel(
@@ -616,6 +617,27 @@ def ivf_index_append(
             "ivf_cluster", _nearest_label(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centers)
         )
     c.write.partitionBy("ivf_cluster").mode("append").parquet(f"{path}/data")
+
+
+def resolve_index_path(path: str) -> str:
+    """Resolve a persisted-index path that may be an auto-rebuild
+    VERSIONED ROOT (``plans.recipe`` ``history.auto_rebuild``): when
+    ``{path}/CURRENT.json`` exists, the pointer names the serving
+    version dir (``{path}/vNNNN``); otherwise the path IS the index.
+    Every index reader resolves through this, so CLI ``index-embeddings
+    --stats/--append``, ``curate --against-embeddings``, and direct
+    :func:`semantic_dedup_against` calls all work against a
+    recipe-managed root without knowing the versioning scheme.
+    Local-path check like ``curate._stage_complete`` — at cluster scale
+    the pointer is one GET on the object store."""
+    import json
+    import os
+
+    p = os.path.join(path, "CURRENT.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return os.path.join(path, json.load(f)["version"])
+    return path
 
 
 def ivf_index_health(spark, path: str, round_to: int = 6) -> DataFrame:
@@ -632,6 +654,7 @@ def ivf_index_health(spark, path: str, round_to: int = 6) -> DataFrame:
     ``ivf_index_append`` assigns with STORED centroids and never
     retrains, so appended mass accumulates skew — run this after appends
     and rebuild when the hot cluster breaches the imbalance budget."""
+    path = resolve_index_path(path)
     k = spark.read.parquet(f"{path}/model").count()
     counts = (
         spark.read.parquet(f"{path}/data")
@@ -679,6 +702,7 @@ def ivf_index_rebuild_advice(
     between rebuilds, queries need no change."""
     import math
 
+    path = resolve_index_path(path)
     health = ivf_index_health(spark, path).collect()
     k = spark.read.parquet(f"{path}/model").count()
     n = sum(r["n_vecs"] for r in health)
@@ -720,6 +744,7 @@ def ivf_index_rebuild(
     overwrite a directory being served; publish by swapping the path
     your readers resolve (symlink / table pointer / recipe config) and
     retire the old version afterwards.  Returns the new centroids."""
+    old_path = resolve_index_path(old_path)
     if num_clusters is None:
         num_clusters = ivf_index_rebuild_advice(spark, old_path)["recommended_k"]
     data = spark.read.parquet(f"{old_path}/data").drop("ivf_cluster")
@@ -747,6 +772,7 @@ def ivf_index_topk(
     a static ``ivf_cluster IN (…)`` partition filter that prunes at file
     listing, not at execution.  Rerank is exact cosine as in
     :func:`ivf_ann_topk`."""
+    path = resolve_index_path(path)
     model = spark.read.parquet(f"{path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
@@ -1790,6 +1816,7 @@ def semantic_contamination_indexed(
     )
 
     eval_id = eval_id_col or id_col
+    index_path = resolve_index_path(index_path)
     model = spark.read.parquet(f"{index_path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
     dim = len(next(iter(centers.values())))
@@ -1881,6 +1908,7 @@ def semantic_dedup_against(
     )
 
     bid = batch_id_col or id_col
+    index_path = resolve_index_path(index_path)
     model = spark.read.parquet(f"{index_path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
     dim = len(next(iter(centers.values())))

@@ -524,8 +524,10 @@ def streaming_semantic_dedup_against(
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
         _nearest_labels,
         cosine,
+        resolve_index_path,
     )
 
+    index_path = resolve_index_path(index_path)
     model = spark.read.parquet(f"{index_path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
     data = (

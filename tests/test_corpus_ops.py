@@ -2624,6 +2624,77 @@ def test_ivf_index_rebuild_advice_and_probe_cost(spark, tmp_path):
     assert after < before, (before, after)
 
 
+def test_resolve_index_path_versioned_root(spark, tmp_path):
+    """Every persisted-index READER resolves an auto-rebuild VERSIONED
+    ROOT (r15 follow-through): ``plans.recipe`` publishes rebuilds as
+    ``{root}/vNNNN`` dirs behind a ``CURRENT.json`` pointer, so CLI
+    ``index-embeddings --stats/--append``, ``ivf_index_topk``, and the
+    vs-history gates must all accept the root itself — not just the
+    resolved version dir — or a recipe-managed index would be unusable
+    outside the recipe.  Pins: plain paths resolve to themselves, the
+    root serves identical results to its CURRENT version, and appends
+    through the root land in the SERVING version."""
+    import json
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_health,
+        ivf_index_topk,
+        resolve_index_path,
+        semantic_dedup_against,
+    )
+
+    def unit(seed, dim=8):
+        v = [math.sin(seed * 37.0 + d * 13.0) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    root = tmp_path / "idx_root"
+    v1 = root / "v0001"
+    hist = spark.createDataFrame(
+        [(s, unit(s)) for s in range(32)],
+        "vec_id long, embedding array<double>")
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import ivf_index_write
+    ivf_index_write(hist, str(v1), dim=8, num_clusters=4, n_iters=2)
+
+    # plain path (no CURRENT.json) resolves to itself
+    assert resolve_index_path(str(v1)) == str(v1)
+    # versioned root resolves through the pointer
+    (root / "CURRENT.json").write_text(
+        json.dumps({"version": "v0001", "requested_k": 4}))
+    assert resolve_index_path(str(root)) == str(root / "v0001")
+
+    # health / topk / vs-history gate through the ROOT == through v0001
+    h_root = sorted((r.cluster, r.n_vecs)
+                    for r in ivf_index_health(spark, str(root)).collect())
+    h_dir = sorted((r.cluster, r.n_vecs)
+                   for r in ivf_index_health(spark, str(v1)).collect())
+    assert h_root == h_dir and sum(n for _, n in h_root) == 32
+
+    q = spark.createDataFrame([(0, unit(5))],
+                              "query_id long, embedding array<double>")
+    tk_root = [(r.query_id, r.vec_id, r.rank) for r in
+               ivf_index_topk(spark, str(root), q, k=3, nprobe=2).collect()]
+    tk_dir = [(r.query_id, r.vec_id, r.rank) for r in
+              ivf_index_topk(spark, str(v1), q, k=3, nprobe=2).collect()]
+    assert tk_root == tk_dir and len(tk_root) == 3
+
+    batch = spark.createDataFrame(
+        [(900, unit(7)), (901, unit(1000))],
+        "vec_id long, embedding array<double>")
+    dd = semantic_dedup_against(spark, str(root), batch,
+                                threshold=0.999, nprobe=4)
+    assert {r.vec_id for r in dd.collect()} == {900}  # unit(7) == history 7
+
+    # append through the root lands in the serving version
+    extra = spark.createDataFrame([(800, unit(41))],
+                                  "vec_id long, embedding array<double>")
+    ivf_index_append(spark, str(root), extra)
+    n_v1 = spark.read.parquet(str(v1 / "data")).count()
+    assert n_v1 == 33
+
+
 def test_vocab_coverage_semantics(spark):
     """Coverage arithmetic on a hand-checkable fixture: top-2 vocabulary
     {a, b} (count ties broken lexicographically), per-language token and
