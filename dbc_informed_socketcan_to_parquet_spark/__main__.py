@@ -134,9 +134,14 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--against-embeddings", default=None, metavar="INDEX",
                    help="r14: persisted IVF index dir (ivf_index_write) over "
                         "HISTORY embeddings; batch docs whose embedding "
-                        "near-duplicates history drop (needs --embeddings)")
+                        "near-duplicates history drop (needs --embeddings). "
+                        "r15: codes-only IVF-PQ indexes (index-embeddings "
+                        "--pq) and auto-rebuild versioned roots both serve "
+                        "transparently")
     p.add_argument("--against-cosine", type=float, default=0.9,
-                   help="cosine threshold for --against-embeddings")
+                   help="cosine threshold for --against-embeddings; for a "
+                        "PQ index pick it at/below the reconstruction p05 "
+                        "the index build printed")
     p.add_argument("--against-nprobe", type=int, default=4,
                    help="history clusters each batch doc probes")
     p.add_argument("--stage-dir", default=None,
@@ -1200,6 +1205,12 @@ def build_index_embeddings_parser() -> argparse.ArgumentParser:
     p.add_argument("--imbalance-threshold", type=float, default=4.0,
                    help="hot-cluster imbalance (n*k/total) that triggers "
                         "rebuild advice")
+    p.add_argument("--pq", default=None, metavar="MxB",
+                   help="build an IVF-PQ index: M subspaces x B bits (e.g. "
+                        "8x4) — stores residual PQ codes + true norms "
+                        "instead of float vectors (~32x smaller); served "
+                        "transparently by the vs-history gates and "
+                        "ivfpq_index_topk. --append auto-detects the layout")
     return p
 
 
@@ -1262,8 +1273,32 @@ def run_index_embeddings(argv: list[str]) -> None:
     if args.vec_col != "embedding":
         vectors = vectors.withColumnRenamed(args.vec_col, "embedding")
     if args.append:
+        # delegates to ivfpq_index_append when the layout carries pq_model
         ivf_index_append(spark, args.output_path, vectors)
         verb = "appended"
+    elif args.pq:
+        try:
+            m_str, b_str = args.pq.lower().split("x", 1)
+            pq_m, pq_bits = int(m_str), int(b_str)
+        except ValueError:
+            raise SystemExit(f"--pq must be MxB (e.g. 8x4), got {args.pq!r}")
+        from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+            ivfpq_index_write,
+        )
+        ivfpq_index_write(vectors, args.output_path,
+                          num_clusters=args.clusters,
+                          num_subspaces=pq_m, bits=pq_bits,
+                          n_iters=args.iters, sample_mod=args.sample_mod)
+        verb = f"pq-indexed ({pq_m}x{pq_bits})"
+        from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+            ivfpq_reconstruction_report,
+        )
+        rep = ivfpq_reconstruction_report(
+            spark, args.output_path, vectors, id_col="vec_id")
+        print(f"reconstruction self-cosine over {rep['n']} sampled vectors: "
+              f"avg {rep['avg']:.3f}, p05 {rep['p05']:.3f}, min {rep['min']:.3f}")
+        print("set vs-history cosine thresholds at or below p05, or "
+              "re-index with more subspaces")
     else:
         ivf_index_write(vectors, args.output_path,
                         num_clusters=args.clusters, n_iters=args.iters,

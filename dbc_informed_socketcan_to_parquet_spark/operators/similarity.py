@@ -604,6 +604,10 @@ def ivf_index_append(
     :func:`ivf_index_write` rebuilds, with appends between.  Queries need
     no change: partition pruning sees old and new files alike."""
     path = resolve_index_path(path)
+    if _load_pq_books(spark, path) is not None:
+        # PQ layout: the data table holds codes, not vectors — encode the
+        # increment with the stored codebooks instead of appending floats
+        return ivfpq_index_append(spark, path, new_vectors, vec_col=vec_col)
     model = spark.read.parquet(f"{path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
     assign_kernel = _resolve_assign_kernel(
@@ -745,6 +749,12 @@ def ivf_index_rebuild(
     your readers resolve (symlink / table pointer / recipe config) and
     retire the old version afterwards.  Returns the new centroids."""
     old_path = resolve_index_path(old_path)
+    if _load_pq_books(spark, old_path) is not None:
+        raise ValueError(
+            f"{old_path!r} is an IVF-PQ index — its floats were discarded "
+            "at encode time, so a retrain cannot run from the index alone; "
+            "rebuild with ivfpq_index_write over the SOURCE embeddings"
+        )
     if num_clusters is None:
         num_clusters = ivf_index_rebuild_advice(spark, old_path)["recommended_k"]
     data = spark.read.parquet(f"{old_path}/data").drop("ivf_cluster")
@@ -1195,6 +1205,230 @@ def pq_topk(
     )
 
 
+def _pq_residual_train(
+    corpus: DataFrame,
+    dim: int,
+    cmat,
+    num_subspaces: int,
+    bits: int,
+    pq_iters: int,
+    id_col: str,
+    vec_col: str,
+    sample_mod: int,
+    max_train: int,
+    seed: int,
+):
+    """Fit RESIDUAL product-quantization codebooks against a trained
+    coarse quantizer (Jégou et al. §IV): a bounded hash-ordered sample
+    is assigned to its nearest centroid driver-side and PQ trains on
+    ``vector − centroid`` per subspace.  Shared by the inline
+    :func:`ivfpq_ann_topk` and the persisted :func:`ivfpq_index_write`
+    paths — same sample, same seeded init, so both produce identical
+    codebooks for identical inputs.  Returns the ``[m, 2**bits, dim/m]``
+    numpy codebook array."""
+    import numpy as np
+
+    if bits < 1 or bits > 8:
+        raise ValueError(f"bits must be in [1, 8], got {bits}")
+    if dim % num_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by num_subspaces {num_subspaces}")
+    kk = 1 << bits
+    train = corpus
+    if sample_mod > 1:
+        train = train.filter(F.pmod(md5_long(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = (
+        train.select(md5_long(F.col(id_col)).alias("_h"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy("_h")
+        .limit(int(max_train))
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    if X.shape[0] < kk:
+        raise ValueError(
+            f"IVF-PQ training sample has {X.shape[0]} rows < {kk} codewords"
+        )
+    cc = (cmat * cmat).sum(axis=1)
+    assign = np.argmin((X * X).sum(1)[:, None] - 2.0 * (X @ cmat.T) + cc[None, :], axis=1)
+    R = X - cmat[assign]
+    ds = dim // num_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.empty((num_subspaces, kk, ds), dtype=np.float64)
+    for s in range(num_subspaces):
+        sub = R[:, s * ds:(s + 1) * ds]
+        C = sub[rng.permutation(sub.shape[0])[:kk]].copy()
+        for _ in range(pq_iters):
+            d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ C.T) + (C * C).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            for j in range(kk):
+                members = sub[a == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books[s] = C
+    return books
+
+
+def _ivfpq_encode(
+    df: DataFrame,
+    cmat,
+    lab_arr,
+    books,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str = "_cluster",
+    with_norm: bool = False,
+) -> DataFrame:
+    """Assign + residual-encode in ONE Arrow kernel — the corpus pass
+    shared by the inline and persisted IVF-PQ paths.  ``with_norm=True``
+    additionally emits the TRUE L2 norm per vector (``vec_norm``, one
+    double/row) so a persisted index can recover cosine from the
+    reconstructed dot product without storing the floats."""
+    import numpy as np
+
+    m = books.shape[0]
+    ds = books.shape[2]
+    cc = (cmat * cmat).sum(axis=1)
+    bb = (books * books).sum(axis=2)
+    # codes pack as ONE uint8 per subspace (bits <= 8 by construction) —
+    # a binary column, not array<int>: at m=96 that is 96 bytes/vector
+    # plus fixed row overhead, the layout the 32x storage claim needs
+    schema = f"{id_col} long, {cluster_col} long, codes binary"
+    if with_norm:
+        schema += ", vec_norm double"
+
+    def encode_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                out = {id_col: [], cluster_col: [], "codes": []}
+                if with_norm:
+                    out["vec_norm"] = []
+                yield pd.DataFrame(out)
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            arow = np.argmin(
+                (v * v).sum(1)[:, None] - 2.0 * (v @ cmat.T) + cc[None, :], axis=1
+            )
+            r = v - cmat[arow]
+            codes = np.empty((v.shape[0], m), dtype=np.uint8)
+            for s in range(m):
+                sub = r[:, s * ds:(s + 1) * ds]
+                d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ books[s].T) + bb[s][None, :]
+                codes[:, s] = np.argmin(d2, axis=1)
+            out = {
+                id_col: pdf[id_col].values,
+                cluster_col: lab_arr[arow],
+                "codes": [row.tobytes() for row in codes],
+            }
+            if with_norm:
+                out["vec_norm"] = np.sqrt((v * v).sum(1))
+            yield pd.DataFrame(out)
+
+    return (
+        fan_out(df).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(encode_kernel, schema)
+    )
+
+
+def _ivfpq_query_luts(
+    cmat,
+    lab_arr,
+    books,
+    queries: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    query_id_col: str,
+):
+    """Probe each query's ``nprobe`` nearest clusters and build one
+    RESIDUAL ADC lookup table per (query, probed cluster).  Returns
+    ``(qids, luts, probe_set)`` — ``probe_set``'s keys are the probed
+    cluster LABELS, which the persisted path turns into a partition
+    filter BEFORE any scan, so pruning happens at file listing."""
+    import numpy as np
+
+    m = books.shape[0]
+    ds = books.shape[2]
+    kk = books.shape[1]
+    cc = (cmat * cmat).sum(axis=1)
+    bb = (books * books).sum(axis=2)
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>")).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qd = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ cmat.T) + cc[None, :]
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]  # rows into cmat
+    # lut[(qi, cluster_label)] = [m, kk] residual sub-distances
+    luts: dict[tuple[int, int], "np.ndarray"] = {}
+    probe_set: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for row in probes[qi]:
+            qr = Q[qi] - cmat[row]
+            lut = np.empty((m, kk), dtype=np.float64)
+            for s in range(m):
+                qs = qr[s * ds:(s + 1) * ds]
+                lut[s] = (qs * qs).sum() - 2.0 * (books[s] @ qs) + bb[s]
+            luts[(qi, int(lab_arr[row]))] = lut
+            probe_set.setdefault(int(lab_arr[row]), []).append(qi)
+    return qids, luts, probe_set
+
+
+def _ivfpq_adc_search(
+    coded: DataFrame,
+    books,
+    qids,
+    luts,
+    probe_set,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    cluster_col: str = "_cluster",
+) -> DataFrame:
+    """Score PQ codes against prebuilt per-(query, cluster) ADC lookup
+    tables — pure table gathers inside the probed partitions — and take
+    the exact global top-k over the Q·k·partitions local candidates.
+    Shared by the inline and persisted IVF-PQ paths."""
+    import numpy as np
+
+    m = books.shape[0]
+    out_schema = f"{query_id_col} long, {id_col} long, adc_dist double"
+    topk = int(k)
+
+    def search_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_q: list[int] = []
+            out_i: list[int] = []
+            out_d: list[float] = []
+            if len(pdf):
+                for cl, grp in pdf.groupby(cluster_col):
+                    q_list = probe_set.get(int(cl))
+                    if not q_list:
+                        continue
+                    codes_m = np.frombuffer(
+                        b"".join(grp["codes"]), dtype=np.uint8
+                    ).reshape(len(grp), m).astype(np.int64)
+                    ids = grp[id_col].values
+                    for qi in q_list:
+                        lut = luts[(qi, int(cl))]
+                        dist = lut[np.arange(m)[:, None], codes_m.T].sum(axis=0)
+                        order = np.lexsort((ids, dist))[: min(topk, len(ids))]
+                        out_q.extend([qids[qi]] * len(order))
+                        out_i.extend(ids[order].tolist())
+                        out_d.extend(dist[order].tolist())
+            yield pd.DataFrame({query_id_col: out_q, id_col: out_i, "adc_dist": out_d})
+
+    local = coded.mapInPandas(search_kernel, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+
+
 def ivfpq_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1239,135 +1473,323 @@ def ivfpq_ann_topk(
     )
     labels = sorted(centers)
     cmat = np.asarray([centers[b] for b in labels], dtype=np.float64)
-    lab2row = {b: i for i, b in enumerate(labels)}
 
-    # --- residual PQ training: bounded hash-ordered sample, driver-side
-    if bits < 1 or bits > 8:
-        raise ValueError(f"bits must be in [1, 8], got {bits}")
-    if dim % num_subspaces != 0:
-        raise ValueError(f"dim {dim} not divisible by num_subspaces {num_subspaces}")
-    kk = 1 << bits
-    train = corpus
-    if sample_mod > 1:
-        train = train.filter(F.pmod(md5_long(F.col(id_col)), F.lit(sample_mod)) == 0)
-    rows = (
-        train.select(md5_long(F.col(id_col)).alias("_h"),
-                     F.col(vec_col).cast("array<double>").alias("_v"))
-        .orderBy("_h")
-        .limit(int(max_train))
-        .collect()
+    books = _pq_residual_train(
+        corpus, dim, cmat, num_subspaces, bits, pq_iters,
+        id_col, vec_col, sample_mod, max_train, seed,
     )
-    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
-    if X.shape[0] < kk:
-        raise ValueError(
-            f"IVF-PQ training sample has {X.shape[0]} rows < {kk} codewords"
-        )
-    cc = (cmat * cmat).sum(axis=1)
-    assign = np.argmin((X * X).sum(1)[:, None] - 2.0 * (X @ cmat.T) + cc[None, :], axis=1)
-    R = X - cmat[assign]
-    ds = dim // num_subspaces
-    rng = np.random.RandomState(seed)
-    books = np.empty((num_subspaces, kk, ds), dtype=np.float64)
-    for s in range(num_subspaces):
-        sub = R[:, s * ds:(s + 1) * ds]
-        C = sub[rng.permutation(sub.shape[0])[:kk]].copy()
-        for _ in range(pq_iters):
-            d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ C.T) + (C * C).sum(1)[None, :]
-            a = np.argmin(d2, axis=1)
-            for j in range(kk):
-                members = sub[a == j]
-                if len(members):
-                    C[j] = members.mean(axis=0)
-        books[s] = C
-    bb = (books * books).sum(axis=2)  # [m, kk]
-
-    # --- corpus pass: assign + residual-encode in ONE Arrow kernel
-    m = num_subspaces
-    enc_schema = f"{id_col} long, _cluster long, codes array<int>"
     lab_arr = np.asarray(labels, dtype=np.int64)
 
-    def encode_kernel(batches):
+    # --- corpus pass: assign + residual-encode in ONE Arrow kernel
+    coded = _ivfpq_encode(corpus, cmat, lab_arr, books, id_col, vec_col)
+
+    # --- query side: nprobe clusters, one residual LUT per (query, probe)
+    qids, luts, probe_set = _ivfpq_query_luts(
+        cmat, lab_arr, books, queries, nprobe, vec_col, query_id_col
+    )
+    return _ivfpq_adc_search(
+        coded, books, qids, luts, probe_set, k, id_col, query_id_col
+    )
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    path: str,
+    dim: int | None = None,
+    num_clusters: int = 16,
+    num_subspaces: int = 8,
+    bits: int = 4,
+    n_iters: int = 2,
+    pq_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    max_train: int = 100_000,
+    seed: int = 42,
+) -> dict[int, list[float]]:
+    """Materialize an IVF-PQ index as a cluster-partitioned CODES table
+    — the storage shape that makes a 100 TB embedding history servable:
+    a d=768 float64 vector is 6 144 bytes raw but ``num_subspaces``
+    small ints coded (96 subspaces ≈ 32× smaller with float32 source),
+    so the vs-history gates (:func:`semantic_dedup_against`,
+    :func:`semantic_contamination_indexed`) and :func:`ivfpq_index_topk`
+    keep partition-pruned probes WITHOUT retaining the float corpus.
+
+    Layout extends :func:`ivf_index_write`'s: ``{path}/model`` is the
+    same centroid table (so :func:`ivf_index_health` /
+    :func:`ivf_index_rebuild_advice` and ``index-embeddings --stats``
+    work unchanged), ``{path}/pq_model`` holds the residual codebooks as
+    ``(subspace, codeword, center)`` rows — the table SHAPE carries
+    m/bits — and ``{path}/data`` is ``(id, codes, vec_norm)`` partitioned
+    by ``ivf_cluster``.  ``vec_norm`` (the TRUE L2 norm, one double/row)
+    lets readers recover cosine from the reconstructed dot product:
+    ``cos ≈ dot(q, ĥ) / (|q| · vec_norm)`` — tighter than using ``|ĥ|``
+    because only the numerator is approximate.  Returns the centroids.
+
+    The trade vs :func:`ivf_index_write`: exact rerank is impossible
+    (floats are gone) — scores carry PQ reconstruction error, pinned
+    small in tests at modest dim/bits.  Rebuild therefore requires the
+    SOURCE embeddings (:func:`ivf_index_rebuild` refuses a PQ layout)."""
+    import numpy as np
+
+    dim, centers, _ = _ivf_train(
+        corpus, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, "pandas"
+    )
+    labels = sorted(centers)
+    cmat = np.asarray([centers[b] for b in labels], dtype=np.float64)
+    lab_arr = np.asarray(labels, dtype=np.int64)
+    books = _pq_residual_train(
+        corpus, dim, cmat, num_subspaces, bits, pq_iters,
+        id_col, vec_col, sample_mod, max_train, seed,
+    )
+    coded = _ivfpq_encode(
+        corpus, cmat, lab_arr, books, id_col, vec_col,
+        cluster_col="ivf_cluster", with_norm=True,
+    )
+    coded.write.partitionBy("ivf_cluster").mode("overwrite").parquet(f"{path}/data")
+    spark = corpus.sparkSession
+    model = spark.createDataFrame(
+        [(b, v) for b, v in sorted(centers.items())],
+        "ivf_cluster bigint, center array<double>",
+    )
+    model.coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    pq_rows = [
+        (si, j, books[si, j].tolist())
+        for si in range(books.shape[0])
+        for j in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        pq_rows, "subspace int, codeword int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_model")
+    return centers
+
+
+def _load_pq_books(spark, path: str):
+    """Load ``{path}/pq_model`` back into the ``[m, 2**bits, dim/m]``
+    numpy codebook array, or None when the layout is a plain raw-vector
+    IVF index — the single dispatch point that lets every index reader
+    accept BOTH layouts transparently.  ``path`` must already be
+    version-resolved."""
+    import numpy as np
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{path}/pq_model").collect()
+    except AnalysisException:
+        return None
+    m = 1 + max(r["subspace"] for r in rows)
+    kk = 1 + max(r["codeword"] for r in rows)
+    ds = len(rows[0]["center"])
+    books = np.empty((m, kk, ds), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["codeword"]] = r["center"]
+    return books
+
+
+def ivfpq_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted IVF-PQ index: assign + residual-encode a new
+    batch with the STORED centroids and codebooks (no retrain) and
+    append into the cluster-partitioned codes layout — the daily-ingest
+    shape, same caveats as :func:`ivf_index_append` (appends accumulate
+    skew; :func:`ivf_index_rebuild_advice` still works on this layout
+    because it only reads the model and the partition column)."""
+    import numpy as np
+
+    path = resolve_index_path(path)
+    books = _load_pq_books(spark, path)
+    if books is None:
+        raise ValueError(
+            f"{path!r} is a raw-vector IVF index (no pq_model) — use "
+            "ivf_index_append"
+        )
+    model = spark.read.parquet(f"{path}/model").collect()
+    centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
+    labels = sorted(centers)
+    cmat = np.asarray([centers[b] for b in labels], dtype=np.float64)
+    lab_arr = np.asarray(labels, dtype=np.int64)
+    coded = _ivfpq_encode(
+        new_vectors, cmat, lab_arr, books, id_col, vec_col,
+        cluster_col="ivf_cluster", with_norm=True,
+    )
+    coded.write.partitionBy("ivf_cluster").mode("append").parquet(f"{path}/data")
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index (:func:`ivfpq_index_write`):
+    probe clusters come from the tiny persisted centroid model, the scan
+    touches ONLY the probed partitions (static ``ivf_cluster IN (…)``
+    filter, pruned at file listing like :func:`ivf_index_topk`), and
+    scoring is ADC table gathers over codes — no float vector is read at
+    search time.  Output ``(query_id, id, adc_dist, rank)``; matches the
+    inline :func:`ivfpq_ann_topk` exactly when the index was built with
+    the same parameters over the same corpus (pytest-pinned)."""
+    import numpy as np
+
+    path = resolve_index_path(path)
+    books = _load_pq_books(spark, path)
+    if books is None:
+        raise ValueError(
+            f"{path!r} is a raw-vector IVF index (no pq_model) — use "
+            "ivf_index_topk"
+        )
+    model = spark.read.parquet(f"{path}/model").collect()
+    centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
+    labels = sorted(centers)
+    cmat = np.asarray([centers[b] for b in labels], dtype=np.float64)
+    lab_arr = np.asarray(labels, dtype=np.int64)
+    qids, luts, probe_set = _ivfpq_query_luts(
+        cmat, lab_arr, books, queries, nprobe, vec_col, query_id_col
+    )
+    probed = sorted(probe_set)
+    coded = (
+        spark.read.parquet(f"{path}/data")
+        .filter(F.col("ivf_cluster").isin(probed))
+        .select(F.col("ivf_cluster").alias("_cluster"), F.col(id_col), "codes")
+    )
+    return _ivfpq_adc_search(
+        coded, books, qids, luts, probe_set, k, id_col, query_id_col
+    )
+
+
+def ivfpq_reconstruction_report(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 10_000,
+) -> dict:
+    """Calibrate vs-history thresholds for a CODES-ONLY index: encode a
+    sample of source vectors with the STORED codebooks, reconstruct, and
+    score each against itself exactly the way the gates score an exact
+    duplicate — ``dot(v, v̂) / |v|²``.  PQ UNDERESTIMATES cosine (the
+    reconstruction drops the residual's unquantized component), so a
+    dedup threshold above the self-cosine floor silently misses true
+    duplicates; pick thresholds at or below ``p05`` (or re-index with
+    more subspaces).  Returns ``{n, min, p05, avg}`` — one driver-sized
+    aggregate row; the sample is hash-ordered and bounded."""
+    import numpy as np
+
+    path = resolve_index_path(path)
+    books = _load_pq_books(spark, path)
+    if books is None:
+        raise ValueError(
+            f"{path!r} is a raw-vector IVF index — exact duplicates score "
+            "cosine 1.0 there; no calibration needed"
+        )
+    model = spark.read.parquet(f"{path}/model").collect()
+    centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
+    labels = sorted(centers)
+    cmat = np.asarray([centers[b] for b in labels], dtype=np.float64)
+    m = books.shape[0]
+    ds = books.shape[2]
+    cc = (cmat * cmat).sum(axis=1)
+    bb = (books * books).sum(axis=2)
+
+    sample = (
+        vectors.select(md5_long(F.col(id_col)).alias("_h"),
+                       F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy("_h")
+        .limit(int(max_sample))
+        .drop("_h")
+    )
+
+    def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
-                yield pd.DataFrame({id_col: [], "_cluster": [], "codes": []})
+                yield pd.DataFrame({"_self_cos": []})
                 continue
-            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            v = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
             arow = np.argmin(
                 (v * v).sum(1)[:, None] - 2.0 * (v @ cmat.T) + cc[None, :], axis=1
             )
             r = v - cmat[arow]
-            codes = np.empty((v.shape[0], m), dtype=np.int32)
-            for s in range(m):
-                sub = r[:, s * ds:(s + 1) * ds]
-                d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ books[s].T) + bb[s][None, :]
-                codes[:, s] = np.argmin(d2, axis=1)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].values,
-                "_cluster": lab_arr[arow],
-                "codes": list(codes.tolist()),
-            })
+            recon = cmat[arow].copy()
+            for si in range(m):
+                sub = r[:, si * ds:(si + 1) * ds]
+                d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ books[si].T) + bb[si][None, :]
+                recon[:, si * ds:(si + 1) * ds] += books[si][np.argmin(d2, axis=1)]
+            denom = (v * v).sum(1)
+            yield pd.DataFrame({"_self_cos": (v * recon).sum(1) / denom})
 
-    coded = (
-        fan_out(corpus).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
-        .mapInPandas(encode_kernel, enc_schema)
-    )
+    scores = fan_out(sample).mapInPandas(kernel, "_self_cos double")
+    row = scores.agg(
+        F.count("*").alias("n"),
+        F.min("_self_cos").alias("min"),
+        F.percentile_approx("_self_cos", 0.05).alias("p05"),
+        F.avg("_self_cos").alias("avg"),
+    ).collect()[0]
+    return {"n": row["n"], "min": float(row["min"]),
+            "p05": float(row["p05"]), "avg": float(row["avg"])}
 
-    # --- query side: nprobe clusters, one residual LUT per (query, probe)
-    qrows = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>")).collect()
-    if not qrows:
-        raise ValueError("queries is empty")
-    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
-    qd = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ cmat.T) + cc[None, :]
-    probes = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]  # rows into cmat
-    # lut[(qi, cluster_label)] = [m, kk] residual sub-distances
-    luts: dict[tuple[int, int], "np.ndarray"] = {}
-    probe_set: dict[int, list[int]] = {}
-    for qi in range(len(qids)):
-        for row in probes[qi]:
-            qr = Q[qi] - cmat[row]
-            lut = np.empty((m, kk), dtype=np.float64)
-            for s in range(m):
-                qs = qr[s * ds:(s + 1) * ds]
-                lut[s] = (qs * qs).sum() - 2.0 * (books[s] @ qs) + bb[s]
-            luts[(qi, int(lab_arr[row]))] = lut
-            probe_set.setdefault(int(lab_arr[row]), []).append(qi)
 
-    out_schema = f"{query_id_col} long, {id_col} long, adc_dist double"
-    topk = int(k)
+def _pq_reconstruct(
+    coded: DataFrame,
+    books,
+    centers: dict[int, list[float]],
+    id_col: str,
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Decode PQ codes back to approximate vectors INSIDE the scan:
+    ``ĥ = centroid + Σ_s book_s[code_s]`` — one Arrow-batched gather
+    per partition, so the vs-history gates run their existing
+    join+cosine machinery against a codes-only index.  The float64
+    reconstruction exists only transiently in the probed partitions'
+    tasks; nothing is ever stored.  Emits ``(cluster_col, _hid, _hv,
+    _hnorm)`` where ``_hnorm`` is the stored TRUE norm (see
+    :func:`ivfpq_index_write`)."""
+    import numpy as np
 
-    def search_kernel(batches):
+    m = books.shape[0]
+    ds = books.shape[2]
+    cmat_by_label = {int(b): np.asarray(v, dtype=np.float64) for b, v in centers.items()}
+    id_type = coded.schema[id_col].dataType.simpleString()
+    schema = f"{cluster_col} long, _hid {id_type}, _hv array<double>, _hnorm double"
+
+    def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
-            out_q: list[int] = []
-            out_i: list[int] = []
-            out_d: list[float] = []
-            if len(pdf):
-                for cl, grp in pdf.groupby("_cluster"):
-                    q_list = probe_set.get(int(cl))
-                    if not q_list:
-                        continue
-                    codes_m = np.asarray(grp["codes"].tolist(), dtype=np.int64)
-                    ids = grp[id_col].values
-                    for qi in q_list:
-                        lut = luts[(qi, int(cl))]
-                        dist = lut[np.arange(m)[:, None], codes_m.T].sum(axis=0)
-                        order = np.lexsort((ids, dist))[: min(topk, len(ids))]
-                        out_q.extend([qids[qi]] * len(order))
-                        out_i.extend(ids[order].tolist())
-                        out_d.extend(dist[order].tolist())
-            yield pd.DataFrame({query_id_col: out_q, id_col: out_i, "adc_dist": out_d})
+            if not len(pdf):
+                yield pd.DataFrame({cluster_col: [], "_hid": [], "_hv": [], "_hnorm": []})
+                continue
+            codes_m = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(len(pdf), m).astype(np.int64)
+            recon = np.empty((len(codes_m), m * ds), dtype=np.float64)
+            for si in range(m):
+                recon[:, si * ds:(si + 1) * ds] = books[si][codes_m[:, si]]
+            clusters = pdf[cluster_col].values
+            for cl in np.unique(clusters):
+                recon[clusters == cl] += cmat_by_label[int(cl)]
+            yield pd.DataFrame({
+                cluster_col: clusters,
+                "_hid": pdf[id_col].values,
+                "_hv": list(recon.tolist()),
+                "_hnorm": pdf["vec_norm"].values,
+            })
 
-    local = coded.mapInPandas(search_kernel, out_schema)
-    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select(query_id_col, id_col, "adc_dist", "rank")
-    )
+    return coded.select(
+        F.col(cluster_col), F.col(id_col), F.col("codes"), F.col("vec_norm")
+    ).mapInPandas(kernel, schema)
 
 
 def ann_recall(
@@ -1838,11 +2260,23 @@ def semantic_contamination_indexed(
     data = spark.read.parquet(f"{index_path}/data").filter(
         F.col("ivf_cluster").isin(probed)
     )
-    c = data.select(
-        "ivf_cluster", F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-    )
-    sim = cosine(F.col("_cv"), F.col("_ev"))
+    books = _load_pq_books(spark, index_path)
+    if books is None:
+        c = data.select(
+            "ivf_cluster", F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
+        sim = cosine(F.col("_cv"), F.col("_ev"))
+    else:
+        # codes-only index (ivfpq_index_write): reconstruct ĥ inside the
+        # probed partitions; cosine uses the STORED true norm so only
+        # the dot product carries PQ error
+        c = _pq_reconstruct(data, books, centers, id_col).withColumnRenamed(
+            "_hid", id_col
+        ).withColumnRenamed("_hv", "_cv")
+        sim = dot_product(F.col("_cv"), F.col("_ev")) / (
+            F.col("_hnorm") * l2_norm(F.col("_ev"))
+        )
     if round_to is not None:
         sim = F.round(sim, round_to)
     hits = (
@@ -1940,11 +2374,21 @@ def semantic_dedup_against(
     data = spark.read.parquet(f"{index_path}/data").filter(
         F.col("ivf_cluster").isin(probed)
     )
-    h = data.select(
-        "ivf_cluster", F.col(id_col).alias("_hid"),
-        F.col(vec_col).cast("array<double>").alias("_hv"),
-    )
-    sim = cosine(F.col("_hv"), F.col("_bv"))
+    books = _load_pq_books(spark, index_path)
+    if books is None:
+        h = data.select(
+            "ivf_cluster", F.col(id_col).alias("_hid"),
+            F.col(vec_col).cast("array<double>").alias("_hv"),
+        )
+        sim = cosine(F.col("_hv"), F.col("_bv"))
+    else:
+        # codes-only history (ivfpq_index_write): reconstruct ĥ inside
+        # the probed partitions; cosine uses the STORED true norm so
+        # only the dot product carries PQ error
+        h = _pq_reconstruct(data, books, centers, id_col)
+        sim = dot_product(F.col("_hv"), F.col("_bv")) / (
+            F.col("_hnorm") * l2_norm(F.col("_bv"))
+        )
     if round_to is not None:
         sim = F.round(sim, round_to)
     hits = (

@@ -2187,6 +2187,41 @@ def q_semantic_dedup_against_full(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, path, batch, threshold=0.4, nprobe=4, round_to=6)
 
 
+@extra_query("semantic_dedup_against_pq", oracle=None)  # rows-only: PQ
+# codebook init draws from a seeded numpy permutation — not SQL-replayable
+def q_semantic_dedup_against_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODES-ONLY vs-history embedding gate (r15): the fixed ~150-vector
+    batch slice probes an ivfpq_index_write history index — PQ codes +
+    true norms, no float vectors retained — through the same
+    semantic_dedup_against entry point (layout auto-detected).  The
+    production 100 TB posture where the embedding history is 30-40x
+    smaller on disk than the raw-vector index.  Rows-only by the
+    bpe_token_count doctrine: PQ codebooks initialize from a seeded
+    numpy permutation, which DuckDB SQL cannot replay; exact semantics
+    are pinned by pytest instead (persisted == inline ADC in
+    test_ivfpq_persisted_index_matches_inline_and_prunes; gate behavior
+    + calibration in test_ivfpq_index_serves_vs_history_gates and
+    test_ivfpq_reconstruction_report_calibrates_thresholds).  Threshold
+    0.3 sits below the reconstruction self-cosine floor measured on this
+    corpus (p05 ≈ 0.93 at 16x8), so true duplicates cannot be missed."""
+    import tempfile
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivfpq_index_write,
+        semantic_dedup_against,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = (emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") < 450))
+             .select("vec_id", "embedding"))
+    path = tempfile.mkdtemp(prefix="sda_pq_idx_")
+    ivfpq_index_write(hist, path, dim=64, num_clusters=8,
+                      num_subspaces=16, bits=8, n_iters=2, pq_iters=3)
+    return semantic_dedup_against(
+        spark, path, batch, threshold=0.3, nprobe=4, round_to=6)
+
+
 def _ivf_cluster_stats_oracle_sql(dim: int = 64, nplanes: int = 3,
                                   n_iters: int = 2) -> str:
     parts = _ivf_corpus_assign_ctes(dim, nplanes, n_iters)

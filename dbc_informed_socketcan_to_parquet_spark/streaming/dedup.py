@@ -522,20 +522,44 @@ def streaming_semantic_dedup_against(
     watermarked exact-dedup stage.
     """
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        _load_pq_books,
         _nearest_labels,
+        _pq_reconstruct,
         cosine,
+        dot_product,
+        l2_norm,
         resolve_index_path,
     )
 
     index_path = resolve_index_path(index_path)
     model = spark.read.parquet(f"{index_path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
-    data = (
-        spark.read.parquet(f"{index_path}/data")
-        .select("ivf_cluster",
-                F.col(vec_col).cast("array<double>").alias("_hv"))
-        .persist()
-    )
+    books = _load_pq_books(spark, index_path)
+    if books is None:
+        data = (
+            spark.read.parquet(f"{index_path}/data")
+            .select("ivf_cluster",
+                    F.col(vec_col).cast("array<double>").alias("_hv"))
+            .persist()
+        )
+        score = cosine(F.col("_bv"), F.col("_hv"))
+    else:
+        # codes-only history (ivfpq_index_write): reconstruct ĥ once on
+        # the STATIC side of the stream-static join; cosine uses the
+        # stored true norm so only the dot product carries PQ error.
+        # The index id col is not part of this gate's output — any id
+        # column in the codes table works, so probe the schema for it.
+        raw = spark.read.parquet(f"{index_path}/data")
+        hid = next(c for c in raw.columns
+                   if c not in ("ivf_cluster", "codes", "vec_norm"))
+        data = (
+            _pq_reconstruct(raw, books, centers, hid)
+            .select("ivf_cluster", "_hv", "_hnorm")
+            .persist()
+        )
+        score = dot_product(F.col("_bv"), F.col("_hv")) / (
+            F.col("_hnorm") * l2_norm(F.col("_bv"))
+        )
 
     orig = docs.columns
     out = docs
@@ -563,8 +587,7 @@ def streaming_semantic_dedup_against(
         .withWatermark(time_col, watermark)
     )
     scored = probes.join(data, "ivf_cluster", "left_outer").withColumn(
-        "_cos", F.when(F.col("_hv").isNotNull(),
-                       cosine(F.col("_bv"), F.col("_hv"))),
+        "_cos", F.when(F.col("_hv").isNotNull(), score),
     )
     agg = (
         scored.groupBy(F.window(F.col(time_col), window), F.col(id_col))

@@ -2624,6 +2624,185 @@ def test_ivf_index_rebuild_advice_and_probe_cost(spark, tmp_path):
     assert after < before, (before, after)
 
 
+def test_ivfpq_persisted_index_matches_inline_and_prunes(spark, tmp_path):
+    """The persisted IVF-PQ index (codes + true norms, no floats) must
+    (a) return exactly what the inline ivfpq_ann_topk returns for the
+    same knobs — shared deterministic training and shared ADC kernels —
+    (b) store NO vector column (the 32x claim is real, not alongside the
+    floats), and (c) prune the probed scan at file listing like the
+    raw-vector index."""
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivfpq_ann_topk,
+        ivfpq_index_topk,
+        ivfpq_index_write,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    path = str(tmp_path / "ivfpq_index")
+    kw = dict(num_clusters=8, num_subspaces=8, bits=6, n_iters=2, pq_iters=3)
+    centers = ivfpq_index_write(emb, path, dim=64, **kw)
+    assert len(centers) <= 8
+
+    # storage claim: codes + norm only, never the float vectors
+    data_cols = set(spark.read.parquet(f"{path}/data").columns)
+    assert data_cols == {"vec_id", "codes", "vec_norm", "ivf_cluster"}
+
+    inline = sorted(map(tuple, ivfpq_ann_topk(
+        emb, q, dim=64, k=10, nprobe=4, **kw).collect()))
+    via_index = sorted(map(tuple, ivfpq_index_topk(
+        spark, path, q, k=10, nprobe=4).collect()))
+    assert len(via_index) == 30  # 3 queries x k=10
+    assert [(a, b, d) for a, b, _, d in inline] == [
+        (a, b, d) for a, b, _, d in via_index] or inline == via_index
+
+    some = sorted(centers)[:2]
+    probed = spark.read.parquet(f"{path}/data").filter(
+        F.col("ivf_cluster").isin(some))
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = probed._jdf.queryExecution().explainString(mode)
+    part_section = plan.split("PartitionFilters", 1)
+    assert len(part_section) == 2, plan
+    assert "ivf_cluster" in part_section[1][:200], plan
+
+
+def test_ivfpq_index_serves_vs_history_gates(spark, tmp_path):
+    """The vs-history gates accept a codes-only IVF-PQ index
+    transparently: semantic_dedup_against flags a planted duplicate of
+    history and not a distinct vector, its approximate cosine sits
+    within PQ tolerance of exact, and semantic_contamination_indexed
+    works through the same reconstruction path.  Also pins the
+    layout-dispatch seams: ivf_index_append delegates PQ appends (codes
+    grow, no floats), health/advice run on the codes layout, and
+    rebuild refuses it with guidance."""
+    import math
+
+    import pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_health,
+        ivf_index_rebuild,
+        ivf_index_rebuild_advice,
+        ivfpq_index_write,
+        semantic_contamination_indexed,
+        semantic_dedup_against,
+    )
+
+    def unit(seed, dim=16):
+        # hash-style family: full-rank, max pairwise cosine ~0.80 — the
+        # sin(a + d*b) family is rank-2 (everything near-duplicates
+        # everything), useless for a threshold gate test
+        v = [math.sin(seed * 12.9898 + d * 78.233) * 43758.5453 % 2.0 - 1.0
+             for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    hist = spark.createDataFrame(
+        [(s, unit(s)) for s in range(128)],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "pq_hist")
+    # bits=6 -> 64 codewords per 2-dim subspace at d=16: reconstruction
+    # error tiny enough for the tolerance pin (needs >= 64 training rows)
+    ivfpq_index_write(hist, path, dim=16, num_clusters=4,
+                      num_subspaces=8, bits=6, pq_iters=4)
+
+    batch = spark.createDataFrame(
+        [(900, unit(7)), (901, unit(5000))],
+        "vec_id long, embedding array<double>")
+    hits = {r["vec_id"]: r for r in semantic_dedup_against(
+        spark, path, batch, threshold=0.9, nprobe=4).collect()}
+    assert set(hits) == {900}
+    assert hits[900]["history_id"] == 7
+    # approximate cosine of an exact duplicate: within PQ tolerance of 1
+    assert hits[900]["cosine"] == pytest.approx(1.0, abs=0.05)
+
+    evals = spark.createDataFrame(
+        [(1, unit(11))], "eval_id long, embedding array<double>")
+    cont = semantic_contamination_indexed(
+        spark, path, evals, threshold=0.9, nprobe=4,
+        eval_id_col="eval_id").collect()
+    assert [r["vec_id"] for r in cont] == [11]
+
+    # append through the GENERIC entry point delegates to the PQ encoder
+    extra = spark.createDataFrame(
+        [(800, unit(41))], "vec_id long, embedding array<double>")
+    ivf_index_append(spark, path, extra)
+    data = spark.read.parquet(f"{path}/data")
+    assert data.count() == 129 and "embedding" not in data.columns
+    # the appended vector is immediately visible to the gate
+    rehit = semantic_dedup_against(
+        spark, path,
+        spark.createDataFrame([(902, unit(41))],
+                              "vec_id long, embedding array<double>"),
+        threshold=0.9, nprobe=4).collect()
+    # unit(41) matches both history 41 and the appended 800; ties go to
+    # the smallest history id, but PQ reconstruction error can break the
+    # exact tie either way — both are correct detections
+    assert len(rehit) == 1 and rehit[0]["history_id"] in (41, 800)
+
+    # health + advice read only model/partition column: layout-agnostic
+    h = ivf_index_health(spark, path).collect()
+    assert sum(r.n_vecs for r in h) == 129
+    adv = ivf_index_rebuild_advice(spark, path)
+    assert adv["n_vecs"] == 129
+
+    # rebuild cannot run from codes alone — refused with guidance
+    with pytest.raises(ValueError, match="SOURCE embeddings"):
+        ivf_index_rebuild(spark, path, str(tmp_path / "pq_v2"))
+
+
+def test_ivfpq_reconstruction_report_calibrates_thresholds(spark, tmp_path):
+    """The calibration report scores sampled source vectors against
+    their own codes exactly as the gates score an exact duplicate, so
+    p05 is a usable threshold ceiling; a raw-vector index is refused
+    (exact dups score 1.0 there — nothing to calibrate)."""
+    import math
+
+    import pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+        ivfpq_index_write,
+        ivfpq_reconstruction_report,
+        semantic_dedup_against,
+    )
+
+    def unit(seed, dim=16):
+        v = [math.sin(seed * 12.9898 + d * 78.233) * 43758.5453 % 2.0 - 1.0
+             for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    vecs = spark.createDataFrame(
+        [(s, unit(s)) for s in range(128)],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "pq_cal")
+    ivfpq_index_write(vecs, path, dim=16, num_clusters=4,
+                      num_subspaces=8, bits=6, pq_iters=4)
+    rep = ivfpq_reconstruction_report(spark, path, vecs)
+    assert rep["n"] == 128
+    assert 0.0 < rep["min"] <= rep["p05"] <= rep["avg"] <= 1.0 + 1e-9
+
+    # the pin that makes the report trustworthy: an exact duplicate of an
+    # indexed vector scores >= the reported min through the actual gate
+    probe = spark.createDataFrame(
+        [(900, unit(5))], "vec_id long, embedding array<double>")
+    hit = semantic_dedup_against(
+        spark, path, probe, threshold=rep["min"] - 1e-9, nprobe=4).collect()
+    assert [r["history_id"] for r in hit] == [5]
+    assert hit[0]["cosine"] >= rep["min"] - 1e-9
+
+    raw = str(tmp_path / "raw_cal")
+    ivf_index_write(vecs, raw, dim=16, num_clusters=4)
+    with pytest.raises(ValueError, match="no calibration needed"):
+        ivfpq_reconstruction_report(spark, raw, vecs)
+
+
 def test_resolve_index_path_versioned_root(spark, tmp_path):
     """Every persisted-index READER resolves an auto-rebuild VERSIONED
     ROOT (r15 follow-through): ``plans.recipe`` publishes rebuilds as

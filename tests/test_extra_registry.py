@@ -27,6 +27,7 @@ def test_extra_registry_shape():
     # each must name its dedicated pytest gate in a comment at its @extra_query
     assert set(EXTRA_QUERIES) - set(EXTRA_ORACLES) == {
         "approx_distinct", "bpe_token_count", "compression_ratio",
+        "semantic_dedup_against_pq",
     }
     assert not set(EXTRA_QUERIES) & set(QUERIES)
     # the parametrized oracle test below shrinks silently if entries are

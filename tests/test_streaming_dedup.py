@@ -346,3 +346,83 @@ def test_streaming_semantic_dedup_against_index(spark, tmp_path):
         spark, idx, landed, threshold=0.95, nprobe=4,
         batch_id_col="doc_id").collect()}
     assert flagged == {1}
+
+
+def test_streaming_semantic_dedup_against_pq_index(spark, tmp_path):
+    """The streaming vs-history embedding gate over a CODES-ONLY IVF-PQ
+    index (ivfpq_index_write): the static side reconstructs approximate
+    history vectors once, scoring uses the stored true norms, and the
+    kept set matches the batch gate on the same records — the 100 TB
+    posture where the float history was never retained."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivfpq_index_write,
+        semantic_dedup_against,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import (
+        streaming_semantic_dedup_against,
+    )
+
+    def unit(seed, dim=16):
+        # full-rank hash-style family (max pairwise cosine ~0.8)
+        v = [math.sin(seed * 12.9898 + d * 78.233) * 43758.5453 % 2.0 - 1.0
+             for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    history = spark.createDataFrame(
+        [(1000 + s, unit(s)) for s in range(128)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "pq_hist_idx")
+    ivfpq_index_write(history, idx, dim=16, num_clusters=4,
+                      num_subspaces=8, bits=6, pq_iters=4)
+
+    novel = unit(5000)  # max cosine vs history ~0.55
+    log_dir = tmp_path / "emb_stream_pq"
+    log_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    raw = (
+        spark.readStream.format("json").schema(schema).load(str(log_dir))
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+        .drop("ts_ms")
+    )
+    out = streaming_semantic_dedup_against(
+        raw, spark, idx, threshold=0.9, nprobe=4,
+        time_col="event_time", watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sem_against_pq_out")
+        .outputMode("append").start()
+    )
+    try:
+        t0 = 1_700_000_000_000
+        _write_batch(log_dir, "b0.json", [
+            {"doc_id": 1, "ts_ms": t0, "embedding": unit(3)},      # dup -> drop
+            {"doc_id": 2, "ts_ms": t0 + 1000, "embedding": novel}, # keep
+            {"doc_id": 4, "ts_ms": t0 + 2000, "embedding": None},  # keep
+        ])
+        q.processAllAvailable()
+        _write_batch(log_dir, "b1.json", [
+            {"doc_id": 3, "ts_ms": t0 + 3 * 3_600_000, "embedding": novel},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT doc_id FROM sem_against_pq_out ORDER BY doc_id").collect()
+    assert [r.doc_id for r in rows] == [2, 4]
+
+    landed = spark.createDataFrame(
+        [(1, unit(3)), (2, novel), (4, None)],
+        "doc_id long, embedding array<double>")
+    flagged = {r.doc_id for r in semantic_dedup_against(
+        spark, idx, landed, threshold=0.9, nprobe=4,
+        batch_id_col="doc_id").collect()}
+    assert flagged == {1}
