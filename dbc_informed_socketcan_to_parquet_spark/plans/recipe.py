@@ -48,7 +48,11 @@ k into the next version dir and publishes by atomic pointer rename).
 Optional knobs: ``num_perms``/``shingle_n`` (signature family, day-1
 creation only — later days read the store's meta),
 ``num_clusters``/``n_iters`` (day-1 index build),
-``rebuild_imbalance`` (advice threshold).
+``rebuild_imbalance`` (advice threshold), ``pq: "MxB"`` (r15 — day 1
+builds a CODES-ONLY ``ivfpq_index_write`` store, ~40× smaller at
+production dims; the summary's ``history.index_reconstruction``
+carries the threshold calibration, and ``auto_rebuild`` is refused —
+codes cannot retrain from themselves).
 Manual ``curate.against*`` keys are rejected alongside ``history``.
 
 ``ingest`` + ``out`` are required; ``curate``/``report``/``split``/
@@ -264,11 +268,31 @@ def validate_recipe(recipe: dict) -> None:
             raise ValueError("history must be a dict of store paths")
         allowed = {"digests", "sigs", "embeddings_index", "num_perms",
                    "shingle_n", "num_clusters", "n_iters",
-                   "rebuild_imbalance", "auto_rebuild"}
+                   "rebuild_imbalance", "auto_rebuild", "pq"}
         if hist.get("auto_rebuild") and not hist.get("embeddings_index"):
             raise ValueError(
                 "history.auto_rebuild manages the embeddings index — set "
                 "history.embeddings_index or drop it")
+        if hist.get("pq"):
+            if not hist.get("embeddings_index"):
+                raise ValueError(
+                    "history.pq configures the embeddings index layout — "
+                    "set history.embeddings_index or drop it")
+            if hist.get("auto_rebuild"):
+                raise ValueError(
+                    "history.pq stores codes only — the floats needed for "
+                    "an in-recipe retrain are gone, so auto_rebuild cannot "
+                    "manage a PQ index; rebuild out-of-band from the "
+                    "accumulated source embeddings (index-embeddings --pq) "
+                    "and swap the path, or drop pq")
+            pq = str(hist["pq"]).lower()
+            parts = pq.split("x", 1)
+            if (len(parts) != 2 or not parts[0].isdigit()
+                    or not parts[1].isdigit() or int(parts[0]) < 1
+                    or not 1 <= int(parts[1]) <= 8):
+                raise ValueError(
+                    f"history.pq must be 'MxB' (subspaces x bits, bits in "
+                    f"[1, 8], e.g. '16x8'), got {hist['pq']!r}")
         unknown = set(hist) - allowed
         if unknown:
             raise ValueError(f"unknown history keys: {sorted(unknown)}")
@@ -841,6 +865,21 @@ def _update_history_stores(
             kept.select(F.col("doc_id").alias(emb_id)).distinct(), emb_id
         ).select(F.col(emb_id).alias("vec_id"), "embedding")
         if idx is not None and _stage_complete(f"{idx}/model"):
+            if auto:
+                # fail on day N's append, not day N+40's rebuild: an
+                # externally-built codes-only index cannot retrain from
+                # itself (validate_recipe already refuses pq+auto_rebuild
+                # for recipe-built stores)
+                from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+                    _load_pq_books,
+                )
+
+                if _load_pq_books(spark, idx) is not None:
+                    raise ValueError(
+                        f"history.auto_rebuild cannot manage the IVF-PQ "
+                        f"index at {idx!r}: codes cannot retrain — rebuild "
+                        "out-of-band from the source embeddings and swap "
+                        "the version pointer, or drop auto_rebuild")
             old_ids = spark.read.parquet(f"{idx}/data").select("vec_id")
             surv = surv.join(old_ids, "vec_id", "left_anti")
             surv = durable_checkpoint(surv, eager=True)
@@ -853,9 +892,29 @@ def _update_history_stores(
             surv = durable_checkpoint(surv, eager=True)
             n = surv.count()
             if n:
-                ivf_index_write(
-                    surv, idx, num_clusters=k0,
-                    n_iters=int(hist.get("n_iters", 2)))
+                if hist.get("pq"):
+                    # codes-only layout (r15): ~40x smaller store at
+                    # production dims; later-day appends go through the
+                    # same ivf_index_append call below, which detects the
+                    # layout and delegates to the codes encoder
+                    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+                        ivfpq_index_write,
+                        ivfpq_reconstruction_report,
+                    )
+
+                    m_str, b_str = str(hist["pq"]).lower().split("x", 1)
+                    ivfpq_index_write(
+                        surv, idx, num_clusters=k0,
+                        num_subspaces=int(m_str), bits=int(b_str),
+                        n_iters=int(hist.get("n_iters", 2)))
+                    # calibration in the summary: the gate threshold must
+                    # sit at/below p05 or true duplicates slip through
+                    out["index_reconstruction"] = ivfpq_reconstruction_report(
+                        spark, idx, surv)
+                else:
+                    ivf_index_write(
+                        surv, idx, num_clusters=k0,
+                        n_iters=int(hist.get("n_iters", 2)))
                 if auto:
                     pointer = _ivf_publish(root, "v0001", k0)
         out["embeddings_appended"] = n

@@ -992,6 +992,84 @@ def test_recipe_daily_incremental_history(spark, tmp_path):
     assert _json is not None
 
 
+def test_recipe_daily_incremental_pq_history(spark, tmp_path):
+    """history.pq (r15): the daily-incremental embedding store persists
+    CODES instead of floats — day 1 builds an ivfpq_index_write layout
+    (binary codes on disk, no embedding column, reconstruction
+    calibration in the summary), day 2's gate drops a planted semantic
+    dup THROUGH the codes-only index and appends its survivor as codes
+    via the layout-detecting generic append.  At 4 vectors / 4 codewords
+    per subspace reconstruction is exact, so the default 0.9 threshold
+    is safely below the self-cosine floor."""
+    import math
+
+    import pytest
+
+    def unit(seed, dim=16):
+        v = [math.sin(seed * 12.9898 + d * 78.233) * 43758.5453 % 2.0 - 1.0
+             for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def doc(i, seed):
+        return (i, " ".join(f"{seed}tok{j}q {seed}aux{j}z" for j in range(40)))
+
+    stores = tmp_path / "stores"
+
+    def mk_recipe(day, in_path, emb_path):
+        return {
+            "ingest": {"format": "parquet", "path": in_path},
+            "curate": {"min_quality": 0.0, "min_chars": 1,
+                       "embeddings": emb_path},
+            "out": str(tmp_path / f"pqday{day}_kept.parquet"),
+            "history": {"embeddings_index": str(stores / "pq_idx"),
+                        "num_clusters": 4, "pq": "4x2"},
+            "audit": True,
+        }
+
+    d1 = str(tmp_path / "pqday1.parquet")
+    spark.createDataFrame([doc(i, c) for i, c in
+                           [(1, "a"), (2, "b"), (3, "c"), (4, "d")]],
+                          "doc_id long, text string").write.parquet(d1)
+    e1 = str(tmp_path / "pqday1_emb.parquet")
+    spark.createDataFrame([(i, unit(i)) for i in (1, 2, 3, 4)],
+                          "doc_id long, embedding array<double>").write.parquet(e1)
+    s1 = run_recipe(spark, mk_recipe(1, d1, e1))
+    assert s1["history"]["embeddings_appended"] == 4
+    rep = s1["history"]["index_reconstruction"]
+    assert rep["n"] == 4 and rep["min"] > 0.99  # 4 vecs / 4 codewords: exact
+    data = spark.read.parquet(str(stores / "pq_idx" / "data"))
+    assert "codes" in data.columns and "embedding" not in data.columns
+
+    # day 2: one semantic plant (doc 3's embedding under new text), one novel
+    d2 = str(tmp_path / "pqday2.parquet")
+    spark.createDataFrame(
+        [(13, " ".join(f"q{j} z{j}" for j in range(40))),
+         doc(14, "novel")],
+        "doc_id long, text string").write.parquet(d2)
+    e2 = str(tmp_path / "pqday2_emb.parquet")
+    spark.createDataFrame(
+        [(13, unit(3)), (14, unit(5000))],
+        "doc_id long, embedding array<double>").write.parquet(e2)
+    s2 = run_recipe(spark, mk_recipe(2, d2, e2))
+    kept2 = spark.read.parquet(str(tmp_path / "pqday2_kept.parquet"))
+    assert sorted(r.doc_id for r in kept2.collect()) == [14]
+    stages = {st["stage"]: st for st in s2["audit"]}
+    assert stages["against_semantic"]["dropped"] == 1
+    assert s2["history"]["embeddings_appended"] == 1
+    assert spark.read.parquet(str(stores / "pq_idx" / "data")).count() == 5
+
+    # config guards
+    bad = mk_recipe(3, d2, e2)
+    bad["history"]["auto_rebuild"] = True
+    with pytest.raises(ValueError, match="auto_rebuild cannot"):
+        run_recipe(spark, bad)
+    bad2 = mk_recipe(3, d2, e2)
+    bad2["history"]["pq"] = "16x99"
+    with pytest.raises(ValueError, match="MxB"):
+        run_recipe(spark, bad2)
+
+
 def test_recipe_history_auto_rebuild(spark, tmp_path):
     """``history.auto_rebuild`` (r15): the embeddings_index path becomes
     a versioned root with a CURRENT.json pointer; a flagged post-append
