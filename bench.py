@@ -437,7 +437,11 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  # (vec_id < 450 slice probing the persisted IVF index),
                  # so its trend measures the history-probe cost, not a
                  # growing-batch oracle shape
-                 "semantic_dedup_against"):
+                 "semantic_dedup_against",
+                 # r15 session 4: the same gate against a CODES-ONLY
+                 # IVF-PQ history index (reconstruction inside probed
+                 # partitions) — the storage-constrained 100 TB posture
+                 "semantic_dedup_against_pq"):
         fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         out[name] = _min_of(spark, lambda: fn(spark, sf_dir),
                             5 if name in _NOISY else 2)

@@ -1205,6 +1205,13 @@ def build_index_embeddings_parser() -> argparse.ArgumentParser:
     p.add_argument("--imbalance-threshold", type=float, default=4.0,
                    help="hot-cluster imbalance (n*k/total) that triggers "
                         "rebuild advice")
+    p.add_argument("--sq8", action="store_true",
+                   help="build a scalar-quantized index: one uint8 per "
+                        "dimension, per-vector range (8x smaller than "
+                        "float64, near-lossless — no threshold "
+                        "recalibration; rebuild works from the index "
+                        "itself). Served transparently by the gates and "
+                        "ivf_index_topk")
     p.add_argument("--pq", default=None, metavar="MxB",
                    help="build an IVF-PQ index: M subspaces x B bits (e.g. "
                         "8x4) — stores residual PQ codes + true norms "
@@ -1272,10 +1279,26 @@ def run_index_embeddings(argv: list[str]) -> None:
         vectors = vectors.withColumnRenamed(args.id_col, "vec_id")
     if args.vec_col != "embedding":
         vectors = vectors.withColumnRenamed(args.vec_col, "embedding")
+    if args.pq and args.sq8:
+        raise SystemExit("--pq and --sq8 are mutually exclusive layouts")
     if args.append:
-        # delegates to ivfpq_index_append when the layout carries pq_model
+        # delegates to the PQ / SQ8 encoders when the layout carries
+        # pq_model / sq_model
         ivf_index_append(spark, args.output_path, vectors)
         verb = "appended"
+    elif args.sq8:
+        from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+            ivfpq_reconstruction_report,
+            sq8_index_write,
+        )
+        sq8_index_write(vectors, args.output_path,
+                        num_clusters=args.clusters, n_iters=args.iters,
+                        sample_mod=args.sample_mod)
+        verb = "sq8-indexed"
+        rep = ivfpq_reconstruction_report(
+            spark, args.output_path, vectors, id_col="vec_id")
+        print(f"reconstruction self-cosine over {rep['n']} sampled vectors: "
+              f"avg {rep['avg']:.4f}, p05 {rep['p05']:.4f}, min {rep['min']:.4f}")
     elif args.pq:
         try:
             m_str, b_str = args.pq.lower().split("x", 1)

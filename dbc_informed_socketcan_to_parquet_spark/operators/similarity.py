@@ -608,6 +608,9 @@ def ivf_index_append(
         # PQ layout: the data table holds codes, not vectors — encode the
         # increment with the stored codebooks instead of appending floats
         return ivfpq_index_append(spark, path, new_vectors, vec_col=vec_col)
+    if _load_sq_dim(spark, path) is not None:
+        # SQ8 layout: scalar-quantize the increment
+        return sq8_index_append(spark, path, new_vectors, vec_col=vec_col)
     model = spark.read.parquet(f"{path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
     assign_kernel = _resolve_assign_kernel(
@@ -757,6 +760,20 @@ def ivf_index_rebuild(
         )
     if num_clusters is None:
         num_clusters = ivf_index_rebuild_advice(spark, old_path)["recommended_k"]
+    sq_dim = _load_sq_dim(spark, old_path)
+    if sq_dim is not None:
+        # SQ8 is near-lossless (<= 0.2% of the per-vector range per dim),
+        # so — unlike PQ — the accumulated data CAN retrain from its own
+        # reconstruction; the rebuilt store re-quantizes the reconstructed
+        # vectors (fresh ranges derive from them, so the error does not
+        # compound beyond a second half-step per rebuild)
+        recon = _sq_reconstruct(
+            spark.read.parquet(f"{old_path}/data"), sq_dim, "vec_id"
+        ).select(F.col("_hid").alias("vec_id"), F.col("_hv").alias("embedding"))
+        return sq8_index_write(
+            recon, new_path, dim=sq_dim, num_clusters=num_clusters,
+            n_iters=n_iters, sample_mod=sample_mod,
+        )
     data = spark.read.parquet(f"{old_path}/data").drop("ivf_cluster")
     return ivf_index_write(
         data, new_path, num_clusters=num_clusters, n_iters=n_iters,
@@ -797,8 +814,24 @@ def ivf_index_topk(
     probed = sorted({r["ivf_cluster"] for r in q.select("ivf_cluster").distinct().collect()})
 
     data = spark.read.parquet(f"{path}/data").filter(F.col("ivf_cluster").isin(probed))
-    c = data.select("ivf_cluster", F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
-    sim = cosine(F.col("_cv"), F.col("_qv"))
+    if _load_pq_books(spark, path) is not None:
+        raise ValueError(
+            f"{path!r} is an IVF-PQ index — use ivfpq_index_topk (ADC "
+            "search over codes)"
+        )
+    sq_dim = _load_sq_dim(spark, path)
+    if sq_dim is not None:
+        # scalar-quantized layout: reconstruct inside the probed
+        # partitions (near-lossless), score with the stored true norm
+        c = _sq_reconstruct(data, sq_dim, id_col).withColumnRenamed(
+            "_hid", id_col
+        ).withColumnRenamed("_hv", "_cv")
+        sim = dot_product(F.col("_cv"), F.col("_qv")) / (
+            F.col("_hnorm") * l2_norm(F.col("_qv"))
+        )
+    else:
+        c = data.select("ivf_cluster", F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+        sim = cosine(F.col("_cv"), F.col("_qv"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = c.join(F.broadcast(q), "ivf_cluster").select(
@@ -1667,6 +1700,187 @@ def ivfpq_index_topk(
     )
 
 
+def sq8_index_write(
+    corpus: DataFrame,
+    path: str,
+    dim: int | None = None,
+    num_clusters: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+) -> dict[int, list[float]]:
+    """Materialize an IVF index whose rows are SCALAR-QUANTIZED to one
+    uint8 per dimension (per-vector min/max range) — the middle option
+    between :func:`ivf_index_write` (raw floats, exact, big) and
+    :func:`ivfpq_index_write` (PQ codes, ~m bytes, lossy): 8× smaller
+    than float64 at near-lossless fidelity (half-step error is a fixed
+    fraction of the per-vector range while unit components shrink as
+    1/√d, so fidelity IMPROVES with dimension: self-cosine ≥ 0.995 even
+    at d=16, the worst case, and ≥ 0.9999 at production d≈768),
+    so vs-history thresholds need no recalibration and — unlike PQ —
+    the index can RETRAIN from its own reconstruction
+    (:func:`ivf_index_rebuild` accepts this layout).
+
+    Layout: ``{path}/model`` = the shared centroid table (health /
+    advice / ``--stats`` work unchanged); ``{path}/sq_model`` = a 1-row
+    ``(dim)`` marker the readers dispatch on; ``{path}/data`` =
+    ``(id, codes binary[dim], sq_lo, sq_hi, vec_norm)`` partitioned by
+    ``ivf_cluster``.  Gates and topk reconstruct
+    ``v̂_d = lo + (hi-lo)·code_d/255`` inside probed partitions only."""
+    import numpy as np
+
+    dim, centers, _ = _ivf_train(
+        corpus, dim, num_clusters, n_iters, id_col, vec_col, sample_mod, "pandas"
+    )
+    labels = sorted(centers)
+    cmat = np.asarray([centers[b] for b in labels], dtype=np.float64)
+    lab_arr = np.asarray(labels, dtype=np.int64)
+    coded = _sq8_encode(corpus, cmat, lab_arr, id_col, vec_col)
+    coded.write.partitionBy("ivf_cluster").mode("overwrite").parquet(f"{path}/data")
+    spark = corpus.sparkSession
+    model = spark.createDataFrame(
+        [(b, v) for b, v in sorted(centers.items())],
+        "ivf_cluster bigint, center array<double>",
+    )
+    model.coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+    spark.createDataFrame([(int(dim),)], "dim int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sq_model")
+    return centers
+
+
+def _sq8_encode(
+    df: DataFrame,
+    cmat,
+    lab_arr,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign + scalar-quantize in one Arrow kernel: per-vector min/max
+    range, one uint8 per dimension, plus the true L2 norm (cosine
+    denominators stay exact — same contract as the PQ layout)."""
+    import numpy as np
+
+    cc = (cmat * cmat).sum(axis=1)
+    schema = (f"{id_col} long, ivf_cluster long, codes binary, "
+              "sq_lo double, sq_hi double, vec_norm double")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({id_col: [], "ivf_cluster": [], "codes": [],
+                                    "sq_lo": [], "sq_hi": [], "vec_norm": []})
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            arow = np.argmin(
+                (v * v).sum(1)[:, None] - 2.0 * (v @ cmat.T) + cc[None, :], axis=1
+            )
+            lo = v.min(axis=1)
+            hi = v.max(axis=1)
+            rng = hi - lo
+            rng[rng == 0.0] = 1.0  # constant vector: all codes 0 -> lo
+            codes = np.clip(
+                np.rint((v - lo[:, None]) / rng[:, None] * 255.0), 0, 255
+            ).astype(np.uint8)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "ivf_cluster": lab_arr[arow],
+                "codes": [row.tobytes() for row in codes],
+                "sq_lo": lo,
+                "sq_hi": hi,
+                "vec_norm": np.sqrt((v * v).sum(1)),
+            })
+
+    return (
+        fan_out(df).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(kernel, schema)
+    )
+
+
+def _load_sq_dim(spark, path: str):
+    """Dimension from ``{path}/sq_model``, or None when the layout is
+    not scalar-quantized — the dispatch marker, like
+    :func:`_load_pq_books` for PQ.  ``path`` must be version-resolved."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{path}/sq_model").collect()
+    except AnalysisException:
+        return None
+    return int(rows[0]["dim"])
+
+
+def _sq_reconstruct(
+    coded: DataFrame,
+    dim: int,
+    id_col: str,
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Decode SQ8 codes back to near-exact vectors inside the scan —
+    ``v̂_d = lo + (hi-lo)·code_d/255`` — emitting the same
+    ``(cluster_col, _hid, _hv, _hnorm)`` contract as
+    :func:`_pq_reconstruct`, so the gates share one scoring path."""
+    import numpy as np
+
+    id_type = coded.schema[id_col].dataType.simpleString()
+    schema = f"{cluster_col} long, _hid {id_type}, _hv array<double>, _hnorm double"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({cluster_col: [], "_hid": [], "_hv": [], "_hnorm": []})
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(len(pdf), dim).astype(np.float64)
+            lo = pdf["sq_lo"].values[:, None]
+            hi = pdf["sq_hi"].values[:, None]
+            recon = lo + (hi - lo) * (codes / 255.0)
+            yield pd.DataFrame({
+                cluster_col: pdf[cluster_col].values,
+                "_hid": pdf[id_col].values,
+                "_hv": list(recon.tolist()),
+                "_hnorm": pdf["vec_norm"].values,
+            })
+
+    return coded.select(
+        F.col(cluster_col), F.col(id_col), F.col("codes"),
+        F.col("sq_lo"), F.col("sq_hi"), F.col("vec_norm")
+    ).mapInPandas(kernel, schema)
+
+
+def sq8_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted SQ8 index: assign with the STORED centroids and
+    append scalar-quantized rows — same daily-ingest caveats as
+    :func:`ivf_index_append` (no retrain; advice still works)."""
+    import numpy as np
+
+    path = resolve_index_path(path)
+    if _load_sq_dim(spark, path) is None:
+        raise ValueError(
+            f"{path!r} is not an SQ8 index (no sq_model) — use "
+            "ivf_index_append"
+        )
+    model = spark.read.parquet(f"{path}/model").collect()
+    centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
+    labels = sorted(centers)
+    cmat = np.asarray([centers[b] for b in labels], dtype=np.float64)
+    lab_arr = np.asarray(labels, dtype=np.int64)
+    coded = _sq8_encode(new_vectors, cmat, lab_arr, id_col, vec_col)
+    coded.write.partitionBy("ivf_cluster").mode("append").parquet(f"{path}/data")
+
+
 def ivfpq_reconstruction_report(
     spark,
     path: str,
@@ -1688,7 +1902,8 @@ def ivfpq_reconstruction_report(
 
     path = resolve_index_path(path)
     books = _load_pq_books(spark, path)
-    if books is None:
+    sq_dim = None if books is not None else _load_sq_dim(spark, path)
+    if books is None and sq_dim is None:
         raise ValueError(
             f"{path!r} is a raw-vector IVF index — exact duplicates score "
             "cosine 1.0 there; no calibration needed"
@@ -1697,10 +1912,11 @@ def ivfpq_reconstruction_report(
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
     labels = sorted(centers)
     cmat = np.asarray([centers[b] for b in labels], dtype=np.float64)
-    m = books.shape[0]
-    ds = books.shape[2]
+    if books is not None:
+        m = books.shape[0]
+        ds = books.shape[2]
     cc = (cmat * cmat).sum(axis=1)
-    bb = (books * books).sum(axis=2)
+    bb = (books * books).sum(axis=2) if books is not None else None
 
     sample = (
         vectors.select(md5_long(F.col(id_col)).alias("_h"),
@@ -1718,15 +1934,23 @@ def ivfpq_reconstruction_report(
                 yield pd.DataFrame({"_self_cos": []})
                 continue
             v = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
-            arow = np.argmin(
-                (v * v).sum(1)[:, None] - 2.0 * (v @ cmat.T) + cc[None, :], axis=1
-            )
-            r = v - cmat[arow]
-            recon = cmat[arow].copy()
-            for si in range(m):
-                sub = r[:, si * ds:(si + 1) * ds]
-                d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ books[si].T) + bb[si][None, :]
-                recon[:, si * ds:(si + 1) * ds] += books[si][np.argmin(d2, axis=1)]
+            if books is not None:
+                arow = np.argmin(
+                    (v * v).sum(1)[:, None] - 2.0 * (v @ cmat.T) + cc[None, :], axis=1
+                )
+                r = v - cmat[arow]
+                recon = cmat[arow].copy()
+                for si in range(m):
+                    sub = r[:, si * ds:(si + 1) * ds]
+                    d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ books[si].T) + bb[si][None, :]
+                    recon[:, si * ds:(si + 1) * ds] += books[si][np.argmin(d2, axis=1)]
+            else:
+                lo = v.min(axis=1)[:, None]
+                hi = v.max(axis=1)[:, None]
+                rng = hi - lo
+                rng[rng == 0.0] = 1.0
+                codes = np.clip(np.rint((v - lo) / rng * 255.0), 0, 255)
+                recon = lo + rng * (codes / 255.0)
             denom = (v * v).sum(1)
             yield pd.DataFrame({"_self_cos": (v * recon).sum(1) / denom})
 
@@ -2261,13 +2485,8 @@ def semantic_contamination_indexed(
         F.col("ivf_cluster").isin(probed)
     )
     books = _load_pq_books(spark, index_path)
-    if books is None:
-        c = data.select(
-            "ivf_cluster", F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("_cv"),
-        )
-        sim = cosine(F.col("_cv"), F.col("_ev"))
-    else:
+    sq_dim = None if books is not None else _load_sq_dim(spark, index_path)
+    if books is not None:
         # codes-only index (ivfpq_index_write): reconstruct ĥ inside the
         # probed partitions; cosine uses the STORED true norm so only
         # the dot product carries PQ error
@@ -2277,6 +2496,19 @@ def semantic_contamination_indexed(
         sim = dot_product(F.col("_cv"), F.col("_ev")) / (
             F.col("_hnorm") * l2_norm(F.col("_ev"))
         )
+    elif sq_dim is not None:
+        c = _sq_reconstruct(data, sq_dim, id_col).withColumnRenamed(
+            "_hid", id_col
+        ).withColumnRenamed("_hv", "_cv")
+        sim = dot_product(F.col("_cv"), F.col("_ev")) / (
+            F.col("_hnorm") * l2_norm(F.col("_ev"))
+        )
+    else:
+        c = data.select(
+            "ivf_cluster", F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
+        sim = cosine(F.col("_cv"), F.col("_ev"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     hits = (
@@ -2375,13 +2607,8 @@ def semantic_dedup_against(
         F.col("ivf_cluster").isin(probed)
     )
     books = _load_pq_books(spark, index_path)
-    if books is None:
-        h = data.select(
-            "ivf_cluster", F.col(id_col).alias("_hid"),
-            F.col(vec_col).cast("array<double>").alias("_hv"),
-        )
-        sim = cosine(F.col("_hv"), F.col("_bv"))
-    else:
+    sq_dim = None if books is not None else _load_sq_dim(spark, index_path)
+    if books is not None:
         # codes-only history (ivfpq_index_write): reconstruct ĥ inside
         # the probed partitions; cosine uses the STORED true norm so
         # only the dot product carries PQ error
@@ -2389,6 +2616,19 @@ def semantic_dedup_against(
         sim = dot_product(F.col("_hv"), F.col("_bv")) / (
             F.col("_hnorm") * l2_norm(F.col("_bv"))
         )
+    elif sq_dim is not None:
+        # scalar-quantized history (sq8_index_write): near-lossless
+        # reconstruction, same scoring contract as the PQ lane
+        h = _sq_reconstruct(data, sq_dim, id_col)
+        sim = dot_product(F.col("_hv"), F.col("_bv")) / (
+            F.col("_hnorm") * l2_norm(F.col("_bv"))
+        )
+    else:
+        h = data.select(
+            "ivf_cluster", F.col(id_col).alias("_hid"),
+            F.col(vec_col).cast("array<double>").alias("_hv"),
+        )
+        sim = cosine(F.col("_hv"), F.col("_bv"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     hits = (

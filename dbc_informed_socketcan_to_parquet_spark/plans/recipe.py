@@ -52,7 +52,11 @@ creation only — later days read the store's meta),
 builds a CODES-ONLY ``ivfpq_index_write`` store, ~40× smaller at
 production dims; the summary's ``history.index_reconstruction``
 carries the threshold calibration, and ``auto_rebuild`` is refused —
-codes cannot retrain from themselves).
+codes cannot retrain from themselves), ``sq8: true`` (r15 — a
+scalar-quantized ``sq8_index_write`` store: 8× smaller, near-lossless,
+no threshold recalibration, and ``auto_rebuild`` STAYS available
+because the index retrains from its own reconstruction; mutually
+exclusive with ``pq``).
 Manual ``curate.against*`` keys are rejected alongside ``history``.
 
 ``ingest`` + ``out`` are required; ``curate``/``report``/``split``/
@@ -268,11 +272,20 @@ def validate_recipe(recipe: dict) -> None:
             raise ValueError("history must be a dict of store paths")
         allowed = {"digests", "sigs", "embeddings_index", "num_perms",
                    "shingle_n", "num_clusters", "n_iters",
-                   "rebuild_imbalance", "auto_rebuild", "pq"}
+                   "rebuild_imbalance", "auto_rebuild", "pq", "sq8"}
         if hist.get("auto_rebuild") and not hist.get("embeddings_index"):
             raise ValueError(
                 "history.auto_rebuild manages the embeddings index — set "
                 "history.embeddings_index or drop it")
+        if hist.get("sq8"):
+            if not hist.get("embeddings_index"):
+                raise ValueError(
+                    "history.sq8 configures the embeddings index layout — "
+                    "set history.embeddings_index or drop it")
+            if hist.get("pq"):
+                raise ValueError(
+                    "history.pq and history.sq8 are mutually exclusive "
+                    "index layouts")
         if hist.get("pq"):
             if not hist.get("embeddings_index"):
                 raise ValueError(
@@ -892,7 +905,21 @@ def _update_history_stores(
             surv = durable_checkpoint(surv, eager=True)
             n = surv.count()
             if n:
-                if hist.get("pq"):
+                if hist.get("sq8"):
+                    # scalar-quantized layout (r15): 8x smaller,
+                    # near-lossless — auto_rebuild stays available
+                    # (the index retrains from its own reconstruction)
+                    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+                        ivfpq_reconstruction_report,
+                        sq8_index_write,
+                    )
+
+                    sq8_index_write(
+                        surv, idx, num_clusters=k0,
+                        n_iters=int(hist.get("n_iters", 2)))
+                    out["index_reconstruction"] = ivfpq_reconstruction_report(
+                        spark, idx, surv)
+                elif hist.get("pq"):
                     # codes-only layout (r15): ~40x smaller store at
                     # production dims; later-day appends go through the
                     # same ivf_index_append call below, which detects the

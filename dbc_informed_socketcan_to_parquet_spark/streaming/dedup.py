@@ -523,8 +523,10 @@ def streaming_semantic_dedup_against(
     """
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
         _load_pq_books,
+        _load_sq_dim,
         _nearest_labels,
         _pq_reconstruct,
+        _sq_reconstruct,
         cosine,
         dot_product,
         l2_norm,
@@ -535,7 +537,8 @@ def streaming_semantic_dedup_against(
     model = spark.read.parquet(f"{index_path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}
     books = _load_pq_books(spark, index_path)
-    if books is None:
+    sq_dim = None if books is not None else _load_sq_dim(spark, index_path)
+    if books is None and sq_dim is None:
         data = (
             spark.read.parquet(f"{index_path}/data")
             .select("ivf_cluster",
@@ -543,6 +546,21 @@ def streaming_semantic_dedup_against(
             .persist()
         )
         score = cosine(F.col("_bv"), F.col("_hv"))
+    elif sq_dim is not None:
+        # scalar-quantized history: near-lossless reconstruction on the
+        # STATIC side, same scoring contract as the PQ branch below
+        raw = spark.read.parquet(f"{index_path}/data")
+        hid = next(c for c in raw.columns
+                   if c not in ("ivf_cluster", "codes", "vec_norm",
+                                "sq_lo", "sq_hi"))
+        data = (
+            _sq_reconstruct(raw, sq_dim, hid)
+            .select("ivf_cluster", "_hv", "_hnorm")
+            .persist()
+        )
+        score = dot_product(F.col("_bv"), F.col("_hv")) / (
+            F.col("_hnorm") * l2_norm(F.col("_bv"))
+        )
     else:
         # codes-only history (ivfpq_index_write): reconstruct ĥ once on
         # the STATIC side of the stream-static join; cosine uses the

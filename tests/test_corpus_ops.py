@@ -2803,6 +2803,83 @@ def test_ivfpq_reconstruction_report_calibrates_thresholds(spark, tmp_path):
         ivfpq_reconstruction_report(spark, raw, vecs)
 
 
+def test_sq8_persisted_index_near_lossless_roundtrip(spark, tmp_path):
+    """SQ8 layout (r15): one uint8 per dimension with a per-vector range
+    — 8x smaller than float64 and near-lossless, the middle option
+    between raw and PQ.  Pins: codes-only schema on disk, reconstruction
+    self-cosine >= 0.999 (so gates need NO threshold recalibration),
+    ivf_index_topk serves the layout with ~exact cosines, the gates
+    detect planted dups, the generic append delegates, and — unlike PQ —
+    ivf_index_rebuild RETRAINS from the index's own reconstruction."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_health,
+        ivf_index_rebuild,
+        ivf_index_topk,
+        ivfpq_reconstruction_report,
+        semantic_dedup_against,
+        sq8_index_write,
+    )
+
+    def unit(seed, dim=16):
+        v = [math.sin(seed * 12.9898 + d * 78.233) * 43758.5453 % 2.0 - 1.0
+             for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    vecs = spark.createDataFrame(
+        [(s, unit(s)) for s in range(128)],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "sq_idx")
+    centers = sq8_index_write(vecs, path, dim=16, num_clusters=4)
+    assert len(centers) <= 4
+
+    data = spark.read.parquet(f"{path}/data")
+    assert set(data.columns) == {"vec_id", "codes", "sq_lo", "sq_hi",
+                                 "vec_norm", "ivf_cluster"}
+
+    rep = ivfpq_reconstruction_report(spark, path, vecs)
+    # d=16 is SQ8's worst case (per-dim half-step vs 1/sqrt(16) unit
+    # components) — production d=768 is ~7x tighter
+    assert rep["n"] == 128 and rep["min"] >= 0.995
+
+    # topk through the layout: the planted query's top hit is itself at
+    # cosine ~1 (rounded to 4 places to absorb the half-step error)
+    q = spark.createDataFrame([(0, unit(9))],
+                              "query_id long, embedding array<double>")
+    tk = ivf_index_topk(spark, path, q, k=3, nprobe=4, round_to=4).collect()
+    assert tk[0]["vec_id"] == 9 and tk[0]["cosine"] >= 0.995
+
+    # vs-history gate at an UNCHANGED threshold (no recalibration)
+    batch = spark.createDataFrame(
+        [(900, unit(7)), (901, unit(5000))],
+        "vec_id long, embedding array<double>")
+    hits = semantic_dedup_against(
+        spark, path, batch, threshold=0.95, nprobe=4).collect()
+    assert [(r["vec_id"], r["history_id"]) for r in hits] == [(900, 7)]
+
+    # generic append delegates to the SQ8 encoder
+    ivf_index_append(spark, path, spark.createDataFrame(
+        [(800, unit(41))], "vec_id long, embedding array<double>"))
+    d2 = spark.read.parquet(f"{path}/data")
+    assert d2.count() == 129 and "embedding" not in d2.columns
+
+    # rebuild RETRAINS from the index's own reconstruction (PQ refuses)
+    path2 = str(tmp_path / "sq_idx_v2")
+    ivf_index_rebuild(spark, path, path2, num_clusters=8)
+    h2 = ivf_index_health(spark, path2).collect()
+    assert sum(r.n_vecs for r in h2) == 129
+    rep2 = ivfpq_reconstruction_report(spark, path2, vecs)
+    assert rep2["min"] >= 0.995  # error does not compound past the pin
+    rehit = semantic_dedup_against(
+        spark, path2, batch, threshold=0.95, nprobe=8).collect()
+    assert [(r["vec_id"], r["history_id"]) for r in rehit] == [(900, 7)]
+
+
 def test_resolve_index_path_versioned_root(spark, tmp_path):
     """Every persisted-index READER resolves an auto-rebuild VERSIONED
     ROOT (r15 follow-through): ``plans.recipe`` publishes rebuilds as

@@ -1070,6 +1070,76 @@ def test_recipe_daily_incremental_pq_history(spark, tmp_path):
         run_recipe(spark, bad2)
 
 
+def test_recipe_daily_incremental_sq8_history(spark, tmp_path):
+    """history.sq8 (r15): the embedding store persists scalar-quantized
+    codes — near-lossless, so the default gate threshold needs no
+    recalibration and (unlike pq) auto_rebuild remains valid config.
+    Day 1 builds the codes layout + calibration summary; day 2 drops a
+    planted semantic dup through it and appends quantized survivors."""
+    import math
+
+    import pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.plans.recipe import validate_recipe
+
+    def unit(seed, dim=16):
+        v = [math.sin(seed * 12.9898 + d * 78.233) * 43758.5453 % 2.0 - 1.0
+             for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def doc(i, seed):
+        return (i, " ".join(f"{seed}tok{j}q {seed}aux{j}z" for j in range(40)))
+
+    stores = tmp_path / "stores"
+
+    def mk_recipe(day, in_path, emb_path, **hist_extra):
+        return {
+            "ingest": {"format": "parquet", "path": in_path},
+            "curate": {"min_quality": 0.0, "min_chars": 1,
+                       "embeddings": emb_path},
+            "out": str(tmp_path / f"sqday{day}_kept.parquet"),
+            "history": {"embeddings_index": str(stores / "sq_idx"),
+                        "num_clusters": 4, "sq8": True, **hist_extra},
+            "audit": True,
+        }
+
+    d1 = str(tmp_path / "sqday1.parquet")
+    spark.createDataFrame([doc(i, c) for i, c in
+                           [(1, "a"), (2, "b"), (3, "c"), (4, "d")]],
+                          "doc_id long, text string").write.parquet(d1)
+    e1 = str(tmp_path / "sqday1_emb.parquet")
+    spark.createDataFrame([(i, unit(i)) for i in (1, 2, 3, 4)],
+                          "doc_id long, embedding array<double>").write.parquet(e1)
+    s1 = run_recipe(spark, mk_recipe(1, d1, e1))
+    assert s1["history"]["embeddings_appended"] == 4
+    assert s1["history"]["index_reconstruction"]["min"] >= 0.995
+    data = spark.read.parquet(str(stores / "sq_idx" / "data"))
+    assert "codes" in data.columns and "embedding" not in data.columns
+
+    d2 = str(tmp_path / "sqday2.parquet")
+    spark.createDataFrame(
+        [(13, " ".join(f"q{j} z{j}" for j in range(40))),
+         doc(14, "novel")],
+        "doc_id long, text string").write.parquet(d2)
+    e2 = str(tmp_path / "sqday2_emb.parquet")
+    spark.createDataFrame(
+        [(13, unit(3)), (14, unit(5000))],
+        "doc_id long, embedding array<double>").write.parquet(e2)
+    s2 = run_recipe(spark, mk_recipe(2, d2, e2))
+    kept2 = spark.read.parquet(str(tmp_path / "sqday2_kept.parquet"))
+    assert sorted(r.doc_id for r in kept2.collect()) == [14]
+    assert {st["stage"]: st for st in s2["audit"]}[
+        "against_semantic"]["dropped"] == 1
+    assert spark.read.parquet(str(stores / "sq_idx" / "data")).count() == 5
+
+    # config guards: sq8 + auto_rebuild is VALID (retrains from its own
+    # reconstruction); sq8 + pq is refused
+    validate_recipe(mk_recipe(3, d2, e2, auto_rebuild=True))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        validate_recipe(mk_recipe(3, d2, e2, pq="8x4"))
+
+
 def test_recipe_history_auto_rebuild(spark, tmp_path):
     """``history.auto_rebuild`` (r15): the embeddings_index path becomes
     a versioned root with a CURRENT.json pointer; a flagged post-append

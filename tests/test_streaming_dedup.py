@@ -348,17 +348,23 @@ def test_streaming_semantic_dedup_against_index(spark, tmp_path):
     assert flagged == {1}
 
 
-def test_streaming_semantic_dedup_against_pq_index(spark, tmp_path):
-    """The streaming vs-history embedding gate over a CODES-ONLY IVF-PQ
-    index (ivfpq_index_write): the static side reconstructs approximate
-    history vectors once, scoring uses the stored true norms, and the
-    kept set matches the batch gate on the same records — the 100 TB
-    posture where the float history was never retained."""
+import pytest
+
+
+@pytest.mark.parametrize("layout", ["pq", "sq8"])
+def test_streaming_semantic_dedup_against_coded_index(spark, tmp_path, layout):
+    """The streaming vs-history embedding gate over a CODES-ONLY index —
+    IVF-PQ (ivfpq_index_write) or scalar-quantized (sq8_index_write):
+    the static side reconstructs history vectors once, scoring uses the
+    stored true norms, and the kept set matches the batch gate on the
+    same records — the 100 TB posture where the float history was never
+    retained."""
     import math
 
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
         ivfpq_index_write,
         semantic_dedup_against,
+        sq8_index_write,
     )
     from dbc_informed_socketcan_to_parquet_spark.streaming.dedup import (
         streaming_semantic_dedup_against,
@@ -375,12 +381,15 @@ def test_streaming_semantic_dedup_against_pq_index(spark, tmp_path):
         [(1000 + s, unit(s)) for s in range(128)],
         "vec_id long, embedding array<double>",
     )
-    idx = str(tmp_path / "pq_hist_idx")
-    ivfpq_index_write(history, idx, dim=16, num_clusters=4,
-                      num_subspaces=8, bits=6, pq_iters=4)
+    idx = str(tmp_path / f"{layout}_hist_idx")
+    if layout == "pq":
+        ivfpq_index_write(history, idx, dim=16, num_clusters=4,
+                          num_subspaces=8, bits=6, pq_iters=4)
+    else:
+        sq8_index_write(history, idx, dim=16, num_clusters=4)
 
     novel = unit(5000)  # max cosine vs history ~0.55
-    log_dir = tmp_path / "emb_stream_pq"
+    log_dir = tmp_path / f"emb_stream_{layout}"
     log_dir.mkdir()
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -397,7 +406,7 @@ def test_streaming_semantic_dedup_against_pq_index(spark, tmp_path):
         time_col="event_time", watermark="1 hour",
     )
     q = (
-        out.writeStream.format("memory").queryName("sem_against_pq_out")
+        out.writeStream.format("memory").queryName(f"sem_against_{layout}_out")
         .outputMode("append").start()
     )
     try:
@@ -416,7 +425,7 @@ def test_streaming_semantic_dedup_against_pq_index(spark, tmp_path):
         q.stop()
 
     rows = spark.sql(
-        "SELECT doc_id FROM sem_against_pq_out ORDER BY doc_id").collect()
+        f"SELECT doc_id FROM sem_against_{layout}_out ORDER BY doc_id").collect()
     assert [r.doc_id for r in rows] == [2, 4]
 
     landed = spark.createDataFrame(
