@@ -1256,9 +1256,14 @@ def run_index_embeddings(argv: list[str]) -> None:
         return
     if args.rebuild_from:
         k = args.clusters if args.clusters > 0 else None
-        ivf_index_rebuild(spark, args.rebuild_from, args.output_path,
-                          num_clusters=k, n_iters=args.iters,
-                          sample_mod=args.sample_mod)
+        try:
+            ivf_index_rebuild(spark, args.rebuild_from, args.output_path,
+                              num_clusters=k, n_iters=args.iters,
+                              sample_mod=args.sample_mod)
+        except ValueError as e:
+            # e.g. an IVF-PQ source: codes cannot retrain — surface the
+            # guidance without a traceback
+            raise SystemExit(str(e))
         rp = resolve_index_path(args.output_path)
         n = spark.read.parquet(f"{rp}/data").count()
         k = spark.read.parquet(f"{rp}/model").count()

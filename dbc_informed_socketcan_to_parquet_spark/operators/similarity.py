@@ -1678,8 +1678,8 @@ def ivfpq_index_topk(
     books = _load_pq_books(spark, path)
     if books is None:
         raise ValueError(
-            f"{path!r} is a raw-vector IVF index (no pq_model) — use "
-            "ivf_index_topk"
+            f"{path!r} carries no pq_model — use ivf_index_topk (it "
+            "serves both raw-vector and SQ8 layouts)"
         )
     model = spark.read.parquet(f"{path}/model").collect()
     centers = {r["ivf_cluster"]: list(r["center"]) for r in model}

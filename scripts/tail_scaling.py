@@ -124,6 +124,13 @@ TAIL = [
     # semantic_dedup_against_full (never measured here)
     "select_by_group_budget",
     "semantic_dedup_against_fixed_batch",
+    # r15 session 4: the same fixed-batch production posture against the
+    # CODED history layouts — PQ (calibrated threshold) and SQ8
+    # (unchanged threshold); cost adds quantizer training + encode at
+    # index-build time and reconstruction inside probed partitions at
+    # gate time, both of which must stay history-linear for fixed batch
+    "semantic_dedup_against_fixed_batch_pq",
+    "semantic_dedup_against_fixed_batch_sq8",
 ]
 
 
@@ -148,6 +155,48 @@ def _semantic_dedup_against_fixed_batch(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="sda_scale_")
     ivf_index_write(hist, path, dim=64, num_clusters=8, n_iters=2,
                     assign_kernel="pandas")
+    return semantic_dedup_against(spark, path, batch, threshold=0.4, nprobe=4)
+
+
+def _semantic_dedup_against_fixed_batch_pq(spark, sf_dir):
+    """The fixed-batch posture against a CODES-ONLY IVF-PQ history index
+    (r15): 16x8 — the calibrated production shape; threshold 0.3 sits
+    under the measured reconstruction p05."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivfpq_index_write,
+        semantic_dedup_against,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") < 2100))
+    path = tempfile.mkdtemp(prefix="sda_scale_pq_")
+    ivfpq_index_write(hist, path, dim=64, num_clusters=8,
+                      num_subspaces=16, bits=8, n_iters=2, pq_iters=3)
+    return semantic_dedup_against(spark, path, batch, threshold=0.3, nprobe=4)
+
+
+def _semantic_dedup_against_fixed_batch_sq8(spark, sf_dir):
+    """The fixed-batch posture against a scalar-quantized history index
+    (r15): near-lossless, unchanged threshold."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        semantic_dedup_against,
+        sq8_index_write,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") < 2100))
+    path = tempfile.mkdtemp(prefix="sda_scale_sq_")
+    sq8_index_write(hist, path, dim=64, num_clusters=8, n_iters=2)
     return semantic_dedup_against(spark, path, batch, threshold=0.4, nprobe=4)
 
 
@@ -210,6 +259,10 @@ def _resolve(name):
         return QUERIES["lsh_band_tune_sampled"]
     if name == "semantic_dedup_against_fixed_batch":
         return _semantic_dedup_against_fixed_batch
+    if name == "semantic_dedup_against_fixed_batch_pq":
+        return _semantic_dedup_against_fixed_batch_pq
+    if name == "semantic_dedup_against_fixed_batch_sq8":
+        return _semantic_dedup_against_fixed_batch_sq8
     if name == "curate_e2e":
         return _curate_e2e
     if name == "export_training_shards":
