@@ -1201,7 +1201,10 @@ def build_index_embeddings_parser() -> argparse.ArgumentParser:
                    help="retrain over OLD_INDEX's accumulated data and write "
                         "a fresh index at --out (--clusters 0 = the sqrt-N "
                         "recommendation); publish by swapping readers to the "
-                        "new path")
+                        "new path. Combine with --sq8 or --pq MxB to MIGRATE "
+                        "layout while rebuilding (raw->sq8 8x smaller, "
+                        "raw/sq8->pq ~40x + calibration printed; pq sources "
+                        "cannot retrain)")
     p.add_argument("--imbalance-threshold", type=float, default=4.0,
                    help="hot-cluster imbalance (n*k/total) that triggers "
                         "rebuild advice")
@@ -1226,6 +1229,8 @@ def run_index_embeddings(argv: list[str]) -> None:
     the one-off batch job behind `curate --against-embeddings`,
     `semantic_dedup_against`, `semantic_contamination_indexed`, and
     `ivf_index_topk`; previously only reachable as a library call."""
+    from pyspark.sql import functions as F
+
     from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
         ivf_index_append,
         ivf_index_health,
@@ -1256,14 +1261,51 @@ def run_index_embeddings(argv: list[str]) -> None:
         return
     if args.rebuild_from:
         k = args.clusters if args.clusters > 0 else None
+        layout = None
+        pq_cfg = None
+        if args.pq and args.sq8:
+            raise SystemExit("--pq and --sq8 are mutually exclusive layouts")
+        if args.sq8:
+            layout = "sq8"
+        elif args.pq:
+            try:
+                m_str, b_str = args.pq.lower().split("x", 1)
+                pq_cfg = (int(m_str), int(b_str))
+            except ValueError:
+                raise SystemExit(f"--pq must be MxB (e.g. 8x4), got {args.pq!r}")
+            layout = "pq"
         try:
             ivf_index_rebuild(spark, args.rebuild_from, args.output_path,
                               num_clusters=k, n_iters=args.iters,
-                              sample_mod=args.sample_mod)
+                              sample_mod=args.sample_mod,
+                              layout=layout, pq=pq_cfg)
         except ValueError as e:
             # e.g. an IVF-PQ source: codes cannot retrain — surface the
             # guidance without a traceback
             raise SystemExit(str(e))
+        if layout == "pq":
+            # a migrated-to-PQ index NEEDS recalibrated thresholds
+            from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+                _sq_reconstruct,
+                _load_sq_dim,
+                ivfpq_reconstruction_report,
+            )
+
+            src = resolve_index_path(args.rebuild_from)
+            sdim = _load_sq_dim(spark, src)
+            probe = (
+                _sq_reconstruct(spark.read.parquet(f"{src}/data"), sdim, "vec_id")
+                .select(F.col("_hid").alias("vec_id"),
+                        F.col("_hv").alias("embedding"))
+                if sdim is not None
+                else spark.read.parquet(f"{src}/data")
+            )
+            rep = ivfpq_reconstruction_report(
+                spark, args.output_path, probe, id_col="vec_id")
+            print(f"reconstruction self-cosine over {rep['n']} sampled "
+                  f"vectors: avg {rep['avg']:.3f}, p05 {rep['p05']:.3f}, "
+                  f"min {rep['min']:.3f}")
+            print("set vs-history cosine thresholds at or below p05")
         rp = resolve_index_path(args.output_path)
         n = spark.read.parquet(f"{rp}/data").count()
         k = spark.read.parquet(f"{rp}/model").count()

@@ -742,6 +742,8 @@ def ivf_index_rebuild(
     n_iters: int = 2,
     sample_mod: int = 1,
     assign_kernel: str = "auto",
+    layout: str | None = None,
+    pq: "tuple[int, int] | None" = None,
 ) -> dict[int, list[float]]:
     """RETRAIN a persisted index over its own accumulated data (r15):
     one corpus pass re-fits the quantizer (``num_clusters=None`` takes
@@ -750,8 +752,21 @@ def ivf_index_rebuild(
     at a NEW path on purpose — a distributed store cannot atomically
     overwrite a directory being served; publish by swapping the path
     your readers resolve (symlink / table pointer / recipe config) and
-    retire the old version afterwards.  Returns the new centroids."""
+    retire the old version afterwards.  Returns the new centroids.
+
+    ``layout`` defaults to preserving the source layout (raw → raw,
+    SQ8 → SQ8).  Set ``layout="sq8"`` or ``layout="pq"`` (with
+    ``pq=(num_subspaces, bits)``) to MIGRATE while rebuilding — the
+    shrink-my-history path: a raw index's floats compress 8× (SQ8) or
+    ~40× (PQ, threshold recalibration required — see
+    :func:`ivfpq_reconstruction_report`) in the same pass that refits
+    the quantizer.  An SQ8 source can migrate to PQ (reconstruction is
+    near-lossless); a PQ source cannot retrain at all."""
     old_path = resolve_index_path(old_path)
+    if layout not in (None, "raw", "sq8", "pq"):
+        raise ValueError(f"layout must be raw/sq8/pq, got {layout!r}")
+    if layout == "pq" and pq is None:
+        raise ValueError("layout='pq' needs pq=(num_subspaces, bits)")
     if _load_pq_books(spark, old_path) is not None:
         raise ValueError(
             f"{old_path!r} is an IVF-PQ index — its floats were discarded "
@@ -767,14 +782,34 @@ def ivf_index_rebuild(
         # reconstruction; the rebuilt store re-quantizes the reconstructed
         # vectors (fresh ranges derive from them, so the error does not
         # compound beyond a second half-step per rebuild)
-        recon = _sq_reconstruct(
+        data = _sq_reconstruct(
             spark.read.parquet(f"{old_path}/data"), sq_dim, "vec_id"
         ).select(F.col("_hid").alias("vec_id"), F.col("_hv").alias("embedding"))
+        if layout is None:
+            layout = "sq8"
+        dim = sq_dim
+        id_col, vec_col = "vec_id", "embedding"
+    else:
+        data = spark.read.parquet(f"{old_path}/data").drop("ivf_cluster")
+        if layout is None:
+            layout = "raw"
+        dim = None
+        # the raw layout keeps whatever columns it was built with — the
+        # canonical names by construction of ivf_index_write callers
+        id_col, vec_col = "vec_id", "embedding"
+    if layout == "sq8":
         return sq8_index_write(
-            recon, new_path, dim=sq_dim, num_clusters=num_clusters,
-            n_iters=n_iters, sample_mod=sample_mod,
+            data, new_path, dim=dim, num_clusters=num_clusters,
+            n_iters=n_iters, id_col=id_col, vec_col=vec_col,
+            sample_mod=sample_mod,
         )
-    data = spark.read.parquet(f"{old_path}/data").drop("ivf_cluster")
+    if layout == "pq":
+        return ivfpq_index_write(
+            data, new_path, dim=dim, num_clusters=num_clusters,
+            num_subspaces=int(pq[0]), bits=int(pq[1]),
+            n_iters=n_iters, id_col=id_col, vec_col=vec_col,
+            sample_mod=sample_mod,
+        )
     return ivf_index_write(
         data, new_path, num_clusters=num_clusters, n_iters=n_iters,
         sample_mod=sample_mod, assign_kernel=assign_kernel,

@@ -2880,6 +2880,70 @@ def test_sq8_persisted_index_near_lossless_roundtrip(spark, tmp_path):
     assert [(r["vec_id"], r["history_id"]) for r in rehit] == [(900, 7)]
 
 
+def test_ivf_index_rebuild_layout_migration(spark, tmp_path):
+    """ivf_index_rebuild layout migration (r15): a raw index's floats
+    compress in the same pass that refits the quantizer (raw→sq8,
+    raw→pq), and a near-lossless SQ8 index can migrate on to PQ —
+    the shrink-my-history path without re-reading source embeddings.
+    Each migrated index still serves the vs-history gate."""
+    import math
+
+    import pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_rebuild,
+        ivf_index_write,
+        semantic_dedup_against,
+    )
+
+    def unit(seed, dim=16):
+        v = [math.sin(seed * 12.9898 + d * 78.233) * 43758.5453 % 2.0 - 1.0
+             for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    vecs = spark.createDataFrame(
+        [(s, unit(s)) for s in range(128)],
+        "vec_id long, embedding array<double>")
+    raw = str(tmp_path / "raw_idx")
+    ivf_index_write(vecs, raw, dim=16, num_clusters=4)
+    batch = spark.createDataFrame(
+        [(900, unit(7)), (901, unit(5000))],
+        "vec_id long, embedding array<double>")
+
+    def gate_hits(path, thr):
+        return sorted((r["vec_id"], r["history_id"]) for r in
+                      semantic_dedup_against(
+                          spark, path, batch, threshold=thr, nprobe=4
+                      ).collect())
+
+    # raw -> sq8: unchanged threshold
+    sq = str(tmp_path / "mig_sq")
+    ivf_index_rebuild(spark, raw, sq, num_clusters=4, layout="sq8")
+    assert set(spark.read.parquet(f"{sq}/data").columns) == {
+        "vec_id", "codes", "sq_lo", "sq_hi", "vec_norm", "ivf_cluster"}
+    assert gate_hits(sq, 0.95) == [(900, 7)]
+
+    # raw -> pq: codes-only, calibrated threshold
+    pq = str(tmp_path / "mig_pq")
+    ivf_index_rebuild(spark, raw, pq, num_clusters=4,
+                      layout="pq", pq=(8, 6))
+    assert "pq_model" not in spark.read.parquet(f"{pq}/data").columns
+    assert gate_hits(pq, 0.6) == [(900, 7)]
+
+    # sq8 -> pq: migration chains through the near-lossless layout
+    pq2 = str(tmp_path / "mig_pq2")
+    ivf_index_rebuild(spark, sq, pq2, num_clusters=4,
+                      layout="pq", pq=(8, 6))
+    assert gate_hits(pq2, 0.6) == [(900, 7)]
+
+    # config guards
+    with pytest.raises(ValueError, match="needs pq="):
+        ivf_index_rebuild(spark, raw, str(tmp_path / "x"), layout="pq")
+    with pytest.raises(ValueError, match="layout must be"):
+        ivf_index_rebuild(spark, raw, str(tmp_path / "x"), layout="opq")
+
+
 def test_resolve_index_path_versioned_root(spark, tmp_path):
     """Every persisted-index READER resolves an auto-rebuild VERSIONED
     ROOT (r15 follow-through): ``plans.recipe`` publishes rebuilds as
