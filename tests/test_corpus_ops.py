@@ -2862,6 +2862,17 @@ def test_sq8_persisted_index_near_lossless_roundtrip(spark, tmp_path):
         spark, path, batch, threshold=0.95, nprobe=4).collect()
     assert [(r["vec_id"], r["history_id"]) for r in hits] == [(900, 7)]
 
+    # contamination sweep through the same reconstruction path
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        semantic_contamination_indexed,
+    )
+    evals = spark.createDataFrame(
+        [(1, unit(11))], "eval_id long, embedding array<double>")
+    cont = semantic_contamination_indexed(
+        spark, path, evals, threshold=0.95, nprobe=4,
+        eval_id_col="eval_id").collect()
+    assert [r["vec_id"] for r in cont] == [11]
+
     # generic append delegates to the SQ8 encoder
     ivf_index_append(spark, path, spark.createDataFrame(
         [(800, unit(41))], "vec_id long, embedding array<double>"))
