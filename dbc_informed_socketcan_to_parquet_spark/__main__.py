@@ -1173,7 +1173,8 @@ def build_index_embeddings_parser() -> argparse.ArgumentParser:
         prog="dbc_informed_socketcan_to_parquet_spark index-embeddings")
     p.add_argument("--in", dest="input_path", default=None,
                    help="embedding parquet (id + array<double> vector "
-                        "column); required unless --stats/--rebuild-from")
+                        "column); required unless --stats/--rebuild-from/"
+                        "--compact-from")
     p.add_argument("--out", dest="output_path", required=True,
                    help="IVF index dir (data/ partitioned by cluster + model/)")
     p.add_argument("--id-col", default="vec_id",
@@ -1208,6 +1209,15 @@ def build_index_embeddings_parser() -> argparse.ArgumentParser:
     p.add_argument("--imbalance-threshold", type=float, default=4.0,
                    help="hot-cluster imbalance (n*k/total) that triggers "
                         "rebuild advice")
+    p.add_argument("--compact-from", dest="compact_from", default=None,
+                   metavar="OLD_INDEX",
+                   help="rewrite OLD_INDEX's append-fragmented partitions "
+                        "into --out with --files-per-cluster files each — "
+                        "no retrain, assignments preserved, layout markers "
+                        "copied; publish by swapping readers")
+    p.add_argument("--files-per-cluster", type=int, default=1,
+                   help="target files per cluster partition for "
+                        "--compact-from")
     p.add_argument("--sq8", action="store_true",
                    help="build a scalar-quantized index: one uint8 per "
                         "dimension, per-vector range (8x smaller than "
@@ -1235,6 +1245,8 @@ def run_index_embeddings(argv: list[str]) -> None:
         ivf_index_append,
         ivf_index_health,
         ivf_index_rebuild,
+        ivf_index_compact,
+        ivf_index_file_stats,
         ivf_index_rebuild_advice,
         ivf_index_write,
         resolve_index_path,
@@ -1257,7 +1269,24 @@ def run_index_embeddings(argv: list[str]) -> None:
         for r in ivf_index_health(spark, args.output_path).collect():
             print(f"cluster {r.cluster}: {r.n_vecs} vectors "
                   f"(frac {r.frac:.4f}, imbalance {r.imbalance:.2f})")
+        fs = ivf_index_file_stats(spark, args.output_path).collect()
+        n_files = sum(r.n_files for r in fs)
+        mean_fpc = n_files / max(len(fs), 1)
+        print(f"files: {n_files} across {len(fs)} clusters "
+              f"(mean {mean_fpc:.1f}/cluster)")
+        if mean_fpc > 16:
+            print("compaction advised (append-fragmented): "
+                  "index-embeddings --compact-from THIS --out NEW")
         _print_advice(args.output_path)
+        return
+    if args.compact_from:
+        ivf_index_compact(spark, args.compact_from, args.output_path,
+                          files_per_cluster=args.files_per_cluster)
+        before = ivf_index_file_stats(spark, args.compact_from).collect()
+        after = ivf_index_file_stats(spark, args.output_path).collect()
+        print(f"compacted {sum(r.n_files for r in before)} files -> "
+              f"{sum(r.n_files for r in after)} at {args.output_path} "
+              f"(from {args.compact_from})")
         return
     if args.rebuild_from:
         k = args.clusters if args.clusters > 0 else None
@@ -1315,7 +1344,8 @@ def run_index_embeddings(argv: list[str]) -> None:
         return
 
     if not args.input_path:
-        raise SystemExit("--in is required (unless --stats/--rebuild-from)")
+        raise SystemExit("--in is required (unless --stats/"
+                         "--rebuild-from/--compact-from)")
     vectors = spark.read.parquet(args.input_path)
     # normalize --id-col/--vec-col to the canonical (vec_id, embedding)
     # layout on write (r15, advisory): every downstream index consumer —

@@ -682,6 +682,99 @@ def ivf_index_health(spark, path: str, round_to: int = 6) -> DataFrame:
     )
 
 
+def ivf_index_file_stats(spark, path: str) -> DataFrame:
+    """Small-files health of a persisted index (r15): every
+    :func:`ivf_index_append` lands at least one new file per touched
+    cluster partition, so a daily-append index accumulates
+    days×clusters parquet files — and probe cost grows with files
+    opened, not just rows scanned.  Returns ``(cluster, n_files,
+    bytes)`` from FILE METADATA only (``input_file_name`` over a
+    zero-column projection reads footers, never vector bytes).
+    Rule of thumb: compact (:func:`ivf_index_compact`) when the mean
+    files/cluster exceeds ~16 or the median file is ≪ the 128 MB scan
+    granularity."""
+    import os
+
+    path = resolve_index_path(path)
+    files = (
+        spark.read.parquet(f"{path}/data")
+        .select(F.col("ivf_cluster").alias("cluster"),
+                F.input_file_name().alias("_f"))
+        .distinct()
+    )
+    # sizes come from the driver-side listing of the distinct file set
+    # (bounded by file count, not rows)
+    rows = files.collect()
+    from urllib.parse import unquote, urlparse
+
+    out = {}
+    for r in rows:
+        p_ = unquote(urlparse(r["_f"]).path)
+        try:
+            b = os.path.getsize(p_)
+        except OSError:
+            b = 0  # non-local store: n_files is still exact
+        c = int(r["cluster"])
+        n, tot = out.get(c, (0, 0))
+        out[c] = (n + 1, tot + b)
+    return spark.createDataFrame(
+        [(c, n, b) for c, (n, b) in sorted(out.items())],
+        "cluster long, n_files long, bytes long",
+    )
+
+
+def ivf_index_compact(
+    spark,
+    old_path: str,
+    new_path: str,
+    files_per_cluster: int = 1,
+) -> None:
+    """Rewrite an append-fragmented index with ``files_per_cluster``
+    files per partition — NO retrain, NO reassignment: assignments are
+    already the partition column, so compaction is a pure read→coalesced
+    rewrite of each partition plus a copy of the model tables (layout
+    markers included — raw, PQ, and SQ8 indexes all compact the same
+    way).  Lands at a NEW path (publish-by-swap, like
+    :func:`ivf_index_rebuild`): a distributed store cannot atomically
+    rewrite a directory being served.  Run it when
+    :func:`ivf_index_file_stats` shows the append cadence has shredded
+    partitions into many small files — probe latency at high nprobe is
+    file-open-bound long before it is row-bound."""
+    from pyspark.errors import AnalysisException
+
+    old_path = resolve_index_path(old_path)
+    k = spark.read.parquet(f"{old_path}/model").count()
+    data = spark.read.parquet(f"{old_path}/data")
+    if files_per_cluster <= 1:
+        # one shuffle task per cluster -> one file per partition dir
+        out = data.repartition(max(int(k), 1), "ivf_cluster")
+    else:
+        # deterministic row-hash salt splits each cluster across
+        # ~files_per_cluster tasks (hash collisions between clusters
+        # just mean a task writes into two partition dirs — harmless)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in data.columns]),
+            F.lit(int(files_per_cluster)),
+        )
+        out = (
+            data.withColumn("_salt", salt)
+            .repartition(max(int(k), 1) * int(files_per_cluster),
+                         "ivf_cluster", "_salt")
+            .drop("_salt")
+        )
+    (
+        out.write.partitionBy("ivf_cluster")
+        .mode("overwrite")
+        .parquet(f"{new_path}/data")
+    )
+    for part in ("model", "pq_model", "sq_model"):
+        try:
+            t = spark.read.parquet(f"{old_path}/{part}")
+        except AnalysisException:
+            continue
+        t.coalesce(1).write.mode("overwrite").parquet(f"{new_path}/{part}")
+
+
 def ivf_index_rebuild_advice(
     spark,
     path: str,

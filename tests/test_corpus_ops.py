@@ -2955,6 +2955,70 @@ def test_ivf_index_rebuild_layout_migration(spark, tmp_path):
         ivf_index_rebuild(spark, raw, str(tmp_path / "x"), layout="opq")
 
 
+def test_ivf_index_compact_defragments_appends(spark, tmp_path):
+    """Index compaction (r15): daily appends land >= 1 file per touched
+    cluster per day, so files grow as days x clusters while rows grow
+    slowly — compaction rewrites partitions to ~1 file each with NO
+    retrain (assignments preserved) and the gate answer is identical.
+    Works for coded layouts too (markers copied): pinned on SQ8."""
+    import math
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_file_stats,
+        ivf_index_topk,
+        semantic_dedup_against,
+        sq8_index_write,
+    )
+
+    def unit(seed, dim=16):
+        v = [math.sin(seed * 12.9898 + d * 78.233) * 43758.5453 % 2.0 - 1.0
+             for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    path = str(tmp_path / "frag_idx")
+    sq8_index_write(
+        spark.createDataFrame([(s, unit(s)) for s in range(64)],
+                              "vec_id long, embedding array<double>"),
+        path, dim=16, num_clusters=4)
+    # five daily appends fragment the partitions
+    for day in range(5):
+        ivf_index_append(spark, path, spark.createDataFrame(
+            [(1000 + 10 * day + i, unit(200 + 10 * day + i))
+             for i in range(10)],
+            "vec_id long, embedding array<double>"))
+
+    before = {r.cluster: r.n_files
+              for r in ivf_index_file_stats(spark, path).collect()}
+    assert sum(before.values()) > len(before)  # genuinely fragmented
+
+    out = str(tmp_path / "compact_idx")
+    ivf_index_compact(spark, path, out)
+    after = {r.cluster: r.n_files
+             for r in ivf_index_file_stats(spark, out).collect()}
+    assert set(after) == set(before)
+    assert all(n == 1 for n in after.values()), after
+    assert spark.read.parquet(f"{out}/data").count() == 114
+
+    # identical service: same gate hits, same topk, layout marker intact
+    batch = spark.createDataFrame(
+        [(900, unit(7)), (901, unit(5000))],
+        "vec_id long, embedding array<double>")
+    def hits(p):
+        return sorted((r["vec_id"], r["history_id"]) for r in
+                      semantic_dedup_against(spark, p, batch,
+                                             threshold=0.95, nprobe=4
+                                             ).collect())
+    assert hits(out) == hits(path) == [(900, 7)]
+    q = spark.createDataFrame([(0, unit(230))],
+                              "query_id long, embedding array<double>")
+    tk = lambda p: [(r.query_id, r.vec_id, r.rank) for r in
+                    ivf_index_topk(spark, p, q, k=3, nprobe=4).collect()]
+    assert tk(out) == tk(path)
+
+
 def test_resolve_index_path_versioned_root(spark, tmp_path):
     """Every persisted-index READER resolves an auto-rebuild VERSIONED
     ROOT (r15 follow-through): ``plans.recipe`` publishes rebuilds as
