@@ -40,7 +40,10 @@ embedding table; ``decon_id_col`` maps its id column); the summary's
 ``history.index_advice`` carries the rebuild trigger — appends never
 retrain the quantizer, so when it flags skew/growth, run
 ``index-embeddings --rebuild-from`` between daily runs and swap the
-recipe's index path to the new version, or set
+recipe's index path to the new version (``history.index_files`` sits
+next to it: files/cluster + a ``compaction_advised`` flag — run
+``index-embeddings --compact-from`` when daily appends have shredded
+the partitions), or set
 ``history.auto_rebuild: true`` to have the recipe retrain + swap
 itself (the index path becomes a versioned root with a
 ``CURRENT.json`` pointer; each flagged day rebuilds at √N-recommended
@@ -950,6 +953,22 @@ def _update_history_stores(
                 spark, idx,
                 imbalance_threshold=float(hist.get("rebuild_imbalance", 4.0)))
             out["index_advice"] = advice
+            # small-files health: every daily append adds >= 1 file per
+            # touched cluster, so fragmentation grows with days even
+            # when row growth is slow — surface the compaction trigger
+            # next to the rebuild trigger (metadata-only scan)
+            from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+                ivf_index_file_stats,
+            )
+
+            fs = ivf_index_file_stats(spark, idx).collect()
+            n_files = sum(r.n_files for r in fs)
+            mean_fpc = n_files / max(len(fs), 1)
+            out["index_files"] = {
+                "n_files": n_files, "clusters": len(fs),
+                "mean_per_cluster": round(mean_fpc, 2),
+                "compaction_advised": mean_fpc > 16,
+            }
             # Auto-rebuild (r15) fires only when the recommendation is a
             # k the current version was NOT already built at: Lloyd's
             # drops empty clusters, so a retrain asked for k can land
