@@ -51,16 +51,33 @@ def parse_candump_lines(
     trunc = F.substring(payload_hex, 1, 16)
     even_len = (F.length(trunc) / F.lit(2)).cast("int") * F.lit(2)
     data = F.unhex(trunc.substr(F.lit(1), even_len))
-    parsed = (
-        lines.withColumn("_ok", ok)
-        .withColumn("ts", F.when(ok, ts))
-        .withColumn("iface", F.when(ok, iface))
-        .withColumn("can_id", F.when(ok, can_id))
-        .withColumn("data", F.when(ok, data))
-    )
     if keep_malformed:
-        return parsed.drop("_ok")
-    return parsed.filter(F.col("_ok")).drop("_ok", value_col)
+        return (
+            lines.withColumn("ts", F.when(ok, ts))
+            .withColumn("iface", F.when(ok, iface))
+            .withColumn("can_id", F.when(ok, can_id))
+            .withColumn("data", F.when(ok, data))
+        )
+    # Malformed-line DROP is expressed as a Generate (explode of a 0/1-element
+    # array), not a Filter: Catalyst pushes a Filter on a synthesized column
+    # through a round-robin Exchange by substituting the column's defining
+    # expression, so a synth→fan_out→parse pipeline would run the whole
+    # line-synthesis + regex chain BELOW the exchange (single-threaded on a
+    # one-file scan) and again above it (measured r15: the entire decode
+    # spine paid the synth twice).  A Generate never migrates through an
+    # Exchange, the regex gate evaluates exactly once per row, and a NULL
+    # array (the otherwise branch) drops the row just like the filter did.
+    other = [c for c in lines.columns if c != value_col]
+    frame = F.struct(
+        ts.alias("ts"), iface.alias("iface"), can_id.alias("can_id"), data.alias("data")
+    )
+    return (
+        lines.select(
+            *other,
+            F.explode(F.when(ok, F.array(frame))).alias("_f"),
+        )
+        .select(*other, "_f.ts", "_f.iface", "_f.can_id", "_f.data")
+    )
 
 
 def format_candump_line(

@@ -212,7 +212,20 @@ def q_candump_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("can_id"),
         F.hex(F.col("data")).alias("payload_hex"),
     )
-    t0 = parsed.agg(F.min("ts_ms").alias("_t0"))
+    # min(ts_ms) computed from the CHEAP pre-format side: the line epoch is
+    # synthesized as ms-truncated ts, and the format→parse round trip is
+    # exact per row (the oracle itself takes the min pre-format), so
+    # min over events of secs*1000+ms_in_s == min over parsed ts_ms
+    # (validated numerically at sf0.01/sf0.1, r15).  The previous form
+    # re-ran the whole md5+format+regex subtree a second time just to
+    # feed this 1-row broadcast aggregate.
+    ev_ms = _read(spark, sf_dir, "events").select(
+        (
+            F.expr(f"({TS_US}) div 1000000") * 1000
+            + F.expr(f"(({TS_US}) % 1000000) div 1000")
+        ).alias("_ms")
+    )
+    t0 = ev_ms.agg(F.min("_ms").alias("_t0"))
     return parsed.crossJoin(F.broadcast(t0)).select(
         "event_id",
         "ts_ms",
