@@ -43,6 +43,13 @@ def fan_out(df: DataFrame, multiplier: int = 1, force: bool = False) -> DataFram
     shuffle is cheap relative to the exploded work, and correct either
     way.
     """
+    if df.isStreaming:
+        # streaming sources choose their own partitioning and a streaming
+        # Dataset has no toRdd() to probe; micro-batch parallelism is the
+        # source's (maxFilesPerTrigger × file splits), so the guard is a
+        # no-op here — callers shared between batch and streaming (r15:
+        # fan_out moved INTO the row-multiplying operators) stay safe.
+        return df
     spark = df.sparkSession
     try:
         is_remote = spark.conf.get("spark.remote", None) is not None

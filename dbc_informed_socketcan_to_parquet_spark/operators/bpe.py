@@ -217,7 +217,12 @@ def bpe_encode(
 
     _enc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     kernel = pandas_udf(_enc, "array<string>")
-    return df.withColumn(out_col, kernel(F.col(text_col)))
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
+
+    # the per-row merge loop is the expensive part, not the shuffle: fan
+    # out a narrow input so the Arrow kernel runs at cluster parallelism
+    # (r15; no-op on an already-wide input, streaming passes through)
+    return fan_out(df).withColumn(out_col, kernel(F.col(text_col)))
 
 
 def bpe_token_count(

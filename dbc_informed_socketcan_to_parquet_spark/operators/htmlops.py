@@ -150,6 +150,12 @@ def extract_text(
     Adds/overwrites ``out_col``; all other columns pass through."""
     if entities not in ("named", "full"):
         raise ValueError(f"entities must be 'named' or 'full', got {entities!r}")
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
+
+    # the per-row regex-chain cost dominates a narrow input's scan cost:
+    # fan out so extraction runs at cluster parallelism even off a
+    # one-file landing (r15; no-op on an already-wide input)
+    df = fan_out(df)
     marked = html_to_marked_text(F.col(html_col))
     lines = F.split(marked, "\n")
     if drop_boilerplate:

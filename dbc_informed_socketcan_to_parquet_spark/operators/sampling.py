@@ -515,7 +515,12 @@ def chunk_documents(
             F.least(n - i * stride, F.lit(max_tokens)).cast("int").alias("n_tokens"),
         ),
     )
-    return df.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
+
+    # chunking multiplies rows by ~n_tokens/stride: fan out before the
+    # explode (r15; no-op on an already-wide scan — production plans keep
+    # their narrow no-shuffle shape, the one-file fixture parallelizes)
+    return fan_out(df).select(F.col(id_col), F.explode(chunks).alias("_c")).select(
         F.col(id_col),
         F.col("_c.chunk_idx").alias("chunk_idx"),
         F.col("_c.chunk_text").alias(text_col),
@@ -550,7 +555,9 @@ def _hashed_buckets(
             lambda p: F.concat(p["a"], F.lit(" "), p["b"]),
         )
         feats = F.concat(toks, pair_strs)
-    return df.select(F.col(id_col), F.explode(feats).alias("_f")).select(
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
+
+    return fan_out(df).select(F.col(id_col), F.explode(feats).alias("_f")).select(
         F.col(id_col),
         F.pmod(hash_fn(F.col("_f"), salt=f"{seed}|"), F.lit(num_buckets)).alias("_b"),
     )

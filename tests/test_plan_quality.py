@@ -640,11 +640,14 @@ def test_source_overlap_plan(spark):
 
 def test_chunk_documents_no_shuffle(spark):
     """chunk_documents (the r5 pure-column reshape): one narrow
-    projection — NO exchange, no join, no window in the plan."""
+    projection — no join, no window; the only exchange allowed is
+    fan_out's round-robin width guard before the chunk explode (r15 —
+    a no-op on an already-wide scan), never a hash/range shuffle."""
     df = EXTRA_QUERIES["chunk_documents"](spark, SF)
     plan = plan_of(df)
     assert "Join" not in plan and "Window" not in plan
-    assert n_exchanges(plan) == 0
+    assert n_exchanges(plan) <= 1
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
 
 
 def test_gopher_repetition_no_shuffle(spark):
