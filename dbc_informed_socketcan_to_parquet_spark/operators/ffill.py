@@ -84,6 +84,16 @@ def forward_fill_blocks(
             "_blk", F.floor(F.col(order_col) / F.lit(float(block_width))).cast("long")
         )
 
+    # Both consumers below (the within-block fill window and the carry-out
+    # aggregate) need the data clustered by _blk.  Establish that with ONE
+    # explicit exchange they both sit above: the window's required
+    # distribution and the aggregate's grouping are each satisfied by this
+    # partitioning, so neither inserts its own shuffle, the two plan
+    # branches share an identical Exchange subtree, and ReuseExchange
+    # executes the (possibly expensive — parse + pivot in the bench spine)
+    # upstream exactly once instead of twice (r15; guide §2.4).
+    blocked = blocked.repartition("_blk")
+
     # Pass 1: fill within each block (block-local sort, fully parallel).
     w_in = Window.partitionBy("_blk").orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
     filled = blocked

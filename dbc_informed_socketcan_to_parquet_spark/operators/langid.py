@@ -56,19 +56,24 @@ DEFAULT_SEED = "langid"
 
 def _ngram_idx(df: DataFrame, id_col: str, text_col: str,
                num_features: int, ngram: int, max_chars: int,
-               seed: str) -> DataFrame:
-    """(id, idx) — one row per char-``ngram`` occurrence of the first
-    ``max_chars`` chars of lowercased text, hashed into
+               seed: str, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, idx[, *carry]) — one row per char-``ngram`` occurrence of the
+    first ``max_chars`` chars of lowercased text, hashed into
     ``num_features`` buckets.  Position explode + codegen substr/md5
     (the shingle_hashes shape); docs shorter than ``ngram`` emit
-    nothing."""
+    nothing.  ``carry`` columns ride the explode unchanged — the trainer
+    carries the language label this way instead of joining the exploded
+    table back to the corpus (r15: one narrow column through the
+    explode replaces a full shuffle join of the trigram table)."""
     t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
     positions = F.sequence(F.lit(1), F.length(t) - F.lit(ngram - 1))
+    carry_cols = [F.col(c) for c in carry]
     return (
         fan_out(df.filter(F.length(t) >= ngram))
-        .select(F.col(id_col), t.alias("_t"), F.explode(positions).alias("_i"))
+        .select(F.col(id_col), *carry_cols, t.alias("_t"), F.explode(positions).alias("_i"))
         .select(
             F.col(id_col),
+            *carry_cols,
             F.pmod(
                 md5_long(F.col("_t").substr(F.col("_i"), F.lit(ngram)), salt=f"{seed}|"),
                 F.lit(num_features),
@@ -102,9 +107,10 @@ def lang_train(
 
     One explode + two aggregations of the already-counted table; the
     corpus is read once."""
-    feats = _ngram_idx(corpus, id_col, text_col, num_features, ngram, max_chars, seed)
-    labeled = feats.join(
-        corpus.select(F.col(id_col), F.col(label_col).alias("_lang")), id_col
+    labeled = _ngram_idx(
+        corpus.withColumn("_lang", F.col(label_col)),
+        id_col, text_col, num_features, ngram, max_chars, seed,
+        carry=("_lang",),
     )
     counts = labeled.groupBy("_lang", "idx").agg(F.count(F.lit(1)).alias("_c"))
     totals = counts.groupBy("_lang").agg(F.sum("_c").alias("_t"))
@@ -169,7 +175,16 @@ def lang_id_trained(
     aggregations, all with map-side partials; the deterministic argmax
     is ``min(struct(-score, lang))``."""
     feats = _ngram_idx(df, id_col, text_col, num_features, ngram, max_chars, seed)
-    doc_n = feats.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_tok"))
+    # per-doc feature count is a closed form of the text length — a doc
+    # with length(t) >= ngram emits exactly length(t) - ngram + 1 grams —
+    # so it is computed ROW-LOCALLY instead of re-running the explode +
+    # groupBy lineage a second time (r15; one less featurize pass per
+    # scoring run; identical for the operator contract's unique doc ids)
+    t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
+    doc_n = df.filter(F.length(t) >= ngram).select(
+        F.col(id_col),
+        (F.length(t) - F.lit(ngram - 1)).cast("long").alias("_n_tok"),
+    )
     seen = (
         feats.join(F.broadcast(weights), "idx")
         .groupBy(id_col, "lang")

@@ -663,14 +663,18 @@ def _lm_tokens(text_col: str) -> "Column":
 
 def _lm_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — consecutive token pairs, built array-side (one
-    slice+zip per doc, one explode) instead of a positional self-join."""
+    slice+zip per doc, one explode) instead of a positional self-join.
+
+    The explode multiplies rows by the per-doc token count, so the input
+    is fanned out to cluster parallelism first (r15; no-op on an
+    already-wide scan, guards the one-file fixture/landing case)."""
     toks = _lm_tokens(text_col)
     pairs = F.arrays_zip(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
     )
     return (
-        df.select(F.col(id_col), F.explode(pairs).alias("_p"))
+        fan_out(df).select(F.col(id_col), F.explode(pairs).alias("_p"))
         .select(F.col(id_col), F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
 
@@ -698,7 +702,7 @@ def train_bigram_lm(corpus: DataFrame, text_col: str = "text", id_col: str = "do
     # table rather than re-exploding the corpus
     context_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab_size = (
-        corpus.select(F.explode(_lm_tokens(text_col)).alias("w"))
+        fan_out(corpus).select(F.explode(_lm_tokens(text_col)).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
         .collect()[0]["v"]
     )
@@ -1010,7 +1014,10 @@ def _clf_hashed(
             lambda p: F.concat(p["a"], F.lit(" "), p["b"]),
         )
         feats = F.concat(toks, pair_strs)
-    return df.select(F.col(id_col), F.explode(feats).alias("_f")).select(
+    # one row per token (+bigram) occurrence: fan out before the explode so
+    # the featurize pass runs at cluster parallelism even off a one-file
+    # scan (r15; no-op on an already-wide input)
+    return fan_out(df).select(F.col(id_col), F.explode(feats).alias("_f")).select(
         F.col(id_col),
         F.pmod(md5_long(F.col("_f"), salt=f"{seed}|"), F.lit(num_features)).alias("idx"),
     )
@@ -1582,8 +1589,12 @@ def classifier_train(
     nd = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     lab = labeled.select(F.col(id_col), F.col(label_col).cast("double").alias("_y"))
     base = hashed.join(nd, id_col).join(lab, id_col).persist()
+    # the distinct per-doc (id, n, y) table is reused every time the
+    # margin pass can skip base entirely (the w=0 iterations) and for the
+    # doc count — persist it so those jobs never rescan the exploded base
+    docs_tbl = base.select(F.col(id_col), F.col("_n"), F.col("_y")).distinct().persist()
     try:
-        n_docs = base.select(id_col).distinct().count()
+        n_docs = docs_tbl.count()
         if n_docs == 0:
             raise ValueError("no featureful labeled documents to train on")
         w: dict[int, float] = {}
@@ -1596,13 +1607,19 @@ def classifier_train(
                 joined = base.join(F.broadcast(wdf), "idx", "left").withColumn(
                     "w", F.coalesce(F.col("w"), F.lit(0.0))
                 )
+                margins = joined.groupBy(id_col, "_n", "_y").agg(
+                    F.round(
+                        F.sum("w") / F.col("_n") + F.lit(float(bias)), round_to
+                    ).alias("_m")
+                )
             else:
-                joined = base.withColumn("w", F.lit(0.0))
-            margins = joined.groupBy(id_col, "_n", "_y").agg(
-                F.round(
-                    F.sum("w") / F.col("_n") + F.lit(float(bias)), round_to
-                ).alias("_m")
-            )
+                # every weight is 0 ⇒ sum(w)/n ≡ 0.0 ⇒ margin is the
+                # (rounded) bias for every doc — identical to the full
+                # aggregate (the oracle CTEs special-case iteration 1 the
+                # same way), with no pass over the exploded base (r15)
+                margins = docs_tbl.withColumn(
+                    "_m", F.round(F.lit(float(bias)), round_to)
+                )
             errs = margins.select(
                 F.col(id_col),
                 F.col("_n"),
@@ -1636,6 +1653,7 @@ def classifier_train(
                 w[r["idx"]] = round(old - lr * (r["g"] + l2 * old), round_to)
             bias = round(bias - lr * g_bias, round_to)
     finally:
+        docs_tbl.unpersist()
         base.unpersist()
     weights = spark.createDataFrame(list(w.items()), "idx long, w double")
     return weights, bias
