@@ -112,7 +112,18 @@ def lang_train(
         id_col, text_col, num_features, ngram, max_chars, seed,
         carry=("_lang",),
     )
-    counts = labeled.groupBy("_lang", "idx").agg(F.count(F.lit(1)).alias("_c"))
+    # counts is langs × features rows (corpus-size-independent) but its
+    # lineage holds the full trigram explode; it feeds BOTH returned
+    # tables (weights — typically broadcast later — and priors via
+    # totals), each of which the caller materializes separately.
+    # Materialize it once (lazy localCheckpoint, the minhash_dedup_pairs
+    # ownership pattern) so training featurizes the corpus exactly once
+    # (r15; was once per consumer: priors collect + weights broadcast).
+    counts = (
+        labeled.groupBy("_lang", "idx")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     totals = counts.groupBy("_lang").agg(F.sum("_c").alias("_t"))
     weights = (
         counts.join(totals, "_lang")
@@ -181,10 +192,21 @@ def lang_id_trained(
     # groupBy lineage a second time (r15; one less featurize pass per
     # scoring run; identical for the operator contract's unique doc ids)
     t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
-    doc_n = df.filter(F.length(t) >= ngram).select(
+    # ONE narrow pass computes each doc's closed-form feature count;
+    # docs below the ngram floor keep a NULL count.  Materialized lazily
+    # because it feeds both the scoring fan-out and the unknown bucket —
+    # previously the unknown bucket was a LEFT ANTI join of a separate
+    # corpus scan against the aggregated scores (r15: one corpus text
+    # scan and one anti-join shuffle removed; a doc has a score row iff
+    # it emitted ≥1 feature iff its count is non-NULL, so the kept sets
+    # are identical for the contract's unique doc ids).
+    base = df.select(
         F.col(id_col),
-        (F.length(t) - F.lit(ngram - 1)).cast("long").alias("_n_tok"),
-    )
+        F.when(
+            F.length(t) >= ngram, (F.length(t) - F.lit(ngram - 1)).cast("long")
+        ).alias("_n_tok"),
+    ).localCheckpoint(eager=False)
+    doc_n = base.filter(F.col("_n_tok").isNotNull())
     seen = (
         feats.join(F.broadcast(weights), "idx")
         .groupBy(id_col, "lang")
@@ -224,7 +246,7 @@ def lang_id_trained(
         F.round(-F.col("_b.ns"), round_to).alias("lang_score"),
     )
     # featureless docs: no explode row → no score row; re-attach as unknown
-    missing = df.select(F.col(id_col)).join(best.select(id_col), id_col, "left_anti")
+    missing = base.filter(F.col("_n_tok").isNull())
     return best.unionByName(
         missing.select(
             F.col(id_col),

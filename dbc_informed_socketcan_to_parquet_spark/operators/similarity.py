@@ -2828,9 +2828,14 @@ def topic_report(
         e = _nearest_pandas(e, centers, "_cv", "cluster")
     else:
         e = e.withColumn("cluster", _nearest_label("_cv", centers))
+    # The narrow (vid, cluster) assignment feeds THREE consumers (tf, df,
+    # n_docs): materialize it once (lazy localCheckpoint — the
+    # minhash_dedup_pairs ownership pattern) instead of re-running the
+    # nearest-centroid kernel per branch (r15; was 3 assignment passes).
+    assign = e.select("_vid", "cluster").localCheckpoint(eager=False)
     assigned = (
         docs.select(F.col(id_col), F.col(text_col))
-        .join(e.select("_vid", "cluster"), F.col(id_col) == F.col("_vid"))
+        .join(assign, F.col(id_col) == F.col("_vid"))
         .select("cluster", F.col(text_col))
     )
     toks = F.filter(
@@ -2841,7 +2846,15 @@ def topic_report(
         assigned.select("cluster", F.explode(toks).alias("w"))
         .filter(F.length("w") >= min_term_len)
     )
-    tf = words.groupBy("cluster", "w").agg(F.count(F.lit(1)).alias("_tf"))
+    # tf is cluster×vocab rows (≪ corpus) but its lineage holds the one
+    # corpus-text explode; both dfreq and the ranked join consume it, so
+    # materialize it once — the explode now runs exactly once per report
+    # (r15; was twice: Catalyst duplicated the subtree under each branch).
+    tf = (
+        words.groupBy("cluster", "w")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
     nd = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.round(

@@ -735,9 +735,22 @@ def lm_score(
     partials.  Floats are rounded to ``round_to`` decimals so the score
     is engine-reproducible (ln() differs in the last ulp across libms).
     """
-    bigram_counts, _, vocab_size = train_bigram_lm(
-        corpus if corpus is not None else df, text_col, id_col
-    )
+    bg = None
+    if corpus is None:
+        # self-scoring (train ON the scored set): the training counts and
+        # the scoring pass consume the SAME exploded bigram table, so
+        # materialize it once (lazy localCheckpoint — the DSIR
+        # cache_features arrangement) instead of exploding the corpus
+        # twice (r15: one full tokenize+explode pass removed).
+        bg = _lm_bigrams(df, id_col, text_col).localCheckpoint(eager=False)
+        bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        vocab_size = (
+            fan_out(df).select(F.explode(_lm_tokens(text_col)).alias("w"))
+            .agg(F.countDistinct("w").alias("v"))
+            .collect()[0]["v"]
+        )
+    else:
+        bigram_counts, _, vocab_size = train_bigram_lm(corpus, text_col, id_col)
     # the counted table feeds both the context re-aggregation and the
     # score join — materialize it ONCE via a lazy localCheckpoint (unlike
     # .cache(), the checkpoint RDD is GC-cleaned with the plan, so a
@@ -748,7 +761,7 @@ def lm_score(
     context_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return _lm_score_with(
         df, bigram_counts, context_counts, vocab_size,
-        id_col, text_col, round_to, broadcast_lm,
+        id_col, text_col, round_to, broadcast_lm, bg=bg,
     )
 
 
@@ -761,14 +774,18 @@ def _lm_score_with(
     text_col: str,
     round_to: int,
     broadcast_lm: bool,
+    bg: DataFrame | None = None,
 ) -> DataFrame:
     """Scoring half shared by :func:`lm_score` (inline-trained LM) and
     :func:`lm_score_from` (persisted LM) — identical join + aggregate, so
-    the two paths are score-identical by construction (pytest-pinned)."""
+    the two paths are score-identical by construction (pytest-pinned).
+    ``bg`` (optional) supplies an already-materialized bigram table for
+    the self-scoring case so the explode is not recomputed."""
     if broadcast_lm:
         bigram_counts = F.broadcast(bigram_counts)
         context_counts = F.broadcast(context_counts)
-    bg = _lm_bigrams(df, id_col, text_col)
+    if bg is None:
+        bg = _lm_bigrams(df, id_col, text_col)
     scored = (
         bg.join(bigram_counts, ["w1", "w2"], "left")
         .join(context_counts, ["w1"], "left")
@@ -1585,7 +1602,17 @@ def classifier_train(
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     spark = df.sparkSession
     labeled = df.filter(F.col(label_col).isNotNull())
-    hashed = _clf_hashed(labeled, id_col, text_col, num_features, bigrams, seed)
+    # Cluster the exploded feature table by doc id ONCE (r15, guide §2.4:
+    # establish the partitioning a single time and let every keyed pass
+    # reuse it): the per-doc count, the label join, every iteration's
+    # margin aggregate, and the gradient join are all keyed on the id, so
+    # they plan exchange-free against this layout instead of re-shuffling
+    # the exploded table per iteration (n_iters extra corpus-scale
+    # exchanges before; the only per-iteration exchange left is the
+    # ≤ num_features-row partial-aggregated gradient).
+    hashed = _clf_hashed(
+        labeled, id_col, text_col, num_features, bigrams, seed
+    ).repartition(F.col(id_col))
     nd = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     lab = labeled.select(F.col(id_col), F.col(label_col).cast("double").alias("_y"))
     base = hashed.join(nd, id_col).join(lab, id_col).persist()
@@ -1631,9 +1658,15 @@ def classifier_train(
                 ).alias("_err"),
             ).persist()
             try:
+                # errs is exactly n_docs rows (~24 B each): broadcast it
+                # below the cap so the gradient join never exchanges
+                # either side; above it, the plain keyed join is still
+                # exchange-free because BOTH sides carry the id
+                # partitioning established once at featurize time.
+                errs_j = F.broadcast(errs) if n_docs <= 2_000_000 else errs
                 g_rows = (
                     base.select(id_col, "idx")
-                    .join(errs, id_col)
+                    .join(errs_j, id_col)
                     .groupBy("idx")
                     .agg(
                         F.round(
