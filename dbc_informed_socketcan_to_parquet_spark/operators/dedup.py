@@ -940,9 +940,11 @@ def paragraph_dedup(
     unlike the ``row_number()`` formulation exact_dedup uses); the keep
     decision is one shuffle join back on the uniform md5 key; reassembly
     is one groupBy(doc) over ``sort_array(collect_list)`` — paragraph
-    counts per doc are bounded.  At 100 TB, materialize the exploded
-    paragraph table between the two passes (this expression recomputes
-    the split per consumer, which is cheap but re-reads the scan).
+    counts per doc are bounded.  The exploded paragraph table feeds FOUR
+    consumers (winner agg, keep join, short-para union, per-doc totals),
+    so it is materialized once (lazy localCheckpoint, r15 — before that
+    the scan+split+explode re-ran per consumer: 4 corpus scans in the
+    plan).
     """
     # NULL text → one empty paragraph (split(NULL) would generate no rows
     # and the doc would silently vanish from the output)
@@ -951,7 +953,7 @@ def paragraph_dedup(
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
             "pos", "para"
         ),
-    )
+    ).localCheckpoint(eager=False)
     eligible = paras.filter(F.length("para") >= min_chars).withColumn(
         "_h", F.md5(F.col("para"))
     )
@@ -1206,11 +1208,23 @@ def near_dedup_against_corpus(
         batch, id_col, text_col, num_perms=num_perms, shingle_n=shingle_n,
         seed=seed, hash_fn=hash_fn,
     )
-    if corpus_sigs is None:
+    from_text = corpus_sigs is None
+    if from_text:
         corpus_sigs = minhash_signatures(
             corpus, id_col, text_col, num_perms=num_perms,
             shingle_n=shingle_n, seed=seed, hash_fn=hash_fn,
         )
+    if verify_threshold is not None:
+        # the verify pass consumes the signature tables a SECOND time
+        # (bands + per-pair estimate): materialize each shared sig table
+        # once (lazy localCheckpoint, the report-lane pattern) instead of
+        # re-running its shingle explode + min-agg lineage per consumer.
+        # The persisted-store path (corpus_sigs passed in) is left alone:
+        # re-scanning a parquet signature store is cheaper than copying
+        # it into executor storage.
+        sigs_b = sigs_b.localCheckpoint(eager=False)
+        if from_text:
+            corpus_sigs = corpus_sigs.localCheckpoint(eager=False)
     bands_b = _band_table(sigs_b, id_col, num_bands, rows_per_band).select(
         F.col(id_col).alias("_bid"), "band", "bh"
     )
@@ -1279,6 +1293,10 @@ def hot_window_stats(
             F.transform(starts, lambda i: F.array_join(F.slice(F.col("_tk"), i, window_tokens), " "))
         ).alias("_w"))
         .select(F.col(id_col), hash_fn(F.col("_w")).alias("_wh"))
+        # two consumers (hot count + the join back): materialize the
+        # window-hash table once so the tokenize+window+hash chain — the
+        # expensive half of this operator — never runs twice (r15)
+        .localCheckpoint(eager=False)
     )
     hot = (
         wins.groupBy("_wh").agg(F.count(F.lit(1)).alias("_c"))
@@ -1384,6 +1402,10 @@ def remove_hot_spans(
             ).alias("_x"),
         )
         .select(F.col(id_col), F.col("_x.s").alias("_s"), F.col("_x.wh").alias("_wh"))
+        # two consumers (hot count + the join back): materialize the
+        # window-hash table once instead of re-running the tokenize +
+        # window + hash chain per consumer (r15)
+        .localCheckpoint(eager=False)
     )
     hot = (
         wins.groupBy("_wh")
@@ -1394,6 +1416,9 @@ def remove_hot_spans(
     hot, small = _measured_small(hot, hot_broadcast_max_rows)
     hot_wins = _keyed_join(wins, hot, "_wh", small)
     if keep_first:
+        # hot_wins feeds both the canonical-occurrence aggregate and the
+        # keep filter below — materialize it once (it is hot-set sized)
+        hot_wins = hot_wins.localCheckpoint(eager=False)
         # The canonical occurrence (min (id, start) per window hash)
         # survives; canon has exactly one row per hot hash, so the hot
         # set's measured-size verdict applies to it verbatim.
@@ -1494,6 +1519,10 @@ def duplicate_spans(
             ).alias("_x"),
         )
         .select(F.col(id_col), F.col("_x.s").alias("_s"), F.col("_x.wh").alias("_wh"))
+        # two consumers (hot count + the join back): materialize the
+        # window-hash table once instead of re-running the tokenize +
+        # window + hash chain per consumer (r15)
+        .localCheckpoint(eager=False)
     )
     hot = (
         wins.groupBy("_wh")
@@ -1744,8 +1773,16 @@ def fuzzy_contamination(
     band-bucket collision with an eval doc, and the verify step compares
     fixed-length signatures (``num_perms`` longs), not text.
     """
-    sigs_c = minhash_signatures(corpus, id_col, text_col, num_perms, shingle_n, seed, hash_fn)
-    sigs_e = minhash_signatures(eval_df, id_col, text_col, num_perms, shingle_n, seed, hash_fn)
+    # both signature tables feed TWO consumers (band explode + the
+    # verify join): materialize each once (lazy localCheckpoint) so the
+    # shingle explode + min-agg lineage never re-runs per consumer —
+    # before this the corpus was signed twice per call (r15, guide §3.3)
+    sigs_c = minhash_signatures(
+        corpus, id_col, text_col, num_perms, shingle_n, seed, hash_fn
+    ).localCheckpoint(eager=False)
+    sigs_e = minhash_signatures(
+        eval_df, id_col, text_col, num_perms, shingle_n, seed, hash_fn
+    ).localCheckpoint(eager=False)
     bands_c = _band_table(sigs_c, id_col, num_bands, rows_per_band)
     bands_e = (
         _band_table(sigs_e, id_col, num_bands, rows_per_band)
@@ -1937,8 +1974,13 @@ def source_overlap(
         .select("_src", hash_fn(F.col("_g")).alias("_gh"))
     )
     # one exchange: per-shingle sorted source set (collect_set partials
-    # combine map-side; the set is bounded by the source cardinality)
-    bysh = sh.groupBy("_gh").agg(F.sort_array(F.collect_set("_src")).alias("_srcs"))
+    # combine map-side; the set is bounded by the source cardinality).
+    # bysh feeds BOTH the per-source sizes and the pair expansion —
+    # materialize it once (lazy localCheckpoint, r15) so the shingle
+    # explode + collect_set aggregation never run twice.
+    bysh = sh.groupBy("_gh").agg(
+        F.sort_array(F.collect_set("_src")).alias("_srcs")
+    ).localCheckpoint(eager=False)
     sizes = (
         bysh.select(F.explode("_srcs").alias("_src"))
         .groupBy("_src").agg(F.count(F.lit(1)).alias("_sz"))

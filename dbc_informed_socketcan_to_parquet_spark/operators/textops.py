@@ -1804,9 +1804,16 @@ def normalize_text(
     pandas UDF (``Series.str.normalize``, no per-row Python); every
     other rewrite is a JVM-side ``regexp_replace`` chain that codegen
     fuses into the surrounding projection.  Scale: narrow per-row map,
-    no shuffle, no state.
+    no state; a single-file input is fanned out first (r15, guide §2.5
+    "input skew") so the NFC kernel + regex chain never run on one core
+    — on an already-wide input ``fan_out`` is a no-op and the operator
+    stays shuffle-free.
     """
     from pyspark.sql.functions import pandas_udf
+
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
+
+    df = fan_out(df)
 
     @pandas_udf("string")
     def _nfc(s):  # pd.Series -> pd.Series

@@ -4990,11 +4990,14 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference/src/inputs/fileInput.cpp:16-31 is its file front
     door); with ``htmlops.extract_text`` this completes the crawl chain
     WARC → HTML → text → curate."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
     from dbc_informed_socketcan_to_parquet_spark.sources.warc import (
         warc_record_decode,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    # single-file scan → one partition: the render+decode pandas kernel
+    # would run on ONE core; fan out the narrow pre-render rows (r15)
+    docs = fan_out(_read(spark, sf_dir, "documents"))
     body = F.concat(
         F.lit(_WARC_HTML_PRE), F.col("doc_id").cast("string"),
         F.lit(_WARC_HTML_MID), F.col("text"), F.lit(_WARC_HTML_POST),

@@ -397,11 +397,14 @@ def test_q14_broadcasts_part_single_pass(spark):
 def test_normalize_text_single_python_eval(spark):
     """Only the NFC step may cross into Python (one ArrowEvalPython /
     BatchEvalPython node); every regexp_replace must stay JVM-side in
-    the same projection."""
+    the same projection.  The only exchange allowed is fan_out's
+    round-robin width guard before the NFC kernel (r15 — a no-op on an
+    already-wide scan), never a hash/range shuffle."""
     plan = plan_of(EXTRA_QUERIES["normalize_text"](spark, SF))
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
     assert "BatchEvalPython" not in plan
-    assert n_exchanges(plan) == 0
+    assert n_exchanges(plan) <= 1
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
 
 
 def test_corpus_mix_narrow_filters_after_one_count_job(spark):
