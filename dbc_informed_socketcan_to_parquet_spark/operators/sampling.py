@@ -1019,6 +1019,16 @@ def select_to_token_budget_by_group(
             .alias("_remaining"),
         )
     )
+    if materialize_input:
+        # the boundary table feeds BOTH union branches below (kept-above
+        # join + edge join); without this the groups×resolution
+        # aggregation + window subtree executes once per branch.  One
+        # row per group — the checkpoint copy is trivially small.
+        from dbc_informed_socketcan_to_parquet_spark.functions.checkpoints import (
+            durable_checkpoint,
+        )
+
+        bnd = durable_checkpoint(bnd, eager=False)
     joined = df.join(F.broadcast(bnd), df[group_col] == bnd["_g"]).drop("_g")
     bucket = F.floor(F.col(score_col) * F.lit(float(resolution)))
     extra = ["_budget", "_bstar", "_remaining"]

@@ -6277,7 +6277,10 @@ def q_select_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_to_token_budget(
         _budget_scored(spark, sf_dir), score_col="score",
         token_col="n_tokens", budget_tokens=_BUDGET_TOKENS,
-        materialize_input=False,
+        # r15: the scored input feeds three consumers (bucket agg,
+        # kept-above filter, boundary window); lazy materialization runs
+        # the tokenize+score featurize once instead of three times.
+        materialize_input=True,
     )
 
 
@@ -6339,5 +6342,8 @@ def q_select_by_group_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return select_to_token_budget_by_group(
         scored, score_col="score", token_col="n_tokens",
-        budgets=_GROUP_BUDGETS, group_col="lang", materialize_input=False,
+        # r15: four consumers (per-group bucket agg + boundary subtree in
+        # BOTH union branches, kept-above filter, edge window) — lazy
+        # materialization cuts four tokenize+score passes to one.
+        budgets=_GROUP_BUDGETS, group_col="lang", materialize_input=True,
     )
