@@ -942,9 +942,11 @@ def paragraph_dedup(
     is one groupBy(doc) over ``sort_array(collect_list)`` — paragraph
     counts per doc are bounded.  The exploded paragraph table feeds FOUR
     consumers (winner agg, keep join, short-para union, per-doc totals),
-    so it is materialized once (lazy localCheckpoint, r15 — before that
-    the scan+split+explode re-ran per consumer: 4 corpus scans in the
-    plan).
+    so the scan+split+explode re-runs per consumer — a sign-once lazy
+    localCheckpoint was tried (r15) and measured SLOWER (same-host
+    alternating A/B ×5: 1.09× min / 1.10× median at sf0.1): the
+    materialization barrier + ExistingRDD re-read of the corpus-scale
+    paragraph rows costs more than re-running the narrow generate.
     """
     # NULL text → one empty paragraph (split(NULL) would generate no rows
     # and the doc would silently vanish from the output)
@@ -953,7 +955,7 @@ def paragraph_dedup(
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
             "pos", "para"
         ),
-    ).localCheckpoint(eager=False)
+    )
     eligible = paras.filter(F.length("para") >= min_chars).withColumn(
         "_h", F.md5(F.col("para"))
     )
@@ -1208,23 +1210,20 @@ def near_dedup_against_corpus(
         batch, id_col, text_col, num_perms=num_perms, shingle_n=shingle_n,
         seed=seed, hash_fn=hash_fn,
     )
-    from_text = corpus_sigs is None
-    if from_text:
+    if corpus_sigs is None:
         corpus_sigs = minhash_signatures(
             corpus, id_col, text_col, num_perms=num_perms,
             shingle_n=shingle_n, seed=seed, hash_fn=hash_fn,
         )
-    if verify_threshold is not None:
-        # the verify pass consumes the signature tables a SECOND time
-        # (bands + per-pair estimate): materialize each shared sig table
-        # once (lazy localCheckpoint, the report-lane pattern) instead of
-        # re-running its shingle explode + min-agg lineage per consumer.
-        # The persisted-store path (corpus_sigs passed in) is left alone:
-        # re-scanning a parquet signature store is cheaper than copying
-        # it into executor storage.
-        sigs_b = sigs_b.localCheckpoint(eager=False)
-        if from_text:
-            corpus_sigs = corpus_sigs.localCheckpoint(eager=False)
+    # NOTE (r15, measured): with verify_threshold the sig tables feed two
+    # consumers (bands + the per-pair estimate) and the executed plan
+    # really does sign the text twice — but a sign-once lazy
+    # localCheckpoint measured SLOWER at sf0.1 AND sf1 (alternating
+    # same-host A/B, min-of-3 ×5: 1.04-1.12× at sf0.1, 1.17-1.21× at
+    # sf1): the materialization barrier + ExistingRDD re-read costs more
+    # than the duplicated codegen scan+shingle+min-agg pass saves.  For
+    # a corpus where the double pass genuinely dominates, pass a
+    # persisted signature store (corpus_sigs) — the production posture.
     bands_b = _band_table(sigs_b, id_col, num_bands, rows_per_band).select(
         F.col(id_col).alias("_bid"), "band", "bh"
     )
@@ -1293,10 +1292,12 @@ def hot_window_stats(
             F.transform(starts, lambda i: F.array_join(F.slice(F.col("_tk"), i, window_tokens), " "))
         ).alias("_w"))
         .select(F.col(id_col), hash_fn(F.col("_w")).alias("_wh"))
-        # two consumers (hot count + the join back): materialize the
-        # window-hash table once so the tokenize+window+hash chain — the
-        # expensive half of this operator — never runs twice (r15)
-        .localCheckpoint(eager=False)
+        # two consumers (hot count + the join back) re-run the tokenize +
+        # window + hash chain; a sign-once lazy localCheckpoint was tried
+        # (r15) and measured SLOWER on this family (same-host alternating
+        # A/B ×5: 1.07-1.13× on duplicate_spans, the identical shape) —
+        # the corpus-scale window-hash rows cost more to materialize and
+        # re-read than the codegen chain costs to re-run
     )
     hot = (
         wins.groupBy("_wh").agg(F.count(F.lit(1)).alias("_c"))
@@ -1402,10 +1403,10 @@ def remove_hot_spans(
             ).alias("_x"),
         )
         .select(F.col(id_col), F.col("_x.s").alias("_s"), F.col("_x.wh").alias("_wh"))
-        # two consumers (hot count + the join back): materialize the
-        # window-hash table once instead of re-running the tokenize +
-        # window + hash chain per consumer (r15)
-        .localCheckpoint(eager=False)
+        # two consumers (hot count + the join back) re-run the tokenize +
+        # window + hash chain; sign-once localCheckpoints here (and on
+        # keep_first's hot_wins) were tried (r15) and measured neutral at
+        # best on this family (same-host alternating A/B ×5) — reverted
     )
     hot = (
         wins.groupBy("_wh")
@@ -1416,9 +1417,6 @@ def remove_hot_spans(
     hot, small = _measured_small(hot, hot_broadcast_max_rows)
     hot_wins = _keyed_join(wins, hot, "_wh", small)
     if keep_first:
-        # hot_wins feeds both the canonical-occurrence aggregate and the
-        # keep filter below — materialize it once (it is hot-set sized)
-        hot_wins = hot_wins.localCheckpoint(eager=False)
         # The canonical occurrence (min (id, start) per window hash)
         # survives; canon has exactly one row per hot hash, so the hot
         # set's measured-size verdict applies to it verbatim.
@@ -1519,10 +1517,11 @@ def duplicate_spans(
             ).alias("_x"),
         )
         .select(F.col(id_col), F.col("_x.s").alias("_s"), F.col("_x.wh").alias("_wh"))
-        # two consumers (hot count + the join back): materialize the
-        # window-hash table once instead of re-running the tokenize +
-        # window + hash chain per consumer (r15)
-        .localCheckpoint(eager=False)
+        # two consumers (hot count + the join back) re-run the tokenize +
+        # window + hash chain; a sign-once lazy localCheckpoint was tried
+        # (r15) and measured SLOWER (same-host alternating A/B ×5:
+        # 1.13× min / 1.07× median at sf0.1) — materializing + re-reading
+        # the corpus-scale window rows costs more than the codegen re-run
     )
     hot = (
         wins.groupBy("_wh")
@@ -1773,16 +1772,17 @@ def fuzzy_contamination(
     band-bucket collision with an eval doc, and the verify step compares
     fixed-length signatures (``num_perms`` longs), not text.
     """
-    # both signature tables feed TWO consumers (band explode + the
-    # verify join): materialize each once (lazy localCheckpoint) so the
-    # shingle explode + min-agg lineage never re-runs per consumer —
-    # before this the corpus was signed twice per call (r15, guide §3.3)
-    sigs_c = minhash_signatures(
-        corpus, id_col, text_col, num_perms, shingle_n, seed, hash_fn
-    ).localCheckpoint(eager=False)
-    sigs_e = minhash_signatures(
-        eval_df, id_col, text_col, num_perms, shingle_n, seed, hash_fn
-    ).localCheckpoint(eager=False)
+    # NOTE (r15, measured): both signature tables feed two consumers
+    # (band explode + the verify join) and the executed plan signs each
+    # side twice — but a sign-once lazy localCheckpoint measured SLOWER
+    # here at sf0.1 AND sf1 (alternating same-host A/B: 1.12× min /
+    # 1.18× median at sf0.1 ×5 reps, 1.17× at sf1): the checkpoint's
+    # materialization barrier + ExistingRDD re-read costs more than the
+    # duplicated codegen sign pass saves.  Tried and reverted; for
+    # corpora where the double pass dominates, sign once into a
+    # persisted store and use near_dedup_against_corpus(corpus_sigs=...).
+    sigs_c = minhash_signatures(corpus, id_col, text_col, num_perms, shingle_n, seed, hash_fn)
+    sigs_e = minhash_signatures(eval_df, id_col, text_col, num_perms, shingle_n, seed, hash_fn)
     bands_c = _band_table(sigs_c, id_col, num_bands, rows_per_band)
     bands_e = (
         _band_table(sigs_e, id_col, num_bands, rows_per_band)
@@ -1975,12 +1975,15 @@ def source_overlap(
     )
     # one exchange: per-shingle sorted source set (collect_set partials
     # combine map-side; the set is bounded by the source cardinality).
-    # bysh feeds BOTH the per-source sizes and the pair expansion —
-    # materialize it once (lazy localCheckpoint, r15) so the shingle
-    # explode + collect_set aggregation never run twice.
+    # bysh feeds BOTH the per-source sizes and the pair expansion — a
+    # sign-once lazy localCheckpoint was tried (r15) and measured SLOWER
+    # (same-host alternating A/B ×5: 1.11× min / 1.12× median at sf0.1):
+    # the two consumers re-run only the final aggregation above the one
+    # shared exchange, which is cheaper than materializing + re-reading
+    # the per-shingle set table.
     bysh = sh.groupBy("_gh").agg(
         F.sort_array(F.collect_set("_src")).alias("_srcs")
-    ).localCheckpoint(eager=False)
+    )
     sizes = (
         bysh.select(F.explode("_srcs").alias("_src"))
         .groupBy("_src").agg(F.count(F.lit(1)).alias("_sz"))
