@@ -326,7 +326,12 @@ def main() -> None:
         # round-5 corpus additions, tracked per-round OUTSIDE the headline
         # sum for the same comparability reason
         "corpus_queries": corpus,
-    }))
+    }), flush=True)
+    # CONTRACT (r16, VERDICT r15 item 6): the JSON line above is the LAST
+    # stdout write of this process — nothing may print after it, or a
+    # tail-capture window can clip the artifact the driver parses
+    # (BENCH_r14.json parsed=null cost a full round of PERF comparison).
+    # scripts/check_bench_json.py verifies this end-to-end.
 
 
 def _curate_run(docs):

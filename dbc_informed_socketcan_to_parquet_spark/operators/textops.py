@@ -1806,8 +1806,11 @@ def normalize_text(
     fuses into the surrounding projection.  Scale: narrow per-row map,
     no state; a single-file input is fanned out first (r15, guide §2.5
     "input skew") so the NFC kernel + regex chain never run on one core
-    — on an already-wide input ``fan_out`` is a no-op and the operator
-    stays shuffle-free.
+    — on an already-wide input ``fan_out`` is a no-op under classic
+    Spark and the operator stays shuffle-free there; under Spark
+    Connect the partition-count probe is unavailable, so ``fan_out``
+    inserts an unconditional round-robin exchange (ADVICE r15 — see
+    functions/partitioning.fan_out's Connect note).
     """
     from pyspark.sql.functions import pandas_udf
 

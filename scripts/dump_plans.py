@@ -1,8 +1,9 @@
-"""Dump ``explain("formatted")`` for bench entries into plans/r15/.
+"""Dump ``explain("formatted")`` for bench entries into plans/$PLANS_ROUND
+(default r16).
 
-Usage: python scripts/dump_plans.py <suffix> [name,name,...]
+Usage: [PLANS_ROUND=rNN] python scripts/dump_plans.py <suffix> [name,name,...]
 
-Writes plans/r15/<query>_<suffix>.txt for every headline + fast-path +
+Writes plans/<round>/<query>_<suffix>.txt for every headline + fast-path +
 corpus bench entry (or the named subset).  Pure plan capture — nothing is
 executed except whatever driver-side model fitting a query's *construction*
 already does (classifier_train's gradient loop etc.), identical to what the
@@ -39,7 +40,7 @@ def main() -> None:
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r15")
+                           "plans", os.environ.get("PLANS_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump-plans")
     for name in bench_entry_names():
