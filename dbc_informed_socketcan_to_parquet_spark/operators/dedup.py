@@ -2236,69 +2236,151 @@ def decon_report(
     Output: ``(eval_id, n_exact, n_near, n_span)`` — every eval doc
     appears, zeros included.
 
-    Scale: the eval side is benchmark-sized, so its hash/band/window
-    tables all BROADCAST; the corpus is scanned once per mechanism with
-    keyed joins only (band buckets, window hashes, content hashes) —
-    no all-pairs anywhere, and corpus text never shuffles.
+    Scale (r16 fusion, VERDICT r15 item 1): each side of ``documents``
+    is scanned ONCE for all three mechanisms.  A single position explode
+    computes the char-shingle hash AND the token-window hash per
+    position row (both stay inside WholeStageCodegen); one
+    groupBy(doc) aggregates the MinHash minima, the distinct window set
+    (``collect_set``) and the content hash together, so the signature,
+    band, window and exact tables all derive from one pass with no
+    materialized intermediate.  The per-doc probe keys — content hash,
+    band hashes (signature carried alongside, so the verify step needs
+    no second sign pass), window hashes — explode into ONE tagged
+    stream; the eval side's (benchmark-sized) stream broadcasts, and a
+    single join + one groupBy(eval_id) with per-mechanism conditional
+    aggregates produces all three counts.  No all-pairs anywhere, and
+    corpus text never shuffles.
+
+    Assumes ``id_col`` is unique per row (the corpus contract): exact
+    copies sharing one id would collapse into its per-doc probe row.
     """
-    ev_ids = eval_df.select(F.col(id_col).alias("eval_id"))
-
-    # exact: content-hash equi-join, eval side broadcast
-    c_hash = corpus.select(F.md5(F.col(text_col)).alias("_h"))
-    e_hash = eval_df.select(F.col(id_col).alias("eval_id"),
-                            F.md5(F.col(text_col)).alias("_h"))
-    exact = (
-        c_hash.join(F.broadcast(e_hash), "_h")
-        .groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    )
-
-    # near: band-bucket candidates then signature-estimate filter
-    near = (
-        fuzzy_contamination(
-            corpus, eval_df, id_col=id_col, text_col=text_col,
-            num_perms=num_perms, shingle_n=shingle_n, num_bands=num_bands,
-            rows_per_band=num_perms // num_bands, threshold=threshold,
-            seed=seed, hash_fn=hash_fn, best_only=False,
-        )
-        .groupBy(F.col("eval_id")).agg(F.count(F.lit(1)).alias("n_near"))
-    )
-
-    # span: distinct corpus docs sharing >= 1 window hash with each eval
-    # doc (eval window->id table broadcast; corpus windows never shuffle)
     w = int(window_tokens)
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
-    starts = F.sequence(F.lit(1), F.col("_n") - F.lit(w - 1))
+    sn = int(shingle_n)
+    rows_per_band = num_perms // num_bands
+    perms = minhash_perms(num_perms, seed)
+    thr = float(threshold)
 
-    def _wins(df_, keep_id):
-        return (
-            df_.select(F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n"))
-            .filter(F.col("_n") >= w)
-            .select(
-                F.col(id_col).alias(keep_id),
-                F.explode(F.transform(
-                    starts,
-                    lambda i: hash_fn(
-                        F.lower(F.array_join(F.slice(F.col("_tk"), i, w), " "))),
-                )).alias("_wh"),
+    def _probe(df_, out_id: str) -> DataFrame:
+        """(out_id, _mech, _k, _sig): tagged probe keys, one scan."""
+        t = F.substring(F.lower(F.col(text_col)), 1, 4096)
+        tk = F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+        base = fan_out(df_.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col).alias(out_id),
+            F.md5(F.col(text_col)).alias("_eh"),
+            t.alias("_t"),
+            tk.alias("_tk"),
+        ).select(
+            out_id, "_eh", "_t", "_tk",
+            (F.length(F.col("_t")) - F.lit(sn - 1)).alias("_nsh"),
+            (F.size(F.col("_tk")) - F.lit(w - 1)).alias("_nw"),
+        )
+        pos = base.select(
+            out_id, "_eh", "_t", "_tk", "_nsh", "_nw",
+            F.explode(F.sequence(
+                F.lit(1), F.greatest(F.col("_nsh"), F.col("_nw"), F.lit(1))
+            )).alias("_i"),
+        )
+        sh = F.when(
+            F.col("_i") <= F.col("_nsh"),
+            hash_fn(F.col("_t").substr(F.col("_i"), F.lit(sn))),
+        )
+        wh = F.when(
+            F.col("_i") <= F.col("_nw"),
+            hash_fn(F.lower(F.array_join(
+                F.slice(F.col("_tk"), F.col("_i"), w), " "))),
+        )
+        rowp = pos.select(
+            out_id,
+            sh.alias("_sh"),
+            wh.alias("_wh"),
+            F.when(F.col("_i") == 1, F.col("_eh")).alias("_e1"),
+        )
+        agg = rowp.groupBy(out_id).agg(
+            *[F.min(perm_hash(F.col("_sh"), a, b)).alias(f"_h{j}")
+              for j, (a, b) in enumerate(perms)],
+            F.collect_set("_wh").alias("_wins"),
+            F.max("_e1").alias("_ehh"),
+        )
+        sig = F.array(*[F.col(f"_h{j}") for j in range(num_perms)])
+        null_sig = F.lit(None).cast(f"array<long>")
+        band_structs = F.array(*[
+            F.struct(
+                F.concat(
+                    F.lit(f"n|{b}|"),
+                    F.md5(F.concat_ws(",", *[
+                        sig[b * rows_per_band + r] for r in range(rows_per_band)
+                    ])),
+                ).alias("_k"),
+                sig.alias("_sig"),
             )
-            .distinct()
+            for b in range(num_bands)
+        ])
+        probe_arr = F.concat(
+            # exact: one probe per doc; null text hashes to null and a
+            # null key can never match, so it is simply not emitted
+            F.coalesce(
+                F.when(F.col("_ehh").isNotNull(), F.array(F.struct(
+                    F.concat(F.lit("e|"), F.col("_ehh")).alias("_k"),
+                    null_sig.alias("_sig"),
+                ))),
+                F.array().cast("array<struct<_k:string,_sig:array<bigint>>>"),
+            ),
+            # near: band buckets, emitted only when the doc had >= 1
+            # shingle (matches the filtered signature table's reach)
+            F.coalesce(
+                F.when(F.col("_h0").isNotNull(), band_structs),
+                F.array().cast("array<struct<_k:string,_sig:array<bigint>>>"),
+            ),
+            # span: the per-doc distinct window set
+            F.transform(F.col("_wins"), lambda x: F.struct(
+                F.concat(F.lit("s|"), x.cast("string")).alias("_k"),
+                null_sig.alias("_sig"),
+            )),
+        )
+        return agg.select(
+            out_id, F.explode(probe_arr).alias("_p")
+        ).select(
+            out_id,
+            F.substring(F.col("_p._k"), 1, 1).alias("_mech"),
+            F.col("_p._k").alias("_k"),
+            F.col("_p._sig").alias("_sig"),
         )
 
-    span = (
-        _wins(fan_out(corpus), "_cid")
-        .join(F.broadcast(_wins(eval_df, "eval_id")), "_wh")
-        .select("eval_id", "_cid").distinct()
-        .groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_span"))
+    cprobe = _probe(corpus, "_cid")
+    eprobe = (
+        _probe(eval_df, "eval_id")
+        .withColumnRenamed("_sig", "_esig")
+        .drop("_mech")
     )
-
+    matches = F.aggregate(
+        F.zip_with(F.col("_sig"), F.col("_esig"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    hits = (
+        cprobe.join(F.broadcast(eprobe), "_k")
+        .select(
+            "eval_id", "_cid", "_mech",
+            (matches / F.lit(float(num_perms))).alias("_est"),
+        )
+    )
+    res = hits.groupBy("eval_id").agg(
+        F.count_if(F.col("_mech") == "e").alias("n_exact"),
+        F.countDistinct(F.when(
+            (F.col("_mech") == "n") & (F.col("_est") >= F.lit(thr)),
+            F.col("_cid"),
+        )).alias("n_near"),
+        F.countDistinct(F.when(
+            F.col("_mech") == "s", F.col("_cid"),
+        )).alias("n_span"),
+    )
+    ev_ids = eval_df.select(F.col(id_col).alias("eval_id"))
     return (
         ev_ids
-        .join(exact, "eval_id", "left")
-        .join(near, "eval_id", "left")
-        .join(span, "eval_id", "left")
+        .join(res, "eval_id", "left")
         .select(
             "eval_id",
             F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),

@@ -3160,6 +3160,51 @@ def test_decon_report_planted_contamination(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_decon_report_fused_edges_and_single_scan(spark):
+    """The r16 single-scan fusion: degenerate docs (null text, shorter
+    than a shingle, shorter than a window) flow through the shared
+    position explode without phantom matches, and the corpus side of the
+    plan scans its input exactly once (was 3 mechanism scans +
+    a second sign pass before r16)."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.dedup import decon_report
+
+    quote = " ".join(f"tok{i}" for i in range(25))
+    eval_rows = [(100, f"lead {quote} trail"), (200, None), (300, "ab")]
+    corpus_rows = [
+        (1, f"lead {quote} trail"),   # exact + near + span vs 100
+        (2, None),                    # null text: matches nothing (md5 NULL)
+        (3, "ab"),                    # shorter than shingle_n AND window
+        (4, "xy"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    out = {r.eval_id: r for r in decon_report(corpus, ev).collect()}
+    assert set(out) == {100, 200, 300}
+    assert (out[100].n_exact, out[100].n_span) == (1, 1) and out[100].n_near >= 1
+    # null text never equals null text (md5 NULL key is not emitted)
+    assert (out[200].n_exact, out[200].n_near, out[200].n_span) == (0, 0, 0)
+    # sub-shingle docs have no signature, no bands, no windows — near and
+    # span stay 0 — but exact md5 equality has no length floor: corpus
+    # doc 3 is a byte-identical copy of eval 300
+    assert (out[300].n_exact, out[300].n_near, out[300].n_span) == (1, 0, 0)
+
+    # one corpus pass: parquet-backed inputs scan once per side (+ the
+    # eval-id spine), not once per mechanism
+    import io
+    import contextlib
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = decon_report(docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rep.explain("formatted")
+    import re
+
+    scans = [l for l in buf.getvalue().splitlines()
+             if re.match(r"^\(\d+\) Scan parquet", l)]
+    assert len(scans) <= 3, scans
+
+
 def test_lsh_band_tune_against_bruteforce(spark):
     """Sweep numbers verified against an independent brute-force pass
     over the collected signatures: truth = all pairs with est >= t,
