@@ -1684,7 +1684,7 @@ def classifier_train(
                 # exchange-free because BOTH sides carry the id
                 # partitioning established once at featurize time.
                 errs_j = F.broadcast(errs) if n_docs <= 2_000_000 else errs
-                g_rows = (
+                per_idx = (
                     base.select(id_col, "idx")
                     .join(errs_j, id_col)
                     .groupBy("idx")
@@ -1694,14 +1694,27 @@ def classifier_train(
                             grad_round_to,
                         ).alias("g")
                     )
-                    .collect()
                 )
-                g_bias = errs.agg(
-                    F.round(F.sum("_err") / F.lit(float(n_docs)), grad_round_to)
-                ).collect()[0][0]
+                # the bias gradient rides the same action as a sentinel
+                # row (idx = -1; real feature indexes are pmod-nonneg) —
+                # ONE collect job per iteration instead of two (r16,
+                # VERDICT r15 item 2).  Both aggregates are unchanged —
+                # each keeps its own sum and its own grad_round_to
+                # rounding, so the trained weights are bit-identical to
+                # the two-job form (the oracle CTEs pin this).
+                bias_row = errs.agg(
+                    F.round(
+                        F.sum("_err") / F.lit(float(n_docs)), grad_round_to
+                    ).alias("g")
+                ).select(F.lit(-1).cast("long").alias("idx"), F.col("g"))
+                g_rows = per_idx.unionByName(bias_row).collect()
             finally:
                 errs.unpersist()
+            g_bias = 0.0
             for r in g_rows:
+                if r["idx"] == -1:
+                    g_bias = r["g"]
+                    continue
                 old = w.get(r["idx"], 0.0)
                 w[r["idx"]] = round(old - lr * (r["g"] + l2 * old), round_to)
             bias = round(bias - lr * g_bias, round_to)
