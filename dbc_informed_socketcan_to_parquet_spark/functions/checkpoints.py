@@ -44,10 +44,24 @@ def durable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     second time to write the files) and unpersists immediately after —
     the checkpoint files carry the data from then on.
 
+    The LAZY case always uses ``localCheckpoint`` (r16, ADVICE r15):
+    a lazy reliable checkpoint cannot be persisted-around (there is no
+    hook to unpersist after the deferred materialization — keeping the
+    persist is exactly the session-lifetime cache leak this module
+    exists to avoid), so on a checkpoint-dir cluster it would recompute
+    its subtree a second time when the files are written.  Lazy call
+    sites here are compute-once *performance* devices whose
+    materialization must happen inside the consuming action, not
+    fault-tolerance boundaries — executor loss under localCheckpoint
+    fails the action (recoverable by re-running it), which is the
+    cheaper side of the trade against a guaranteed doubled pass.
+
     Spark Connect exposes no ``sparkContext``; there the probe fails and
     we use ``localCheckpoint`` (Connect-supported since 4.0), matching
     the pre-r13 behavior.
     """
+    if not eager:
+        return df.localCheckpoint(eager=False)
     try:
         sc = df.sparkSession.sparkContext
         reliable = (
@@ -59,8 +73,6 @@ def durable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         reliable = False
     if not reliable:
         return df.localCheckpoint(eager=eager)
-    if not eager:
-        return df.checkpoint(eager=False)
     df = df.persist()
     try:
         out = df.checkpoint(eager=True)

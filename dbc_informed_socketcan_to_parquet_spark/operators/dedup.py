@@ -171,10 +171,21 @@ def minhash_signatures(
     return sigs.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perms)]).alias("sig"))
 
 
-def _band_table(sigs: DataFrame, id_col: str, num_bands: int, rows_per_band: int) -> DataFrame:
-    """(id, band, band_hash) long table — one row per (doc, band)."""
+def _band_table(
+    sigs: DataFrame,
+    id_col: str,
+    num_bands: int,
+    rows_per_band: int,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, band, band_hash) long table — one row per (doc, band).
+    ``carry`` names extra ``sigs`` columns to keep on each band row
+    (r16: the star-edge verify carries the signature itself, trading
+    ``num_perms`` longs per row for two id-keyed joins)."""
+    extra = list(carry or [])
     return sigs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         F.explode(
             F.array(
                 *[
@@ -186,7 +197,7 @@ def _band_table(sigs: DataFrame, id_col: str, num_bands: int, rows_per_band: int
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bh")
+    ).select(id_col, *extra, "bb.band", "bb.bh")
 
 
 def lsh_candidate_pairs(
@@ -255,32 +266,43 @@ def lsh_star_edges(
     approximated by per-member-vs-rep filtering, O(c) not O(c²).
 
     Plan: one groupBy and one join, both on (band, bh) — the second
-    shuffle reuses the first's partitioning.
+    shuffle reuses the first's partitioning.  Under ``verify_threshold``
+    the signatures ride ALONG the band rows (``num_perms`` longs each)
+    and the representative's signature comes out of the same groupBy via
+    ``min_by`` (r16) — the verification is row-local on the joined
+    bucket rows, where it previously re-joined the signature table twice
+    (two more id-keyed exchanges and, for uncached inputs, two more sign
+    passes).
     """
-    bands = _band_table(sigs, id_col, num_bands, rows_per_band)
-    reps = bands.groupBy("band", "bh").agg(F.min(id_col).alias("id_a"))
-    edges = (
+    if verify_threshold is None:
+        bands = _band_table(sigs, id_col, num_bands, rows_per_band)
+        reps = bands.groupBy("band", "bh").agg(F.min(id_col).alias("id_a"))
+        return (
+            bands.join(reps, ["band", "bh"])
+            .filter(F.col(id_col) != F.col("id_a"))
+            .select("id_a", F.col(id_col).alias("id_b"))
+            .distinct()
+        )
+    if num_perms is None:
+        raise ValueError("verify_threshold requires num_perms")
+    bands = _band_table(sigs, id_col, num_bands, rows_per_band, carry=["sig"])
+    # ids are unique per bucket, so (min id, its sig) is deterministic
+    reps = bands.groupBy("band", "bh").agg(
+        F.min(id_col).alias("id_a"),
+        F.min_by(F.col("sig"), F.col(id_col)).alias("_rsig"),
+    )
+    est = F.aggregate(
+        F.zip_with("_rsig", "sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(num_perms))
+    return (
         bands.join(reps, ["band", "bh"])
         .filter(F.col(id_col) != F.col("id_a"))
+        .filter(est >= verify_threshold)
         .select("id_a", F.col(id_col).alias("id_b"))
         .distinct()
     )
-    if verify_threshold is not None:
-        if num_perms is None:
-            raise ValueError("verify_threshold requires num_perms")
-        a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-        b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-        est = F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).cast("double") / F.lit(float(num_perms))
-        edges = (
-            edges.join(a, "id_a").join(b, "id_b")
-            .filter(est >= verify_threshold)
-            .select("id_a", "id_b")
-        )
-    return edges
 
 
 def minhash_star_clusters(

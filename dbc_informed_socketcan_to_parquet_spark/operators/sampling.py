@@ -542,22 +542,29 @@ def _hashed_buckets(
     """(id, bucket) — unigram (+ word-bigram) features hashed into
     ``num_buckets``; same tokenization and feature shape as
     textops.classifier_score so the two share one oracle rendering."""
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
     from dbc_informed_socketcan_to_parquet_spark.operators.textops import _lm_tokens
 
-    toks = _lm_tokens(text_col)
+    # token array materialized ONCE in a projection between the fan-out
+    # exchange and the Generate (r16, same fix as textops._clf_hashed):
+    # inlined, the split chain appeared 5x in the generator expression,
+    # where Generate gets no codegen subexpression elimination
+    toked = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), _lm_tokens(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
     feats = toks
     if bigrams:
+        n_keep = F.greatest(F.size(toks) - 1, F.lit(0))
         pair_strs = F.transform(
             F.arrays_zip(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+                F.slice(toks, 1, n_keep).alias("a"),
+                F.slice(toks, 2, n_keep).alias("b"),
             ),
             lambda p: F.concat(p["a"], F.lit(" "), p["b"]),
         )
         feats = F.concat(toks, pair_strs)
-    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
-
-    return fan_out(df).select(F.col(id_col), F.explode(feats).alias("_f")).select(
+    return toked.select(F.col(id_col), F.explode(feats).alias("_f")).select(
         F.col(id_col),
         F.pmod(hash_fn(F.col("_f"), salt=f"{seed}|"), F.lit(num_buckets)).alias("_b"),
     )
