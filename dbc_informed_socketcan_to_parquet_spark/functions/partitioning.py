@@ -16,10 +16,29 @@ shrinks or reshuffles it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
+#: Byte floor for LIGHT-kernel fan_out call sites (``min_bytes=``): when
+#: the narrow input's whole estimated size is below this, the operator's
+#: per-byte work is too small for the round-robin exchange's FIXED cost
+#: (stage scheduling + sort-before-repartition) to pay off.  Measured
+#: r16 on the light sites (warc render, bigram zip, NFC normalize, PII
+#: regex battery, BPE word count): skipping wins 6-28% at 0.6 MB input
+#: and fanning out wins 1.2-2.5x at 5.8 MB, so any floor between those
+#: separates the regimes.  1 MiB is the conservative (fan-out-leaning)
+#: choice: Catalyst's column-pruned estimates run ~2x below raw file
+#: bytes (the 5.8 MB fixture estimates 2.4 MB), and on a real cluster
+#: the exchange's fixed cost is higher, never lower, than on local[32].
+#: Heavy row-multiplying sites (shingle explodes: 2-5x win even at
+#: 0.6 MB) pass no floor.  Override: ``SPARK_GRAFT_FANOUT_MIN_BYTES``.
+LIGHT_KERNEL_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", 1 << 20))
 
-def fan_out(df: DataFrame, multiplier: int = 1, force: bool = False) -> DataFrame:
+
+def fan_out(
+    df: DataFrame, multiplier: int = 1, force: bool = False, min_bytes: int = 0
+) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's default
     parallelism (× ``multiplier``) — only when it currently has fewer
     partitions.  Use immediately before explode-like operators whose
@@ -36,12 +55,22 @@ def fan_out(df: DataFrame, multiplier: int = 1, force: bool = False) -> DataFram
     Exchange, so the upstream expression materializes exactly once into
     the shuffle (measured r5: the curate prefix went 58 s → ~4 s at sf1).
 
+    ``min_bytes`` (r16, VERDICT r15 item 4): light-kernel call sites pass
+    :data:`LIGHT_KERNEL_MIN_BYTES` so a narrow input whose ESTIMATED
+    size (Catalyst plan statistics — a driver-side lookup, no job) is
+    below the floor skips the exchange: at that size the kernel runs
+    faster single-threaded than the fixed exchange cost.  The gate is
+    input-size-adaptive, not host-tuned — the same call fans out as soon
+    as the input carries real bytes.  When the estimate is unavailable
+    the gate fails OPEN (fans out): under-parallelizing at scale is the
+    expensive mistake.
+
     Spark Connect exposes neither ``sparkContext`` nor ``df.rdd``, so
     the partition-count probe is impossible there; under Connect we skip
-    the probe and always repartition to a target derived from
-    ``spark.sql.shuffle.partitions`` — an unconditional narrow-input
-    shuffle is cheap relative to the exploded work, and correct either
-    way.
+    the probe (and the ``min_bytes`` gate) and always repartition to a
+    target derived from ``spark.sql.shuffle.partitions`` — an
+    unconditional narrow-input shuffle is cheap relative to the exploded
+    work, and correct either way.
     """
     if df.isStreaming:
         # streaming sources choose their own partitioning and a streaming
@@ -66,6 +95,15 @@ def fan_out(df: DataFrame, multiplier: int = 1, force: bool = False) -> DataFram
     # Python-side RDD conversion plan is built, unlike ``df.rdd``.
     n = df._jdf.queryExecution().toRdd().getNumPartitions()
     if n < target:
+        if min_bytes > 0:
+            try:
+                est = int(str(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                ))
+            except Exception:
+                est = min_bytes  # estimate unavailable: fail open, fan out
+            if est < min_bytes:
+                return df
         return df.repartition(target)
     if force:
         return df.repartition(n)

@@ -217,12 +217,17 @@ def bpe_encode(
 
     _enc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     kernel = pandas_udf(_enc, "array<string>")
-    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import (
+        LIGHT_KERNEL_MIN_BYTES,
+        fan_out,
+    )
 
     # the per-row merge loop is the expensive part, not the shuffle: fan
     # out a narrow input so the Arrow kernel runs at cluster parallelism
-    # (r15; no-op on an already-wide input, streaming passes through)
-    return fan_out(df).withColumn(out_col, kernel(F.col(text_col)))
+    # (r15; no-op on an already-wide input, streaming passes through;
+    # r16: inputs under the light-kernel byte floor skip the exchange)
+    return fan_out(df, min_bytes=LIGHT_KERNEL_MIN_BYTES).withColumn(
+        out_col, kernel(F.col(text_col)))
 
 
 def bpe_token_count(

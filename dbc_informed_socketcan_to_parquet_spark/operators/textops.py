@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 
 from dbc_informed_socketcan_to_parquet_spark.functions.checkpoints import durable_checkpoint
 from dbc_informed_socketcan_to_parquet_spark.functions.hashing import md5_long
-from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
+from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import (
+    LIGHT_KERNEL_MIN_BYTES,
+    fan_out,
+)
 from dbc_informed_socketcan_to_parquet_spark.functions.text import (
     STOPWORD_LIST,
     bpe_ish_count,
@@ -676,9 +679,10 @@ def _lm_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     without the codegen subexpression elimination a Project gets —
     measured 0.97 s → 0.49 s on frequent_ngrams at sf0.1 (identical
     rows).  The exchange also carries only (id, text) now."""
-    toked = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), _lm_tokens(text_col).alias("_toks")
-    )
+    toked = fan_out(
+        df.select(F.col(id_col), F.col(text_col)),
+        min_bytes=LIGHT_KERNEL_MIN_BYTES,
+    ).select(F.col(id_col), _lm_tokens(text_col).alias("_toks"))
     toks = F.col("_toks")
     n_keep = F.greatest(F.size(toks) - 1, F.lit(0))
     pairs = F.arrays_zip(
@@ -1847,9 +1851,12 @@ def normalize_text(
     """
     from pyspark.sql.functions import pandas_udf
 
-    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import fan_out
+    from dbc_informed_socketcan_to_parquet_spark.functions.partitioning import (
+        LIGHT_KERNEL_MIN_BYTES as _MINB,
+        fan_out,
+    )
 
-    df = fan_out(df)
+    df = fan_out(df, min_bytes=_MINB)
 
     @pandas_udf("string")
     def _nfc(s):  # pd.Series -> pd.Series
@@ -1959,7 +1966,7 @@ def vocab_coverage(
     # otherwise each re-run the corpus scan+explode — exchange reuse
     # does not dedupe them (verified on the executed plan)
     lw = durable_checkpoint(
-        fan_out(df).select(
+        fan_out(df, min_bytes=LIGHT_KERNEL_MIN_BYTES).select(
             F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang"),
             F.explode(toks).alias("w"),
         )

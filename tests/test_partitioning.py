@@ -27,6 +27,28 @@ def test_fan_out_multiplier(spark):
     assert fo.rdd.getNumPartitions() == 2 * spark.sparkContext.defaultParallelism
 
 
+def test_fan_out_min_bytes_gate(spark, tmp_path):
+    """The r16 light-kernel byte floor: a narrow input estimated below
+    ``min_bytes`` skips the exchange; above it, the same call fans out.
+    File-backed frames carry real size estimates (in-memory ranges use
+    them too, via LongType sizing)."""
+    path = str(tmp_path / "gate.parquet")
+    spark.range(1000).selectExpr("id", "repeat('x', 64) AS text") \
+        .coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path).coalesce(1)
+    est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    assert est > 0
+    # floor above the estimate: the exchange is skipped
+    assert fan_out(df, min_bytes=est * 10).rdd.getNumPartitions() == 1
+    # floor below the estimate: fans out as usual
+    wide = fan_out(df, min_bytes=max(1, est // 10))
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # row set unchanged either way
+    assert fan_out(df, min_bytes=est * 10).count() == 1000
+    # default (min_bytes=0) keeps the unconditional r15 behavior
+    assert fan_out(df).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
 def test_salted_agg_matches_plain_groupby(spark):
     from pyspark.sql import functions as F
 
