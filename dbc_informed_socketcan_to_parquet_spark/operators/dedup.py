@@ -1794,37 +1794,38 @@ def fuzzy_contamination(
     band-bucket collision with an eval doc, and the verify step compares
     fixed-length signatures (``num_perms`` longs), not text.
     """
-    # NOTE (r15, measured): both signature tables feed two consumers
-    # (band explode + the verify join) and the executed plan signs each
-    # side twice — but a sign-once lazy localCheckpoint measured SLOWER
-    # here at sf0.1 AND sf1 (alternating same-host A/B: 1.12× min /
-    # 1.18× median at sf0.1 ×5 reps, 1.17× at sf1): the checkpoint's
-    # materialization barrier + ExistingRDD re-read costs more than the
-    # duplicated codegen sign pass saves.  Tried and reverted; for
-    # corpora where the double pass dominates, sign once into a
-    # persisted store and use near_dedup_against_corpus(corpus_sigs=...).
+    # Sign-once is achieved STRUCTURALLY (r16): both signatures ride
+    # along their band rows (``carry=["sig"]``) and the verify step is
+    # row-local on the joined bucket rows, so each side is signed exactly
+    # once with no materialization barrier.  (r15 had tried a sign-once
+    # lazy localCheckpoint instead — measured SLOWER at sf0.1 AND sf1,
+    # 1.12-1.18×, because the checkpoint barrier + ExistingRDD re-read
+    # cost more than the duplicated codegen sign pass; carrying the
+    # 16-long signature through the candidate join costs neither.)
     sigs_c = minhash_signatures(corpus, id_col, text_col, num_perms, shingle_n, seed, hash_fn)
     sigs_e = minhash_signatures(eval_df, id_col, text_col, num_perms, shingle_n, seed, hash_fn)
-    bands_c = _band_table(sigs_c, id_col, num_bands, rows_per_band)
+    bands_c = _band_table(sigs_c, id_col, num_bands, rows_per_band, carry=["sig"])
     bands_e = (
-        _band_table(sigs_e, id_col, num_bands, rows_per_band)
-        .withColumnRenamed(id_col, "_eid")
+        _band_table(sigs_e, id_col, num_bands, rows_per_band, carry=["sig"])
+        .select(
+            F.col(id_col).alias("_eid"), F.col("sig").alias("_esig"),
+            "band", "bh",
+        )
     )
+    # distinct over the pair WITH the carried signatures: sig/_esig are
+    # functionally dependent on their ids, so the pair set is unchanged
     cand = (
         bands_c.join(F.broadcast(bands_e), ["band", "bh"])
-        .select(F.col(id_col), F.col("_eid"))
+        .select(F.col(id_col), F.col("_eid"), F.col("sig"), F.col("_esig"))
         .distinct()
     )
-    e_sigs = sigs_e.select(F.col(id_col).alias("_eid"), F.col("sig").alias("_esig"))
     matches = F.aggregate(
         F.zip_with(F.col("sig"), F.col("_esig"), lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     )
     scored = (
-        cand.join(sigs_c, id_col)
-        .join(F.broadcast(e_sigs), "_eid")
-        .select(
+        cand.select(
             F.col(id_col),
             F.col("_eid"),
             (matches / F.lit(float(num_perms))).alias("_est"),
