@@ -1237,38 +1237,36 @@ def near_dedup_against_corpus(
             corpus, id_col, text_col, num_perms=num_perms,
             shingle_n=shingle_n, seed=seed, hash_fn=hash_fn,
         )
-    # NOTE (r15, measured): with verify_threshold the sig tables feed two
-    # consumers (bands + the per-pair estimate) and the executed plan
-    # really does sign the text twice — but a sign-once lazy
-    # localCheckpoint measured SLOWER at sf0.1 AND sf1 (alternating
-    # same-host A/B, min-of-3 ×5: 1.04-1.12× at sf0.1, 1.17-1.21× at
-    # sf1): the materialization barrier + ExistingRDD re-read costs more
-    # than the duplicated codegen scan+shingle+min-agg pass saves.  For
-    # a corpus where the double pass genuinely dominates, pass a
-    # persisted signature store (corpus_sigs) — the production posture.
-    bands_b = _band_table(sigs_b, id_col, num_bands, rows_per_band).select(
-        F.col(id_col).alias("_bid"), "band", "bh"
+    # Sign-once is structural (r16, the fuzzy_contamination fix): under
+    # verify_threshold both signatures ride their band rows and the
+    # estimate is row-local on the collision rows — one sign pass for
+    # the batch, ONE scan of the store, no verify joins.  (r15 had tried
+    # a sign-once lazy localCheckpoint instead: measured 1.04-1.21×
+    # SLOWER — the barrier + ExistingRDD re-read cost more than the
+    # duplicated pass; carrying num_perms longs per band row costs
+    # neither.)  Without the threshold the band tables stay narrow.
+    carry = ["sig"] if verify_threshold is not None else None
+    bands_b = _band_table(sigs_b, id_col, num_bands, rows_per_band, carry=carry)
+    bands_b = bands_b.select(
+        F.col(id_col).alias("_bid"),
+        *([F.col("sig").alias("sig_a")] if carry else []),
+        "band", "bh",
     )
-    bands_c = _band_table(corpus_sigs, id_col, num_bands, rows_per_band).select(
-        F.col(id_col).alias("_cid"), "band", "bh"
+    bands_c = _band_table(corpus_sigs, id_col, num_bands, rows_per_band, carry=carry)
+    bands_c = bands_c.select(
+        F.col(id_col).alias("_cid"),
+        *([F.col("sig").alias("sig_b")] if carry else []),
+        "band", "bh",
     )
-    hits = F.broadcast(bands_b).join(bands_c, ["band", "bh"]).select("_bid", "_cid")
+    # batch side is broadcast-small by contract; the store streams past it
+    hits = F.broadcast(bands_b).join(bands_c, ["band", "bh"])
     if verify_threshold is not None:
-        a = sigs_b.select(F.col(id_col).alias("_bid"), F.col("sig").alias("sig_a"))
-        b = corpus_sigs.select(F.col(id_col).alias("_cid"), F.col("sig").alias("sig_b"))
         est = F.aggregate(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             F.lit(0),
             lambda acc, v: acc + v,
         ).cast("double") / F.lit(float(num_perms))
-        # hits (collisions) and a (batch sigs) are both batch-sized —
-        # broadcast their join so the corpus signature scan streams
-        # against it partition-local; the store never shuffles here either
-        hits = (
-            F.broadcast(hits.distinct().join(F.broadcast(a), "_bid"))
-            .join(b, "_cid")
-            .filter(est >= verify_threshold)
-        )
+        hits = hits.filter(est >= verify_threshold)
     dup_ids = hits.select(F.col("_bid").alias(id_col)).distinct()
     return batch.join(F.broadcast(dup_ids), id_col, "left_anti")
 
