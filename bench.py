@@ -446,7 +446,12 @@ def _corpus_addition_timings(spark, sf_dir: str) -> dict[str, float]:
                  # r15 session 4: the same gate against a CODES-ONLY
                  # IVF-PQ history index (reconstruction inside probed
                  # partitions) — the storage-constrained 100 TB posture
-                 "semantic_dedup_against_pq"):
+                 "semantic_dedup_against_pq",
+                 # r16 addition (VERDICT r15 item 8): contamination sweep
+                 # against the PERSISTED corpus index — the production
+                 # posture next to the per-invocation-Lloyd's
+                 # semantic_contamination report lane above
+                 "semantic_contamination_indexed"):
         fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         out[name] = _min_of(spark, lambda: fn(spark, sf_dir),
                             5 if name in _NOISY else 2)

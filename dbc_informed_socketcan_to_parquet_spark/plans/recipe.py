@@ -352,7 +352,10 @@ def validate_recipe(recipe: dict) -> None:
                          ("repetition", {"out"}),
                          ("novelty", {"against", "n", "out"}),
                          ("cluster_sizes", {"threshold", "out"}),
-                         ("topics", {"embeddings", "k", "top_terms", "out"})):
+                         ("topics", {"embeddings", "k", "top_terms", "out"}),
+                         ("contamination",
+                          {"index", "eval_embeddings", "threshold", "nprobe",
+                           "id_col", "vec_col", "out"})):
         spec = recipe.get("report", {}).get(key)
         if spec not in (None, True, False) and not isinstance(spec, dict):
             raise ValueError(f"report.{key} must be true/false or a dict")
@@ -367,6 +370,15 @@ def validate_recipe(recipe: dict) -> None:
     if nov and not (isinstance(nov, dict) and nov.get("against")):
         raise ValueError("report.novelty requires {\"against\": <reference "
                          "parquet path>} — novelty is relative to a corpus")
+    cont = recipe.get("report", {}).get("contamination")
+    if cont and not (isinstance(cont, dict) and cont.get("index")
+                     and cont.get("eval_embeddings")):
+        raise ValueError(
+            "report.contamination requires {\"index\": <ivf_index_write "
+            "path over the corpus embeddings>, \"eval_embeddings\": "
+            "<benchmark embedding parquet>} — the persisted-index sweep "
+            "(semantic_contamination_indexed) is the production posture; "
+            "it never re-clusters or re-scans the corpus")
     if "export" in recipe:
         for req in ("out", "max_tokens"):
             if req not in recipe["export"]:
@@ -1308,6 +1320,33 @@ def _run_recipe_tail(
                 nov_df.write.mode("overwrite").parquet(nv_spec["out"])
             summary["report"]["novelty"] = {
                 "rows": nov_df.count(), "out": nv_spec.get("out"),
+            }
+        ct_spec = recipe["report"].get("contamination")
+        if ct_spec:
+            # embedding-space contamination sweep against the PERSISTED
+            # corpus index (r16, VERDICT r15 item 8): the production
+            # posture — the corpus was indexed once (ivf_index_write /
+            # the daily-incremental maintenance lane), so a benchmark
+            # release sweep probes only the eval set's nearest cluster
+            # partitions instead of re-running Lloyd's per invocation
+            # (the semantic_contamination report operator's from-scratch
+            # semantics are unchanged; this is the indexed twin)
+            from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+                semantic_contamination_indexed,
+            )
+
+            ct_df = semantic_contamination_indexed(
+                spark, ct_spec["index"],
+                spark.read.parquet(ct_spec["eval_embeddings"]),
+                threshold=float(ct_spec.get("threshold", 0.9)),
+                nprobe=int(ct_spec.get("nprobe", 4)),
+                id_col=str(ct_spec.get("id_col", "vec_id")),
+                vec_col=str(ct_spec.get("vec_col", "embedding")),
+            )
+            if ct_spec.get("out"):
+                ct_df.write.mode("overwrite").parquet(ct_spec["out"])
+            summary["report"]["contamination"] = {
+                "rows": ct_df.count(), "out": ct_spec.get("out"),
             }
         if resume is not None:
             resume.mark("report", summary["report"])

@@ -2208,6 +2208,73 @@ def q_semantic_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, batch, threshold=0.4, nprobe=4, round_to=6)
 
 
+def _semantic_contamination_indexed_oracle_sql(
+    dim: int = 64, nplanes: int = 3, n_iters: int = 2, nprobe: int = 4,
+    thr: float = 0.4, eval_max_id: int = 60,
+) -> str:
+    """Full replay of the PERSISTED-INDEX contamination sweep (r16,
+    VERDICT r15 item 8): the deterministic-Lloyd's chain trains and
+    assigns over the indexed corpus slice only (= the ivf_index_write
+    build the lane probes), the fixed eval slice probes its nprobe
+    nearest final centroids, cosine ≥ thr inside probed clusters, best
+    EVAL match per corpus doc — semantic_contamination's report contract
+    with the corpus side read from the index instead of re-clustered."""
+    parts = _ivf_corpus_assign_ctes(
+        dim, nplanes, n_iters,
+        src="(SELECT * FROM embeddings WHERE vec_id % 3 != 0)")
+    final = f"centers{n_iters}"
+    parts.append(
+        "evecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id % 3 = 0 AND vec_id < {eval_max_id})")
+    parts.append(f"""probe AS (
+      SELECT vec_id AS eid, v AS ev, b AS cluster
+      FROM ({_ivf_assign_sql('evecs', final, f'rn <= {nprobe}')})
+    )""")
+    cos = ("round(list_dot_product(ca.v, p.ev) / "
+           "(sqrt(list_dot_product(ca.v, ca.v)) * sqrt(list_dot_product(p.ev, p.ev))), 6)")
+    parts.append(f"""hits AS (
+      SELECT DISTINCT ca.vec_id, p.eid, {cos} AS cos
+      FROM corpus_assign ca JOIN probe p ON ca.b = p.cluster
+      WHERE {cos} >= {thr}
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, eval_id, cosine FROM (
+      SELECT vec_id, eid AS eval_id, cos AS cosine,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eid) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """
+
+
+@extra_query("semantic_contamination_indexed",
+             oracle=_semantic_contamination_indexed_oracle_sql())
+def q_semantic_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination sweep against the PERSISTED corpus index (r16,
+    VERDICT r15 item 8 — the production posture next to the
+    per-invocation-Lloyd's ``semantic_contamination`` report lane): the
+    corpus was indexed once (``ivf_index_write``; the session-cached
+    ``_sda_index`` fixture, deterministic, replayed from scratch by the
+    oracle), and a benchmark-release sweep probes only the eval set's
+    nprobe nearest cluster partitions — pruned at file listing, no
+    re-cluster, no corpus re-scan.  Eval = the fixed 20-vector
+    ``vec_id % 3 == 0 AND vec_id < 60`` slice (disjoint from the index
+    side, present at every SF), so the lane's scaling trend measures the
+    probe cost, not a growing eval set."""
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        semantic_contamination_indexed,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    eval_df = emb.filter(
+        (F.col("vec_id") % 3 == 0) & (F.col("vec_id") < 60)
+    ).select("vec_id", "embedding")
+    path = _sda_index(spark, sf_dir, "raw")
+    return semantic_contamination_indexed(
+        spark, path, eval_df, threshold=0.4, nprobe=4, round_to=6)
+
+
 @extra_query("semantic_dedup_against_full",
              oracle=_semantic_dedup_against_oracle_sql())
 def q_semantic_dedup_against_full(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -577,6 +577,69 @@ def test_recipe_report_topics(spark, tmp_path):
         validate_recipe({**recipe, "report": {"topics": True}})
 
 
+def test_recipe_report_contamination_indexed(spark, tmp_path):
+    """recipe report.contamination (r16, VERDICT r15 item 8): the
+    persisted-index sweep is the recipe's production posture — the
+    corpus index is probed, never re-clustered, and the hits match
+    semantic_contamination_indexed run directly; validation requires
+    index + eval_embeddings."""
+    import pytest as _pytest
+
+    from dbc_informed_socketcan_to_parquet_spark.operators.similarity import (
+        ivf_index_write,
+        semantic_contamination_indexed,
+    )
+    from dbc_informed_socketcan_to_parquet_spark.plans.recipe import (
+        run_recipe,
+        validate_recipe,
+    )
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"document body number {i} with enough text to keep " * 2)
+         for i in range(8)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    # corpus embeddings: two well-separated blobs; eval probes one blob
+    corpus_emb = spark.createDataFrame(
+        [(i, [1.0 + 0.001 * i] * 4 if i % 2 == 0 else [-1.0 - 0.001 * i] * 4)
+         for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "corpus_idx")
+    ivf_index_write(corpus_emb, idx, dim=4, num_clusters=2, n_iters=2)
+    ev = str(tmp_path / "eval_emb.parquet")
+    spark.createDataFrame(
+        [(100, [1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(ev)
+
+    out = str(tmp_path / "kept.parquet")
+    ct_out = str(tmp_path / "contamination.parquet")
+    recipe = {
+        "ingest": {"format": "parquet", "path": src},
+        "curate": {"min_quality": 0.0, "min_chars": 1},
+        "out": out,
+        "report": {"contamination": {
+            "index": idx, "eval_embeddings": ev,
+            "threshold": 0.9, "nprobe": 2, "out": ct_out,
+        }},
+    }
+    summary = run_recipe(spark, recipe)
+    got = {(r.vec_id, r.eval_id) for r in spark.read.parquet(ct_out).collect()}
+    direct = semantic_contamination_indexed(
+        spark, idx, spark.read.parquet(ev), threshold=0.9, nprobe=2)
+    want = {(r.vec_id, r.eval_id) for r in direct.collect()}
+    assert got == want and got  # the +1 blob is flagged, per the operator
+    assert summary["report"]["contamination"]["rows"] == len(want)
+
+    with _pytest.raises(ValueError, match="contamination"):
+        validate_recipe({**recipe, "report": {"contamination": {"index": idx}}})
+    with _pytest.raises(ValueError, match="unknown report.contamination"):
+        validate_recipe({**recipe, "report": {"contamination": {
+            "index": idx, "eval_embeddings": ev, "mode": "ivf"}}})
+
+
 def test_recipe_select_stage(spark, tmp_path):
     """recipe select stage (r13): the curated corpus narrows to the
     token budget (score column respected, whitespace token count
