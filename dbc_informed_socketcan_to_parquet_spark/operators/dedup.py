@@ -322,18 +322,18 @@ def minhash_star_clusters(
     ``threshold`` (optional) applies member-vs-representative estimated
     Jaccard verification to the star edges."""
     rows_per_band = num_perms // num_bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n, seed, hash_fn=hash_fn).cache()
-    try:
-        edges = lsh_star_edges(
-            sigs, id_col, num_bands, rows_per_band,
-            num_perms=num_perms, verify_threshold=threshold,
-        )
-        # dedup_clusters localCheckpoints (eager) every round, so its
-        # result no longer depends on sigs' lineage — safe to drop the
-        # cached blocks here instead of leaking them for the session.
-        return dedup_clusters(edges, max_iters=max_iters)
-    finally:
-        sigs.unpersist()
+    # No cache on the signature frame (r16): since the star-edge verify
+    # carries signatures on the band rows, sigs has exactly ONE consumer
+    # subtree — the band table — whose groupBy and bucket join share a
+    # single (band, bh) exchange via ReuseExchange, so the sign pass
+    # runs once with no materialization at all.  (The pre-r16 shape
+    # joined sigs twice more for verification and needed the cache.)
+    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n, seed, hash_fn=hash_fn)
+    edges = lsh_star_edges(
+        sigs, id_col, num_bands, rows_per_band,
+        num_perms=num_perms, verify_threshold=threshold,
+    )
+    return dedup_clusters(edges, max_iters=max_iters)
 
 
 def minhash_dedup_pairs(
